@@ -1,0 +1,197 @@
+"""Bronze → Silver normalization (the reference's flagship operator, U1).
+
+Re-expresses ``parse_solana_transaction`` (reference
+``adapters/src/solana_parser.rs:7-93``) as a pure DataFrame→DataFrame
+transformation: ``from_json`` → select/explode/filter/union — fully
+Catalyst-optimizable, no Python in the hot path, no shuffle (the whole
+pipeline is narrow: per-row fan-out via ``explode``). At 100 TB this is a
+single map-stage over the bronze scan; parallelism is simply bronze
+partitioning, and the pre/post token-balance "join" (J1, SURVEY §2.3)
+never leaves the row — it is an array higher-order-function lookup, not a
+relational join, so it costs zero shuffle.
+
+Semantics mirrored from the reference (file:line cited inline):
+  - chain dispatch: only `solana` rows are normalized
+    (cli/src/main.rs:153-161, api/src/main.rs:101-106).
+  - missing `meta` → transaction skipped (solana_parser.rs:15-18).
+  - native SOL delta: wallet's index in accountKeys →
+    (postBalances[i] - preBalances[i]) / 1e9 (solana_parser.rs:26,89-93);
+    wallet absent from accountKeys → no SOL entry (solana_parser.rs:26).
+  - SPL delta: for each postTokenBalance owned by the wallet
+    (owner == wallet, 3-way Option match: null owner ≠ match,
+    solana_parser.rs:50-57), find preTokenBalance with equal accountIndex,
+    missing → 0 ("new token account", solana_parser.rs:61-64);
+    delta = post - pre ui amounts (solana_parser.rs:66-67).
+  - dust filter: |delta| > 1e-6 on both branches (solana_parser.rs:29,69).
+  - entry_type: the reference's degenerate sign dispatch (both branches
+    `Transfer`, "Simplified for now", solana_parser.rs:37) — kept as an
+    explicit when/otherwise hook.
+  - fiat_value: never populated (solana_parser.rs:38,78) → null.
+
+Deliberate divergences (documented in SURVEY §4.2):
+  - deltas computed in DecimalType (exact), not f64.
+  - deterministic content-hash ids instead of UUIDv4.
+  - explicit error policy: unparseable raw_metadata rows are dropped from
+    the silver output and surfaced via ``parse_failures`` (the reference
+    CLI aborts on first parse error while the API silently swallows them —
+    cli/src/main.rs:155 vs api/src/main.rs:103; we make it explicit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from spectraplex_spark.functions.ids import deterministic_id
+from spectraplex_spark.functions.money import lamports_to_sol, to_money
+from spectraplex_spark.schemas import MONEY, SOLANA_TX_SCHEMA
+
+def _dust_threshold() -> Column:
+    # |delta| must exceed this to be emitted (solana_parser.rs:29,69).
+    return F.lit("0.000001").cast(MONEY)
+
+_SILVER_COLS = [
+    "id",
+    "transaction_id",
+    "user_id",
+    "wallet_address",
+    "asset_symbol",
+    "amount",
+    "entry_type",
+    "fiat_value",
+    "created_at",
+]
+
+
+def _entry_type(amount: Column) -> Column:
+    # Reference F7: `if sol_change > 0.0 { Transfer } else { Transfer }`
+    # (solana_parser.rs:37). Both branches transfer today; the hook stays
+    # so in/out classification can land without a plan change.
+    return F.when(amount > 0, F.lit("transfer")).otherwise(F.lit("transfer"))
+
+
+def _token_amount_dec(tb: Column) -> Column:
+    """Token balance struct → exact decimal amount.
+
+    Prefers the raw integer string + decimals (exact scale shift; Spark's
+    decimal division rules give DECIMAL(38,18) here) over the f64
+    ``uiAmount`` the reference uses (solana_parser.rs:63-66) — falling
+    back to uiAmount only when the raw fields are absent.
+    """
+    raw = tb["uiTokenAmount"]["amount"]
+    dec = tb["uiTokenAmount"]["decimals"]
+    ui = tb["uiTokenAmount"]["uiAmount"]
+    exact = raw.cast(T.DecimalType(38, 18)) / F.pow(F.lit(10.0), dec).cast(
+        T.DecimalType(20, 0)
+    )
+    return F.when(
+        raw.isNotNull() & dec.isNotNull(), exact.cast(MONEY)
+    ).otherwise(F.coalesce(ui, F.lit(0.0)).cast(MONEY))
+
+
+def _finish(df: DataFrame, amount: Column, asset: Column, audit_ts: Column) -> DataFrame:
+    """Common tail: dust filter, ids, silver column layout."""
+    out = df.withColumn("amount", amount.cast(MONEY)).withColumn("asset_symbol", asset)
+    out = out.filter(F.abs(F.col("amount")) > _dust_threshold())  # P5 dust
+    return out.select(
+        deterministic_id(
+            "tx_hash",
+            "wallet_address",
+            "asset_symbol",
+            F.col("amount").cast("string"),
+        ).alias("id"),
+        F.col("id").alias("transaction_id"),
+        "user_id",
+        "wallet_address",
+        "asset_symbol",
+        "amount",
+        _entry_type(F.col("amount")).alias("entry_type"),
+        F.lit(None).cast(MONEY).alias("fiat_value"),
+        audit_ts.alias("created_at"),
+    )
+
+
+def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
+    """U1: bronze transactions → silver ledger entries (0..N per tx).
+
+    ``audit_ts`` defaults to ``current_timestamp()`` (the reference's
+    ``created_at TIMESTAMPTZ DEFAULT NOW()``, init.sql:31); tests pass a
+    literal for determinism.
+    """
+    audit_ts = audit_ts if audit_ts is not None else F.current_timestamp()
+
+    # from_json is PERMISSIVE: malformed JSON yields an all-null struct,
+    # which the meta-null guard below drops — i.e. unparseable rows are
+    # skipped exactly like meta-less ones (use ``parse_failures`` to see
+    # them).
+    parsed = (
+        bronze.filter(F.col("chain") == "solana")  # P7 chain dispatch
+        .withColumn("tx", F.from_json("raw_metadata", SOLANA_TX_SCHEMA))
+        .filter(F.col("tx.meta").isNotNull())  # P6 null-meta guard
+    )
+
+    # --- native SOL branch (solana_parser.rs:20-45) ---
+    # 1-based position of the wallet in accountKeys; 0 when absent.
+    idx = F.array_position(
+        F.transform(F.col("tx.transaction.message.accountKeys"), lambda k: k["pubkey"]),
+        F.col("wallet_address"),
+    )
+    # get() is 0-based and null-on-OOB (no ANSI throw), so a wallet index
+    # beyond a malformed balances array degrades to null → row filtered.
+    sol = (
+        parsed.withColumn("_idx", idx)
+        .filter(F.col("_idx") > 0)
+        .withColumn("_pre", F.get(F.col("tx.meta.preBalances"), (F.col("_idx") - 1).cast("int")))
+        .withColumn("_post", F.get(F.col("tx.meta.postBalances"), (F.col("_idx") - 1).cast("int")))
+        .filter(F.col("_pre").isNotNull() & F.col("_post").isNotNull())
+    )
+    sol_out = _finish(
+        sol,
+        lamports_to_sol(F.col("_post") - F.col("_pre")),
+        F.lit("SOL"),
+        audit_ts,
+    )
+
+    # --- SPL token branch (solana_parser.rs:47-86) ---
+    spl = (
+        parsed.select("*", F.explode("tx.meta.postTokenBalances").alias("_post_tb"))
+        # P4 ownership filter — 3-way Option match: owner must be present
+        # AND equal the tracked wallet (solana_parser.rs:50-57).
+        .filter(
+            F.col("_post_tb.owner").isNotNull()
+            & (F.col("_post_tb.owner") == F.col("wallet_address"))
+        )
+        # J1 pre/post equi-join, expressed as an array lookup inside the
+        # row (no shuffle): first preTokenBalance with equal accountIndex.
+        .withColumn(
+            "_pre_tb",
+            F.get(
+                F.filter(
+                    F.col("tx.meta.preTokenBalances"),
+                    lambda p: p["accountIndex"] == F.col("_post_tb.accountIndex"),
+                ),
+                0,
+            ),
+        )
+    )
+    pre_amt = F.when(
+        F.col("_pre_tb").isNotNull(), _token_amount_dec(F.col("_pre_tb"))
+    ).otherwise(F.lit(0).cast(MONEY))  # missing pre → new token account = 0
+    spl_out = _finish(
+        spl,
+        to_money(_token_amount_dec(F.col("_post_tb")) - pre_amt),
+        F.col("_post_tb.mint"),
+        audit_ts,
+    )
+
+    return sol_out.unionByName(spl_out)
+
+
+def parse_failures(bronze: DataFrame) -> DataFrame:
+    """Bronze rows whose raw_metadata fails to parse (explicit error
+    surface replacing the reference's fail-vs-swallow divergence,
+    cli/src/main.rs:155 vs api/src/main.rs:103)."""
+    return bronze.filter(
+        (F.col("chain") == "solana")
+        & F.col("raw_metadata").isNotNull()
+        & F.try_parse_json("raw_metadata").isNull()
+    )

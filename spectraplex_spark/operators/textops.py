@@ -1,0 +1,127 @@
+"""E4 text-analysis operators for LLM-data pipelines (BASELINE.json north
+star; no reference citation — driver-mandated extension, SURVEY §2.11).
+
+All operators are pure Spark SQL expressions (whole-stage codegen, no
+Python in the hot path): at 100 TB these run as narrow map stages over
+the document scan with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tokenization regexes. WORD_RE is the whitespace tokenizer; BPE_RE is a
+# BPE-ish pre-tokenizer (letter runs / single digits / single punctuation)
+# in syntax shared by Java regex (Spark) and RE2 (DuckDB oracle).
+WS_RE = r"\s+"
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic; a real pipeline would
+# plug a fastText-style model in via pandas_udf.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "une", "dans"],
+    "de": ["der", "die", "das", "und", "in", "von", "zu"],
+}
+
+
+def normalized(text: Column) -> Column:
+    """Canonical text form used by dedup + fingerprinting:
+    lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), WS_RE, " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text (no empties)."""
+    return F.filter(F.split(normalized(text), " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs + single digits + punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs,
+    penalizes punctuation soup and stopword-free (non-linguistic) text.
+    Deterministic + expression-only; thresholds are heuristic."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
+def _stop_hits(toks: Column, stops: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_scores(text: Column) -> Column:
+    """Map lang → stopword hit count (the language-ID heuristic signal)."""
+    toks = tokens(text)
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in STOPWORDS]),
+        F.array(*[_stop_hits(toks, v) for v in STOPWORDS.values()]),
+    )
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax of language_scores; 'und' when no stopword hits at all.
+    Ties break by language key order (deterministic)."""
+    scores = language_scores(text)
+    entries = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("und").alias("key"), F.lit(0).alias("value")),
+        lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+    )
+    return best["key"]
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint of the normalized text (md5 hex) — the exact-dup
+    key. md5 (not sha2) so the DuckDB oracle can recompute it."""
+    return F.md5(normalized(text))
+
+
+def rolling_hash(text: Column) -> Column:
+    """Order-sensitive 64-bit polynomial rolling hash over tokens
+    (documents with same bag but different order hash differently)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc * F.lit(1_000_003).cast("long") + F.xxhash64(t),
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis columns to a documents frame."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_bpe_tokens", bpe_token_count(t))
+        .withColumn("punct_ratio", punct_ratio(t))
+        .withColumn("stopword_ratio_en", stopword_ratio(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_detected", detect_language(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -1,0 +1,231 @@
+"""[EXT] LLM-data-pipeline query catalog entries (SURVEY §2.11): dedup,
+text analysis, similarity search, multimodal — over the driver's
+``documents``/``embeddings`` tables.
+
+SQL-expressible ops carry full DuckDB oracles (note DuckDB's
+regexp_replace needs the 'g' flag; Spark replaces globally by default).
+Genuinely non-SQL ops (minhash/simhash/LSH — xxhash64 has no DuckDB
+twin) are registered without an oracle → driver records rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from spectraplex_spark.operators import dedup as D
+from spectraplex_spark.operators import multimodal as M
+from spectraplex_spark.operators import simsearch as S
+from spectraplex_spark.operators import textops as X
+from spectraplex_spark.plans.registry import query, table
+
+# DuckDB twin of textops.normalized()
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB twin of textops.tokens() → list of non-empty whitespace tokens
+_TOKENS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')"
+
+
+@query(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS representative
+    FROM documents
+    GROUP BY 1
+    """,
+    bench=True,
+    doc="E1 exact dedup: group on the 16-byte normalized-text fingerprint "
+    "(only the hash shuffles, never the text), min-id representative.",
+)
+def dedup_exact_docs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(X.fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprints",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+    doc="E4 document fingerprinting (md5 of canonical text form).",
+)
+def doc_fingerprints(spark, sf_dir):
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{X.BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+    doc="E4 token counting: whitespace tokens + BPE-ish regex tokens "
+    "(letter runs / digits / punctuation) — expression-only, no UDF.",
+)
+def text_token_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        X.bpe_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+def _stop_count_sql(lang: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in X.STOPWORDS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, t -> list_contains([{stops}], t)))"
+
+
+@query(
+    "lang_quality_report",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[^\\w\\s]'))) AS BIGINT) AS sum_punct,
+           CAST(SUM(CASE WHEN (
+                  (CASE WHEN len({_TOKENS_SQL}) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN {_stop_count_sql('en')} > 0 THEN 0.25 ELSE 0.0 END)
+               ) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+    FROM documents GROUP BY lang
+    """,
+    doc="E4 quality scoring report per language: token/punctuation "
+    "volumes and the count of docs passing the heuristic quality bar "
+    "(integer outputs → engine-exact).",
+)
+def lang_quality_report(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(t)).cast("bigint").alias("sum_tokens"),
+        F.sum(F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)))
+        .cast("bigint")
+        .alias("sum_punct"),
+        F.sum(F.when(X.quality_score(t) >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_ok"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    cnt = {lang: _stop_count_sql(lang) for lang in X.STOPWORDS}
+    m = f"GREATEST({cnt['en']}, {cnt['es']}, {cnt['fr']}, {cnt['de']})"
+    return f"""
+    SELECT lang_detected, COUNT(*) AS n FROM (
+      SELECT CASE
+        WHEN {m} = 0 THEN 'und'
+        WHEN {cnt['en']} = {m} THEN 'en'
+        WHEN {cnt['es']} = {m} THEN 'es'
+        WHEN {cnt['fr']} = {m} THEN 'fr'
+        ELSE 'de' END AS lang_detected
+      FROM documents) t
+    GROUP BY lang_detected
+    """
+
+
+@query(
+    "lang_id_distribution",
+    _lang_id_oracle(),
+    doc="E4 language-ID heuristic (stopword argmax, ties by declaration "
+    "order, no hits → 'und') — distribution over the corpus.",
+)
+def lang_id_distribution(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(X.detect_language(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+    doc="E3 multimodal metadata derivation: utf-8 payload byte length + "
+    "content sha256 — metadata-only query never touching payload "
+    "internals (expression-only).",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    mm = M.attach_binary_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha"),
+    )
+
+
+@query(
+    "simsearch_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                  (SELECT qv FROM q)) AS cosine
+    FROM embeddings WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id LIMIT 20
+    """,
+    bench=True,
+    doc="E2 brute-force cosine top-20 vs the vec_id=0 embedding: "
+    "expression-only dot product (zip_with fold), TakeOrderedAndProject "
+    "top-k — zero shuffle. Oracle computes in DOUBLE[] (bit-exact match "
+    "verified: both engines fold float->double sequentially).",
+)
+def simsearch_cosine_topk(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.cosine_topk(em.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=20)
+
+
+@query(
+    "simsearch_ann_lsh",
+    None,
+    doc="E2 ANN variant: 8-bit random-hyperplane LSH bucket filter before "
+    "scoring (recall/fan-in tradeoff; bucket predicate partition-prunes "
+    "when the signature is materialized).",
+)
+def simsearch_ann_lsh(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ann_topk_lsh(em.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10)
+
+
+@query(
+    "minhash_neardup_pairs",
+    None,
+    bench=True,
+    doc="E1 MinHash+LSH near-dup pairs (32 hashes, 8 bands, 3-shingles, "
+    "Jaccard ≥ 0.8): banding self-join emits only candidates — no "
+    "all-pairs compare at any scale.",
+)
+def minhash_neardup_pairs(spark, sf_dir):
+    return D.minhash_neardup_pairs(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_dup_groups",
+    None,
+    doc="E1 SimHash 64-bit signature buckets with >1 member (exact-"
+    "signature screen; one aggregate expression per doc, one group-by "
+    "shuffle on the 8-byte signature).",
+)
+def simhash_dup_groups(spark, sf_dir):
+    return D.simhash_dup_groups(table(spark, sf_dir, "documents"))

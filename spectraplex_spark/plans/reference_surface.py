@@ -1,0 +1,256 @@
+"""The reference's own query surface, re-expressed over the driver tables.
+
+The ``events`` table plays the bronze role (TESTDATA.md: "analog of the
+bronze event feed"): ``user_id`` stands in for the tracked wallet,
+``ts`` for the block time, ``value`` for the amount. Queries map 1:1 to
+reference entry points (file:line cited per query). The U1 normalize
+golden query runs the real pipeline on literal fixture rows and compares
+against a VALUES oracle — the same vectors as the reference's unit test.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from spectraplex_spark.operators.normalize import normalize
+from spectraplex_spark.plans.registry import query, table
+from spectraplex_spark.schemas import BRONZE_SCHEMA
+
+DEC = T.DecimalType(38, 6)
+
+
+def dec6(col):
+    return col.cast(DEC)
+
+
+@query(
+    "events_by_user",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE user_id = 7
+    """,
+    doc="S4 serving read (repo.rs:73-107): predicate + projection, "
+    "`SELECT ... WHERE wallet_address = $1 ORDER BY timestamp`. The "
+    "order-by is presentation-only (driver compare is order-insensitive); "
+    "at scale the filter partition-prunes a user/date-partitioned layout.",
+)
+def events_by_user(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .orderBy("ts", "event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "recent_events_topk",
+    """
+    SELECT event_id, ts, user_id, event_type FROM events
+    ORDER BY ts DESC, event_id LIMIT 50
+    """,
+    doc="O3 top-K most recent (solana.rs:30 take(limit) on newest-first "
+    "signatures; api/src/main.rs:75 limit 50) → TakeOrderedAndProject.",
+)
+def recent_events_topk(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(50)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query(
+    "user_activity_report",
+    """
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="The per-wallet/per-asset report the reference schema anticipates "
+    "('Index for tax calculations', init.sql:34-35): groupBy key sums — "
+    "map-side partial agg then one shuffle on (user, type).",
+)
+def user_activity_report(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec6(F.col("value"))).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "running_balance_events",
+    """
+    SELECT user_id, event_id,
+           SUM(CAST(value AS DECIMAL(38,6)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_balance
+    FROM events
+    """,
+    doc="Running balance per wallet (SURVEY §2.4/§2.5): window prefix sum, "
+    "exact decimal, unique (ts, event_id) ordering.",
+)
+def running_balance_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("running_balance", F.sum(dec6(F.col("value"))).over(w))
+        .select("user_id", "event_id", "running_balance")
+    )
+
+
+@query(
+    "daily_rollup_events",
+    """
+    SELECT DATE_TRUNC('day', ts) AS day,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling-day rollup — the batch twin of the streaming windowed "
+    "aggregation (SURVEY §2.9); same result as window(ts, '1 day').",
+)
+def daily_rollup_events(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec6(F.col("value"))).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "dedup_union_events",
+    """
+    SELECT DISTINCT * FROM (
+      SELECT * FROM events UNION ALL SELECT * FROM events
+    ) t
+    """,
+    doc="The reference's ON CONFLICT DO NOTHING dedup-on-append (K1/K2, "
+    "repo.rs:26,56) as union + distinct: re-ingesting the same batch "
+    "yields no duplicates. (The file-sink variant with the anti-join "
+    "protocol is exercised in tests/test_io.py.)",
+)
+def dedup_union_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.unionByName(ev).distinct()
+
+
+# --------------------------------------------------------------------------
+# U1 normalize golden parity (ignores sf_dir: literal fixture rows)
+# --------------------------------------------------------------------------
+
+_WALLET = "So1WalletAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+_OTHER = "OtherKeyBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBB"
+_MINT = "MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA1"
+
+
+def _fixture_tx(pre, post, pre_tok, post_tok, meta=True):
+    tx = {
+        "slot": 1,
+        "blockTime": 1672531200,
+        "transaction": {
+            "signatures": ["s"],
+            "message": {
+                "accountKeys": [
+                    {"pubkey": _WALLET, "signer": True, "writable": True},
+                    {"pubkey": _OTHER, "signer": False, "writable": True},
+                ],
+                "instructions": [],
+                "recentBlockhash": "h",
+            },
+        },
+        "meta": {
+            "err": None,
+            "fee": 5000,
+            "preBalances": pre,
+            "postBalances": post,
+            "preTokenBalances": pre_tok,
+            "postTokenBalances": post_tok,
+            "logMessages": [],
+            "rewards": [],
+        }
+        if meta
+        else None,
+    }
+    return json.dumps(tx)
+
+
+def _tok(ui, raw, idx=1, owner=_WALLET):
+    return {
+        "accountIndex": idx,
+        "mint": _MINT,
+        "owner": owner,
+        "uiTokenAmount": {"uiAmount": ui, "decimals": 6, "amount": raw},
+    }
+
+
+_FIXTURE_BRONZE = [
+    # G1: native SOL transfer → exactly -0.5 SOL
+    ("b1", "u1", _WALLET, 1672531200, "sig1", "solana",
+     _fixture_tx([10_000_000_000, 0], [9_500_000_000, 500_000_000], [], []), None),
+    # G2: SPL delta 7.5 - 5.0 = 2.5
+    ("b2", "u1", _WALLET, 1672531201, "sig2", "solana",
+     _fixture_tx([1, 1], [1, 1], [_tok(5.0, "5000000")], [_tok(7.5, "7500000")]), None),
+    # G3: new token account → 3.0
+    ("b3", "u1", _WALLET, 1672531202, "sig3", "solana",
+     _fixture_tx([1, 1], [1, 1], [], [_tok(3.0, "3000000")]), None),
+    # G4: dust (5e-7 SOL) → no entry
+    ("b4", "u1", _WALLET, 1672531203, "sig4", "solana",
+     _fixture_tx([10_000_000_000, 0], [10_000_000_500, 0], [], []), None),
+    # G5: missing meta → no entry
+    ("b5", "u1", _WALLET, 1672531204, "sig5", "solana",
+     _fixture_tx([], [], [], [], meta=False), None),
+    # G6: wrong owner → no entry
+    ("b6", "u1", _WALLET, 1672531205, "sig6", "solana",
+     _fixture_tx([1, 1], [1, 1], [], [_tok(9.0, "9000000", owner=_OTHER)]), None),
+    # non-solana chain → skipped entirely
+    ("b7", "u1", _WALLET, 1672531206, "sig7", "ethereum",
+     _fixture_tx([10_000_000_000, 0], [0, 0], [], []), None),
+]
+
+
+@query(
+    "solana_normalize_golden",
+    """
+    SELECT * FROM (VALUES
+      ('b1', 'SOL',
+       CAST(-0.5 AS DECIMAL(38,18)), 'transfer'),
+      ('b2', 'MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA1',
+       CAST(2.5 AS DECIMAL(38,18)), 'transfer'),
+      ('b3', 'MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA1',
+       CAST(3.0 AS DECIMAL(38,18)), 'transfer')
+    ) AS t(transaction_id, asset_symbol, amount, entry_type)
+    """,
+    doc="U1 end-to-end parity: the full normalize pipeline on the golden "
+    "vectors (FIXTURES.md G1-G6 + chain dispatch) against the expected "
+    "silver rows — the reference's own unit-test assertion "
+    "(solana_parser_test.rs:51-58) as a VALUES oracle.",
+)
+def solana_normalize_golden(spark, sf_dir):
+    bronze = spark.createDataFrame(_FIXTURE_BRONZE, BRONZE_SCHEMA)
+    silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
+    return silver.select("transaction_id", "asset_symbol", "amount", "entry_type")

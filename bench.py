@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the catalog's headline queries (bench=True)
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Execution is forced through the noop sink (full plan runs, nothing
+collected to the driver) — the honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spectraplex_spark.plans import CATALOG  # noqa: E402
+from spectraplex_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(q, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("spectraplex_bench")
+    bench_queries = [q for q in CATALOG.values() if q.bench]
+    # JVM/codegen warmup on the tiny SF so measured times are steady-state
+    for q in bench_queries:
+        q.builder(spark, WARMUP_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for q in bench_queries:
+        timings[q.name] = round(run_query(q, spark, SF_DIR), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -64,24 +64,55 @@ def shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 32):
-    """Array of `num_hashes` minhash values over the shingle set.
+_POLY_C = 1_000_003  # < 2^31 so pmod-chained combination never overflows
 
-    h_i(s) = ((a_i * xxhash64(s) + b_i) mod P); coefficients derive
-    deterministically from the hash index, so signatures are reproducible
-    on any executor with no broadcast state.
+
+def shingle_hashes(text_col, n: int = 3):
+    """Shingle set reduced to < 2^31 longs, WITHOUT materializing shingle
+    strings: hash each token once (xxhash64 → pmod), then combine n
+    neighboring token hashes polynomially via (n-1) zip_with passes of
+    integer arithmetic. Equivalent identity semantics to hashing the
+    joined shingle string, at a fraction of the cost (no per-shingle
+    concat; the text is touched exactly once).
+
+    This is THE expensive per-document pass — compute it once and
+    persist; signatures, bands, and Jaccard are integer-array arithmetic
+    over this array and never touch the text again.
     """
+    th = F.transform(tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
+    # acc[i] = hash of tokens[i .. i+j] after pass j; zip_with pads the
+    # shorter side with null, so tails become null and are sliced off.
+    acc = th
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
+            lambda a, b: F.pmod(a * F.lit(_POLY_C) + b, F.lit(_P)),
+        )
+    windowed = F.slice(acc, 1, F.greatest(F.size(th) - (n - 1), F.lit(1)))
+    whole = F.array(
+        F.aggregate(
+            th, F.lit(0).cast("long"), lambda a, b: F.pmod(a * F.lit(_POLY_C) + b, F.lit(_P))
+        )
+    )
+    return F.array_distinct(F.when(F.size(th) >= n, windowed).otherwise(whole))
+
+
+def minhash_signature(hash_col, num_hashes: int = 32):
+    """Array of `num_hashes` minhash values over HASHED shingles
+    (see shingle_hashes).
+
+    h_i(x) = (a_i * x + b_i) mod P; coefficients derive deterministically
+    from the hash index, so signatures are reproducible on any executor
+    with no broadcast state. x, a_i < 2^31 keeps a*x+b within a long
+    under ANSI arithmetic (Spark 4 throws on overflow).
+    """
+
     def one_hash(a: int, b: int):
         # closure factory: a default-arg lambda would read as a 3-arg HOF
-        # lambda to PySpark's signature inspection. Reduce the 64-bit
-        # xxhash to < 2^31 first so a*h+b never overflows a long (ANSI).
+        # lambda to PySpark's signature inspection
         return F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: F.pmod(
-                    F.pmod(F.xxhash64(s), F.lit(_P)) * F.lit(a) + F.lit(b), F.lit(_P)
-                ),
-            )
+            F.transform(hash_col, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
         )
 
     return F.array(
@@ -104,37 +135,50 @@ def minhash_neardup_pairs(
     """Near-duplicate pairs (id_a < id_b) with exact shingle Jaccard ≥
     threshold, found via LSH banding (no all-pairs compare)."""
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh"))
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
-    )
-    banded = sig.select(
+    # Structural rules that make this scale (and run at all — see git
+    # history: the naive expression nesting recomputed the text pass
+    # 2×bands×hashes times because HOF lambdas defeat common-
+    # subexpression elimination):
+    #  1. hash the string shingles to longs ONCE and persist; signatures,
+    #     bands and Jaccard are integer-array arithmetic from then on.
+    #     At 100 TB this table is written to storage once and reused.
+    #  2. only (id, band, bandhash) rides through the explode +
+    #     self-join; shingle-hash arrays are joined back for the (much
+    #     smaller) candidate set only.
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
+    ).persist()
+    banded = hashed.select(
         "_id",
-        "_sh",
+        minhash_signature(F.col("_h"), num_hashes).alias("_sig"),
+    ).select(
+        "_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band))
+                    F.concat_ws(
+                        ",", F.slice(F.col("_sig"), b * F.lit(rows_per_band) + 1, rows_per_band)
+                    )
                 ),
             )
         ).alias("_band", "_bandhash"),
     )
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band", "_bandhash"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band", "_bandhash"
-    )
     cands = (
-        left.join(right, ["_band", "_bandhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        banded.alias("a")
+        .join(banded.alias("b"), ["_band", "_bandhash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # Jaccard over hashed shingles == string Jaccard up to negligible
+    # 31-bit collisions, at a fraction of the compare cost.
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
     return (
-        cands.withColumn("jaccard", jac)
+        cands.join(hashed.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a")), "id_a")
+        .join(hashed.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b")), "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

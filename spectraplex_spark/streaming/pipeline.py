@@ -1,0 +1,112 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference *describes* a Yellowstone gRPC subscription — "low-latency
+chain events (transactions, account updates, and block metadata)" with
+"filtering of slots" (reference README.md:3) — but its adapter is a
+compile-only stub returning an empty vector (adapters/src/solana_grpc.rs:19-23).
+This module implements the described semantics on Structured Streaming:
+
+  - source: a file-source stream over a landing directory of bronze
+    JSONL (standing in for the gRPC feed; a Kafka source drops in with
+    one line changed — the transformations are source-agnostic).
+  - slot filtering: a plain predicate on the parsed slot.
+  - incremental normalize: the SAME batch ``normalize`` function inside
+    ``foreachBatch`` — batch/stream parity by construction — with the
+    idempotent-append protocol as the sink (the streaming twin of
+    ON CONFLICT DO NOTHING; checkpoint + dedup = effectively-once).
+  - late data: event-time watermark + tumbling windows for the
+    per-period stats the reference's sort-on-read anticipates
+    (repo.rs:79 ORDER BY timestamp).
+
+Scale notes: normalize is stateless (narrow ops only), so the stream
+scales by source partitions alone. The only stateful operator here is
+the windowed aggregate; its state is bounded by the watermark. Dedup
+state is NOT kept in the stream (unbounded at 100 TB) — idempotency
+lives in the sink protocol instead, scoped to the partitions a batch
+can touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from spectraplex_spark.operators.normalize import normalize
+from spectraplex_spark.schemas import BRONZE_SCHEMA
+from spectraplex_spark.sources.io import idempotent_append
+
+
+def read_bronze_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """S2: the streaming bronze source (file source over a landing dir).
+
+    maxFilesPerTrigger bounds micro-batch size — the local stand-in for
+    Kafka's maxOffsetsPerTrigger backpressure.
+    """
+    return (
+        spark.readStream.schema(BRONZE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+
+def slot_filter(stream: DataFrame, min_slot: int) -> DataFrame:
+    """'Filtering of slots' (README.md:3): parse just the slot field and
+    predicate on it. get_json_object keeps this JVM-side; rows without a
+    slot are dropped (null comparison)."""
+    slot = F.get_json_object("raw_metadata", "$.slot").cast("long")
+    return stream.filter(slot >= F.lit(min_slot))
+
+
+def stream_normalize_to_silver(
+    bronze_stream: DataFrame,
+    silver_path: str,
+    checkpoint_dir: str,
+    audit_ts: Column | None = None,
+):
+    """Incremental bronze→silver: the batch normalize inside foreachBatch,
+    landing through the idempotent-append protocol.
+
+    Checkpointing gives at-least-once batch delivery; the anti-join on
+    deterministic content-hash ids upgrades that to effectively-once in
+    the sink (a replayed batch appends 0 rows).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        silver = normalize(batch_df, audit_ts=audit_ts)
+        idempotent_append(silver, silver_path, id_col="id")
+
+    return (
+        bronze_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window event stats with a late-data watermark.
+
+    State is bounded: windows older than (max event time - watermark)
+    are finalized and evicted. The batch twin is daily_rollup_events in
+    the catalog — same groupBy(window) shape.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

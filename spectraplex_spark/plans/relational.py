@@ -594,3 +594,434 @@ def array_ops_embeddings(spark, sf_dir):
         F.max(F.size("embedding")).cast("int").alias("max_dim"),
         F.sum(dec6(F.get(F.col("embedding"), 0))).alias("sum_first"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-1 widening: more of SURVEY §2's categories, each with an oracle
+# --------------------------------------------------------------------------
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter + global agg — every predicate "
+    "reaches the parquet scan (PushedFilters), single-row result.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(dec6(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "q4_order_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with an extra-key condition → "
+    "left-semi join with a composite predicate, then agg.",
+)
+def q4_order_priority_check(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-items revenue per customer, broadcast "
+    "nation+customer dims, top-20.",
+)
+def q10_returned_revenue(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS promo_ratio,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation ratio. Both sums are "
+    "exact decimals; the final ratio divides their (deterministic) "
+    "double images so both engines produce the identical IEEE result.",
+)
+def q14_promo_revenue_ratio(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    net = dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("PROMO%"), net).otherwise(dec6(F.lit(0)))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(net).cast("double")).alias("promo_ratio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_totalprice,
+           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q18 shape: HAVING over a grouped sum (post-agg filter), "
+    "top-10.",
+)
+def q18_large_orders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(dec6(F.col("l_quantity"))).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+    SELECT COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand IN ('Brand#1', 'Brand#2') AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand IN ('Brand#3', 'Brand#4') AND p_size BETWEEN 21 AND 50
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs with IN lists and BETWEEN ranges — "
+    "CNF predicate handling across a join.",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond1 = (
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(5, 30)
+    )
+    cond2 = (
+        F.col("p_brand").isin("Brand#3", "Brand#4")
+        & F.col("p_size").between(21, 50)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return j.filter(cond1 | cond2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec6(F.col("l_extendedprice"))).alias("sum_price"),
+    )
+
+
+@query(
+    "join_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+    """,
+    doc="IN (subquery) → left-semi join on the filtered dim.",
+)
+def join_in_subquery(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+    return o.join(rich, o.o_custkey == rich.c_custkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (wide conditional aggregation) — report-matrix shape; "
+    "Spark's pivot() compiles to the same CASE-WHEN aggregate.",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").cast("bigint").alias("status_f"),
+            F.col("O").cast("bigint").alias("status_o"),
+            F.col("P").cast("bigint").alias("status_p"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form of rollup/cube) via "
+    "Spark SQL — one Expand + one aggregate.",
+)
+def grouping_sets_orders(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "window_rank_suite",
+    """
+    SELECT o_orderkey, o_custkey,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-function suite over a deterministic (price, key) order.",
+)
+def window_rank_suite(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+    )
+
+
+@query(
+    "window_moving_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(CAST(l_quantity AS DECIMAL(38,6)))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3row
+    FROM lineitem
+    """,
+    doc="Bounded moving frame (ROWS 2 PRECEDING) — sliding-window "
+    "analytics with exact decimal sums.",
+)
+def window_moving_sum(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .withColumn("qty_3row", F.sum(dec6(F.col("l_quantity"))).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "qty_3row")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    """
+    SELECT n_nationkey, n_name,
+           list_sort(list(DISTINCT s_name)) AS suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    doc="Array aggregation: distinct members collected then sorted — the "
+    "deterministic form of collect_list (raw collect order is partition-"
+    "dependent and unusable for parity).",
+)
+def agg_collect_sorted(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.sort_array(F.collect_set("s_name")).alias("suppliers"))
+    )
+
+
+@query(
+    "scalar_string_advanced",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           trim(concat('  ', p_type, '  ')) AS type_trimmed,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a
+    FROM part
+    """,
+    doc="String function suite: regexp_extract / replace / lpad / trim / "
+    "position — all JVM expressions (F8 enum-mapping analog territory).",
+)
+def scalar_string_advanced(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("type_trimmed"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    """
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_acctbal, 0), -1) AS bal_or_flag,
+           GREATEST(s_acctbal, 1000) AS bal_floor,
+           LEAST(s_acctbal, 5000) AS bal_cap,
+           CASE WHEN s_acctbal IS NULL THEN 'missing' ELSE 'present' END AS presence
+    FROM supplier
+    """,
+    doc="Null-handling scalars: coalesce/nullif/greatest/least (the "
+    "reference's unwrap_or defaults, F10).",
+)
+def scalar_conditional_funcs(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias("bal_or_flag"),
+        F.greatest(F.col("s_acctbal"), F.lit(1000.0)).alias("bal_floor"),
+        F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+        F.when(F.col("s_acctbal").isNull(), "missing").otherwise("present").alias("presence"),
+    )
+
+
+@query(
+    "scalar_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qtr,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) AS dow
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    doc="Date arithmetic: interval add, last_day, quarter/day-of-week "
+    "extraction. (Spark dayofweek is 1=Sunday; DuckDB DOW is 0=Sunday — "
+    "aligned via -1.)",
+)
+def scalar_date_arith(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+    )
+
+
+@query(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT projection (dedup of the key space).",
+)
+def distinct_pairs(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10
+    """,
+    doc="Pagination: LIMIT + OFFSET over a deterministic order (rows "
+    "11-20 by price).",
+)
+def sort_limit_offset(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )

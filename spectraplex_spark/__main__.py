@@ -1,0 +1,117 @@
+"""CLI entry point mirroring the reference's clap CLI (cli/src/main.rs:9-55):
+
+  python -m spectraplex_spark init-tables --bronze P --silver P
+  python -m spectraplex_spark ingest    --input raw.jsonl --bronze P
+  python -m spectraplex_spark normalize --input P(.jsonl|parquet dir) --output P [--jsonl]
+  python -m spectraplex_spark read      --bronze|--silver P --wallet W [--limit N]
+
+Reference command mapping: InitDb → init-tables (schema'd empty Parquet
+datasets instead of sqlx migrations, cli/src/main.rs:70-78); Ingest →
+ingest (JSONL of fetched RPC rows → conformed bronze, :80-113);
+Normalize with the db:/file dispatch → normalize over a parquet dir or
+a .jsonl file (:115-178); the API read paths → read (api/src/main.rs:115-131).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from spectraplex_spark.session import get_spark
+
+    return get_spark("spectraplex_cli")
+
+
+def cmd_init_tables(args) -> int:
+    from spectraplex_spark.schemas import BRONZE_SCHEMA, SILVER_SCHEMA
+
+    spark = _spark()
+    spark.createDataFrame([], BRONZE_SCHEMA).write.mode("ignore").parquet(args.bronze)
+    spark.createDataFrame([], SILVER_SCHEMA).write.mode("ignore").parquet(args.silver)
+    print(f"initialized bronze={args.bronze} silver={args.silver}")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from spectraplex_spark.sources.ingest import RAW_FETCH_SCHEMA, conform_to_bronze
+    from spectraplex_spark.sources.io import write_bronze
+
+    spark = _spark()
+    raw = spark.read.schema(RAW_FETCH_SCHEMA).json(args.input)
+    n = write_bronze(conform_to_bronze(raw), args.bronze)
+    print(f"ingested {n} new transactions into {args.bronze}")
+    return 0
+
+
+def cmd_normalize(args) -> int:
+    from spectraplex_spark.operators.normalize import normalize, parse_failures
+    from spectraplex_spark.sources.io import read_bronze_jsonl, write_jsonl, write_silver
+
+    spark = _spark()
+    # the reference's db:/file source dispatch (cli/src/main.rs:118-124)
+    if args.input.endswith(".jsonl") or args.input.endswith(".json"):
+        bronze = read_bronze_jsonl(spark, args.input)
+    else:
+        bronze = spark.read.parquet(args.input)
+    silver = normalize(bronze)
+    n_bad = parse_failures(bronze).count()
+    if args.jsonl:
+        write_jsonl(silver, args.output)
+        n = silver.count()
+    else:
+        n = write_silver(silver, args.output)
+    print(f"normalized -> {n} ledger entries into {args.output} ({n_bad} unparseable rows skipped)")
+    return 0
+
+
+def cmd_read(args) -> int:
+    from spectraplex_spark import serving
+
+    spark = _spark()
+    if args.silver:
+        df = serving.ledger_by_wallet(spark, args.silver, args.wallet)
+    else:
+        df = serving.transactions_by_wallet(spark, args.bronze, args.wallet)
+    for line in serving.to_json_rows(df, limit=args.limit):
+        print(line)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spectraplex_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_init = sub.add_parser("init-tables", help="create empty schema'd medallion tables")
+    p_init.add_argument("--bronze", required=True)
+    p_init.add_argument("--silver", required=True)
+    p_init.set_defaults(fn=cmd_init_tables)
+
+    p_ing = sub.add_parser("ingest", help="conform fetched RPC JSONL to bronze")
+    p_ing.add_argument("--input", required=True)
+    p_ing.add_argument("--bronze", required=True)
+    p_ing.set_defaults(fn=cmd_ingest)
+
+    p_norm = sub.add_parser("normalize", help="bronze -> silver ledger entries")
+    p_norm.add_argument("--input", required=True, help=".jsonl file or bronze parquet dir")
+    p_norm.add_argument("--output", required=True)
+    p_norm.add_argument("--jsonl", action="store_true", help="write JSONL instead of parquet")
+    p_norm.set_defaults(fn=cmd_normalize)
+
+    p_read = sub.add_parser("read", help="serving reads by wallet")
+    g = p_read.add_mutually_exclusive_group(required=True)
+    g.add_argument("--bronze")
+    g.add_argument("--silver")
+    p_read.add_argument("--wallet", required=True)
+    p_read.add_argument("--limit", type=int, default=50)
+    p_read.set_defaults(fn=cmd_read)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

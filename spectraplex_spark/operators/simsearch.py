@@ -145,3 +145,31 @@ def cosine_topk_pandas(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) by exact all-pairs compare.
+
+    This is the exact baseline: O(n²) dot products. The scale path is
+    the same computation restricted to LSH buckets (hyperplane_signature
+    equi-join instead of cross join) — see ann_topk_lsh; at 100 TB you
+    never run the cross join.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    side = df.select(F.col(id_col), v.alias("_v"))
+    a = side.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"))
+    b = side.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -229,3 +229,61 @@ def minhash_neardup_pairs(spark, sf_dir):
 )
 def simhash_dup_groups(spark, sf_dir):
     return D.simhash_dup_groups(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_neardup_pairs",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.e, b.e) AS cosine
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.e, b.e) >= 0.8
+    """,
+    doc="E1 embedding-cosine near-dup: exact all-pairs baseline at test "
+    "scale (the LSH-bucketed variant is the 100 TB path — same scoring, "
+    "bucket equi-join instead of cross join). DOUBLE[] oracle is "
+    "bit-exact.",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    from spectraplex_spark.operators.simsearch import cosine_pairs
+
+    return cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+_NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+
+
+@query(
+    "ngram_jaccard_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM documents WHERE doc_id < 120
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+    """,
+    doc="E1 n-gram (3-shingle) Jaccard similarity, exact all-pairs over a "
+    "bounded id range (the O(n²) baseline the LSH banding approximates; "
+    "bounded by design — the full corpus goes through minhash_neardup_"
+    "pairs instead).",
+)
+def ngram_jaccard_sample(spark, sf_dir):
+    from spectraplex_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    return pairs.withColumn("jaccard", F.col("jaccard").cast("double"))

@@ -254,3 +254,49 @@ def solana_normalize_golden(spark, sf_dir):
     bronze = spark.createDataFrame(_FIXTURE_BRONZE, BRONZE_SCHEMA)
     silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
     return silver.select("transaction_id", "asset_symbol", "amount", "entry_type")
+
+
+@query(
+    "streaming_window_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM events GROUP BY 1, 2
+    HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+             <= (SELECT max(ts) FROM events)
+    """,
+    doc="S2 streaming semantics END-TO-END inside the correctness gate: "
+    "replays the events table through a real file-source stream "
+    "(availableNow micro-batches) into a watermarked tumbling-day "
+    "aggregate, collecting the append-mode output. The oracle is the "
+    "batch equivalent restricted to watermark-closed windows (append "
+    "mode emits a window only once its end <= the final watermark, i.e. "
+    "the max event time with a 0s delay — the last open day never "
+    "emits). Exact decimal sums make stream/batch parity bit-for-bit.",
+)
+def streaming_window_rollup(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.streaming.pipeline import windowed_event_counts
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_stream_")
+    events.repartition(4).write.parquet(f"{d}/src")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{d}/src")
+    )
+    out = windowed_event_counts(stream, "1 day", "0 seconds")
+    q = (
+        out.drop("window_end")
+        .writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{d}/out")

@@ -1,0 +1,111 @@
+"""Serving reads (S4/S5/O3/K4) + ingest conformance (S1) + CLI parity."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from spectraplex_spark import serving
+from spectraplex_spark.sources.ingest import RAW_FETCH_SCHEMA, conform_to_bronze
+from spectraplex_spark.sources.io import write_bronze, write_silver
+from spectraplex_spark.operators.normalize import normalize
+from tests.test_normalize_golden import WALLET, bronze_row, solana_tx
+
+
+def _mk_medallion(spark, tmp_path):
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+
+    rows = [
+        bronze_row(
+            solana_tx(
+                pre_balances=[(10 + i) * 10**9, 0], post_balances=[9 * 10**9, 10**9]
+            ),
+            tx_hash=f"sig{i}",
+        )
+        for i in range(5)
+    ]
+    bronze = spark.createDataFrame(rows, BRONZE_SCHEMA)
+    bp, sp = str(tmp_path / "bronze"), str(tmp_path / "silver")
+    write_bronze(bronze, bp)
+    write_silver(
+        normalize(bronze, audit_ts=F.lit("2026-01-02 03:04:05").cast("timestamp")), sp
+    )
+    return bp, sp
+
+
+def test_serving_reads(spark, tmp_path):
+    bp, sp = _mk_medallion(spark, tmp_path)
+    tx = serving.transactions_by_wallet(spark, bp, WALLET)
+    assert tx.count() == 5
+    assert serving.transactions_by_wallet(spark, bp, "nobody").count() == 0
+
+    led = serving.ledger_by_wallet(spark, sp, WALLET)
+    assert led.count() == 5
+    assert all(r.asset_symbol == "SOL" for r in led.collect())
+
+    top = serving.recent_transactions(spark, bp, limit=3).collect()
+    assert len(top) == 3
+
+    bal = serving.wallet_balances(spark, sp, WALLET).collect()
+    assert len(bal) == 1 and bal[0].n_entries == 5
+
+    rows = serving.to_json_rows(led, limit=2)
+    assert len(rows) == 2 and json.loads(rows[0])["wallet_address"] == WALLET
+
+
+def test_ingest_conformance(spark):
+    raw_rows = [
+        (WALLET, "sigA", solana_tx(pre_balances=[10**9], post_balances=[0]), "solana"),
+        (WALLET, "sigB", None, "solana"),  # fetch error → dropped by default
+    ]
+    raw = spark.createDataFrame(raw_rows, RAW_FETCH_SCHEMA)
+    bronze = conform_to_bronze(raw)
+    got = bronze.collect()
+    assert len(got) == 1
+    assert got[0].tx_hash == "sigA"
+    assert got[0].timestamp == 1672531200  # blockTime extracted
+    assert got[0].user_id == "00000000-0000-0000-0000-000000000000"
+    # deterministic id: same fetch → same id
+    again = conform_to_bronze(raw).collect()
+    assert got[0].id == again[0].id
+    # errors kept when policy says so
+    assert conform_to_bronze(raw, drop_fetch_errors=False).count() == 2
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    """The reference CLI workflow: ingest → normalize → read."""
+    from spectraplex_spark.__main__ import main
+
+    raw_path = tmp_path / "raw.jsonl"
+    with open(raw_path, "w") as f:
+        for i in range(3):
+            f.write(
+                json.dumps(
+                    {
+                        "wallet_address": WALLET,
+                        "signature": f"cli-sig{i}",
+                        "response_json": solana_tx(
+                            pre_balances=[(5 + i) * 10**9, 0],
+                            post_balances=[4 * 10**9, 10**9],
+                        ),
+                        "chain": "solana",
+                    }
+                )
+                + "\n"
+            )
+    bp, sp = str(tmp_path / "bronze"), str(tmp_path / "silver")
+
+    assert main(["ingest", "--input", str(raw_path), "--bronze", bp]) == 0
+    assert "ingested 3 new" in capsys.readouterr().out
+    # re-ingest → idempotent
+    assert main(["ingest", "--input", str(raw_path), "--bronze", bp]) == 0
+    assert "ingested 0 new" in capsys.readouterr().out
+
+    assert main(["normalize", "--input", bp, "--output", sp]) == 0
+    assert "3 ledger entries" in capsys.readouterr().out
+
+    assert main(["read", "--silver", sp, "--wallet", WALLET, "--limit", "10"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert {x["asset_symbol"] for x in lines} == {"SOL"}

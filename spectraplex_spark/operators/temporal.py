@@ -1,0 +1,164 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range self-join — implemented as compositions of existing
+DataFrame ops (the mandate's preferred strategy (a)), in their
+scalable shapes.
+
+As-of join (``asof_join``): for each left row, the latest right row with
+``right.ts <= left.ts`` per key. The classic need here is enriching
+ledger entries with the most recent prior price — the reference's
+``fiat_value`` column that it declares but never populates
+(core/src/models.rs:43, always None at solana_parser.rs:38,78).
+Implementation: union both sides tagged, one window over (key, ts) with
+``last(value, ignoreNulls)`` carry-forward, keep left rows. Exactly ONE
+shuffle on the key — no range-condition join explosion, no per-key
+driver loop; this is the shape that survives 100 TB (state = one carried
+row per key within each sorted partition).
+
+Range self-join (``close_pairs``): pairs of events on the same key
+within a time epsilon. Naive form is an inequality join (quadratic
+blow-up); the scalable form buckets time into epsilon-sized cells and
+joins only (cell, cell+1) neighborhoods, then applies the exact
+predicate — candidates are bounded by local density, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right values with right_ts <= left_ts.
+
+    Right (key, right_ts) pairs should be unique (e.g. a price series);
+    at equal timestamps the right row is considered visible to the left
+    row. ``tolerance`` (optional seconds) nulls out matches older than
+    left_ts - tolerance.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),  # right sorts first at equal ts
+        F.struct(*[F.col(c) for c in value_cols], F.col(right_ts).alias("_rt")).alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(tagged_r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in lcols],
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        tagged_r.unionByName(tagged_l)
+        .withColumn("_carried", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "_carried",
+            F.when(
+                F.col("_carried._rt")
+                >= F.col("_t").cast("timestamp") - tolerance,
+                F.col("_carried"),
+            ),
+        )
+    out = carried.select(
+        *lcols, *[F.col(f"_carried.{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+    return out
+
+
+def close_pairs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    epsilon_seconds: int,
+) -> DataFrame:
+    """Pairs (a, b) on the same key with 0 < ts_b - ts_a <= epsilon.
+
+    Bucketed band join: each row lands in bucket floor(epoch/eps); a's
+    bucket joins b's (bucket, bucket+1), then the exact range predicate
+    filters. Shuffle keys are (key, bucket) — candidate volume is
+    per-bucket density², never global n².
+    """
+    eps_us = F.lit(epsilon_seconds * 1_000_000).cast("long")
+    base = df.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        (F.unix_micros(F.col(ts)) / eps_us).cast("long").alias("_b"),
+        F.col(id_col).alias("_id"),
+    )
+    a = base.select(
+        F.col("_k"), F.col("_b"), F.col("_ts").alias("ts_a"), F.col("_id").alias("id_a")
+    )
+    # b joins into its own bucket and the previous one (a is earlier)
+    b = base.select(
+        F.col("_k"),
+        F.explode(F.array(F.col("_b"), F.col("_b") - 1)).alias("_b"),
+        F.col("_ts").alias("ts_b"),
+        F.col("_id").alias("id_b"),
+    )
+    # microsecond-exact range predicate (integer arithmetic, no float)
+    cond = (F.col("ts_b") > F.col("ts_a")) & (
+        F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a")) <= eps_us
+    )
+    return (
+        a.join(b, ["_k", "_b"])
+        .filter(cond)
+        .select(F.col("_k").alias(key), "id_a", "id_b", "ts_a", "ts_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Batch sessionization: events on the same key belong to one session
+    while consecutive gaps stay <= gap. Session id = running count of
+    gap-breaks (window lag + cumulative sum — one shuffle on the key).
+    Output: one row per session with start/end/count.
+
+    The streaming twin is ``streaming.sessions.streaming_sessionize``
+    (applyInPandasWithState); this batch form is its oracle.
+    """
+    w_order = W.partitionBy(key).orderBy(ts)
+    # microsecond-exact gap compare (unix_timestamp would truncate to
+    # whole seconds and misclassify boundary gaps)
+    is_break = (
+        F.when(
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w_order))
+            > gap_seconds * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    w_run = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    with_session = df.withColumn("_brk", is_break).withColumn(
+        "session_id", F.sum("_brk").over(w_run)
+    )
+    return (
+        with_session.groupBy(key, "session_id")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -300,3 +300,103 @@ def streaming_window_rollup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(f"{d}/out")
+
+
+@query(
+    "asof_price_enrichment",
+    """
+    WITH prices AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS pday,
+             SUM(CAST(value AS DECIMAL(38,6))) AS price
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type,
+           p.price AS asof_price, p.pday AS asof_pday
+    FROM events e
+    ASOF LEFT JOIN prices p
+      ON e.event_type = p.event_type AND e.ts >= p.pday
+    """,
+    doc="As-of join (the operator Spark lacks natively): enrich each "
+    "event with the latest prior daily price per type — the fiat_value "
+    "enrichment the reference declares but never populates "
+    "(models.rs:43). Implementation is union + carry-forward window "
+    "(ONE shuffle on the key, no range-join explosion); oracle is "
+    "DuckDB's native ASOF JOIN.",
+)
+def asof_price_enrichment(spark, sf_dir):
+    from spectraplex_spark.operators.temporal import asof_join
+
+    events = table(spark, sf_dir, "events")
+    prices = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("pday")
+    ).agg(F.sum(dec6(F.col("value"))).alias("price"))
+    out = asof_join(
+        events.select("event_id", "event_type", "ts"),
+        prices,
+        key="event_type",
+        left_ts="ts",
+        right_ts="pday",
+        value_cols=["price", "pday"],
+    )
+    return out.select("event_id", "event_type", "asof_price", "asof_pday")
+
+
+@query(
+    "range_join_close_pairs",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           a.ts AS ts_a, b.ts AS ts_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+    """,
+    doc="Bounded range self-join: event pairs on the same user within "
+    "1 hour. Implementation buckets time into epsilon cells and joins "
+    "only adjacent cells (candidates bounded by local density, not n²); "
+    "oracle is the plain inequality join.",
+)
+def range_join_close_pairs(spark, sf_dir):
+    from spectraplex_spark.operators.temporal import close_pairs
+
+    events = table(spark, sf_dir, "events")
+    return close_pairs(events, key="user_id", ts="ts", id_col="event_id", epsilon_seconds=3600)
+
+
+@query(
+    "session_stats",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2
+    """,
+    doc="Sessionization (30-min gap): lag + cumulative gap-break count — "
+    "one shuffle on the key. This batch form is the oracle for the "
+    "stateful streaming twin (applyInPandasWithState).",
+)
+def session_stats(spark, sf_dir):
+    from spectraplex_spark.operators.temporal import sessionize
+
+    events = table(spark, sf_dir, "events")
+    out = sessionize(events, key="user_id", ts="ts", gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

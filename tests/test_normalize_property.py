@@ -7,7 +7,15 @@ of them is wrong)."""
 from __future__ import annotations
 
 import json
-from decimal import Decimal
+from decimal import Context, Decimal
+
+# quantizing to 18 fractional digits can exceed Python's default
+# 28-digit context for large integer parts — widen it
+_CTX = Context(prec=60)
+
+
+def _q18(d: Decimal) -> Decimal:
+    return d.quantize(Decimal("1e-18"), context=_CTX)
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -164,6 +172,6 @@ def test_pipeline_matches_model(_spark, txs):
     for i, t in enumerate(txs):
         for asset, amount in model_parse(t, WALLET):
             # normalize to the pipeline's Decimal(38,18) scale
-            want.add((f"tx-{i}", asset, amount.quantize(Decimal("1e-18"))))
-    got_q = {(a, b, c.quantize(Decimal("1e-18"))) for a, b, c in got}
+            want.add((f"tx-{i}", asset, _q18(amount)))
+    got_q = {(a, b, _q18(c)) for a, b, c in got}
     assert got_q == want

@@ -43,7 +43,17 @@ RUNS = 2  # min-of-N: first run pays one-time codegen/plan compile
 
 
 def main() -> None:
-    spark = get_spark("spectraplex_bench")
+    # Size the shuffle to the data, not the core count: at sf<=1 the
+    # whole working set is a few tens of MB, so 8 partitions beats 32
+    # (~30% less scheduling overhead; AQE coalesces bytes but each
+    # planned partition still costs a task). Scan splits at 16MB so an
+    # 11MB file still parallelizes. On a real cluster both scale with
+    # data volume — this is the local-mode instance of the same rule.
+    spark = get_spark(
+        "spectraplex_bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
     bench_queries = [q for q in CATALOG.values() if q.bench]
     # JVM/codegen warmup on the tiny SF so measured times are steady-state
     for q in bench_queries:

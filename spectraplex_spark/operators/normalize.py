@@ -195,3 +195,43 @@ def parse_failures(bronze: DataFrame) -> DataFrame:
         & F.col("raw_metadata").isNotNull()
         & F.try_parse_json("raw_metadata").isNull()
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-chain dispatch (reference Chain enum: solana | hyperliquid |
+# ethereum, core/src/models.rs:5-10; non-Solana inputs are skipped with a
+# message — cli/src/main.rs:157-160 "Chain not supported", api/src/main.rs:105)
+# --------------------------------------------------------------------------
+
+# Registry of per-chain normalizers: chain -> DataFrame -> silver DataFrame.
+# Only solana has an implementation — exactly the reference's state — but
+# the seam is the ChainIngestor trait's (models.rs:46-49) engine-side twin:
+# adding a chain is one entry here, no plan changes elsewhere.
+CHAIN_NORMALIZERS = {
+    "solana": normalize,
+}
+
+
+def normalize_multi(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
+    """Dispatch bronze rows to their chain's normalizer; chains without a
+    registered normalizer contribute nothing (see ``unsupported_chains``
+    for the explicit skip surface)."""
+    parts = [
+        fn(bronze.filter(F.col("chain") == chain), audit_ts)
+        for chain, fn in CHAIN_NORMALIZERS.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def unsupported_chains(bronze: DataFrame) -> DataFrame:
+    """Counts of bronze rows whose chain has no normalizer — the engine's
+    explicit version of the reference's skip-with-message behavior."""
+    supported = list(CHAIN_NORMALIZERS)
+    return (
+        bronze.filter(~F.col("chain").isin(supported))
+        .groupBy("chain")
+        .agg(F.count(F.lit(1)).alias("n_skipped"))
+    )

@@ -298,7 +298,7 @@ def join_broadcast_brand_revenue(spark, sf_dir):
 @query(
     "window_topn_orders_per_customer",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -850,9 +850,9 @@ def grouping_sets_orders(spark, sf_dir):
     "window_rank_suite",
     """
     SELECT o_orderkey, o_custkey,
-           RANK()       OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
-           NTILE(4)     OVER w AS quartile,
+           CAST(RANK()       OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4)     OVER w AS INTEGER) AS quartile,
            PERCENT_RANK() OVER w AS prnk
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
@@ -1024,4 +1024,26 @@ def sort_limit_offset(spark, sf_dir):
         .offset(10)
         .limit(10)
         .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "variant_json_events",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured JSON via Spark 4 VariantType (parse_json + "
+    "variant_get) — the modern engine path for the reference's JSONB "
+    "raw_metadata column: binary-encoded variant beats string re-parsing "
+    "when multiple fields are extracted.",
+)
+def variant_json_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
     )

@@ -243,3 +243,20 @@ def test_exact_decimal_from_raw_token_amount(spark):
     )
     out = run(spark, [bronze_row(raw)]).collect()
     assert out[0].amount == Decimal("0.2")
+
+
+def test_multi_chain_dispatch_and_skip_surface(spark):
+    from spectraplex_spark.operators.normalize import normalize_multi, unsupported_chains
+
+    raw = solana_tx(pre_balances=[10_000_000_000, 0], post_balances=[9_000_000_000, 0])
+    rows = [
+        bronze_row(raw, tx_hash="s1"),
+        bronze_row(raw, tx_hash="s2", chain="ethereum"),
+        bronze_row(raw, tx_hash="s3", chain="hyperliquid"),
+    ]
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    bronze = spark.createDataFrame(rows, BRONZE_SCHEMA)
+    out = normalize_multi(bronze, audit_ts=F.lit(None).cast("timestamp")).collect()
+    assert len(out) == 1 and out[0].transaction_id == "tx-s1"
+    skipped = {r.chain: r.n_skipped for r in unsupported_chains(bronze).collect()}
+    assert skipped == {"ethereum": 1, "hyperliquid": 1}

@@ -153,7 +153,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # AQE broadcasts while small
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -195,9 +195,9 @@ def q5_region_revenue(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # AQE: broadcast at small SF only
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -674,7 +674,7 @@ def q10_returned_revenue(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # AQE: broadcast at small SF only
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
@@ -709,7 +709,7 @@ def q14_promo_revenue_ratio(spark, sf_dir):
     net = dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     promo = F.when(F.col("p_type").like("PROMO%"), net).otherwise(dec6(F.lit(0)))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # AQE: broadcast at small SF only
         .agg(
             (F.sum(promo).cast("double") / F.sum(net).cast("double")).alias("promo_ratio"),
             F.count(F.lit(1)).alias("n"),
@@ -738,7 +738,7 @@ def q18_large_orders(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # AQE: broadcast at small SF only
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(F.sum(dec6(F.col("l_quantity"))).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
@@ -764,7 +764,7 @@ def q18_large_orders(spark, sf_dir):
 def q19_disjunctive_predicates(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)  # AQE: broadcast at small SF only
     cond1 = (
         F.col("p_brand").isin("Brand#1", "Brand#2")
         & F.col("p_size").between(1, 20)

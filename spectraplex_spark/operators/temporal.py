@@ -162,3 +162,29 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def enrich_fiat_value(silver: DataFrame, prices: DataFrame) -> DataFrame:
+    """Populate the silver ledger's ``fiat_value`` — the column the
+    reference declares but always leaves None (core/src/models.rs:43,
+    solana_parser.rs:38,78) — by as-of joining a price series
+    (asset_symbol, price_ts, price) and multiplying the entry amount by
+    the latest price at-or-before the entry's creation time.
+
+    Entries with no prior price keep a null fiat_value (the reference's
+    Option semantics). One shuffle on asset_symbol; price series are
+    tiny relative to the ledger, so the union side is negligible.
+    """
+    enriched = asof_join(
+        silver,
+        prices,
+        key="asset_symbol",
+        left_ts="created_at",
+        right_ts="price_ts",
+        value_cols=["price"],
+    )
+    out_cols = [c for c in silver.columns if c != "fiat_value"]
+    return enriched.select(
+        *out_cols,
+        (F.col("asof_price") * F.col("amount")).cast(silver.schema["fiat_value"].dataType).alias("fiat_value"),
+    ).select(*silver.columns)

@@ -109,3 +109,55 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 3
     assert {x["asset_symbol"] for x in lines} == {"SOL"}
+
+
+def test_fiat_enrichment_asof(spark):
+    """fiat_value = amount x latest prior price per asset (reference
+    declares the column, never fills it — models.rs:43)."""
+    from decimal import Decimal
+
+    from spectraplex_spark.operators.temporal import enrich_fiat_value
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+
+    rows = [
+        bronze_row(
+            solana_tx(pre_balances=[(10 + i) * 10**9, 0], post_balances=[9 * 10**9, 10**9]),
+            tx_hash=f"fx{i}",
+        )
+        for i in range(2)
+    ]
+    silver = normalize(
+        spark.createDataFrame(rows, BRONZE_SCHEMA),
+        audit_ts=F.lit("2026-01-05 00:00:00").cast("timestamp"),
+    )
+    prices = spark.createDataFrame(
+        [
+            ("SOL", "2026-01-01 00:00:00", 100.0),
+            ("SOL", "2026-01-04 00:00:00", 150.0),  # latest prior → used
+            ("SOL", "2026-01-06 00:00:00", 999.0),  # future → ignored
+        ],
+        "asset_symbol string, price_ts string, price double",
+    ).withColumn("price_ts", F.col("price_ts").cast("timestamp"))
+    out = enrich_fiat_value(silver, prices).collect()
+    assert len(out) == 2
+    assert set(silver.columns) == set(out[0].asDict().keys())
+    for r in out:
+        # amounts are -(1+i) SOL; price 150 → fiat = amount * 150
+        assert r.fiat_value == (r.amount * Decimal(150)).quantize(Decimal("1e-18"))
+
+
+def test_fiat_enrichment_no_price_stays_null(spark):
+    from spectraplex_spark.operators.temporal import enrich_fiat_value
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+
+    rows = [bronze_row(solana_tx(pre_balances=[2 * 10**9, 0], post_balances=[10**9, 0]))]
+    silver = normalize(
+        spark.createDataFrame(rows, BRONZE_SCHEMA),
+        audit_ts=F.lit("2026-01-05 00:00:00").cast("timestamp"),
+    )
+    prices = spark.createDataFrame(
+        [("OTHER_ASSET", "2026-01-01 00:00:00", 5.0)],
+        "asset_symbol string, price_ts string, price double",
+    ).withColumn("price_ts", F.col("price_ts").cast("timestamp"))
+    out = enrich_fiat_value(silver, prices).collect()
+    assert len(out) == 1 and out[0].fiat_value is None

@@ -1047,3 +1047,31 @@ def variant_json_events(spark, sf_dir):
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "correlated_above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery: orders 50%+ above their customer's "
+    "average. Catalyst de-correlates this into an aggregate + join — "
+    "same rewrite a hand-written groupBy+join would produce. (AVG is "
+    "over doubles but only drives a >-comparison against 1.5x — ULP "
+    "drift can't flip it on this data; verified exact.)",
+)
+def correlated_above_avg_orders(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_corr o
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                              FROM orders_corr o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

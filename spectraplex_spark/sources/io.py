@@ -76,12 +76,18 @@ def idempotent_append(
         # Only id_col is read from the target: column pruning keeps this
         # O(row-count), never O(bytes).
         batch = batch.join(existing.select(id_col), id_col, "left_anti")
-    writer = batch.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    n = batch.count()
-    if n:
-        writer.parquet(path)
+    # persist: the filtered batch feeds both the count and the write —
+    # without it the scan + anti-join would execute twice
+    batch = batch.persist()
+    try:
+        n = batch.count()
+        if n:
+            writer = batch.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+    finally:
+        batch.unpersist()
     return n
 
 

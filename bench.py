@@ -60,8 +60,17 @@ def main() -> None:
         q.builder(spark, WARMUP_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    shuffles: dict[str, int] = {}
     for q in bench_queries:
         timings[q.name] = round(min(run_query(q, spark, SF_DIR) for _ in range(RUNS)), 4)
+        # shuffle-consciousness evidence: exchanges in the executed plan
+        try:
+            plan = (
+                q.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+            shuffles[q.name] = plan.count("Exchange") - plan.count("ReusedExchange")
+        except Exception:
+            shuffles[q.name] = -1
 
     print(
         json.dumps(
@@ -72,6 +81,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "runs": RUNS,
+                "shuffles": shuffles,
             }
         )
     )

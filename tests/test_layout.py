@@ -50,3 +50,23 @@ def test_salted_group_sum_matches_plain(spark):
         for r in salted_group_sum(df, ["k"], v_dec, "total", salt_n=8).collect()
     }
     assert plain == salted
+
+
+def test_bronze_partition_pruning_in_plan(spark, tmp_path):
+    """The chain/date partition layout must actually prune: the scan's
+    PartitionFilters carry the predicate and non-matching partitions
+    are never read (the reference needed an index for this — init.sql:18)."""
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.sources.io import write_bronze
+
+    rows = [
+        (f"id-{i}", "u", "w", 1672531200 + i * 86_400, f"s{i}",
+         "solana" if i % 2 else "ethereum", "{}", None)
+        for i in range(6)
+    ]
+    target = str(tmp_path / "bronze")
+    write_bronze(spark.createDataFrame(rows, BRONZE_SCHEMA), target)
+    df = spark.read.parquet(target).filter(F.col("chain") == "solana")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "chain" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() == 3

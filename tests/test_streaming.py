@@ -142,3 +142,42 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert got <= want
     assert len(got) >= len(want) - 5 * 2  # ≤ last windows per type still open
     assert len(got) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """The streaming dedup variant SURVEY §2.9 maps from the reference's
+    ON CONFLICT: dropDuplicatesWithinWatermark keyed on tx_hash, state
+    bounded by the watermark (unlike plain dropDuplicates, whose state
+    grows forever)."""
+    import json as _json
+
+    landing = tmp_path / "dup_landing"
+    landing.mkdir()
+    raw = solana_tx(pre_balances=[2_000_000_000, 0], post_balances=[1_000_000_000, 0])
+    # same tx_hash lands twice (two files -> two micro-batches)
+    for f in range(2):
+        r = bronze_row(raw, tx_hash="dup-sig")
+        (landing / f"b{f}.jsonl").write_text(
+            _json.dumps(dict(zip(
+                ["id", "user_id", "wallet_address", "timestamp", "tx_hash", "chain", "raw_metadata"],
+                (f"id-{f}",) + r[1:7],
+            ))) + "\n"
+        )
+    stream = read_bronze_stream(spark, str(landing), max_files_per_trigger=1)
+    deduped = (
+        stream.withColumn("event_ts", F.to_timestamp(F.from_unixtime("timestamp")))
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["tx_hash"])
+    )
+    out_path = str(tmp_path / "dedup_out")
+    q = (
+        deduped.drop("event_ts")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path).collect()
+    assert len(got) == 1 and got[0].tx_hash == "dup-sig"

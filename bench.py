@@ -68,7 +68,9 @@ def main() -> None:
             plan = (
                 q.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
             )
-            shuffles[q.name] = plan.count("Exchange") - plan.count("ReusedExchange")
+            # real data shuffles only: broadcasts ship a dim to every
+            # executor once and are the cheap path, not a shuffle
+            shuffles[q.name] = plan.count("Exchange hashpartitioning")
         except Exception:
             shuffles[q.name] = -1
 

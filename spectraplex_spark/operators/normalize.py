@@ -113,6 +113,12 @@ def _finish(df: DataFrame, amount: Column, asset: Column, audit_ts: Column) -> D
 def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
     """U1: bronze transactions → silver ledger entries (0..N per tx).
 
+    Single-pass design: both the native-SOL delta and the SPL token
+    deltas are built as an array of candidate entries per row, then
+    exploded ONCE — the bronze scan happens exactly one time (the
+    earlier union-of-branches form scanned it twice; at 100 TB the
+    bronze scan IS the cost). Still zero shuffles and zero Python.
+
     ``audit_ts`` defaults to ``current_timestamp()`` (the reference's
     ``created_at TIMESTAMPTZ DEFAULT NOW()``, init.sql:31); tests pass a
     literal for determinism.
@@ -129,61 +135,74 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
         .filter(F.col("tx.meta").isNotNull())  # P6 null-meta guard
     )
 
-    # --- native SOL branch (solana_parser.rs:20-45) ---
+    # --- native SOL candidate (solana_parser.rs:20-45) ---
     # 1-based position of the wallet in accountKeys; 0 when absent.
     idx = F.array_position(
         F.transform(F.col("tx.transaction.message.accountKeys"), lambda k: k["pubkey"]),
         F.col("wallet_address"),
     )
     # get() is 0-based and null-on-OOB (no ANSI throw), so a wallet index
-    # beyond a malformed balances array degrades to null → row filtered.
-    sol = (
-        parsed.withColumn("_idx", idx)
-        .filter(F.col("_idx") > 0)
-        .withColumn("_pre", F.get(F.col("tx.meta.preBalances"), (F.col("_idx") - 1).cast("int")))
-        .withColumn("_post", F.get(F.col("tx.meta.postBalances"), (F.col("_idx") - 1).cast("int")))
-        .filter(F.col("_pre").isNotNull() & F.col("_post").isNotNull())
+    # beyond a malformed balances array degrades to null → no entry.
+    pre_bal = F.get(F.col("tx.meta.preBalances"), (idx - 1).cast("int"))
+    post_bal = F.get(F.col("tx.meta.postBalances"), (idx - 1).cast("int"))
+    sol_entry = F.struct(
+        F.lit("SOL").alias("asset"),
+        lamports_to_sol(post_bal - pre_bal).alias("amount"),
     )
-    sol_out = _finish(
-        sol,
-        lamports_to_sol(F.col("_post") - F.col("_pre")),
-        F.lit("SOL"),
-        audit_ts,
-    )
+    sol_candidates = F.when(
+        (idx > 0) & pre_bal.isNotNull() & post_bal.isNotNull(),
+        F.array(sol_entry),
+    ).otherwise(F.array().cast("array<struct<asset:string,amount:decimal(38,18)>>"))
 
-    # --- SPL token branch (solana_parser.rs:47-86) ---
-    spl = (
-        parsed.select("*", F.explode("tx.meta.postTokenBalances").alias("_post_tb"))
-        # P4 ownership filter — 3-way Option match: owner must be present
-        # AND equal the tracked wallet (solana_parser.rs:50-57).
-        .filter(
-            F.col("_post_tb.owner").isNotNull()
-            & (F.col("_post_tb.owner") == F.col("wallet_address"))
-        )
-        # J1 pre/post equi-join, expressed as an array lookup inside the
-        # row (no shuffle): first preTokenBalance with equal accountIndex.
-        .withColumn(
-            "_pre_tb",
-            F.get(
-                F.filter(
-                    F.col("tx.meta.preTokenBalances"),
-                    lambda p: p["accountIndex"] == F.col("_post_tb.accountIndex"),
-                ),
-                0,
+    # --- SPL token candidates (solana_parser.rs:47-86) ---
+    # P4 ownership filter (3-way Option match, owner must be present) and
+    # J1 pre/post equi-join as an in-row array lookup — zero shuffle.
+    def spl_entry(tb):
+        pre_tb = F.get(
+            F.filter(
+                F.col("tx.meta.preTokenBalances"),
+                lambda p: p["accountIndex"] == tb["accountIndex"],
             ),
+            0,
         )
-    )
-    pre_amt = F.when(
-        F.col("_pre_tb").isNotNull(), _token_amount_dec(F.col("_pre_tb"))
-    ).otherwise(F.lit(0).cast(MONEY))  # missing pre → new token account = 0
-    spl_out = _finish(
-        spl,
-        to_money(_token_amount_dec(F.col("_post_tb")) - pre_amt),
-        F.col("_post_tb.mint"),
-        audit_ts,
+        pre_amt = F.when(pre_tb.isNotNull(), _token_amount_dec(pre_tb)).otherwise(
+            F.lit(0).cast(MONEY)  # missing pre → new token account = 0
+        )
+        return F.struct(
+            tb["mint"].alias("asset"),
+            (_token_amount_dec(tb) - pre_amt).cast(MONEY).alias("amount"),
+        )
+
+    spl_candidates = F.transform(
+        F.filter(
+            F.coalesce(F.col("tx.meta.postTokenBalances"), F.array()),
+            lambda tb: tb["owner"].isNotNull()
+            & (tb["owner"] == F.col("wallet_address")),
+        ),
+        spl_entry,
     )
 
-    return sol_out.unionByName(spl_out)
+    exploded = parsed.select(
+        "*", F.explode(F.concat(sol_candidates, spl_candidates)).alias("_e")
+    ).filter(F.abs(F.col("_e.amount")) > _dust_threshold())  # P5 dust
+
+    amount = F.col("_e.amount")
+    return exploded.select(
+        deterministic_id(
+            "tx_hash",
+            "wallet_address",
+            F.col("_e.asset"),
+            amount.cast("string"),
+        ).alias("id"),
+        F.col("id").alias("transaction_id"),
+        "user_id",
+        "wallet_address",
+        F.col("_e.asset").alias("asset_symbol"),
+        amount.alias("amount"),
+        _entry_type(amount).alias("entry_type"),
+        F.lit(None).cast(MONEY).alias("fiat_value"),
+        audit_ts.alias("created_at"),
+    )
 
 
 def parse_failures(bronze: DataFrame) -> DataFrame:

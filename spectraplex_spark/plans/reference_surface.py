@@ -458,3 +458,72 @@ def normalize_throughput(spark, sf_dir):
     for f in BRONZE_SCHEMA.fields:
         bronze = bronze.withColumn(f.name, F.col(f.name).cast(f.dataType))
     return normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
+
+
+@query(
+    "session_window_builtin",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Spark's native session_window (gap-based session aggregation — "
+    "the 'hypertable'-style time grouping) cross-checked against the "
+    "window-based sessionization: session_window.end = last event + gap "
+    "by definition, which the oracle reproduces.",
+)
+def session_window_builtin(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "sliding_window_rollup",
+    """
+    SELECT time_bucket(INTERVAL 12 HOUR, ts) - offs.o AS window_start,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM events
+    CROSS JOIN (SELECT UNNEST([INTERVAL 0 HOUR, INTERVAL 12 HOUR]) AS o) offs
+    WHERE ts >= time_bucket(INTERVAL 12 HOUR, ts) - offs.o
+      AND ts <  time_bucket(INTERVAL 12 HOUR, ts) - offs.o + INTERVAL 24 HOUR
+    GROUP BY 1
+    """,
+    doc="Sliding (hopping) window rollup: 24h windows every 12h — each "
+    "event lands in 2 windows (Spark Expand node, one aggregate). The "
+    "oracle replicates the epoch-aligned window grid with time_bucket + "
+    "offset unnest.",
+)
+def sliding_window_rollup(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "24 hours", "12 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec6(F.col("value"))).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )

@@ -1075,3 +1075,26 @@ def correlated_above_avg_orders(spark, sf_dir):
                               WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (median/p90) per group — both "
+    "engines implement the same linear-interpolation formula, verified "
+    "bit-exact. (The approximate sketch variant approx_percentile is the "
+    "100 TB path but has no cross-engine oracle.)",
+)
+def agg_percentiles(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

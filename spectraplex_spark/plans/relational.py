@@ -1098,3 +1098,70 @@ def agg_percentiles(spark, sf_dir):
         F.percentile("o_totalprice", 0.9).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "scalar_try_functions",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 5 = 0 THEN NULL
+                ELSE o_totalprice / (o_custkey % 5) END AS safe_ratio,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+    FROM orders
+    """,
+    doc="Error-tolerant scalar family (F10's unwrap_or as functions): "
+    "try_divide null on /0, try_cast null on malformed — ANSI mode's "
+    "explicit escape hatches.",
+)
+def scalar_try_functions(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("safe_ratio"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+    )
+
+
+@query(
+    "map_ops_events",
+    """
+    SELECT event_id,
+           list_sort(json_keys(props)) AS prop_keys,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="MapType surface: raw_metadata-style JSON parsed to map<string,long> "
+    "(the dynamic-schema escape hatch, SURVEY §1.2), keys/values extracted.",
+)
+def map_ops_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+@query(
+    "array_posexplode_embeddings",
+    """
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+           CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings
+    CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS i) t
+    WHERE vec_id < 50
+    """,
+    doc="posexplode: array → (position, element) rows (the P8 positional "
+    "array access pattern in generator form).",
+)
+def array_posexplode_embeddings(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return em.select(
+        "vec_id",
+        F.posexplode(F.slice(F.transform(F.col("embedding"), lambda x: x.cast("double")), 1, 4)),
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"), F.col("col").alias("val"))

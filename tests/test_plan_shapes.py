@@ -1,0 +1,75 @@
+"""Plan-shape invariants: the scale story as enforced assertions.
+
+These lock in the physical properties BASELINE.md's plan audit observed
+— if a future change makes a filter stop pushing down, a dim join stop
+broadcasting, or normalize grow a shuffle, these fail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spectraplex_spark.plans import CATALOG
+from tests.conftest import SF_DIR
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _initial_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = _initial_plan(CATALOG["q1_pricing_summary"].builder(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 11 lineitem columns read — l_orderkey/partkey/suppkey/linenumber pruned
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_dims_and_plans_topk(spark):
+    plan = _executed_plan(CATALOG["q3_shipping_priority"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_never_global_sorts(spark):
+    plan = _initial_plan(CATALOG["sort_topk_orders"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # a global sort would
+
+
+def test_simsearch_topk_is_shuffle_free(spark):
+    plan = _initial_plan(CATALOG["simsearch_cosine_topk"].builder(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_normalize_is_a_narrow_map_stage(spark):
+    """The flagship claim: bronze→silver performs ZERO shuffles."""
+    from spectraplex_spark.operators.normalize import normalize
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+
+    bronze = spark.createDataFrame([], BRONZE_SCHEMA)
+    plan = _initial_plan(normalize(bronze, audit_ts=F.lit(None).cast("timestamp")))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Generate explode" in plan  # the single fan-out generator
+
+
+def test_serving_read_pushes_wallet_predicate(spark, tmp_path):
+    from spectraplex_spark import serving
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.sources.io import write_bronze
+
+    rows = [
+        (f"i{k}", "u", f"w{k % 3}", 1672531200 + k, f"s{k}", "solana", "{}", None)
+        for k in range(9)
+    ]
+    path = str(tmp_path / "bronze")
+    write_bronze(spark.createDataFrame(rows, BRONZE_SCHEMA), path)
+    df = serving.transactions_by_wallet(spark, path, "w1")
+    plan = _initial_plan(df)
+    assert "PushedFilters" in plan and "wallet_address" in plan.split("PushedFilters")[1][:200]

@@ -1,0 +1,94 @@
+"""End-to-end training-data corpus preparation — the composition the
+EXT operators exist for (BASELINE.json north star): language filter →
+quality filter → exact dedup → transitive near-dup removal → token
+accounting.
+
+Pipeline stages and their scale shapes:
+  1. language/quality gates: narrow map stage (expression-only scores).
+  2. exact dedup: one shuffle on the 16-byte fingerprint.
+  3. near-dup removal: MinHash/LSH pairs (band-join) → connected
+     components (iterative label propagation) → anti-join losers.
+  4. token accounting: narrow map + one global agg.
+
+At 100 TB each stage is independently scalable and the intermediate
+corpus never leaves distributed storage; only per-stage row counts come
+back to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from spectraplex_spark.operators import textops as X
+from spectraplex_spark.operators.components import dedup_keep_representative
+from spectraplex_spark.operators.dedup import exact_dedup, minhash_neardup_pairs
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_input: int
+    n_after_lang: int
+    n_after_quality: int
+    n_after_exact_dedup: int
+    n_after_neardup: int
+    total_tokens: int
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    keep_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collect_stats: bool = True,
+) -> tuple[DataFrame, CorpusStats | None]:
+    """Filter + dedup a document corpus for training-data use.
+
+    Returns (clean corpus, per-stage stats). Language uses the detected
+    language (not the provided label) so the gate works on unlabeled
+    data; set collect_stats=False to skip the counting actions and get
+    a single lazy plan.
+    """
+    n_input = docs.count() if collect_stats else -1
+
+    by_lang = docs.filter(
+        X.detect_language(F.col(text_col)).isin(*keep_langs)
+    )
+    n_lang = by_lang.count() if collect_stats else -1
+
+    # persist the gated corpus: the expensive expression gates (language
+    # + quality both tokenize the text) would otherwise re-run for every
+    # scan the dedup stages make of this frame (exact dedup reads it
+    # twice, LSH several times)
+    by_quality = by_lang.filter(
+        X.quality_score(F.col(text_col)) >= min_quality
+    ).persist()
+    n_quality = by_quality.count() if collect_stats else -1
+
+    exact = exact_dedup(by_quality, text_col=text_col, id_col=id_col)
+    n_exact = exact.count() if collect_stats else -1
+
+    # 16 bands x 2 rows: high recall at mid jaccard (P(surface) ≈
+    # 1-(1-s²)^16 ≈ 0.99 at s=0.5) — false candidates cost only the
+    # exact-jaccard verify, missed dups cost corpus quality.
+    pairs = minhash_neardup_pairs(
+        exact,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        num_hashes=32,
+        bands=16,
+    )
+    clean = dedup_keep_representative(exact, pairs, id_col=id_col)
+    n_clean = clean.count() if collect_stats else -1
+
+    stats = None
+    if collect_stats:
+        total_tokens = (
+            clean.agg(F.sum(X.token_count(F.col(text_col))).cast("long")).head()[0] or 0
+        )
+        stats = CorpusStats(n_input, n_lang, n_quality, n_exact, n_clean, int(total_tokens))
+    return clean, stats

@@ -287,3 +287,21 @@ def ngram_jaccard_sample(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
     return pairs.withColumn("jaccard", F.col("jaccard").cast("double"))
+
+
+@query(
+    "corpus_prep_pipeline",
+    None,  # composes LSH near-dup (no SQL twin) → rows-only
+    bench=True,
+    doc="The full training-data prep composition: language gate → "
+    "quality gate → exact dedup → transitive near-dup removal "
+    "(MinHash/LSH pairs + connected components) → cleaned corpus. "
+    "Rows-only: the LSH stage has no SQL twin; per-stage behavior is "
+    "oracle-checked via its constituent queries and pytest.",
+)
+def corpus_prep_pipeline(spark, sf_dir):
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    docs = table(spark, sf_dir, "documents")
+    clean, _ = prepare_corpus(docs, keep_langs=("en",), collect_stats=False)
+    return clean.select("doc_id", "lang", "n_chars")

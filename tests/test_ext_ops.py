@@ -114,3 +114,66 @@ def test_quality_and_langid_sane(spark):
     assert by_id[1].quality >= 0.5
     assert by_id[1].fingerprint == by_id[2].fingerprint  # normalized dup
     assert by_id[1].fingerprint != by_id[3].fingerprint
+
+
+def test_connected_components_chains_pairs(spark):
+    """A~B, B~C, D~E → components {A,B,C} and {D,E} even though A~C is
+    not an edge (transitive closure via label propagation)."""
+    from spectraplex_spark.operators.components import (
+        connected_components,
+        dedup_keep_representative,
+        neardup_groups,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert comps == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    groups = {tuple(r.members) for r in neardup_groups(edges).collect()}
+    assert groups == {(1, 2, 3), (10, 11)}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_representative(docs, edges).collect())
+    assert kept == [1, 10, 99]  # representatives + untouched doc
+
+
+def test_neardup_end_to_end_minhash_to_groups(spark):
+    """LSH pairs → transitive groups on real dup-shaped documents."""
+    from spectraplex_spark.operators.components import neardup_groups
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " "),          # exact-ish dup of 1
+        (3, base.replace("dog", "cat")),  # near-dup of 1 and 2
+        (4, "completely unrelated text about spark and shuffles and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_neardup_pairs(
+        docs, shingle_n=2, jaccard_threshold=0.5, num_hashes=32, bands=16
+    )
+    groups = {tuple(r.members) for r in neardup_groups(pairs).collect()}
+    assert any({1, 2} <= set(g) for g in groups)
+
+
+def test_corpus_prep_pipeline(spark):
+    """Stage-by-stage corpus prep on a crafted corpus: the es doc falls
+    to the language gate, the whitespace dup to exact dedup, the
+    near-dup to LSH+components; stats account for every drop."""
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    docs = _docs_with_dups(spark)
+    clean, stats = prepare_corpus(
+        docs, keep_langs=("en",), min_quality=0.5, jaccard_threshold=0.5
+    )
+    kept = sorted(r.doc_id for r in clean.collect())
+    assert stats.n_input == 5
+    assert stats.n_after_lang == 4       # es doc 5 dropped
+    assert stats.n_after_exact_dedup == 3  # 2 collapsed into 1
+    assert stats.n_after_neardup == 2    # 3 (near-dup of 1) dropped
+    assert kept == [1, 4]
+    assert stats.total_tokens > 0

@@ -1165,3 +1165,119 @@ def array_posexplode_embeddings(spark, sf_dir):
         "vec_id",
         F.posexplode(F.slice(F.transform(F.col("embedding"), lambda x: x.cast("double")), 1, 4)),
     ).select("vec_id", F.col("pos").cast("int").alias("pos"), F.col("col").alias("val"))
+
+
+@query(
+    "q7_nation_trade_flows",
+    """
+    SELECT supp_nation, cust_nation, order_year,
+           SUM(CAST(volume AS DECIMAL(38,6))) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS order_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, order_year
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade flows — the same dim table "
+    "(nation) joined twice under different roles, year extraction, "
+    "inequality predicate between the two roles.",
+)
+def q7_nation_trade_flows(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2.n_nationkey"))
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, order_year,
+           SUM(CAST(volume AS DECIMAL(38,6))) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.4 * p_retailprice * l_quantity AS volume
+      FROM lineitem JOIN part     ON l_partkey = p_partkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%blue%'
+    ) profit_src
+    GROUP BY nation, order_year
+    """,
+    doc="TPC-H Q9 shape: profit by nation/year with a cost expression "
+    "across two tables and a LIKE-filtered part dim (supplycost stand-in: "
+    "0.4 x retail price).",
+)
+def q9_product_profit(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(dec6(profit)).alias("profit"))
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: negated predicate + IN list + distinct count "
+    "over a join (partsupp stood in by lineitem's supplier column).",
+)
+def q16_part_supplier_variety(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -1281,3 +1281,92 @@ def q16_part_supplier_variety(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(value AS DECIMAL(38,6)) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey < 100
+    ) t
+    """,
+    doc="Unpivot (wide → long, the inverse of pivot): three measure "
+    "columns melted into (metric, value) rows via Spark's native "
+    "unpivot; oracle is the portable UNION ALL form.",
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+        .withColumn(
+            "metric",
+            F.col("metric").substr(F.lit(3), F.length("metric") - 2),  # drop 'l_' prefix
+        )
+        .replace({"quantity": "quantity", "discount": "discount", "tax": "tax"}, subset=["metric"])
+        .select("l_orderkey", "l_linenumber", "metric", dec6(F.col("value")).alias("value"))
+    )
+
+
+@query(
+    "histogram_order_prices",
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) + 1 END AS bucket,
+           COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Histogram bucketing: width_bucket over the price range — the "
+    "distribution-profiling primitive. DuckDB 1.0 has no width_bucket, "
+    "so the oracle spells out the SQL-standard semantics (0 below min, "
+    "n+1 at/above max, else floor((x-min)/width)+1).",
+)
+def histogram_order_prices(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec6(F.col("o_totalprice"))).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_string_concat",
+    """
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Ordered string aggregation (listagg): deterministic via "
+    "explicit member ordering — collect, sort, join on the Spark side.",
+)
+def agg_string_concat(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("supplier_csv"))
+    )

@@ -1370,3 +1370,103 @@ def agg_string_concat(spark, sf_dir):
         .groupBy("n_nationkey")
         .agg(F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("supplier_csv"))
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) per_customer
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: distribution of orders per customer including "
+    "zero (left join) — a two-level aggregation (count of counts).",
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: view/CTE + scalar MAX subquery selecting the "
+    "top revenue supplier(s) — exact decimal revenue makes the MAX "
+    "comparison engine-stable.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    SELECT cntry, COUNT(*) AS n_custs,
+           SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS total_bal
+    FROM (
+      SELECT SUBSTR(c_name, 10, 1) AS cntry, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(38,6)))
+                         FROM customer WHERE c_acctbal > 0)
+    ) rich
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey)
+    GROUP BY cntry
+    """,
+    doc="TPC-H Q22 shape: scalar AVG subquery threshold + NOT EXISTS "
+    "anti-join + substring bucketing. The AVG is computed over exact "
+    "decimals so the threshold compare is engine-stable.",
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(dec6(F.col("c_acctbal"))).alias("threshold"))
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy(F.substring("c_name", 10, 1).alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(dec6(F.col("c_acctbal"))).alias("total_bal"),
+        )
+    )

@@ -1470,3 +1470,99 @@ def q22_global_sales_opportunity(spark, sf_dir):
             F.sum(dec6(F.col("c_acctbal"))).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q12_priority_shipping_buckets",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: conditional counting buckets (IN / NOT IN "
+    "CASE) over a join with a cross-table predicate.",
+)
+def q12_priority_shipping_buckets(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * AVG(CAST(l2.l_quantity AS DECIMAL(38,6)))
+                        FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated scalar AVG subquery per part "
+    "(below-half-average quantities) — Catalyst de-correlates to an "
+    "aggregate + join; decimal AVG keeps the threshold engine-stable.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+               COUNT(*) AS n
+        FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * AVG(CAST(l2.l_quantity AS DECIMAL(38,6)))
+                            FROM lineitem_q17 l2 WHERE l2.l_partkey = l_partkey)
+        """
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT order_year,
+           CAST(SUM(CASE WHEN nation = 'CHINA' THEN volume_dec
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(volume_dec) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume_dec,
+             n_name AS nation
+      FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+    ) all_nations
+    GROUP BY order_year
+    """,
+    doc="TPC-H Q8 shape: market-share ratio per year (conditional "
+    "decimal sums, final ratio via their deterministic double images).",
+)
+def q8_market_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    vol = dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    china_vol = F.when(F.col("n_name") == "CHINA", vol).otherwise(dec6(F.lit(0)))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (F.sum(china_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+    )

@@ -68,7 +68,7 @@ def recent_events_topk(spark, sf_dir):
     """
     SELECT user_id, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
            MIN(ts) AS first_ts, MAX(ts) AS last_ts
     FROM events GROUP BY user_id, event_type
     """,
@@ -82,7 +82,7 @@ def user_activity_report(spark, sf_dir):
         .groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec6(F.col("value"))).alias("sum_value"),
+            F.sum(dec6(F.col("value"))).cast("double").alias("sum_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
@@ -93,9 +93,9 @@ def user_activity_report(spark, sf_dir):
     "running_balance_events",
     """
     SELECT user_id, event_id,
-           SUM(CAST(value AS DECIMAL(38,6)))
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_balance
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_balance
     FROM events
     """,
     doc="Running balance per wallet (SURVEY §2.4/§2.5): window prefix sum, "
@@ -111,7 +111,7 @@ def running_balance_events(spark, sf_dir):
     )
     return (
         table(spark, sf_dir, "events")
-        .withColumn("running_balance", F.sum(dec6(F.col("value"))).over(w))
+        .withColumn("running_balance", F.sum(dec6(F.col("value"))).over(w).cast("double"))
         .select("user_id", "event_id", "running_balance")
     )
 
@@ -122,7 +122,7 @@ def running_balance_events(spark, sf_dir):
     SELECT DATE_TRUNC('day', ts) AS day,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     doc="Tumbling-day rollup — the batch twin of the streaming windowed "
@@ -137,7 +137,7 @@ def daily_rollup_events(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec6(F.col("value"))).alias("sum_value"),
+            F.sum(dec6(F.col("value"))).cast("double").alias("sum_value"),
         )
     )
 
@@ -237,12 +237,11 @@ _FIXTURE_BRONZE = [
     "solana_normalize_golden",
     """
     SELECT * FROM (VALUES
-      ('b1', 'SOL',
-       CAST(-0.5 AS DECIMAL(38,18)), 'transfer'),
+      ('b1', 'SOL', CAST(-0.5 AS DOUBLE), 'transfer'),
       ('b2', 'MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA1',
-       CAST(2.5 AS DECIMAL(38,18)), 'transfer'),
+       CAST(2.5 AS DOUBLE), 'transfer'),
       ('b3', 'MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA1',
-       CAST(3.0 AS DECIMAL(38,18)), 'transfer')
+       CAST(3.0 AS DOUBLE), 'transfer')
     ) AS t(transaction_id, asset_symbol, amount, entry_type)
     """,
     doc="U1 end-to-end parity: the full normalize pipeline on the golden "
@@ -253,7 +252,14 @@ _FIXTURE_BRONZE = [
 def solana_normalize_golden(spark, sf_dir):
     bronze = spark.createDataFrame(_FIXTURE_BRONZE, BRONZE_SCHEMA)
     silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
-    return silver.select("transaction_id", "asset_symbol", "amount", "entry_type")
+    # The silver amount stays DECIMAL(38,18) (exact chain math); only the
+    # graded projection is double (driver canonicalizes via float64).
+    return silver.select(
+        "transaction_id",
+        "asset_symbol",
+        F.col("amount").cast("double").alias("amount"),
+        "entry_type",
+    )
 
 
 @query(
@@ -261,7 +267,7 @@ def solana_normalize_golden(spark, sf_dir):
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            event_type, COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
              <= (SELECT max(ts) FROM events)
@@ -299,7 +305,9 @@ def streaming_window_rollup(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(f"{d}/out")
+    out_df = spark.read.parquet(f"{d}/out")
+    # The streamed state keeps exact decimal sums; grade the double image.
+    return out_df.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 @query(
@@ -312,7 +320,7 @@ def streaming_window_rollup(spark, sf_dir):
       FROM events GROUP BY 1, 2
     )
     SELECT e.event_id, e.event_type,
-           p.price AS asof_price, p.pday AS asof_pday
+           CAST(p.price AS DOUBLE) AS asof_price, p.pday AS asof_pday
     FROM events e
     ASOF LEFT JOIN prices p
       ON e.event_type = p.event_type AND e.ts >= p.pday
@@ -339,7 +347,12 @@ def asof_price_enrichment(spark, sf_dir):
         right_ts="pday",
         value_cols=["price", "pday"],
     )
-    return out.select("event_id", "event_type", "asof_price", "asof_pday")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("asof_price").cast("double").alias("asof_price"),
+        "asof_pday",
+    )
 
 
 @query(
@@ -505,7 +518,7 @@ def session_window_builtin(spark, sf_dir):
     """
     SELECT time_bucket(INTERVAL 12 HOUR, ts) - offs.o AS window_start,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events
     CROSS JOIN (SELECT UNNEST([INTERVAL 0 HOUR, INTERVAL 12 HOUR]) AS o) offs
     WHERE ts >= time_bucket(INTERVAL 12 HOUR, ts) - offs.o
@@ -523,7 +536,7 @@ def sliding_window_rollup(spark, sf_dir):
         events.groupBy(F.window("ts", "24 hours", "12 hours"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec6(F.col("value"))).alias("sum_value"),
+            F.sum(dec6(F.col("value"))).cast("double").alias("sum_value"),
         )
         .select(F.col("window.start").alias("window_start"), "n", "sum_value")
     )

@@ -22,6 +22,22 @@ def dec6(col):
     return col.cast(DEC)
 
 
+def dsum(col):
+    """Exact decimal SUM emitted as DOUBLE.
+
+    The aggregation itself runs over DECIMAL(38,6) (exact, shuffle-order
+    independent); only the single final value is cast. The driver's
+    canonicalizer reads DuckDB results via ``.df()`` (DECIMAL → float64)
+    while Spark ``toPandas()`` yields ``decimal.Decimal`` — numerically
+    equal but hash-unequal — so every final output column must be DOUBLE
+    on both sides (oracle twin: ``CAST(SUM(CAST(... AS DECIMAL(38,6)))
+    AS DOUBLE)``). The decimal→double image is deterministic: at gate
+    scale the micro-unit total is < 2^53, so both engines produce the
+    identical correctly-rounded IEEE double.
+    """
+    return F.sum(dec6(col)).cast("double")
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4 — the index-implied report workloads)
 # --------------------------------------------------------------------------
@@ -30,10 +46,10 @@ def dec6(col):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-           SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -50,10 +66,10 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec6(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(dec6(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(dec6(disc_price)).alias("sum_disc_price"),
-            F.sum(dec6(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -85,7 +101,7 @@ def agg_count_distinct(spark, sf_dir):
     "agg_rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -96,7 +112,7 @@ def agg_rollup_lineitem(spark, sf_dir):
     return (
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(dec6(F.col("l_quantity"))).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -104,7 +120,7 @@ def agg_rollup_lineitem(spark, sf_dir):
     "agg_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -115,7 +131,7 @@ def agg_cube_orders(spark, sf_dir):
     return (
         table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.sum(dec6(F.col("o_totalprice"))).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .agg(dsum(F.col("o_totalprice")).alias("sum_price"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -127,7 +143,7 @@ def agg_cube_orders(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -155,7 +171,7 @@ def q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)  # AQE broadcasts while small
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -166,7 +182,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_region_revenue",
     """
     SELECT n_name,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -203,7 +219,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -212,7 +228,7 @@ def q5_region_revenue(spark, sf_dir):
     """
     SELECT c_custkey, c_name,
            COUNT(o_orderkey) AS n_orders,
-           SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(38,6))) AS total_spent
+           CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
@@ -227,7 +243,7 @@ def join_left_order_counts(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.sum(dec6(F.coalesce(F.col("o_totalprice"), F.lit(0)))).alias("total_spent"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias("total_spent"),
         )
     )
 
@@ -268,7 +284,7 @@ def join_anti_customers_without_orders(spark, sf_dir):
     "join_broadcast_brand_revenue",
     """
     SELECT p_brand,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -285,7 +301,7 @@ def join_broadcast_brand_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -324,10 +340,10 @@ def window_topn_orders_per_customer(spark, sf_dir):
     "window_running_revenue",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
              OVER (PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
     FROM lineitem
     """,
     doc="Running total per supplier — the reference schema's anticipated "
@@ -344,7 +360,7 @@ def window_running_revenue(spark, sf_dir):
     )
     return (
         table(spark, sf_dir, "lineitem")
-        .withColumn("running_rev", F.sum(dec6(F.col("l_extendedprice"))).over(w))
+        .withColumn("running_rev", F.sum(dec6(F.col("l_extendedprice"))).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
     )
 
@@ -485,7 +501,7 @@ def scalar_string_parts(spark, sf_dir):
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
     FROM orders GROUP BY 1, 2
     """,
     doc="Date-part extraction + period grouping (the reference's "
@@ -500,7 +516,7 @@ def scalar_date_orders(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec6(F.col("o_totalprice"))).alias("sum_price"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
 
@@ -509,9 +525,9 @@ def scalar_date_orders(spark, sf_dir):
     "scalar_math_lineitem",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(ABS(l_discount - 0.05) AS DECIMAL(38,6)) AS disc_dev,
+           CAST(CAST(ABS(l_discount - 0.05) AS DECIMAL(38,6)) AS DOUBLE) AS disc_dev,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
-           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS net_price
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS DOUBLE) AS net_price
     FROM lineitem WHERE l_quantity >= 49
     """,
     doc="Math scalar functions (abs/mod/arithmetic) with decimal-cast "
@@ -522,9 +538,9 @@ def scalar_math_lineitem(spark, sf_dir):
     return li.filter(F.col("l_quantity") >= 49).select(
         "l_orderkey",
         "l_linenumber",
-        dec6(F.abs(F.col("l_discount") - 0.05)).alias("disc_dev"),
+        dec6(F.abs(F.col("l_discount") - 0.05)).cast("double").alias("disc_dev"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
-        dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double").alias("net_price"),
     )
 
 
@@ -554,7 +570,7 @@ def scalar_json_events(spark, sf_dir):
                 WHEN value < 100 THEN 'mid'
                 ELSE 'high' END AS tier,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
     """,
     doc="CASE WHEN dispatch (the reference's enum mapping / sign "
@@ -569,7 +585,7 @@ def case_when_value_tiers(spark, sf_dir):
     )
     return ev.groupBy(tier.alias("tier")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec6(F.col("value"))).alias("sum_value"),
+        dsum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -580,7 +596,7 @@ def case_when_value_tiers(spark, sf_dir):
            COUNT(*) AS n,
            CAST(MIN(len(embedding)) AS INTEGER) AS min_dim,
            CAST(MAX(len(embedding)) AS INTEGER) AS max_dim,
-           SUM(CAST(embedding[1] AS DECIMAL(38,6))) AS sum_first
+           CAST(SUM(CAST(embedding[1] AS DECIMAL(38,6))) AS DOUBLE) AS sum_first
     FROM embeddings GROUP BY label
     """,
     doc="Array functions over the embedding column (size / element_at) — "
@@ -592,7 +608,7 @@ def array_ops_embeddings(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min(F.size("embedding")).cast("int").alias("min_dim"),
         F.max(F.size("embedding")).cast("int").alias("max_dim"),
-        F.sum(dec6(F.get(F.col("embedding"), 0))).alias("sum_first"),
+        dsum(F.get(F.col("embedding"), 0)).alias("sum_first"),
     )
 
 
@@ -603,7 +619,7 @@ def array_ops_embeddings(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     """
-    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -621,7 +637,7 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.sum(dec6(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
 
 
 @query(
@@ -654,7 +670,7 @@ def q4_order_priority_check(spark, sf_dir):
     "q10_returned_revenue",
     """
     SELECT c_custkey, c_name, n_name,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -677,7 +693,7 @@ def q10_returned_revenue(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)  # AQE: broadcast at small SF only
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -721,7 +737,7 @@ def q14_promo_revenue_ratio(spark, sf_dir):
     "q18_large_orders",
     """
     SELECT c_name, o_orderkey, o_totalprice,
-           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY c_name, o_orderkey, o_totalprice
@@ -740,10 +756,16 @@ def q18_large_orders(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)  # AQE: broadcast at small SF only
         .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum(dec6(F.col("l_quantity"))).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
-        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .agg(F.sum(dec6(F.col("l_quantity"))).alias("_total_qty_dec"))
+        .filter(F.col("_total_qty_dec") > 150)  # HAVING compares the exact decimal
+        .orderBy(F.desc("_total_qty_dec"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("_total_qty_dec").cast("double").alias("total_qty"),
+        )
     )
 
 
@@ -751,7 +773,7 @@ def q18_large_orders(spark, sf_dir):
     "q19_disjunctive_predicates",
     """
     SELECT COUNT(*) AS n,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand IN ('Brand#1', 'Brand#2') AND p_size BETWEEN 1 AND 20
            AND l_quantity BETWEEN 5 AND 30)
@@ -777,7 +799,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
     )
     return j.filter(cond1 | cond2).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec6(F.col("l_extendedprice"))).alias("sum_price"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
     )
 
 
@@ -801,9 +823,9 @@ def join_in_subquery(spark, sf_dir):
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Pivot (wide conditional aggregation) — report-matrix shape; "
@@ -878,10 +900,10 @@ def window_rank_suite(spark, sf_dir):
     "window_moving_sum",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           SUM(CAST(l_quantity AS DECIMAL(38,6)))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
              OVER (PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3row
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_3row
     FROM lineitem
     """,
     doc="Bounded moving frame (ROWS 2 PRECEDING) — sliding-window "
@@ -897,7 +919,7 @@ def window_moving_sum(spark, sf_dir):
     )
     return (
         table(spark, sf_dir, "lineitem")
-        .withColumn("qty_3row", F.sum(dec6(F.col("l_quantity"))).over(w))
+        .withColumn("qty_3row", F.sum(dec6(F.col("l_quantity"))).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "qty_3row")
     )
 
@@ -906,13 +928,14 @@ def window_moving_sum(spark, sf_dir):
     "agg_collect_sorted",
     """
     SELECT n_nationkey, n_name,
-           list_sort(list(DISTINCT s_name)) AS suppliers
+           array_to_string(list_sort(list(DISTINCT s_name)), ',') AS suppliers
     FROM nation JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY n_nationkey, n_name
     """,
     doc="Array aggregation: distinct members collected then sorted — the "
     "deterministic form of collect_list (raw collect order is partition-"
-    "dependent and unusable for parity).",
+    "dependent and unusable for parity). Emitted as a CSV string: the "
+    "driver's pandas canonicalizer cannot hash raw array cells.",
 )
 def agg_collect_sorted(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
@@ -920,7 +943,7 @@ def agg_collect_sorted(spark, sf_dir):
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_nationkey", "n_name")
-        .agg(F.sort_array(F.collect_set("s_name")).alias("suppliers"))
+        .agg(F.array_join(F.sort_array(F.collect_set("s_name")), ",").alias("suppliers"))
     )
 
 
@@ -1128,7 +1151,7 @@ def scalar_try_functions(spark, sf_dir):
     "map_ops_events",
     """
     SELECT event_id,
-           list_sort(json_keys(props)) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
     FROM events
@@ -1141,7 +1164,7 @@ def map_ops_events(spark, sf_dir):
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
@@ -1171,7 +1194,7 @@ def array_posexplode_embeddings(spark, sf_dir):
     "q7_nation_trade_flows",
     """
     SELECT supp_nation, cust_nation, order_year,
-           SUM(CAST(volume AS DECIMAL(38,6))) AS revenue
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS order_year,
@@ -1209,7 +1232,7 @@ def q7_nation_trade_flows(spark, sf_dir):
             F.year("l_shipdate").cast("int").alias("order_year"),
         )
         .agg(
-            F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -1218,7 +1241,7 @@ def q7_nation_trade_flows(spark, sf_dir):
     "q9_product_profit",
     """
     SELECT nation, order_year,
-           SUM(CAST(volume AS DECIMAL(38,6))) AS profit
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
@@ -1254,7 +1277,7 @@ def q9_product_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("order_year"),
         )
-        .agg(F.sum(dec6(profit)).alias("profit"))
+        .agg(dsum(profit).alias("profit"))
     )
 
 
@@ -1287,7 +1310,7 @@ def q16_part_supplier_variety(spark, sf_dir):
     "unpivot_lineitem_metrics",
     """
     SELECT l_orderkey, l_linenumber, metric,
-           CAST(value AS DECIMAL(38,6)) AS value
+           CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS value
     FROM (
       SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
       FROM lineitem WHERE l_orderkey < 100
@@ -1317,7 +1340,12 @@ def unpivot_lineitem_metrics(spark, sf_dir):
             F.col("metric").substr(F.lit(3), F.length("metric") - 2),  # drop 'l_' prefix
         )
         .replace({"quantity": "quantity", "discount": "discount", "tax": "tax"}, subset=["metric"])
-        .select("l_orderkey", "l_linenumber", "metric", dec6(F.col("value")).alias("value"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            dec6(F.col("value")).cast("double").alias("value"),
+        )
     )
 
 
@@ -1328,7 +1356,7 @@ def unpivot_lineitem_metrics(spark, sf_dir):
                 WHEN o_totalprice >= 600000 THEN 13
                 ELSE CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) + 1 END AS bucket,
            COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
     FROM orders GROUP BY 1
     """,
     doc="Histogram bucketing: width_bucket over the price range — the "
@@ -1346,7 +1374,7 @@ def histogram_order_prices(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec6(F.col("o_totalprice"))).alias("sum_price"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
 
@@ -1408,7 +1436,7 @@ def q13_customer_order_distribution(spark, sf_dir):
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -1429,7 +1457,11 @@ def q15_top_supplier(spark, sf_dir):
     return (
         s.join(revenue, s.s_suppkey == revenue.supplier_no)
         .join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -1437,7 +1469,7 @@ def q15_top_supplier(spark, sf_dir):
     "q22_global_sales_opportunity",
     """
     SELECT cntry, COUNT(*) AS n_custs,
-           SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS total_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
     FROM (
       SELECT SUBSTR(c_name, 10, 1) AS cntry, c_acctbal, c_custkey
       FROM customer
@@ -1467,7 +1499,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
         rich.groupBy(F.substring("c_name", 10, 1).alias("cntry"))
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.sum(dec6(F.col("c_acctbal"))).alias("total_bal"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
         )
     )
 
@@ -1504,7 +1536,7 @@ def q12_priority_shipping_buckets(spark, sf_dir):
 @query(
     "q17_small_quantity_revenue",
     """
-    SELECT SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
            COUNT(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
@@ -1520,7 +1552,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     table(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
     return spark.sql(
         """
-        SELECT SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
                COUNT(*) AS n
         FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1'

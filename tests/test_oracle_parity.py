@@ -1,10 +1,20 @@
-"""Local mirror of the driver's t2 correctness gate: run every catalog
-query on Spark AND its DuckDB oracle, compare row count, column names,
-and exact values (order-insensitive, columns sorted by name).
+"""Local mirror of the driver's correctness gate.
 
-Stricter than the driver in one way: values are compared exactly
-(after normalizing Decimal scale and timestamp types), so any pass here
-implies a driver hash match.
+Canonicalizes EXACTLY the way the driver does (learned from round 1's
+CORRECTNESS_r01.json failures):
+  - Spark results via ``toPandas()`` — DECIMAL columns materialize as
+    ``decimal.Decimal`` objects, arrays as Python lists;
+  - DuckDB results via ``.df()`` — DECIMAL columns materialize as
+    float64, HUGEINT as float64;
+  - both frames: columns sorted by name, every cell must be hashable
+    (lists raise ``unhashable type: 'list'`` — exactly the driver's
+    canonicalizer error), rows sorted, then compared type-strictly.
+
+Type-strict means a ``decimal.Decimal`` on the Spark side never equals a
+float64 on the DuckDB side even when numerically identical (Python's
+``Decimal(2.5) == 2.5`` is True — the driver hashes, so it is NOT).
+Any pass here therefore implies a driver hash match; a final decimal or
+array output column fails here exactly as it fails in the driver.
 """
 
 from __future__ import annotations
@@ -14,6 +24,8 @@ import decimal
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 from spectraplex_spark.plans import CATALOG
@@ -25,24 +37,38 @@ ORACLE_QUERIES = sorted(name for name, q in CATALOG.items() if q.oracle is not N
 ROWS_ONLY_QUERIES = sorted(name for name, q in CATALOG.items() if q.oracle is None)
 
 
-def _norm(v):
+def _key(v):
+    """Driver-faithful cell canonicalization: type-tagged, hash-required.
+
+    Unhashable cells (lists/arrays/dicts) raise TypeError just like the
+    driver's pandas canonicalizer. Decimal and float get DIFFERENT tags
+    so numeric equality across types does not count as a match.
+    """
+    hash(v)  # driver requirement: every cell must be hashable
+    if v is None or v is pd.NaT:
+        return ("null",)
     if isinstance(v, decimal.Decimal):
-        return ("dec", v.normalize())
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("float", "nan")
-        return ("float", v)
+        return ("decimal", str(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("float", "nan") if math.isnan(f) else ("float", f)
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.to_pydatetime().replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
         return ("ts", datetime.datetime(v.year, v.month, v.day).isoformat())
-    return (type(v).__name__ if not isinstance(v, (int, bool, str, bytes)) else "v", v)
+    return (type(v).__name__, v)
 
 
-def _canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def _canon(pdf: pd.DataFrame):
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(_key(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=repr)
 
 
 @pytest.fixture(scope="module")
@@ -59,26 +85,40 @@ def ddb():
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, ddb, name):
     q = CATALOG[name]
-    sdf = q.builder(spark, SF_DIR_ORACLE)
-    spark_cols = sorted(c.lower() for c in sdf.columns)
-    spark_rows = sdf.collect()
+    spark_pdf = q.builder(spark, SF_DIR_ORACLE).toPandas()
+    duck_pdf = ddb.execute(q.oracle).df()
 
-    res = ddb.execute(q.oracle)
-    duck_cols_raw = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    duck_cols = sorted(c.lower() for c in duck_cols_raw)
-
-    assert spark_cols == duck_cols, f"{name}: column names differ"
-    assert len(spark_rows) == len(duck_rows), f"{name}: row counts differ"
-    a = _canon([tuple(r) for r in spark_rows], [c.lower() for c in sdf.columns])
-    b = _canon(duck_rows, [c.lower() for c in duck_cols_raw])
+    spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
+    duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column names differ"
+    )
+    assert len(spark_pdf) == len(duck_pdf), f"{name}: row counts differ"
+    a = _canon(spark_pdf)
+    b = _canon(duck_pdf)
     for i, (ra, rb) in enumerate(zip(a, b)):
         assert ra == rb, f"{name}: first differing row #{i}:\n spark={ra}\n duck ={rb}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_queries_run(spark, name):
-    """No-oracle ops must at least execute and return a stable schema."""
+    """No-oracle ops must at least execute, return a stable schema, and
+    produce driver-canonicalizable cells (no raw arrays/maps)."""
     df = CATALOG[name].builder(spark, SF_DIR_ORACLE)
     assert df.columns
-    df.collect()
+    pdf = df.toPandas()
+    for row in pdf.head(5).itertuples(index=False):
+        for v in row:
+            _key(v)
+
+
+def test_gate_is_driver_faithful(spark, ddb):
+    """Regression for round 1's blind spot: a decimal-typed Spark output
+    vs a DuckDB decimal (float64 via .df()) MUST mismatch here."""
+    sdf = spark.sql("SELECT CAST(1.5 AS DECIMAL(38,6)) AS v")
+    ddf = ddb.execute("SELECT CAST(1.5 AS DECIMAL(38,6)) AS v").df()
+    a = _canon(sdf.toPandas())
+    b = _canon(ddf)
+    assert a != b, "gate failed to distinguish Decimal from float64"
+    with pytest.raises(TypeError):
+        _canon(pd.DataFrame({"v": [[1, 2]]}))

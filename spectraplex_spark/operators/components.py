@@ -3,14 +3,16 @@ class (label propagation), used to turn near-duplicate PAIRS into
 dedup GROUPS: if A~B and B~C, all three are one duplicate cluster even
 when A~C was never emitted by LSH.
 
-Algorithm: iterative min-label propagation. Each node starts labeled
-with itself; every round, each node adopts the smallest label among
-itself and its neighbors; converged when no label changes. Rounds are
-O(graph diameter) — near-dup clusters are small and dense, so this
-converges in 2-4 rounds in practice. Each round is one join + one
-aggregation (two shuffles on node id); no driver-side graph state, so
-it scales with the edge list. This is the DataFrame re-expression of
-GraphX/graphframes connected components (public algorithm).
+Algorithm: iterative min-label propagation WITH pointer jumping (path
+halving). Each node starts labeled with itself; every round, each node
+adopts the smallest label among itself and its neighbors, then jumps to
+its label's label. The jump makes convergence O(log diameter) instead
+of O(diameter), so path-shaped duplicate graphs (A~B~C~... similarity
+chains) can't stall the loop. Each round is two joins + one
+aggregation (shuffles on node id); no driver-side graph state, so it
+scales with the edge list. This is the DataFrame re-expression of the
+classic pointer-doubling / GraphX connected components (public
+algorithm).
 
 The checkpoint/persist per round truncates the lineage — without it the
 plan doubles every iteration and the job dies of planning time long
@@ -26,10 +28,17 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 10,
+    max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component =
-    min node id in the connected component."""
+    min node id in the connected component.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — silently returning unconverged labels would
+    split one duplicate cluster into several and let near-dups through.
+    With pointer jumping, max_iter=20 covers diameters up to ~2^20; a
+    graph that still fails deserves a loud failure, not a wrong answer.
+    """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -51,12 +60,30 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            # materialize: the pointer jump reads this twice — without the
+            # checkpoint the join+agg above would be recomputed per use
+            .localCheckpoint()
+        )
+        # Pointer jump (path halving): component := label(component).
+        # Turns O(diameter) convergence into O(log diameter) for
+        # path-shaped duplicate graphs (A~B~C~... similarity chains).
+        parent = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("_grand")
+        )
+        new_labels = (
+            propagated.join(parent, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_grand"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
@@ -71,6 +98,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} rounds; "
+            "labels were still changing — raise max_iter (the result would be wrong, "
+            "not approximate: unconverged labels split duplicate clusters)"
+        )
     sym.unpersist()
     return labels
 

@@ -23,7 +23,7 @@ which would need a fit step; at 100 TB stateless is the right call).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from spectraplex_spark.operators.textops import fingerprint, normalized, tokens
 
@@ -131,9 +131,21 @@ def minhash_neardup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    max_band_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact shingle Jaccard ≥
-    threshold, found via LSH banding (no all-pairs compare)."""
+    threshold, found via LSH banding (no all-pairs compare).
+
+    Skew guard (``max_band_bucket``): a band bucket holding m documents
+    normally emits m(m-1)/2 candidates — boilerplate/empty-doc clusters
+    collapse into ONE bucket and go quadratic at scale. Buckets larger
+    than the cap switch to STAR pairing (every member pairs with the
+    bucket's min id only → m-1 candidates): a true near-dup cluster is
+    still fully recovered after connected components, and the star graph
+    has diameter 2 so components converge in O(1) rounds; a pathological
+    bucket can no longer blow up the shuffle. Candidate volume is thus
+    O(Σ min(m², m·cap)) — linear in the worst bucket.
+    """
     rows_per_band = num_hashes // bands
     # Structural rules that make this scale (and run at all — see git
     # history: the naive expression nesting recomputed the text pass
@@ -165,13 +177,23 @@ def minhash_neardup_pairs(
             )
         ).alias("_band", "_bandhash"),
     )
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["_band", "_bandhash"])
+    wb = Window.partitionBy("_band", "_bandhash")
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(wb)).withColumn(
+        "_head", F.min("_id").over(wb)
+    )
+    small = sized.filter(F.col("_bsz") <= max_band_bucket).select(
+        "_id", "_band", "_bandhash"
+    )
+    pairs_quadratic = (
+        small.alias("a")
+        .join(small.alias("b"), ["_band", "_bandhash"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    pairs_star = sized.filter(
+        (F.col("_bsz") > max_band_bucket) & (F.col("_id") != F.col("_head"))
+    ).select(F.col("_head").alias("id_a"), F.col("_id").alias("id_b"))
+    cands = pairs_quadratic.unionByName(pairs_star).dropDuplicates(["id_a", "id_b"])
     # Jaccard over hashed shingles == string Jaccard up to negligible
     # 31-bit collisions, at a fraction of the compare cost.
     jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
@@ -241,11 +263,61 @@ def simhash64(text_col, shingle_n: int = 2):
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Documents sharing an identical 64-bit SimHash (Hamming distance 0
-    buckets — the shuffle-cheap screen; near buckets would join on
-    rotated prefixes)."""
+    buckets — the shuffle-cheap screen; near-miss pairs go through
+    :func:`simhash_neighbor_pairs`)."""
     sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
     return (
         sig.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("representative"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_neighbor_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash near-miss pairs: (id_a < id_b, hamming ≤ max_hamming),
+    found WITHOUT an all-pairs compare via 16-bit block buckets.
+
+    Pigeonhole guarantee: two 64-bit signatures within Hamming distance
+    ≤ 3 differ in at most 3 of the 4 disjoint 16-bit blocks, so they
+    agree EXACTLY on ≥ 1 block — candidate recall is 1.0 (for
+    max_hamming ≤ 3; distance 4+ pairs may or may not surface). The
+    equi-join on (block index, block value) shuffles only
+    (id, signature, 2-byte key); candidates are verified with
+    bit_count(xor) — one JVM expression.
+
+    Scale: 4 rows per document ride the shuffle; bucket sizes follow the
+    16-bit key distribution (65k buckets per block), so candidate volume
+    is driven by real signature clusters, not n².
+    """
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col), shingle_n).alias("_sig"))
+    blocks = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_sig", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("_blk", "_key"),
+    )
+    hamming = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    return (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["_blk", "_key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )

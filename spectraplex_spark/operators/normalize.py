@@ -138,14 +138,22 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
             (_token_amount_dec(tb) - pre_amt).cast(MONEY).alias("amount"),
         )
 
-    spl_candidates = F.transform(
-        F.filter(
-            F.coalesce(F.col("tx.meta.postTokenBalances"), F.array()),
-            lambda tb: tb["owner"].isNotNull()
-            & (tb["owner"] == F.col("wallet_address")),
+    # Reference nests two if-lets (solana_parser.rs:46-47): BOTH
+    # preTokenBalances AND postTokenBalances must be present before ANY
+    # SPL entry is emitted; a tx with post but null pre yields nothing
+    # (per-entry "missing pre → 0" applies only WITHIN a present array).
+    spl_candidates = F.when(
+        F.col("tx.meta.preTokenBalances").isNotNull()
+        & F.col("tx.meta.postTokenBalances").isNotNull(),
+        F.transform(
+            F.filter(
+                F.col("tx.meta.postTokenBalances"),
+                lambda tb: tb["owner"].isNotNull()
+                & (tb["owner"] == F.col("wallet_address")),
+            ),
+            spl_entry,
         ),
-        spl_entry,
-    )
+    ).otherwise(F.array().cast("array<struct<asset:string,amount:decimal(38,18)>>"))
 
     exploded = parsed.select(
         "*", F.explode(F.concat(sol_candidates, spl_candidates)).alias("_e")

@@ -147,6 +147,64 @@ def cosine_topk_pandas(
     )
 
 
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_bits: int = 8,
+    n_tables: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    LSH — the 100 TB path: candidates come from ``n_tables`` bucket
+    equi-joins (never a cross join), then exact cosine verification.
+
+    Per table t: an ``n_bits``-bit random-hyperplane signature (seeded
+    ``seed + t`` — deterministic, stateless, reproducible on any
+    executor). Vectors agreeing on the FULL signature in ANY table are
+    candidates. P(candidate) = 1-(1-p^b)^L with p = 1-θ/π, so recall
+    rises with tables and falls with bits; defaults give ~0.97 recall at
+    cosine 0.88, ~0.99 at 0.93, →1 for true near-dups. Precision
+    is 1.0 — every candidate is re-scored with the same exact-cosine
+    expression as :func:`cosine_pairs`, so the output is always a subset
+    of the brute-force result.
+
+    Scale: the signature pass is the expensive narrow stage → computed
+    once and persisted (HOF lambdas defeat common-subexpression
+    elimination, so unpersisted plans recompute per join side). Only
+    (id, table, signature) shuffles in the self-join; vectors join back
+    for the (small) candidate set only. At 100 TB pick
+    ``n_bits ≈ log2(n_vectors / desired_bucket_size)`` and materialize
+    the signature as a partition column so the equi-join co-locates.
+    """
+    dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    sigs = [
+        hyperplane_signature(vec_col, random_planes(dim, n_bits, seed + t))
+        for t in range(n_tables)
+    ]
+    bucketed = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode(F.array(*sigs)).alias("_t", "_sig"))
+    ).persist()
+    cands = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), ["_t", "_sig"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    side = df.select(F.col(id_col), v.alias("_v"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cands.join(side.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va")), "id_a")
+        .join(side.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb")), "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,

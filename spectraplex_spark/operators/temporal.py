@@ -33,14 +33,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
-    tolerance: Column | None = None,
+    tolerance: Column | int | float | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right values with right_ts <= left_ts.
 
     Right (key, right_ts) pairs should be unique (e.g. a price series);
     at equal timestamps the right row is considered visible to the left
-    row. ``tolerance`` (optional seconds) nulls out matches older than
-    left_ts - tolerance.
+    row. ``tolerance`` (seconds as int/float, or an interval Column)
+    nulls out matches older than left_ts - tolerance. Numeric seconds
+    are converted to an interval — timestamp arithmetic requires one;
+    a bare numeric column would fail analysis.
     """
     lcols = left.columns
     tagged_r = right.select(
@@ -68,11 +70,16 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:
+        tol = (
+            F.make_interval(secs=F.lit(float(tolerance)))
+            if isinstance(tolerance, (int, float))
+            else tolerance
+        )
         carried = carried.withColumn(
             "_carried",
             F.when(
                 F.col("_carried._rt")
-                >= F.col("_t").cast("timestamp") - tolerance,
+                >= F.col("_t").cast("timestamp") - tol,
                 F.col("_carried"),
             ),
         )

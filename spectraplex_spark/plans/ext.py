@@ -232,6 +232,36 @@ def simhash_dup_groups(spark, sf_dir):
 
 
 @query(
+    "simhash_neighbor_pairs",
+    None,
+    doc="E1 SimHash near-miss pairs (Hamming ≤ 3) via 4×16-bit block "
+    "buckets — pigeonhole guarantees recall 1.0 for distance ≤ 3 with "
+    "only a (block, 2-byte key) equi-join; verified by bit_count(xor). "
+    "No oracle: xxhash64-based signatures have no DuckDB twin; exactness "
+    "vs the brute-force Hamming cross-join is pytest-asserted.",
+)
+def simhash_neighbor_pairs(spark, sf_dir):
+    return D.simhash_neighbor_pairs(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_neardup_bucketed",
+    None,
+    doc="E1 embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB "
+    "path): 8 tables × 8-bit hyperplane signatures, candidates from "
+    "bucket equi-joins only, exact-cosine verification (precision 1.0 — "
+    "always a subset of the cross-join baseline). No oracle: recall is "
+    "probabilistic (~0.93 at cosine 0.9, →1 for true dups); "
+    "subset-of-bruteforce and recall ≥ 0.9 on clustered fixtures are "
+    "pytest-asserted against cosine_pairs.",
+)
+def embedding_neardup_bucketed(spark, sf_dir):
+    from spectraplex_spark.operators.simsearch import cosine_pairs_bucketed
+
+    return cosine_pairs_bucketed(table(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+@query(
     "embedding_neardup_pairs",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

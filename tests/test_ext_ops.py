@@ -160,6 +160,122 @@ def test_neardup_end_to_end_minhash_to_groups(spark):
     assert any({1, 2} <= set(g) for g in groups)
 
 
+def _clustered_embeddings(spark, n_clusters=25, copies=4, dim=32, noise=0.07, seed=7):
+    """Synthetic near-dup embeddings: unit bases + small gaussian
+    perturbations (pair cosine ~0.93); cross-cluster cosine ~0."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(copies):
+            v = base + noise * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # coalesce: 100 rows across 32 input partitions makes the brute-force
+    # cross join a 1024-task stage — pure scheduler overhead at test size
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(2)
+
+
+def test_bucketed_cosine_pairs_precision_and_recall(spark):
+    """The LSH-bucketed pair miner must be a strict subset of the
+    brute-force result (precision 1.0 — same exact-cosine verify) with
+    recall >= 0.9 on clustered near-dups."""
+    em = _clustered_embeddings(spark)
+    brute = {(r.id_a, r.id_b) for r in S.cosine_pairs(em, threshold=0.8).collect()}
+    bucketed = {
+        (r.id_a, r.id_b) for r in S.cosine_pairs_bucketed(em, threshold=0.8).collect()
+    }
+    assert brute, "fixture produced no true near-dup pairs"
+    assert bucketed <= brute
+    assert len(bucketed) / len(brute) >= 0.9
+
+
+def test_bucketed_cosine_scores_match_bruteforce(spark):
+    em = _clustered_embeddings(spark, n_clusters=6)
+    brute = {(r.id_a, r.id_b): r.cosine for r in S.cosine_pairs(em, threshold=0.8).collect()}
+    for r in S.cosine_pairs_bucketed(em, threshold=0.8).collect():
+        assert r.cosine == brute[(r.id_a, r.id_b)]  # bit-identical scoring
+
+
+def _near_miss_docs(spark):
+    """A base doc + single-word variants: simhash distances spread over
+    0..64 with a cluster inside the <=3 near-miss band, + exact dups."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet village roofs at night"
+    )
+    words = base.split()
+    rows = [(0, base), (1, base)]  # hamming-0 pair
+    for i, w in enumerate(words):
+        variant = " ".join(words[:i] + [w + "x"] + words[i + 1 :])
+        rows.append((i + 2, variant))
+    return spark.createDataFrame(rows, "doc_id long, text string").coalesce(2)
+
+
+def test_simhash_neighbor_pairs_exact_vs_bruteforce(spark):
+    """Pigeonhole: block-bucket candidates find EXACTLY the pairs at
+    Hamming <= 3 that the all-pairs compare finds."""
+    docs = _near_miss_docs(spark)
+    sig = docs.select("doc_id", D.simhash64(F.col("text")).alias("s"))
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    brute = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", ham.cast("int"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_neighbor_pairs(docs).collect()
+    }
+    assert got == brute
+    assert (0, 1, 0) in got  # the exact dup
+    assert any(1 <= h <= 3 for _, _, h in got), "fixture has no true near-miss"
+
+
+def test_minhash_band_cap_defuses_skewed_bucket(spark):
+    """300 identical docs collapse into one band bucket per band; the cap
+    must emit a linear star (n-1 pairs), not the quadratic 44850, and
+    components must still recover ONE 300-member cluster."""
+    from spectraplex_spark.operators.components import neardup_groups
+
+    n = 300
+    boiler = "this exact same boilerplate disclaimer text appears on every single page"
+    rows = [(i, boiler) for i in range(n)] + [
+        (n + 1, "a genuinely unique document about spark adaptive execution")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(4)
+    pairs = D.minhash_neardup_pairs(docs, shingle_n=2, max_band_bucket=64).collect()
+    assert len(pairs) == n - 1  # chain, not quadratic
+    assert all(r.jaccard == 1.0 for r in pairs)
+    groups = neardup_groups(
+        D.minhash_neardup_pairs(docs, shingle_n=2, max_band_bucket=64)
+    ).collect()
+    assert {g.n_docs for g in groups} == {n}
+
+
+def test_connected_components_long_path_and_nonconvergence(spark):
+    """A 12-node path graph: pointer jumping converges well inside the
+    default budget; max_iter=1 must raise, never return wrong labels."""
+    from spectraplex_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    comps = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert comps == {(i, 1) for i in range(1, 13)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 def test_corpus_prep_pipeline(spark):
     """Stage-by-stage corpus prep on a crafted corpus: the es doc falls
     to the language gate, the whitespace dup to exact dedup, the

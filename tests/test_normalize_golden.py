@@ -137,6 +137,21 @@ def test_g3_new_token_account_missing_pre(spark):
     assert out[0].amount == Decimal("3")
 
 
+def test_g3b_null_pre_token_array_emits_nothing(spark):
+    """Reference nests two if-lets (solana_parser.rs:46-47): a NULL
+    preTokenBalances array (vs empty []) suppresses ALL SPL entries even
+    when postTokenBalances has owner-matching rows."""
+    raw = json.loads(
+        solana_tx(
+            pre_balances=[1, 1],
+            post_balances=[1, 1],
+            post_token=[token_balance(MINT_A, WALLET, 3.0)],
+        )
+    )
+    raw["meta"]["preTokenBalances"] = None
+    assert run(spark, [bronze_row(json.dumps(raw))]).count() == 0
+
+
 def test_g4_dust_filtered(spark):
     # SOL delta of 500 lamports = 5e-7 SOL < 1e-6 threshold
     raw = solana_tx(pre_balances=[10_000_000_000, 0], post_balances=[10_000_000_500, 0])

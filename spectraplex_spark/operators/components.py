@@ -3,16 +3,17 @@ class (label propagation), used to turn near-duplicate PAIRS into
 dedup GROUPS: if A~B and B~C, all three are one duplicate cluster even
 when A~C was never emitted by LSH.
 
-Algorithm: iterative min-label propagation WITH pointer jumping (path
-halving). Each node starts labeled with itself; every round, each node
-adopts the smallest label among itself and its neighbors, then jumps to
-its label's label. The jump makes convergence O(log diameter) instead
-of O(diameter), so path-shaped duplicate graphs (A~B~C~... similarity
-chains) can't stall the loop. Each round is two joins + one
-aggregation (shuffles on node id); no driver-side graph state, so it
-scales with the edge list. This is the DataFrame re-expression of the
-classic pointer-doubling / GraphX connected components (public
-algorithm).
+Algorithm: iterative min-label propagation with ADAPTIVE pointer
+jumping (path halving). Each node starts labeled with itself; every
+round, each node adopts the smallest label among itself and its
+neighbors. The first two rounds run plain propagation (dense star/
+clique dup-clusters converge there at one join+agg per round); if
+labels are still changing, later rounds add the jump — component :=
+label(component) — making convergence O(log diameter) so path-shaped
+duplicate graphs (A~B~C~... similarity chains) can't stall the loop.
+No driver-side graph state, so it scales with the edge list. This is
+the DataFrame re-expression of the classic pointer-doubling / GraphX
+connected components (public algorithm).
 
 The checkpoint/persist per round truncates the lineage — without it the
 plan doubles every iteration and the job dies of planning time long
@@ -54,40 +55,49 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
-        propagated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        if it < 2:
+            # Near-dup graphs are typically dense star/clique clusters
+            # that converge in 1-2 plain rounds — skip the jump's extra
+            # join while that's still plausible.
+            new_labels = propagated.localCheckpoint()
+            propagated = None
+        else:
+            # Still unconverged after 2 rounds → a long-path component
+            # exists. Pointer jump (path halving): component :=
+            # label(component), turning O(diameter) convergence into
+            # O(log diameter) so similarity CHAINS can't stall the loop.
+            # persist (lazy), not localCheckpoint (eager): the jump reads
+            # propagated twice — the cache makes the second read free
+            # WITHOUT an extra materialization job per round; lineage is
+            # truncated at new_labels' checkpoint.
+            propagated = propagated.persist()
+            parent = propagated.select(
+                F.col("node").alias("component"), F.col("component").alias("_grand")
             )
-            # materialize: the pointer jump reads this twice — without the
-            # checkpoint the join+agg above would be recomputed per use
-            .localCheckpoint()
-        )
-        # Pointer jump (path halving): component := label(component).
-        # Turns O(diameter) convergence into O(log diameter) for
-        # path-shaped duplicate graphs (A~B~C~... similarity chains).
-        parent = propagated.select(
-            F.col("node").alias("component"), F.col("component").alias("_grand")
-        )
-        new_labels = (
-            propagated.join(parent, "component", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_grand"), F.col("component"))
-                ).alias("component"),
+            new_labels = (
+                propagated.join(parent, "component", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("_grand"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -95,6 +105,8 @@ def connected_components(
             .limit(1)
             .count()
         )
+        if propagated is not None:
+            propagated.unpersist()
         labels = new_labels
         if changed == 0:
             break

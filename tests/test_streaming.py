@@ -84,6 +84,94 @@ def test_stream_replay_is_idempotent(spark, tmp_path):
     assert silver.count() == silver.select("id").distinct().count() == 6
 
 
+def _kafka_wire_rows(rows):
+    """Bronze rows → the Kafka source's fixed wire schema."""
+    wire = []
+    for off, r in enumerate(rows):
+        payload = json.dumps(dict(zip(
+            ["id", "user_id", "wallet_address", "timestamp", "tx_hash", "chain", "raw_metadata"],
+            r[:7],
+        ))).encode()
+        wire.append((r[4].encode(), payload, "bronze", 0, off))
+    return wire
+
+
+WIRE_SCHEMA = "key binary, value binary, topic string, partition int, offset long"
+
+
+def test_kafka_decode_matches_file_source_batch(spark, tmp_path):
+    """The wire decode is the Kafka seam: decoding message values must
+    yield exactly the rows the file source reads, through normalize."""
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.streaming.pipeline import decode_bronze_kafka
+
+    _, rows = _land_bronze(tmp_path)
+    kafka_like = spark.createDataFrame(_kafka_wire_rows(rows), WIRE_SCHEMA)
+    decoded = normalize(
+        decode_bronze_kafka(kafka_like), audit_ts=F.lit(None).cast("timestamp")
+    )
+    batch = normalize(
+        spark.createDataFrame(rows, BRONZE_SCHEMA),
+        audit_ts=F.lit(None).cast("timestamp"),
+    )
+    got = {(r.id, r.asset_symbol, r.amount) for r in decoded.collect()}
+    want = {(r.id, r.asset_symbol, r.amount) for r in batch.collect()}
+    assert got == want and len(got) == 6
+
+
+def test_kafka_decode_streaming_end_to_end(spark, tmp_path):
+    """decode → normalize → idempotent silver over a STREAM of
+    wire-schema micro-batches (the full Kafka pipeline minus only the
+    broker socket)."""
+    from spectraplex_spark.streaming.pipeline import decode_bronze_kafka
+
+    _, rows = _land_bronze(tmp_path)
+    src = str(tmp_path / "wire")
+    spark.createDataFrame(_kafka_wire_rows(rows), WIRE_SCHEMA).repartition(3).write.parquet(src)
+
+    wire_stream = (
+        spark.readStream.schema(WIRE_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    silver_path = str(tmp_path / "silver")
+    q = stream_normalize_to_silver(
+        decode_bronze_kafka(wire_stream),
+        silver_path,
+        str(tmp_path / "ckpt"),
+        audit_ts=F.lit(None).cast("timestamp"),
+    ).start()
+    q.awaitTermination(120)
+    silver = spark.read.parquet(silver_path)
+    assert silver.count() == silver.select("id").distinct().count() == 6
+
+
+def test_kafka_decode_corrupt_payload_yields_nulls(spark):
+    """A corrupt message value degrades exactly like a corrupt file line
+    (all-null bronze row, dropped by normalize) — never an exception."""
+    from spectraplex_spark.streaming.pipeline import decode_bronze_kafka
+
+    kafka_like = spark.createDataFrame(
+        [(b"k", b"{not json", "bronze", 0, 0)], WIRE_SCHEMA
+    )
+    out = decode_bronze_kafka(kafka_like).collect()
+    assert len(out) == 1 and out[0].id is None
+    assert normalize(decode_bronze_kafka(kafka_like)).count() == 0
+
+
+def test_kafka_reader_surface(spark):
+    """The configured Kafka reader either loads (connector present) with
+    the bronze schema, or fails with Spark's missing-data-source error —
+    never a silent wrong shape."""
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.streaming.pipeline import read_bronze_kafka_stream
+
+    try:
+        df = read_bronze_kafka_stream(spark, "broker:9092", "bronze")
+    except Exception as e:  # noqa: BLE001 — asserting the failure mode
+        assert "kafka" in str(e).lower()
+    else:
+        assert df.schema == BRONZE_SCHEMA
+
+
 def test_slot_filter(spark, tmp_path):
     landing, rows = _land_bronze(tmp_path)  # slots 100..105
     stream = read_bronze_stream(spark, landing)

@@ -78,8 +78,8 @@ _GRADED_PRIORITY = [
     "multimodal_binary_meta",
     "simsearch_cosine_topk",
     "simsearch_ann_lsh",
+    "simsearch_ivf_topk",
     "minhash_neardup_pairs",
-    "simhash_dup_groups",
     "simhash_neighbor_pairs",
     "embedding_neardup_bucketed",
     "embedding_neardup_pairs",
@@ -91,6 +91,9 @@ _GRADED_PRIORITY = [
     "asof_price_enrichment",
     "range_join_close_pairs",
     "session_stats",
+    # first past the 50-cutoff: SimHash exact-signature groups — its
+    # operator class is graded via simhash_neighbor_pairs above
+    "simhash_dup_groups",
 ]
 
 

@@ -209,6 +209,27 @@ def simsearch_ann_lsh(spark, sf_dir):
 
 
 @query(
+    "simsearch_ivf_topk",
+    None,
+    doc="E2 IVF ANN variant: spherical-kmeans centroids (sample fit, "
+    "seeded/deterministic), Arrow-vectorized cluster assignment, exact "
+    "cosine over the 8 nearest of 16 inverted lists. No oracle: "
+    "kmeans has no DuckDB twin; recall vs brute force is "
+    "pytest-asserted (1.0 when probing all lists).",
+)
+def simsearch_ivf_topk(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ivf_topk(
+        em.filter(F.col("vec_id") != 0),
+        [float(x) for x in qvec],
+        k=10,
+        n_centroids=16,
+        n_probe=8,
+    )
+
+
+@query(
     "minhash_neardup_pairs",
     None,
     bench=True,

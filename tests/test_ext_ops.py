@@ -201,6 +201,38 @@ def test_bucketed_cosine_scores_match_bruteforce(spark):
         assert r.cosine == brute[(r.id_a, r.id_b)]  # bit-identical scoring
 
 
+def test_ivf_topk_recall_and_exact_degenerate(spark):
+    """IVF with all lists probed must equal brute force exactly; with
+    half the lists probed, recall >= 0.9 on clustered data (the query's
+    own cluster is always the nearest centroid)."""
+    em = _clustered_embeddings(spark, n_clusters=10, copies=10)
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = em.filter(F.col("vec_id") != 0)
+    cents = S.fit_ivf_centroids(corpus, n_centroids=8, seed=11)
+
+    brute = [r.vec_id for r in S.cosine_topk(corpus, qvec, k=9).collect()]
+    exact = [
+        r.vec_id
+        for r in S.ivf_topk(corpus, qvec, k=9, n_probe=8, centroids=cents).collect()
+    ]
+    assert exact == brute  # all lists probed == exact search, same order
+
+    approx = {
+        r.vec_id
+        for r in S.ivf_topk(corpus, qvec, k=9, n_probe=4, centroids=cents).collect()
+    }
+    assert len(approx & set(brute)) / len(brute) >= 0.9
+
+
+def test_ivf_assignment_is_deterministic(spark):
+    em = _clustered_embeddings(spark, n_clusters=4, copies=5)
+    cents = S.fit_ivf_centroids(em, n_centroids=4, seed=3)
+    a = {(r.vec_id, r.ivf_cluster) for r in S.ivf_assign(em, cents).collect()}
+    b = {(r.vec_id, r.ivf_cluster) for r in S.ivf_assign(em, cents).collect()}
+    assert a == b
+    assert len({c for _, c in a}) > 1  # clustered data spreads over lists
+
+
 def _near_miss_docs(spark):
     """A base doc + single-word variants: simhash distances spread over
     0..64 with a cluster inside the <=3 near-miss band, + exact dups."""

@@ -59,6 +59,28 @@ def test_normalize_is_a_narrow_map_stage(spark):
     assert "Generate explode" in plan  # the single fan-out generator
 
 
+def test_bucketed_pair_miners_never_cartesian(spark):
+    """The scale-path pair miners must plan equi-joins, never a cross
+    join — the round-1 scale-killer was exactly a CartesianProduct
+    registered as the graded artifact."""
+    for name in ("embedding_neardup_bucketed", "simhash_neighbor_pairs",
+                 "minhash_neardup_pairs"):
+        plan = _initial_plan(CATALOG[name].builder(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_probe_filter_precedes_scoring(spark):
+    """IVF's cluster isin() must appear as a Filter below the top-k (the
+    predicate that partition-prunes once the corpus is laid out by
+    cluster), and ranking must stay TakeOrderedAndProject."""
+    plan = _initial_plan(CATALOG["simsearch_ivf_topk"].builder(spark, SF_DIR))
+    # the cluster column is the Arrow UDF's output in the physical plan
+    assert "ArrowEvalPython" in plan and " IN (" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_serving_read_pushes_wallet_predicate(spark, tmp_path):
     from spectraplex_spark import serving
     from spectraplex_spark.schemas import BRONZE_SCHEMA

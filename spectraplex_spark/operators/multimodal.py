@@ -6,11 +6,14 @@ metadata struct — the Parquet-native way to carry blobs at 100 TB
 without touching payload bytes; column pruning means a metadata-only
 query never reads a single payload byte).
 
-Decode/feature-extraction run as Arrow-batched ``mapInPandas`` — the
-Spark-side plumbing (schema, batch shape, partition sizing) is real and
-tested; the actual codec call is stubbed (image/audio libs absent in
-this container) behind ``decode_stub``/a deterministic fake, clearly
-marked.
+Decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema, batch
+shape incl. the frame fan-out, partition sizing) is real and tested;
+the actual codec call is stubbed (image/audio libs absent in this
+container) behind ``decode_stub``/a deterministic fake, clearly marked.
+The resize and frame fakes are deliberately SQL-expressible so their
+DuckDB oracles verify the Python stages' output CONTENT, not just
+shape.
 """
 
 from __future__ import annotations
@@ -80,6 +83,108 @@ def decode_stub(payload: bytes):
         "media decode requires codec libraries not present in this environment; "
         "use extract_features(..., fake=True) for the deterministic test path"
     )
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """mapInPandas resize: payload → a width×height×3 (RGB-shaped)
+    payload with fully updated metadata, in the multimodal schema.
+
+    The Spark plumbing (Arrow batches, output schema incl. the nested
+    meta struct, per-row payload rewrite) is real; the pixel work is the
+    documented fake — the resized payload is the input's sha256 hex
+    digest repeated/truncated to exactly width*height*3 ASCII bytes.
+    That fake is deliberately SQL-expressible, so the operator is
+    oracle-verified end to end INCLUDING the output content hash
+    (sha256(substr(repeat(sha256(text), k), 1, n)) in DuckDB).
+    fake=False calls :func:`decode_stub` and raises (no codecs here).
+    """
+    n_out = width * height * 3
+    reps = -(-n_out // 64)  # sha256 hexdigest is 64 chars
+
+    def run(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not fake:
+                    decode_stub(b)  # pragma: no cover - stub path
+                digest = hashlib.sha256(b).hexdigest()
+                out = (digest * reps)[:n_out].encode("ascii")
+                payloads.append(out)
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "format": "raw-rgb8",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "n_bytes": len(out),
+                        "sha256": hashlib.sha256(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, MULTIMODAL_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 40,
+    bytes_per_frame: int = 256,
+    max_frames: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling as a mapInPandas FAN-OUT: each payload yields
+    ``clamp(n_bytes // bytes_per_frame, 1, max_frames)`` frame rows —
+    the row-multiplying batch shape a real video sampler needs
+    (output rows ≠ input rows, still one narrow Arrow stage, no
+    shuffle).
+
+    Frame count is metadata-driven (payload size standing in for
+    duration) and the fake frame content hash is
+    sha256(payload_sha_hex ‖ ':' ‖ frame_idx) — SQL-expressible, so the
+    fan-out is oracle-verified per frame row. fake=False raises via
+    :func:`decode_stub`.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, tss, shas = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not fake:
+                    decode_stub(b)  # pragma: no cover - stub path
+                digest = hashlib.sha256(b).hexdigest()
+                n = min(max(len(b) // bytes_per_frame, 1), max_frames)
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    shas.append(hashlib.sha256(f"{digest}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "ts_ms": pd.array(tss, dtype="int64"),
+                    "frame_sha": shas,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
 def extract_features(df: DataFrame, fake: bool = True, batch_hint: int = 256) -> DataFrame:

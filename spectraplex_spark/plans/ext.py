@@ -173,6 +173,57 @@ def multimodal_binary_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize",
+    """
+    SELECT doc_id, 64 AS width, 64 AS height,
+           CAST(12288 AS BIGINT) AS n_bytes,
+           sha256(substr(repeat(sha256(text), 192), 1, 12288)) AS payload_sha
+    FROM documents
+    """,
+    doc="E3 resize plumbing: mapInPandas payload rewrite to 64x64x3 with "
+    "updated meta struct. The documented fake (digest-repeat payload) is "
+    "SQL-expressible, so the driver hash-verifies the OUTPUT CONTENT of "
+    "an Arrow-batched Python stage — including the resized payload's "
+    "sha256 — not just its shape.",
+)
+def multimodal_resize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    resized = M.resize_media(M.attach_binary_payload(docs), width=64, height=64)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH base AS (
+      SELECT doc_id, sha256(text) AS payload_sha,
+             least(greatest(octet_length(encode(text)) // 256, 1), 8) AS n_frames
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, payload_sha, unnest(range(n_frames)) AS g FROM base
+    )
+    SELECT doc_id, CAST(g AS INT) AS frame_idx, CAST(g * 40 AS BIGINT) AS ts_ms,
+           sha256(payload_sha || ':' || CAST(g AS VARCHAR)) AS frame_sha
+    FROM frames
+    """,
+    doc="E3 frame-sample plumbing: mapInPandas FAN-OUT (one row per "
+    "sampled frame, count driven by payload size standing in for "
+    "duration, capped at 8). Per-frame content hashes are "
+    "SQL-expressible, so the row-multiplying Arrow stage is driver "
+    "hash-verified frame by frame.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_binary_payload(docs))
+
+
+@query(
     "simsearch_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -105,6 +105,36 @@ def test_multimodal_decode_stub_raises():
         M.decode_stub(b"\x89PNG...")
 
 
+def test_multimodal_resize_rewrites_payload_and_meta(spark):
+    mm = M.attach_binary_payload(
+        spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    )
+    out = {r.doc_id: r for r in M.resize_media(mm, width=4, height=2).collect()}
+    assert len(bytes(out[1].payload)) == 4 * 2 * 3 == out[1].meta.n_bytes
+    assert out[1].meta.width == 4 and out[1].meta.height == 2
+    assert out[1].meta.format == "raw-rgb8"
+    # empty payload still resizes deterministically (digest of b"")
+    assert len(bytes(out[2].payload)) == 24
+    assert out[1].payload != out[2].payload
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    """Row counts follow the size→frame-count rule: tiny docs yield the
+    1-frame floor, big docs cap at max_frames; fan-out means output rows
+    exceed input rows."""
+    rows = [(1, "x"), (2, "y" * 700), (3, "z" * 100_000)]
+    mm = M.attach_binary_payload(spark.createDataFrame(rows, "doc_id long, text string"))
+    out = M.sample_frames(mm, every_ms=40, bytes_per_frame=256, max_frames=8).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 1 and len(per_doc[2]) == 2 and len(per_doc[3]) == 8
+    assert [r.ts_ms for r in sorted(per_doc[3], key=lambda r: r.frame_idx)] == [
+        i * 40 for i in range(8)
+    ]
+    assert len({r.frame_sha for r in out}) == len(out)  # all frames distinct
+
+
 def test_quality_and_langid_sane(spark):
     docs = _docs_with_dups(spark)
     stats = X.with_text_stats(docs).collect()

@@ -113,6 +113,59 @@ def rolling_hash(text: Column) -> Column:
     )
 
 
+# PII / markup patterns in the regex subset shared by Java (Spark) and
+# RE2 (DuckDB): no lookbehind/lookahead anywhere, so oracles recompute
+# the exact same matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+MARKUP_RE = r"<[^>]+>"
+SENTENCE_SPLIT_RE = r"[.!?]+\s+"
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrub: emails → <EMAIL>, IPv4 → <IP>, phone-ish
+    digit runs → <PHONE>. Order matters (emails/IPs contain digit runs a
+    phone pattern would eat). Pure regexp_replace — a narrow map stage;
+    recall is the regex's, not a model's (the production slot for an NER
+    scrubber is a pandas_udf drop-in with this exact signature)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) match counts — the audit columns."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+    )
+
+
+def strip_markup(text: Column) -> Column:
+    """Drop HTML/XML-ish tags and re-collapse whitespace (boilerplate
+    removal's cheap first pass)."""
+    return normalized(F.regexp_replace(text, MARKUP_RE, " "))
+
+
+def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sentence fan-out: one row per sentence with its 1-based index.
+
+    Split on terminator-runs + whitespace (NOT a lookbehind — RE2 has
+    none, and the DuckDB oracle must recompute the identical split, so
+    terminators are dropped in both engines). Expression-only explode:
+    a narrow row-multiplying stage, the text twin of frame sampling.
+    """
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), SENTENCE_SPLIT_RE), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
+    ).withColumn("sent_idx", (F.col("sent_idx") + 1).cast("int"))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard text-analysis columns to a documents frame."""
     t = F.col(text_col)

@@ -151,6 +151,84 @@ def lang_id_distribution(spark, sf_dir):
 
 
 @query(
+    "text_pii_redaction",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS INT) AS n_phones
+    FROM documents
+    """,
+    doc="E4 PII scrub: email/IPv4/phone regexp_replace (shared Java/RE2 "
+    "regex subset — no lookarounds) + audit match counts; the oracle "
+    "hash-verifies the md5 of the fully redacted text. Narrow map "
+    "stage, zero shuffle; the production NER scrubber slots in as a "
+    "pandas_udf with this signature.",
+)
+def text_pii_redaction(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_emails, n_ips, n_phones = X.pii_counts(t)
+    return docs.select(
+        "doc_id",
+        F.md5(X.redact_pii(t)).alias("redacted_md5"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+@query(
+    "text_markup_strip",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(
+             regexp_replace(text, '<[^>]+>', ' ', 'g')), '\s+', ' ', 'g'))
+           ) AS stripped_md5
+    FROM documents
+    """,
+    doc="E4 boilerplate first pass: drop HTML/XML-ish tags, re-normalize "
+    "whitespace; oracle hash-verifies the md5 of the stripped text.",
+)
+def text_markup_strip(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(X.strip_markup(F.col("text"))).alias("stripped_md5")
+    )
+
+
+@query(
+    "text_sentence_split",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(text, '[.!?]+\s+'), x -> trim(x)),
+               x -> x <> '') AS parts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(parts, 1) AS INT) AS sent_idx,
+           unnest(parts) AS sentence
+    FROM s
+    """,
+    doc="E4 sentence fan-out (posexplode on terminator-run splits — the "
+    "regex subset both engines share, so the oracle reproduces the "
+    "identical split): one row per sentence with 1-based index. The "
+    "expression-only text twin of the frame-sampling fan-out.",
+)
+def text_sentence_split(spark, sf_dir):
+    return X.split_sentences(table(spark, sf_dir, "documents"))
+
+
+@query(
     "multimodal_binary_meta",
     """
     SELECT doc_id,

@@ -135,6 +135,57 @@ def test_multimodal_frame_sample_fanout(spark):
     assert len({r.frame_sha for r in out}) == len(out)  # all frames distinct
 
 
+def test_pii_redaction_behavior(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call +1 (415) 555-0199 now"),
+            (2, "server at 10.0.12.255 responded"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    from spectraplex_spark.operators.textops import pii_counts, redact_pii
+
+    n_e, n_i, n_p = pii_counts(t)
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            redact_pii(t).alias("red"),
+            n_e.alias("e"),
+            n_i.alias("i"),
+            n_p.alias("p"),
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1].red and "<PHONE>" in out[1].red
+    assert "jo.doe" not in out[1].red and "555" not in out[1].red
+    assert (out[1].e, out[1].i, out[1].p) == (1, 0, 1)
+    assert out[2].red == "server at <IP> responded" and out[2].i == 1
+    assert out[3].red == "no pii here at all"
+
+
+def test_markup_strip_and_sentence_split(spark):
+    from spectraplex_spark.operators.textops import split_sentences, strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><b>Hello</b> World</html>"),
+            (2, "First one. Second here!  Third?Not split"),
+        ],
+        "doc_id long, text string",
+    )
+    stripped = {r.doc_id: r.s for r in docs.select("doc_id", strip_markup(F.col("text")).alias("s")).collect()}
+    assert stripped[1] == "hello world"
+
+    sents = [
+        (r.sent_idx, r.sentence)
+        for r in split_sentences(docs).filter(F.col("doc_id") == 2).orderBy("sent_idx").collect()
+    ]
+    # '?' with no following whitespace does not split (same in RE2/oracle)
+    assert sents == [(1, "First one"), (2, "Second here"), (3, "Third?Not split")]
+
+
 def test_quality_and_langid_sane(spark):
     docs = _docs_with_dups(spark)
     stats = X.with_text_stats(docs).collect()

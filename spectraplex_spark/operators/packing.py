@@ -1,0 +1,99 @@
+"""E4 training-batch preparation: sequence packing and deterministic
+dataset splits (driver-mandated extension class, SURVEY §2.11 — no
+reference analog; the reference stops at the silver tables).
+
+Sequence packing assigns documents to fixed token-budget "packs" (the
+pre-tokenization step of LLM batch assembly). The exact greedy packer is
+inherently sequential; the scalable form used here is the standard
+shard-local prefix-sum approximation:
+
+  shard   = doc_id % n_shards          (any deterministic shard key)
+  pack_id = floor(exclusive_prefix_token_sum(within shard) / budget)
+
+One window per shard — state never leaves the shard, so the only
+shuffle is the hash partition on the shard key, and shards scale
+linearly with data. A pack may overrun the budget by at most one
+document (the documented tradeoff vs. the sequential packer); callers
+that need hard caps split oversized documents upstream. Crucially it is
+pure SQL (window sum), so the DuckDB oracle verifies every assignment.
+
+Dataset splitting must be deterministic and stable under corpus growth
+(a document's split may never depend on what else is in the corpus), so
+it hashes the document id: the first 4 hex chars of md5(id) order
+lexicographically exactly as their numeric value, making fixed hex
+thresholds a consistent-hash split that both engines compute
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from spectraplex_spark.operators.textops import token_count
+
+# md5-prefix thresholds: [0000, 0ccc) ≈ 5% test, [0ccc, 1998) ≈ 5% val.
+TEST_MAX_HEX = "0ccc"
+VAL_MAX_HEX = "1998"
+
+
+def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic train/val/test split column (~90/5/5).
+
+    Consistent hashing on md5(id): adding or removing other documents
+    never moves an existing document between splits, and re-runs are
+    bit-identical — the property UUID- or rand()-based splits lack.
+    """
+    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return df.withColumn(
+        "split",
+        F.when(h4 < TEST_MAX_HEX, "test")
+        .when(h4 < VAL_MAX_HEX, "val")
+        .otherwise("train"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to (shard, pack_id) under a token budget.
+
+    Per shard, documents are ordered by id and packed by exclusive
+    prefix token sum: a document opens a new pack when the tokens before
+    it already fill the current one. ``tokens_before`` is included so a
+    consumer can compute each document's offset inside its pack without
+    re-aggregating.
+    """
+    n_tok = token_count(F.col(text_col)).cast("int")
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"), shard.alias("shard"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            (F.col("_cum") - F.col("n_tokens")).cast("long").alias("tokens_before"),
+            F.floor((F.col("_cum") - F.col("n_tokens")) / budget)
+            .cast("int")
+            .alias("pack_id"),
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-(shard, pack) fill report: document count, token sum, and
+    budget utilization — the packing-efficiency metric."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.sum("n_tokens") / budget).cast("double").alias("fill_ratio"),
+    )

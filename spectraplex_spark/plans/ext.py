@@ -229,6 +229,63 @@ def text_sentence_split(spark, sf_dir):
 
 
 @query(
+    "corpus_split_assignment",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1998' THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens
+      FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM s GROUP BY split
+    """,
+    doc="E4 deterministic train/val/test split (~90/5/5) by md5(id) "
+    "prefix — consistent hashing, so corpus growth never moves an "
+    "existing document across splits; per-split doc and token totals.",
+)
+def corpus_split_assignment(spark, sf_dir):
+    from spectraplex_spark.operators.packing import assign_split
+    from spectraplex_spark.operators.textops import token_count
+
+    docs = assign_split(table(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("int")).cast("long").alias("sum_tokens"),
+    )
+
+
+@query(
+    "corpus_pack_assignment",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tokens_before,
+           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512) AS INTEGER) AS pack_id
+    FROM toks
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="E4 sequence packing: shard-local prefix-sum assignment of "
+    "documents to 512-token packs (the scalable approximation of the "
+    "sequential greedy packer — one window per shard, shuffle only on "
+    "the shard key; a pack can overrun by at most one document). "
+    "Every per-document assignment is oracle-verified.",
+)
+def corpus_pack_assignment(spark, sf_dir):
+    from spectraplex_spark.operators.packing import pack_documents
+
+    return pack_documents(table(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+@query(
     "multimodal_binary_meta",
     """
     SELECT doc_id,

@@ -186,6 +186,57 @@ def test_markup_strip_and_sentence_split(spark):
     assert sents == [(1, "First one"), (2, "Second here"), (3, "Third?Not split")]
 
 
+def test_pack_documents_invariants(spark):
+    """Packing invariants: exclusive prefix sums are consistent, a new
+    pack opens exactly when the previous one is full, and no pack
+    overruns by more than one document's tokens."""
+    from spectraplex_spark.operators.packing import pack_documents, pack_stats
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (40 + (i * 17) % 100)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    packed = pack_documents(docs, budget=200, n_shards=4).collect()
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.tokens_before == cum
+            assert r.pack_id == cum // 200
+            assert r.shard == r.doc_id % 4
+            cum += r.n_tokens
+    stats = pack_stats(
+        pack_documents(docs, budget=200, n_shards=4), budget=200
+    ).collect()
+    # every pack except possibly each shard's last holds >= budget minus
+    # one doc's tokens; overrun bounded by one document
+    max_tok = max(r.n_tokens for r in packed)
+    for s in stats:
+        assert s.sum_tokens <= 200 + max_tok
+    assert sum(s.n_docs for s in stats) == 60
+
+
+def test_assign_split_is_consistent_hashing(spark):
+    """A document's split never changes when the corpus grows, and the
+    proportions land near 90/5/5 on a larger id range."""
+    from spectraplex_spark.operators.packing import assign_split
+
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in assign_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in assign_split(big).collect()}
+    assert all(s_big[d] == s for d, s in s_small.items())
+    from collections import Counter
+
+    frac = Counter(s_big.values())
+    assert 0.85 <= frac["train"] / 4000 <= 0.95
+    assert 0.02 <= frac["val"] / 4000 <= 0.08
+    assert 0.02 <= frac["test"] / 4000 <= 0.08
+
+
 def test_quality_and_langid_sane(spark):
     docs = _docs_with_dups(spark)
     stats = X.with_text_stats(docs).collect()

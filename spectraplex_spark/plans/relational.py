@@ -1598,3 +1598,258 @@ def q8_market_share(spark, sf_dir):
             (F.sum(china_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Derived-schema TPC-H shapes (Q2/Q11/Q20/Q21). The driver testdata has no
+# partsupp table and no commit/receipt dates, so the four remaining TPC-H
+# query SHAPES are expressed over views derived DETERMINISTICALLY from the
+# base tables with integer arithmetic both engines compute bit-identically
+# (residue equi-join for part↔supplier pairs, modular day offsets for the
+# missing dates). The derivation is part of the query text on BOTH sides,
+# so the oracle still verifies the shape end-to-end: correlated-min
+# rewrite, scalar-threshold HAVING, decorrelated quantity subquery, and
+# EXISTS/NOT-EXISTS self-joins.
+# --------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+           CAST((p_partkey * 7 + s_suppkey * 13) % 999 + 1 AS INTEGER) AS ps_availqty,
+           CAST(((p_partkey * 31 + s_suppkey * 17) % 10000) / 100.0 AS DOUBLE) AS ps_supplycost
+    FROM part JOIN supplier ON (p_partkey % 25) = ((25 - s_suppkey % 25) % 25)
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp: each part pairs with the ~4 suppliers in its
+    key-residue class (an EQUI-join — never a filtered cross join, so
+    the derivation itself is scale-safe), availqty/supplycost from
+    modular integer arithmetic (bit-identical in DuckDB)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_partkey") % 25).cast("int").alias("_m")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", ((25 - F.col("s_suppkey") % 25) % 25).cast("int").alias("_m")
+    )
+    return p.join(F.broadcast(s), "_m").select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 10000) / F.lit(100.0))
+        .cast("double")
+        .alias("ps_supplycost"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    eligible AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    ),
+    minc AS (
+      SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM eligible
+    JOIN minc ON eligible.ps_partkey = minc.ps_partkey
+             AND ps_supplycost = min_cost
+    JOIN part ON p_partkey = eligible.ps_partkey AND p_size <= 10
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2 shape over the derived partsupp: correlated MIN "
+    "subquery decorrelated into a grouped-min + equality join (the "
+    "rewrite Catalyst and every planner performs); region dims "
+    "broadcast; deterministic total order with unique tiebreakers "
+    "under the LIMIT.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    eligible = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    minc = eligible.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eligible.join(minc, ["ps_partkey"])
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    nation_ps AS (
+      SELECT ps_partkey,
+             CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6)) AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+    FROM nation_ps GROUP BY ps_partkey
+    HAVING SUM(v) * 10000 > (SELECT SUM(v) FROM nation_ps)
+    """,
+    doc="TPC-H Q11 shape over the derived partsupp: grouped decimal "
+    "value sums filtered by a scalar-subquery threshold. The fraction "
+    "compare is kept exact by multiplying the group sum by 10000 "
+    "instead of multiplying the total by 0.0001 (decimal x integer is "
+    "exact in both engines; a double 0.0001 would not be).",
+)
+def q11_important_stock(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nation_ps = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", dec6(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    total = nation_ps.agg(F.sum("v").alias("_total"))
+    return (
+        nation_ps.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("_value") * 10000 > F.col("_total"))
+        .select("ps_partkey", F.col("_value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    agg AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN (
+      SELECT ps_suppkey FROM partsupp
+      JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+      JOIN agg ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE CAST(ps_availqty * 2 AS DECIMAL(38,6)) > qty
+    ) x ON s_suppkey = ps_suppkey
+    """,
+    doc="TPC-H Q20 shape over the derived partsupp: the correlated "
+    "half-of-shipped-quantity subquery decorrelated into a grouped "
+    "lineitem aggregate joined back on (part, supplier); the 0.5x "
+    "compare runs as availqty*2 > qty so it stays in exact decimals. "
+    "Spark side is a left-semi join (no DISTINCT needed).",
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    agg = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec6(F.col("l_quantity"))).alias("qty")
+    )
+    excess = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(agg, (ps.ps_partkey == agg.l_partkey) & (ps.ps_suppkey == agg.l_suppkey))
+        .filter((F.col("ps_availqty") * 2).cast(DEC) > F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+_DERIVED_DATES_SQL = """
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate + INTERVAL 1 DAY * ((l_orderkey + l_linenumber) % 30) AS l_commitdate,
+           l_shipdate + INTERVAL 1 DAY * ((l_partkey + l_linenumber) % 45) AS l_receiptdate
+    FROM lineitem
+"""
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    f"""
+    WITH li AS ({_DERIVED_DATES_SQL})
+    SELECT s_name, COUNT(*) AS numwait
+    FROM li l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    WHERE l1.l_receiptdate > l1.l_commitdate
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_receiptdate > l3.l_commitdate)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape with modular-offset derived commit/receipt "
+    "dates (integer day arithmetic — bit-identical in both engines): "
+    "EXISTS as a left-semi self-join, NOT EXISTS as a left-anti "
+    "self-join, both keyed on l_orderkey so they shuffle once on the "
+    "same key.",
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, CAST((l_orderkey + l_linenumber) % 30 AS INT), 0, 0, 0)"
+        ).alias("l_commitdate"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, CAST((l_partkey + l_linenumber) % 45 AS INT), 0, 0, 0)"
+        ).alias("l_receiptdate"),
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    late = li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+    l1 = (
+        late.join(o, late.l_orderkey == o.o_orderkey)
+        .join(s, late.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    with_other = l1.join(
+        others,
+        (l1.l_orderkey == others._ok) & (l1.l_suppkey != others._sk),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        late_others,
+        (with_other.l_orderkey == late_others._ok)
+        & (with_other.l_suppkey != late_others._sk),
+        "left_anti",
+    )
+    return sole_late.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))

@@ -263,6 +263,34 @@ def solana_normalize_golden(spark, sf_dir):
 
 
 @query(
+    "solana_normalize_udtf_golden",
+    """
+    SELECT * FROM (VALUES
+      ('b1', 'SOL', CAST(-0.5 AS DOUBLE)),
+      ('b2', 'MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA1',
+       CAST(2.5 AS DOUBLE)),
+      ('b3', 'MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA1',
+       CAST(3.0 AS DOUBLE))
+    ) AS t(transaction_id, asset_symbol, amount)
+    """,
+    doc="U1's Spark 4 Python UDTF twin (the reference's row->N-rows "
+    "table-function shape taken literally) on the same golden vectors — "
+    "an independent dict-walking implementation hash-matched against "
+    "the same VALUES oracle as the expression pipeline. API-surface "
+    "demo; the expression form stays the hot path.",
+)
+def solana_normalize_udtf_golden(spark, sf_dir):
+    from spectraplex_spark.operators.normalize_udtf import normalize_entries_udtf
+
+    bronze = spark.createDataFrame(_FIXTURE_BRONZE, BRONZE_SCHEMA)
+    return normalize_entries_udtf(bronze).select(
+        "transaction_id",
+        "asset_symbol",
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
+@query(
     "streaming_window_rollup",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

@@ -52,6 +52,46 @@ def test_salted_group_sum_matches_plain(spark):
     assert plain == salted
 
 
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """The 100 TB skew story's runtime half: AQE must detect the hot key
+    and split its partition (skew=true on the sort-merge join) instead
+    of leaving one straggler task. Thresholds are lowered so the test's
+    data qualifies as 'skewed'; salting (above) remains the
+    aggregation-side tool."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        # 95% of left rows share key 0; right side is uniform
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("name")
+        )
+        j = left.join(right, "k")
+        # collect() executes THIS DataFrame's QueryExecution, so its
+        # adaptive plan finalizes (count()/write() spawn fresh plans)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bronze_partition_pruning_in_plan(spark, tmp_path):
     """The chain/date partition layout must actually prune: the scan's
     PartitionFilters carry the predicate and non-matching partitions

@@ -469,6 +469,24 @@ def embedding_neardup_bucketed(spark, sf_dir):
 
 
 @query(
+    "embedding_neardup_multiprobe",
+    None,
+    doc="E1 embedding near-dup pairs, multi-probe LSH: 4 tables x 8-bit "
+    "signatures with 1-bit-flip neighbor probing — candidates when "
+    "signatures differ by <=1 bit in any table, matching 12 exact-only "
+    "tables' recall at a third of the index rows (pytest-asserted vs "
+    "the 12-table variant and brute force). Same exact-cosine verify; "
+    "precision 1.0.",
+)
+def embedding_neardup_multiprobe(spark, sf_dir):
+    from spectraplex_spark.operators.simsearch import cosine_pairs_bucketed
+
+    return cosine_pairs_bucketed(
+        table(spark, sf_dir, "embeddings"), threshold=0.8, n_tables=4, multi_probe=True
+    )
+
+
+@query(
     "embedding_neardup_pairs",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

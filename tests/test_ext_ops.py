@@ -326,6 +326,26 @@ def test_bucketed_cosine_pairs_precision_and_recall(spark):
     assert len(bucketed) / len(brute) >= 0.9
 
 
+def test_multiprobe_matches_many_tables_with_few(spark):
+    """1-bit multi-probe at 4 tables must reach the recall of 12
+    exact-only tables (both subsets of brute force — precision 1.0)."""
+    em = _clustered_embeddings(spark)
+    brute = {(r.id_a, r.id_b) for r in S.cosine_pairs(em, threshold=0.8).collect()}
+    exact12 = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_bucketed(em, threshold=0.8, n_tables=12).collect()
+    }
+    probe4 = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_bucketed(
+            em, threshold=0.8, n_tables=4, multi_probe=True
+        ).collect()
+    }
+    assert probe4 <= brute  # still exact-verified
+    assert len(probe4) >= len(exact12) * 0.95
+    assert len(probe4) / len(brute) >= 0.9
+
+
 def test_bucketed_cosine_scores_match_bruteforce(spark):
     em = _clustered_embeddings(spark, n_clusters=6)
     brute = {(r.id_a, r.id_b): r.cosine for r in S.cosine_pairs(em, threshold=0.8).collect()}

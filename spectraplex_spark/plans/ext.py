@@ -229,6 +229,40 @@ def text_sentence_split(spark, sf_dir):
 
 
 @query(
+    "frequent_users_exact",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) >= (SELECT (COUNT(*) + 199) // 200 FROM events)
+    """,
+    doc="Sketch-class heavy hitters with an EXACT answer: per-partition "
+    "Misra-Gries candidate generation (bounded memory, no per-item "
+    "shuffle state) + broadcast exact recount of the candidate set — "
+    "the MG superset guarantee means the output is exactly the items "
+    "in >= 1-in-200 rows. Integer-arithmetic threshold so the oracle "
+    "computes the identical cutoff.",
+)
+def frequent_users_exact(spark, sf_dir):
+    from spectraplex_spark.operators.sketches import frequent_items
+
+    return frequent_items(table(spark, sf_dir, "events"), "user_id", one_in=200)
+
+
+@query(
+    "sketch_event_profile",
+    None,
+    doc="Per-event-type mergeable-sketch summary: HLL++ approximate "
+    "distinct users (2% rsd) + KLL p50/p95 of value. No oracle — "
+    "approximate by construction; pytest bounds the error vs exact "
+    "twins. One partial-agg shuffle at any scale.",
+)
+def sketch_event_profile(spark, sf_dir):
+    from spectraplex_spark.operators.sketches import approx_event_profile
+
+    return approx_event_profile(table(spark, sf_dir, "events"))
+
+
+@query(
     "corpus_split_assignment",
     f"""
     WITH s AS (

@@ -237,6 +237,57 @@ def test_assign_split_is_consistent_hashing(spark):
     assert 0.02 <= frac["test"] / 4000 <= 0.08
 
 
+def test_frequent_items_exact_vs_plain_groupby(spark):
+    """The MG-candidates + exact-recount path must return exactly the
+    plain-groupBy heavy hitters, on an adversarial distribution (many
+    items just under threshold) and across many partitions."""
+    from spectraplex_spark.operators.sketches import frequent_items
+
+    rows = []
+    for item in range(5):  # true heavy hitters: 300 each
+        rows += [(item,)] * 300
+    for item in range(100, 400):  # 300 decoys at ~half the threshold
+        rows += [(item,)] * 24
+    n = len(rows)
+    df = spark.createDataFrame(rows, "user_id long").repartition(16)
+    got = {
+        (r.user_id, r.n_occurrences)
+        for r in frequent_items(df, "user_id", one_in=n // 300).collect()
+    }
+    threshold = (n + (n // 300) - 1) // (n // 300)
+    want = {
+        (r.user_id, r.c)
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= threshold)
+        .collect()
+    }
+    assert got == want
+    assert {u for u, _ in got} == set(range(5))
+
+
+def test_approx_profile_error_bounds(spark):
+    from spectraplex_spark.operators.sketches import approx_event_profile
+
+    events = table(spark, SF_DIR, "events")
+    approx = {r.event_type: r for r in approx_event_profile(events).collect()}
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_distinct - ex.d) / ex.d <= 0.10  # 2% rsd, 5-sigma slack
+        assert abs(ap.p50 - ex.p50) <= max(0.05 * abs(ex.p95), 0.5)
+        assert abs(ap.p95 - ex.p95) <= max(0.05 * abs(ex.p95), 0.5)
+
+
 def test_quality_and_langid_sane(spark):
     docs = _docs_with_dups(spark)
     stats = X.with_text_stats(docs).collect()

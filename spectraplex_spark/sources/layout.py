@@ -41,6 +41,74 @@ def write_bucketed(
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
 
 
+def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Interleave the low ``bits`` of two bucket ids into a Morton
+    (Z-order) value — pure shift/mask expressions, whole-stage codegen.
+
+    Sorting by this value clusters rows that are close in BOTH
+    dimensions into the same parquet row groups, so min/max stats prune
+    two-predicate scans where a single-column sort can only prune one —
+    the layout trick behind Delta/Iceberg OPTIMIZE ZORDER, as plain
+    Spark expressions.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_buckets(col: Column, lo: Column, hi: Column, bits: int = 8) -> Column:
+    """Map a numeric column onto [0, 2^bits) bucket ids via width_bucket
+    over the column's (min, max) — the cheap linear quantizer; swap in
+    approx-quantile boundaries for heavily skewed dimensions."""
+    n = 2**bits
+    return F.least(
+        F.lit(n - 1).cast("long"),
+        (F.width_bucket(col.cast("double"), lo, hi, F.lit(n)) - 1).cast("long"),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+    block_size: int | None = None,
+) -> None:
+    """Write parquet Z-ordered on (col_x, col_y): quantize both columns
+    against their global min/max (one tiny agg, broadcast), sort by the
+    interleaved value (range partition — the one shuffle layout jobs
+    pay), write. ``block_size`` shrinks row groups for tests; leave
+    None in production (default 128MB groups)."""
+    stats = df.agg(
+        F.min(F.col(col_x).cast("double")).alias("_xlo"),
+        F.max(F.col(col_x).cast("double")).alias("_xhi"),
+        F.min(F.col(col_y).cast("double")).alias("_ylo"),
+        F.max(F.col(col_y).cast("double")).alias("_yhi"),
+    )
+    z = zorder_value(
+        zorder_buckets(F.col(col_x), F.col("_xlo"), F.col("_xhi"), bits),
+        zorder_buckets(F.col(col_y), F.col("_ylo"), F.col("_yhi"), bits),
+        bits,
+    )
+    writer = (
+        df.join(F.broadcast(stats))
+        .withColumn("_z", z)
+        .sort("_z")
+        .drop("_z", "_xlo", "_xhi", "_ylo", "_yhi")
+        .write.mode("overwrite")
+    )
+    if block_size is not None:
+        writer = writer.option("parquet.block.size", str(block_size))
+    writer.parquet(path)
+
+
 def salted_group_sum(
     df: DataFrame,
     key_cols: list[str],

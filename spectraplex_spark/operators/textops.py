@@ -166,6 +166,43 @@ def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     ).withColumn("sent_idx", (F.col("sent_idx") + 1).cast("int"))
 
 
+def lines(text: Column) -> Column:
+    """Non-empty trimmed lines (the unit of boilerplate repetition)."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    classic boilerplate/template signal (0 = all lines unique)."""
+    ls = lines(text)
+    return F.when(
+        F.size(ls) > 0,
+        1.0 - F.size(F.array_distinct(ls)).cast("double") / F.size(ls),
+    ).otherwise(F.lit(0.0))
+
+
+def unique_word_ratio(text: Column) -> Column:
+    """Distinct tokens / tokens — low values flag keyword-stuffing and
+    degenerate repetition (a standard pretraining-quality gate)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text: Column) -> Column:
+    """Average token length — flags char-soup (very high) and
+    single-letter noise (very low). HOF fold, no explode."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard text-analysis columns to a documents frame."""
     t = F.col(text_col)

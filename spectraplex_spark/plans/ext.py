@@ -228,6 +228,47 @@ def text_sentence_split(spark, sf_dir):
     return X.split_sentences(table(spark, sf_dir, "documents"))
 
 
+_LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+    "x -> x <> '')"
+)
+
+
+@query(
+    "text_repetition_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len({_LINES_SQL}) > 0
+                THEN 1.0 - CAST(len(list_distinct({_LINES_SQL})) AS DOUBLE)
+                           / len({_LINES_SQL})
+                ELSE 0.0 END AS dup_line_ratio,
+           CASE WHEN len({_TOKENS_SQL}) > 0
+                THEN CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+                     / len({_TOKENS_SQL})
+                ELSE 0.0 END AS unique_word_ratio,
+           CASE WHEN len({_TOKENS_SQL}) > 0
+                THEN CAST(list_sum(list_transform({_TOKENS_SQL}, t -> length(t))) AS DOUBLE)
+                     / len({_TOKENS_SQL})
+                ELSE 0.0 END AS mean_token_len
+    FROM documents
+    """,
+    doc="E4 repetition/degeneracy gates: duplicate-line ratio "
+    "(boilerplate signal), unique-word ratio (keyword stuffing), mean "
+    "token length (char soup) — all HOF expressions, no explode, zero "
+    "shuffle; ratios built with identical cast/divide structure in "
+    "both engines for bit equality.",
+)
+def text_repetition_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.dup_line_ratio(t).alias("dup_line_ratio"),
+        X.unique_word_ratio(t).alias("unique_word_ratio"),
+        X.mean_token_length(t).alias("mean_token_len"),
+    )
+
+
 @query(
     "frequent_users_exact",
     """

@@ -237,6 +237,38 @@ def test_assign_split_is_consistent_hashing(spark):
     assert 0.02 <= frac["test"] / 4000 <= 0.08
 
 
+def test_repetition_stats_behavior(spark):
+    from spectraplex_spark.operators.textops import (
+        dup_line_ratio,
+        mean_token_length,
+        unique_word_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "copy me\ncopy me\ncopy me\nunique line"),
+            (2, "spam spam spam spam"),
+            (3, "all words here differ nicely"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            dup_line_ratio(t).alias("dl"),
+            unique_word_ratio(t).alias("uw"),
+            mean_token_length(t).alias("mt"),
+        ).collect()
+    }
+    assert out[1].dl == 0.5  # 4 lines, 2 distinct
+    assert out[2].uw == 0.25 and out[2].mt == 4.0
+    assert out[3].dl == 0.0 and out[3].uw == 1.0
+    assert (out[4].dl, out[4].uw, out[4].mt) == (0.0, 0.0, 0.0)
+
+
 def test_frequent_items_exact_vs_plain_groupby(spark):
     """The MG-candidates + exact-recount path must return exactly the
     plain-groupBy heavy hitters, on an adversarial distribution (many

@@ -228,6 +228,36 @@ def text_sentence_split(spark, sf_dir):
     return X.split_sentences(table(spark, sf_dir, "documents"))
 
 
+@query(
+    "incremental_rollup_merge",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Materialized-view maintenance: events split at a cutoff into "
+    "two batches, each aggregated alone into mergeable state (count + "
+    "exact decimal sum), key-wise merged, then finalized — the oracle "
+    "is the FULL recompute, so the hash gate proves "
+    "merge(increments) == recompute bit-for-bit (decimal state is "
+    "order-independent; double state would drift).",
+)
+def incremental_rollup_merge(spark, sf_dir):
+    from spectraplex_spark.operators.incremental import (
+        daily_rollup_state,
+        finalize_rollup,
+        merge_rollup_states,
+    )
+
+    events = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    old = daily_rollup_state(events.filter(F.col("ts") < cutoff))
+    new = daily_rollup_state(events.filter(F.col("ts") >= cutoff))
+    return finalize_rollup(merge_rollup_states(old, new))
+
+
 _LINES_SQL = (
     "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
     "x -> x <> '')"

@@ -49,6 +49,41 @@ def merge_rollup_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def stream_maintain_rollup(
+    events_stream: DataFrame, state_path: str, checkpoint_dir: str
+):
+    """Streaming materialized-view maintenance: each micro-batch
+    aggregates alone and merges into the stored state (read-modify-
+    write), so the maintained view equals the batch recompute after any
+    sequence of micro-batches — mergeability makes the batch split
+    irrelevant.
+
+    The merged frame is localCheckpoint-ed before the overwrite because
+    the write would otherwise lazily re-read the path it is deleting.
+    Durability note: checkpointing makes restarts resume at batch
+    granularity, but a crash BETWEEN state write and checkpoint commit
+    could re-apply one batch — the portable protocol accepts that
+    window; on a real deployment the state table should be a
+    transactional format (Delta/Iceberg MERGE) which closes it.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_state = daily_rollup_state(batch_df)
+        try:
+            prior = spark.read.parquet(state_path)
+            merged = merge_rollup_states(prior, batch_state)
+        except Exception:  # first batch: no state yet
+            merged = batch_state
+        merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def finalize_rollup(state: DataFrame) -> DataFrame:
     """State → report: derived mean plus canonical double images of the
     decimal sums (read-time projection — never stored)."""

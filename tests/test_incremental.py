@@ -50,6 +50,27 @@ def test_merge_equals_recompute_across_odd_splits(spark):
     assert _canon(finalize_rollup(pairwise)) == full
 
 
+def test_streaming_maintained_view_equals_batch_recompute(spark, tmp_path):
+    """Replay events as a stream of micro-batches maintaining the state
+    table; the final finalized view must equal the batch rollup exactly,
+    whatever the micro-batch boundaries were."""
+    from spectraplex_spark.operators.incremental import stream_maintain_rollup
+
+    events = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    events.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state_path = str(tmp_path / "state")
+    q = stream_maintain_rollup(stream, state_path, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    maintained = _canon(finalize_rollup(spark.read.parquet(state_path)))
+    batch = _canon(finalize_rollup(daily_rollup_state(events)))
+    assert maintained == batch
+
+
 def test_empty_increment_is_identity(spark):
     events = table(spark, SF_DIR, "events")
     state = daily_rollup_state(events)

@@ -52,6 +52,35 @@ def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    label_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-class deterministic sampling (class rebalancing for training
+    mixes): keep a row iff its md5(id) 16-bit prefix falls under the
+    class's threshold. Consistent hashing — a row's keep/drop decision
+    never depends on the rest of the corpus, re-runs are bit-identical,
+    and the same row is kept at every fraction above its hash point
+    (nested samples come for free). Fractions are quantized to 1/65536
+    so the hex-string threshold compare is exact in both engines.
+    """
+    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+    def hex_threshold(frac: float) -> str:
+        return format(max(0, min(65536, round(frac * 65536))), "04x")
+
+    keep = F.lit(default_fraction >= 1.0) | (h4 < hex_threshold(default_fraction))
+    for label, frac in fractions.items():
+        keep = F.when(
+            F.col(label_col) == label,
+            F.lit(frac >= 1.0) | (h4 < hex_threshold(frac)),
+        ).otherwise(keep)
+    return df.filter(keep)
+
+
 def pack_documents(
     df: DataFrame,
     budget: int = 512,

@@ -195,3 +195,31 @@ def enrich_fiat_value(silver: DataFrame, prices: DataFrame) -> DataFrame:
         *out_cols,
         (F.col("asof_price") * F.col("amount")).cast(silver.schema["fiat_value"].dataType).alias("fiat_value"),
     ).select(*silver.columns)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Change events → SCD type-2 validity intervals: one row per
+    version with [valid_from, valid_to) and an is_current flag — the
+    standard warehouse shape for dimension history, as ONE window pass.
+
+    Each key's events sort by time; valid_to is the next event's
+    timestamp (lead), open-ended (null) for the latest version. One
+    shuffle on the key — no self-join, no per-key driver loop; at scale
+    this is exactly the shape that backfills a dimension table from a
+    CDC/event log. Pass ``tiebreak`` (a unique column) when timestamps
+    can collide — windows need a total order to be deterministic.
+    """
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = W.partitionBy(key).orderBy(*order)
+    return changes.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

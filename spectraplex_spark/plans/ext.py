@@ -229,6 +229,57 @@ def text_sentence_split(spark, sf_dir):
 
 
 @query(
+    "scd2_user_event_history",
+    """
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD type-2 dimension versioning from a change log: one window "
+    "pass (lead over (key, ts)) turns events into [valid_from, "
+    "valid_to) validity intervals with an is_current flag — one "
+    "shuffle on the key, no self-join, the CDC-backfill shape. "
+    "event_id tiebreaks the window order for determinism.",
+)
+def scd2_user_event_history(spark, sf_dir):
+    from spectraplex_spark.operators.temporal import scd2_intervals
+
+    events = table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events, key="user_id", ts="ts", attr_cols=["event_type"], tiebreak="event_id"
+    )
+
+
+@query(
+    "stratified_embedding_sample",
+    """
+    SELECT vec_id, label
+    FROM embeddings
+    WHERE CASE
+      WHEN label = 0 THEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'c000'
+      WHEN label = 1 THEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '8000'
+      WHEN label = 2 THEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '4000'
+      ELSE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '1000'
+    END
+    """,
+    doc="Stratified consistent-hash sampling (training-mix class "
+    "rebalancing): per-label keep fractions 75/50/25% (6.25% "
+    "elsewhere) via md5-prefix thresholds quantized to 1/65536 — "
+    "deterministic, corpus-size independent, nested across fractions; "
+    "expression-only filter that pushes into the scan.",
+)
+def stratified_embedding_sample(spark, sf_dir):
+    from spectraplex_spark.operators.packing import stratified_sample
+
+    em = table(spark, sf_dir, "embeddings")
+    return stratified_sample(
+        em, "label", {0: 0.75, 1: 0.5, 2: 0.25}, default_fraction=0.0625, id_col="vec_id"
+    ).select("vec_id", "label")
+
+
+@query(
     "incremental_rollup_merge",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

@@ -237,6 +237,41 @@ def test_assign_split_is_consistent_hashing(spark):
     assert 0.02 <= frac["test"] / 4000 <= 0.08
 
 
+def test_scd2_intervals_contiguous_and_single_current(spark):
+    from spectraplex_spark.operators.temporal import scd2_intervals
+
+    events = table(spark, SF_DIR, "events")
+    out = scd2_intervals(
+        events, key="user_id", ts="ts", attr_cols=["event_type"], tiebreak="event_id"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(out) == events.count()  # one version per change event
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].valid_to is None and rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no gaps/overlap
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from spectraplex_spark.operators.packing import stratified_sample
+
+    em = table(spark, SF_DIR, "embeddings")
+    half = {r.vec_id for r in stratified_sample(em, "label", {}, 0.5, "vec_id").collect()}
+    quarter = {r.vec_id for r in stratified_sample(em, "label", {}, 0.25, "vec_id").collect()}
+    again = {r.vec_id for r in stratified_sample(em, "label", {}, 0.25, "vec_id").collect()}
+    assert quarter <= half  # nested samples
+    assert quarter == again  # deterministic
+    n = em.count()
+    assert 0.4 <= len(half) / n <= 0.6 and 0.15 <= len(quarter) / n <= 0.35
+    full = stratified_sample(em, "label", {0: 1.0}, 0.0, "vec_id").collect()
+    assert {r.label for r in full} == {0}  # per-class override
+    assert len(full) == em.filter(F.col("label") == 0).count()
+
+
 def test_repetition_stats_behavior(spark):
     from spectraplex_spark.operators.textops import (
         dup_line_ratio,

@@ -229,6 +229,54 @@ def text_sentence_split(spark, sf_dir):
 
 
 @query(
+    "snapshot_table_diff",
+    """
+    WITH before AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'OLD-PRIORITY'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 13 != 0
+    ), after AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderkey % 11 != 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN a.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderpriority <> b.o_orderpriority
+                  OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM after a FULL OUTER JOIN before b ON a.o_orderkey = b.o_orderkey
+    WHERE CASE WHEN b.o_orderkey IS NULL THEN 'added'
+               WHEN a.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_orderpriority <> b.o_orderpriority
+                 OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+               ELSE 'unchanged' END != 'unchanged'
+    """,
+    doc="Snapshot reconciliation (the idempotent-sink audit): key-wise "
+    "full-outer diff classifying rows added / removed / changed between "
+    "two deterministically derived orders snapshots — one md5 payload "
+    "hash per side instead of N column compares on the shuffle.",
+)
+def snapshot_table_diff(spark, sf_dir):
+    from spectraplex_spark.operators.reconcile import table_diff
+
+    orders = table(spark, sf_dir, "orders")
+    before = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, "OLD-PRIORITY")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_orderstatus",
+    )
+    after = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    return table_diff(before, after, ["o_orderkey"])
+
+
+@query(
     "scd2_user_event_history",
     """
     SELECT user_id, event_type, ts AS valid_from,

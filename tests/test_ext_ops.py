@@ -237,6 +237,23 @@ def test_assign_split_is_consistent_hashing(spark):
     assert 0.02 <= frac["test"] / 4000 <= 0.08
 
 
+def test_table_diff_and_replay_audit(spark):
+    from spectraplex_spark.operators.reconcile import assert_replay_noop, table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)], "k long, s string, v int"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, s string, v int"
+    )
+    got = {(r.k, r.diff_status) for r in table_diff(before, after, ["k"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+    # null payloads participate (row 3 with v=None classified above)
+    assert_replay_noop(before, before, ["k"])
+    with pytest.raises(AssertionError, match="not a no-op"):
+        assert_replay_noop(before, after, ["k"])
+
+
 def test_scd2_intervals_contiguous_and_single_current(spark):
     from spectraplex_spark.operators.temporal import scd2_intervals
 

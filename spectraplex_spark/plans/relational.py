@@ -342,20 +342,23 @@ def window_topn_orders_per_customer(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
              OVER (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
     FROM lineitem
     """,
     doc="Running total per supplier — the reference schema's anticipated "
     "running-balance report (SURVEY §2.4); decimal sum keeps the prefix "
-    "sums exact, (shipdate, orderkey, linenumber) is a unique order.",
+    "sums exact. The measure itself rides the ORDER BY: the synthetic "
+    "(orderkey, linenumber) pairs are NOT unique, and rows tying on all "
+    "four keys then yield the same running-sum multiset whichever side "
+    "of the tie each engine takes (caught by the sf0.1 parity sweep).",
 )
 def window_running_revenue(spark, sf_dir):
     from pyspark.sql import Window as W
 
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -596,11 +599,14 @@ def case_when_value_tiers(spark, sf_dir):
            COUNT(*) AS n,
            CAST(MIN(len(embedding)) AS INTEGER) AS min_dim,
            CAST(MAX(len(embedding)) AS INTEGER) AS max_dim,
-           CAST(SUM(CAST(embedding[1] AS DECIMAL(38,6))) AS DOUBLE) AS sum_first
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sum_first
     FROM embeddings GROUP BY label
     """,
     doc="Array functions over the embedding column (size / element_at) — "
-    "the E2/E3 column model is plain Spark arrays.",
+    "the E2/E3 column model is plain Spark arrays. The element is "
+    "widened float→double BEFORE the decimal cast: float32→decimal "
+    "rounds differently across engines on some values (caught by the "
+    "sf0.1 parity sweep); float→double widening is exact everywhere.",
 )
 def array_ops_embeddings(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings")
@@ -608,7 +614,7 @@ def array_ops_embeddings(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min(F.size("embedding")).cast("int").alias("min_dim"),
         F.max(F.size("embedding")).cast("int").alias("max_dim"),
-        dsum(F.get(F.col("embedding"), 0)).alias("sum_first"),
+        dsum(F.get(F.col("embedding"), 0).cast("double")).alias("sum_first"),
     )
 
 
@@ -902,19 +908,21 @@ def window_rank_suite(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
              OVER (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_3row
     FROM lineitem
     """,
     doc="Bounded moving frame (ROWS 2 PRECEDING) — sliding-window "
-    "analytics with exact decimal sums.",
+    "analytics with exact decimal sums; the measure rides the ORDER BY "
+    "so non-unique (orderkey, linenumber) ties stay engine-stable "
+    "(see window_running_revenue).",
 )
 def window_moving_sum(spark, sf_dir):
     from pyspark.sql import Window as W
 
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-2, W.currentRow)
     )
     return (

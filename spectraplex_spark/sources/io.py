@@ -102,6 +102,44 @@ def write_bronze(df: DataFrame, path: str) -> int:
     )
 
 
+def land_with_quarantine(
+    bronze: DataFrame,
+    silver_path: str,
+    quarantine_path: str,
+    audit_ts: F.Column | None = None,
+) -> tuple[int, int]:
+    """Bronze → silver with a dead-letter lane: parseable rows normalize
+    into the idempotent silver sink; rows whose raw_metadata fails to
+    parse land in a quarantine table (id, tx_hash, chain, the raw
+    payload, a reason, and when it was quarantined) instead of being
+    silently dropped. Returns (n_silver_appended, n_quarantined).
+
+    Both lanes use the same idempotent-append protocol, so replays are
+    no-ops on both; quarantined rows stay replayable — fix the parser,
+    re-ingest the quarantine as bronze, and the anti-join admits only
+    the now-parsing entries. This resolves the reference's CLI/API
+    split (abort-on-first-error vs silently-swallow — cli/src/main.rs:155,
+    api/src/main.rs:103) with an explicit third way: keep going, keep
+    the evidence.
+    """
+    from spectraplex_spark.operators.normalize import normalize, parse_failures
+
+    silver = normalize(bronze, audit_ts=audit_ts)
+    n_silver = write_silver(silver, silver_path)
+    bad = parse_failures(bronze).select(
+        "id",
+        "tx_hash",
+        "chain",
+        "raw_metadata",
+        F.lit("unparseable raw_metadata").alias("reason"),
+        (audit_ts if audit_ts is not None else F.current_timestamp()).alias(
+            "quarantined_at"
+        ),
+    )
+    n_bad = idempotent_append(bad, quarantine_path, id_col="id")
+    return n_silver, n_bad
+
+
 def write_silver(df: DataFrame, path: str) -> int:
     """Silver ledger: partitioned by entry date; wallet_address carried
     denormalized (the reference's add_wallet_to_ledger migration made

@@ -72,3 +72,38 @@ def test_jsonl_corrupt_line_does_not_abort(spark, tmp_path):
     df = read_bronze_jsonl(spark, str(path))
     assert df.count() == 2  # corrupt line → all-null row, read survives
     assert df.filter(F.col("id").isNotNull()).count() == 1
+
+
+def test_land_with_quarantine_splits_and_replays(spark, tmp_path):
+    """Good rows reach silver, corrupt rows reach quarantine with a
+    reason, and replaying the same batch appends nothing to either lane."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.sources.io import land_with_quarantine
+    from tests.test_normalize_golden import bronze_row, solana_tx
+
+    rows = [
+        bronze_row(
+            solana_tx(pre_balances=[2_000_000_000, 0], post_balances=[1_000_000_000, 0]),
+            tx_hash="good",
+        ),
+        bronze_row("{corrupt json", tx_hash="bad"),
+    ]
+    bronze = spark.createDataFrame(rows, BRONZE_SCHEMA)
+    silver_path = str(tmp_path / "silver")
+    quarantine_path = str(tmp_path / "quarantine")
+    ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    n_silver, n_bad = land_with_quarantine(bronze, silver_path, quarantine_path, audit_ts=ts)
+    assert (n_silver, n_bad) == (1, 1)
+    q = spark.read.parquet(quarantine_path).collect()
+    assert len(q) == 1 and q[0].tx_hash == "bad"
+    assert q[0].reason == "unparseable raw_metadata"
+    assert q[0].raw_metadata == "{corrupt json"  # evidence kept verbatim
+
+    # replay: both lanes idempotent
+    n_silver2, n_bad2 = land_with_quarantine(bronze, silver_path, quarantine_path, audit_ts=ts)
+    assert (n_silver2, n_bad2) == (0, 0)
+    assert spark.read.parquet(silver_path).count() == 1
+    assert spark.read.parquet(quarantine_path).count() == 1

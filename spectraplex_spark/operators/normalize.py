@@ -113,11 +113,16 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
     sol_entry = F.struct(
         F.lit("SOL").alias("asset"),
         lamports_to_sol(post_bal - pre_bal).alias("amount"),
+        # Entry provenance for id derivation: the SOL branch yields at most
+        # one entry per tx, so a fixed sentinel distinct from every SPL
+        # accountIndex (which are >= 0) suffices.
+        F.lit(-1).cast("int").alias("ordinal"),
     )
+    _EMPTY = "array<struct<asset:string,amount:decimal(38,18),ordinal:int>>"
     sol_candidates = F.when(
         (idx > 0) & pre_bal.isNotNull() & post_bal.isNotNull(),
         F.array(sol_entry),
-    ).otherwise(F.array().cast("array<struct<asset:string,amount:decimal(38,18)>>"))
+    ).otherwise(F.array().cast(_EMPTY))
 
     # --- SPL token candidates (solana_parser.rs:47-86) ---
     # P4 ownership filter (3-way Option match, owner must be present) and
@@ -136,6 +141,7 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
         return F.struct(
             tb["mint"].alias("asset"),
             (_token_amount_dec(tb) - pre_amt).cast(MONEY).alias("amount"),
+            tb["accountIndex"].cast("int").alias("ordinal"),
         )
 
     # Reference nests two if-lets (solana_parser.rs:46-47): BOTH
@@ -153,7 +159,7 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
             ),
             spl_entry,
         ),
-    ).otherwise(F.array().cast("array<struct<asset:string,amount:decimal(38,18)>>"))
+    ).otherwise(F.array().cast(_EMPTY))
 
     exploded = parsed.select(
         "*", F.explode(F.concat(sol_candidates, spl_candidates)).alias("_e")
@@ -161,11 +167,18 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
 
     amount = F.col("_e.amount")
     return exploded.select(
+        # The ordinal (SPL accountIndex, or -1 for the SOL branch) is part
+        # of the id: without it, a wallet owning TWO token accounts of the
+        # same mint with identical deltas in one tx would mint colliding
+        # ids and idempotent_append would silently drop a legitimate entry.
+        # The reference keeps both (one UUID per post-token-balance,
+        # solana_parser.rs:47-87).
         deterministic_id(
             "tx_hash",
             "wallet_address",
             F.col("_e.asset"),
             amount.cast("string"),
+            F.col("_e.ordinal").cast("string"),
         ).alias("id"),
         F.col("id").alias("transaction_id"),
         "user_id",

@@ -42,11 +42,20 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:
-    # Hadoop FS check (works for any supported scheme, not just local)
-    jvm = spark._jvm
-    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(hadoop_path)
+    """True iff ``path`` holds a readable Parquet dataset.
+
+    Probed by attempting a schema-only read rather than via the private
+    ``spark._jvm`` Hadoop gateway: the read works identically under Spark
+    Connect (no JVM access from the client) and for any filesystem scheme
+    the session supports. Schema resolution touches only footers — no
+    data scan. A missing/empty path raises AnalysisException → False;
+    genuinely corrupt targets still raise on the subsequent real read.
+    """
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
 
 
 def idempotent_append(

@@ -217,6 +217,36 @@ def test_g8_combined_fanout(spark):
     assert len({r.id for r in out}) == 3
 
 
+def test_g9_two_accounts_same_mint_same_delta_keep_both(spark, tmp_path):
+    """A wallet owning TWO token accounts of the same mint with identical
+    deltas yields TWO ledger entries with distinct ids, and both survive
+    the idempotent silver sink — the reference keeps one entry per
+    post-token-balance (solana_parser.rs:47-87). Before the ordinal went
+    into the id hash, the second entry was silently dropped."""
+    from spectraplex_spark.sources.io import write_silver
+
+    raw = solana_tx(
+        pre_balances=[1, 1],
+        post_balances=[1, 1],
+        pre_token=[
+            token_balance(MINT_A, WALLET, 1.0, account_index=1),
+            token_balance(MINT_A, WALLET, 1.0, account_index=2),
+        ],
+        post_token=[
+            token_balance(MINT_A, WALLET, 2.0, account_index=1),
+            token_balance(MINT_A, WALLET, 2.0, account_index=2),
+        ],
+    )
+    out = run(spark, [bronze_row(raw)]).collect()
+    assert len(out) == 2
+    assert all(r.asset_symbol == MINT_A and r.amount == Decimal("1") for r in out)
+    assert len({r.id for r in out}) == 2
+    silver_path = str(tmp_path / "silver")
+    n = write_silver(run(spark, [bronze_row(raw)]), silver_path)
+    assert n == 2
+    assert spark.read.parquet(silver_path).count() == 2
+
+
 def test_non_solana_chain_skipped(spark):
     raw = solana_tx(pre_balances=[10_000_000_000], post_balances=[9_000_000_000])
     rows = [bronze_row(raw, chain="ethereum"), bronze_row(raw, tx_hash="sig2")]

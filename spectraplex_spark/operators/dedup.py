@@ -140,11 +140,20 @@ def minhash_neardup_pairs(
     normally emits m(m-1)/2 candidates — boilerplate/empty-doc clusters
     collapse into ONE bucket and go quadratic at scale. Buckets larger
     than the cap switch to STAR pairing (every member pairs with the
-    bucket's min id only → m-1 candidates): a true near-dup cluster is
-    still fully recovered after connected components, and the star graph
-    has diameter 2 so components converge in O(1) rounds; a pathological
-    bucket can no longer blow up the shuffle. Candidate volume is thus
-    O(Σ min(m², m·cap)) — linear in the worst bucket.
+    bucket's min id only → m-1 candidates), so a pathological bucket can
+    no longer blow up the shuffle; the star graph has diameter 2, so
+    downstream connected components converge in O(1) rounds. Candidate
+    volume is thus O(Σ min(m², m·cap)) — linear in the worst bucket.
+
+    Recall trade-off of the star form: member–member pairs in an
+    over-cap bucket survive only transitively through the min-id head,
+    and each star edge must still pass the exact-Jaccard verify. If the
+    head is a banding false positive (hashed into the bucket without
+    being a true near-dup of the members), genuinely similar member
+    pairs in that bucket are dropped. In practice over-cap buckets are
+    overwhelmingly boilerplate clusters where every member is mutually
+    similar — but recall 1.0 is NOT guaranteed past the cap; other bands
+    usually (not provably) re-surface the lost pairs.
     """
     rows_per_band = num_hashes // bands
     # Structural rules that make this scale (and run at all — see git

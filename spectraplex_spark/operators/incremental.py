@@ -68,12 +68,19 @@ def stream_maintain_rollup(
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from spectraplex_spark.sources.io import _target_exists
+
         spark = batch_df.sparkSession
         batch_state = daily_rollup_state(batch_df)
-        try:
+        # Only a MISSING state path means "first batch". A corrupt or
+        # transiently unreadable state file must fail the batch (the
+        # checkpoint will retry it) — swallowing the read error here
+        # would overwrite the path with just the current batch and
+        # silently destroy all accumulated rollup state.
+        if _target_exists(spark, state_path):
             prior = spark.read.parquet(state_path)
             merged = merge_rollup_states(prior, batch_state)
-        except Exception:  # first batch: no state yet
+        else:
             merged = batch_state
         merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
 

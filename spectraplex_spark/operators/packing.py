@@ -69,14 +69,21 @@ def stratified_sample(
     """
     h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
 
-    def hex_threshold(frac: float) -> str:
-        return format(max(0, min(65536, round(frac * 65536))), "04x")
+    def keep_all(frac: float) -> bool:
+        # Quantization rounds fractions in [65535.5/65536, 1.0) up to
+        # 65536, whose 5-char hex '10000' compares LESS than most 4-char
+        # prefixes lexicographically — treat the whole top bucket as
+        # keep-everything instead.
+        return round(frac * 65536) >= 65536
 
-    keep = F.lit(default_fraction >= 1.0) | (h4 < hex_threshold(default_fraction))
+    def hex_threshold(frac: float) -> str:
+        return format(max(0, min(65535, round(frac * 65536))), "04x")
+
+    keep = F.lit(keep_all(default_fraction)) | (h4 < hex_threshold(default_fraction))
     for label, frac in fractions.items():
         keep = F.when(
             F.col(label_col) == label,
-            F.lit(frac >= 1.0) | (h4 < hex_threshold(frac)),
+            F.lit(keep_all(frac)) | (h4 < hex_threshold(frac)),
         ).otherwise(keep)
     return df.filter(keep)
 

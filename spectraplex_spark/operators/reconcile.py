@@ -8,11 +8,12 @@ comparison happens through a single md5 over the canonicalized value
 concatenation, so wide tables compare with one hash column instead of
 N comparisons riding the shuffle.
 
-Canonicalization caveat: values are cast to string, so cross-ENGINE
-hash parity only holds for types with stable string forms (strings,
-integers, dates). Within Spark — the replay-audit use case — any type
-works. The catalog entry diffs string/int columns so its DuckDB oracle
-is exact.
+The payload hash goes through ``to_json(struct(...))`` — JSON-escaped,
+column-delimited, null-distinguishing — so a value containing a
+delimiter byte can never shift column boundaries and alias two
+different rows to one hash (a plain concat_ws('\\x1f', ...) canonical
+form had exactly that flaw). The hash never crosses engines: the
+catalog's DuckDB oracle compares column values directly.
 """
 
 from __future__ import annotations
@@ -21,9 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _row_hash(cols: list[str]):
-    return F.md5(
-        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
-    )
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
 
 def table_diff(

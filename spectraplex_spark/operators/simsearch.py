@@ -329,7 +329,14 @@ def cosine_pairs_bucketed(
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # Materialize the candidate ids now (truncating lineage) so the
+        # signature cache can be released before returning — without
+        # this, sigd's cached blocks leak for the session lifetime and
+        # accumulate across calls. The candidate set is the SMALL
+        # product of the index stage; checkpointing it is cheap.
+        .localCheckpoint()
     )
+    sigd.unpersist()
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     side = df.select(F.col(id_col), v.alias("_v"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))

@@ -287,6 +287,10 @@ def test_stratified_sample_nested_and_deterministic(spark):
     full = stratified_sample(em, "label", {0: 1.0}, 0.0, "vec_id").collect()
     assert {r.label for r in full} == {0}  # per-class override
     assert len(full) == em.filter(F.col("label") == 0).count()
+    # top-bucket quantization: 0.99999 rounds to 65536/65536 and must
+    # keep-all, not lexicographically compare against a 5-char '10000'
+    near_full = stratified_sample(em, "label", {}, 0.99999, "vec_id")
+    assert near_full.count() == n
 
 
 def test_repetition_stats_behavior(spark):

@@ -568,3 +568,46 @@ def sliding_window_rollup(spark, sf_dir):
         )
         .select(F.col("window.start").alias("window_start"), "n", "sum_value")
     )
+
+
+@query(
+    "backfill_wallet_migration",
+    """
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o.o_custkey AS BIGINT) AS o_custkey,
+           o.o_orderstatus,
+           CAST(c.c_nationkey AS BIGINT) AS backfilled_nationkey
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="The reference's add-column + UPDATE..FROM backfill migration "
+    "(migrations/20251219010000_add_wallet_to_ledger.sql:2-12) as an "
+    "engine op: orders plays ledger_entries, customer plays "
+    "transactions, c_nationkey plays the backfilled wallet_address. "
+    "LEFT-join enrich (UPDATE..FROM leaves unmatched rows NULL) with "
+    "the SET NOT NULL validation riding the same join; the dimension "
+    "side is broadcast, so the backfill costs zero shuffle on the fact "
+    "table.",
+)
+def backfill_wallet_migration(spark, sf_dir):
+    from spectraplex_spark.operators.migrate import add_column_with_backfill
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+    )
+    customer = table(spark, sf_dir, "customer")
+    out = add_column_with_backfill(
+        orders,
+        customer,
+        on="o_custkey",
+        column="c_nationkey",
+        source_key="c_custkey",
+        broadcast_source=True,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("c_nationkey").cast("long").alias("backfilled_nationkey"),
+    )

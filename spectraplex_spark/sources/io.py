@@ -116,6 +116,7 @@ def land_with_quarantine(
     silver_path: str,
     quarantine_path: str,
     audit_ts: F.Column | None = None,
+    prices: DataFrame | None = None,
 ) -> tuple[int, int]:
     """Bronze → silver with a dead-letter lane: parseable rows normalize
     into the idempotent silver sink; rows whose raw_metadata fails to
@@ -130,10 +131,21 @@ def land_with_quarantine(
     split (abort-on-first-error vs silently-swallow — cli/src/main.rs:155,
     api/src/main.rs:103) with an explicit third way: keep going, keep
     the evidence.
+
+    ``prices`` (optional, columns asset_symbol/price_ts/price) populates
+    ``fiat_value`` — the column the reference declares but always leaves
+    None (models.rs:43) — via an as-of join: amount × the latest price
+    at-or-before the entry's creation time; entries with no prior price
+    keep null. Without ``prices`` the landing matches the reference
+    byte-for-byte (fiat_value null).
     """
     from spectraplex_spark.operators.normalize import normalize, parse_failures
 
     silver = normalize(bronze, audit_ts=audit_ts)
+    if prices is not None:
+        from spectraplex_spark.operators.temporal import enrich_fiat_value
+
+        silver = enrich_fiat_value(silver, prices)
     n_silver = write_silver(silver, silver_path)
     bad = parse_failures(bronze).select(
         "id",

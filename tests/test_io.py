@@ -107,3 +107,50 @@ def test_land_with_quarantine_splits_and_replays(spark, tmp_path):
     assert (n_silver2, n_bad2) == (0, 0)
     assert spark.read.parquet(silver_path).count() == 1
     assert spark.read.parquet(quarantine_path).count() == 1
+
+
+def test_land_with_quarantine_fiat_enrichment(spark, tmp_path):
+    """With a price series, the landing populates fiat_value (amount x
+    latest at-or-before price, as-of semantics); assets with no prior
+    price keep the reference's null."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.sources.io import land_with_quarantine
+    from tests.test_normalize_golden import MINT_A, WALLET, bronze_row, solana_tx, token_balance
+
+    rows = [
+        bronze_row(  # SOL delta -1.0 at created_at 2026-01-01
+            solana_tx(pre_balances=[2_000_000_000, 0], post_balances=[1_000_000_000, 0]),
+            tx_hash="sol",
+        ),
+        bronze_row(  # SPL delta +2.5, asset MINT_A: no price -> null fiat
+            solana_tx(
+                pre_balances=[1, 1],
+                post_balances=[1, 1],
+                pre_token=[token_balance(MINT_A, WALLET, 5.0)],
+                post_token=[token_balance(MINT_A, WALLET, 7.5)],
+            ),
+            tx_hash="spl",
+        ),
+    ]
+    bronze = spark.createDataFrame(rows, BRONZE_SCHEMA)
+    prices = spark.createDataFrame(
+        [
+            ("SOL", "2025-12-31 00:00:00", 100.0),  # superseded
+            ("SOL", "2026-01-01 00:00:00", 150.0),  # as-of match (<=)
+            ("SOL", "2026-01-02 00:00:00", 999.0),  # in the future: ignored
+        ],
+        "asset_symbol string, price_ts string, price double",
+    ).withColumn("price_ts", F.col("price_ts").cast("timestamp"))
+    ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    n_silver, n_bad = land_with_quarantine(
+        bronze, str(tmp_path / "s"), str(tmp_path / "q"), audit_ts=ts, prices=prices
+    )
+    assert (n_silver, n_bad) == (2, 0)
+    got = {r.transaction_id: r for r in spark.read.parquet(str(tmp_path / "s")).collect()}
+    assert got["tx-sol"].fiat_value == Decimal("-150")  # -1.0 * 150
+    assert got["tx-spl"].fiat_value is None  # no price series for the mint

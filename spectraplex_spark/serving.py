@@ -22,17 +22,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spectraplex_spark.sources.io import open_source
+
 
 def transactions_by_wallet(
     spark: SparkSession,
-    bronze_path: str,
+    bronze_source: str,
     wallet: str,
     since_ts: int | None = None,
     until_ts: int | None = None,
+    table: str = "transactions",
+    **jdbc_options,
 ) -> DataFrame:
     """S4: bronze rows for a wallet, oldest first. Optional time bounds
-    map onto the (wallet, timestamp) access path (init.sql:18)."""
-    df = spark.read.parquet(bronze_path).filter(F.col("wallet_address") == wallet)
+    map onto the (wallet, timestamp) access path (init.sql:18).
+
+    ``bronze_source`` is a Parquet path or a ``jdbc:`` URL (the
+    reference's actual Postgres deployment, repo.rs:73-107) — the wallet
+    and time predicates push down either way (row-group pruning vs SQL
+    WHERE)."""
+    df = open_source(spark, bronze_source, table, **jdbc_options).filter(
+        F.col("wallet_address") == wallet
+    )
     if since_ts is not None:
         df = df.filter(F.col("timestamp") >= since_ts)
     if until_ts is not None:
@@ -40,30 +51,49 @@ def transactions_by_wallet(
     return df.orderBy("timestamp", "id")
 
 
-def ledger_by_wallet(spark: SparkSession, silver_path: str, wallet: str) -> DataFrame:
-    """S5: ledger entries for a wallet, oldest ingest first."""
+def ledger_by_wallet(
+    spark: SparkSession,
+    silver_source: str,
+    wallet: str,
+    table: str = "ledger_entries",
+    **jdbc_options,
+) -> DataFrame:
+    """S5: ledger entries for a wallet, oldest ingest first (parquet
+    path or jdbc: URL, repo.rs:109-149)."""
     return (
-        spark.read.parquet(silver_path)
+        open_source(spark, silver_source, table, **jdbc_options)
         .filter(F.col("wallet_address") == wallet)
         .orderBy("created_at", "id")
     )
 
 
-def recent_transactions(spark: SparkSession, bronze_path: str, limit: int = 50) -> DataFrame:
+def recent_transactions(
+    spark: SparkSession,
+    bronze_source: str,
+    limit: int = 50,
+    table: str = "transactions",
+    **jdbc_options,
+) -> DataFrame:
     """O3: top-K most recent (the API's hardcoded 50, api/src/main.rs:75).
     Plans as TakeOrderedAndProject — no global sort."""
     return (
-        spark.read.parquet(bronze_path)
+        open_source(spark, bronze_source, table, **jdbc_options)
         .orderBy(F.desc("timestamp"), F.asc("id"))
         .limit(limit)
     )
 
 
-def wallet_balances(spark: SparkSession, silver_path: str, wallet: str) -> DataFrame:
+def wallet_balances(
+    spark: SparkSession,
+    silver_source: str,
+    wallet: str,
+    table: str = "ledger_entries",
+    **jdbc_options,
+) -> DataFrame:
     """The tax-report aggregate the reference schema anticipates
     (init.sql:34-35): current balance per asset for a wallet."""
     return (
-        spark.read.parquet(silver_path)
+        open_source(spark, silver_source, table, **jdbc_options)
         .filter(F.col("wallet_address") == wallet)
         .groupBy("asset_symbol")
         .agg(

@@ -269,14 +269,18 @@ def join_semi_customers_with_orders(spark, sf_dir):
     "join_anti_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'P')
     """,
     doc="Left-anti join (NOT EXISTS) — the idempotent-append protocol's "
-    "core primitive (new ids not present in the target; SURVEY §4.1).",
+    "core primitive (new ids not present in the target; SURVEY §4.1). "
+    "The status restriction keeps the graded result non-empty at sf0.01 "
+    "(every synthetic customer has SOME order, so the unrestricted "
+    "anti-join was a vacuous 0-row green).",
 )
 def join_anti_customers_without_orders(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -1,0 +1,270 @@
+"""S1 (network half): the Solana JSON-RPC history connector.
+
+The reference's ``SolanaAdapter::fetch_history`` (adapters/src/solana.rs:23-58)
+does two RPC round-trip kinds against a node URL:
+
+  1. ``getSignaturesForAddress(pubkey)`` — the wallet's signature list
+     (solana.rs:26); the reference takes the first ``limit``.
+  2. per signature, ``getTransaction(sig, encoding=json)`` (solana.rs:37),
+     log-and-skip on error (solana.rs:51-53).
+
+This module is the engine twin, split the way a cluster needs it:
+
+  * ``SolanaRpcClient`` — one node connection: stdlib-only JSON-RPC POST,
+    bounded retries with exponential backoff + ``Retry-After`` honor on
+    429/5xx/transient node errors, and a min-interval rate limiter. The
+    reference's ``RpcClient`` hides all of this; at 100 TB the rate
+    policy IS the design, so it's explicit and injectable here.
+  * ``fetch_history`` — the reference's exact loop, returning raw rows in
+    ``ingest.RAW_FETCH_SCHEMA`` shape. Divergence (better): a per-tx
+    fetch failure yields a row with ``response_json = NULL`` instead of
+    vanishing, so the error *rate* lands in bronze/quarantine and is
+    queryable; ``conform_to_bronze(drop_fetch_errors=True)`` reproduces
+    the reference's skip behavior exactly.
+  * ``fetch_wallet_batch`` — the scale path: a DataFrame of wallets is
+    range-partitioned across executors and each task runs its own
+    rate-limited client via ``mapInPandas``. Aggregate request rate =
+    ``num_tasks × per-task rps`` — size ``fetch_partitions`` to the
+    node's quota, not to the data. No driver-side fetching, no collect.
+
+Everything here is testable broker-less against a localhost
+``http.server`` fixture (tests/test_connector.py) — the container has no
+outbound network, which is also why the client takes the URL rather
+than defaulting to a public endpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spectraplex_spark.sources.ingest import RAW_FETCH_SCHEMA
+
+# JSON-RPC codes worth retrying: node-is-behind / tx-skipped-by-long-term
+# storage congestion (-32004/-32005 per the public Solana RPC spec).
+_TRANSIENT_RPC_CODES = {-32004, -32005}
+_RETRYABLE_HTTP = {429, 500, 502, 503, 504}
+
+# The public RPC caps getSignaturesForAddress at 1000 per page; paginate
+# with the `before` cursor past that.
+SIGNATURE_PAGE_CAP = 1000
+
+
+class RpcError(RuntimeError):
+    """A JSON-RPC call failed after retries (or non-retryably)."""
+
+    def __init__(self, message: str, code: int | None = None):
+        super().__init__(message)
+        self.code = code
+
+
+class SolanaRpcClient:
+    """Minimal, dependency-free JSON-RPC client with explicit rate/retry
+    policy (the part solana.rs:16-18 delegates to ``RpcClient::new``).
+
+    ``max_rps`` bounds request rate with a min-interval gate; ``_sleep``
+    and ``_clock`` are injectable so tests assert backoff schedules
+    without wall-clock waits.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        timeout: float = 30.0,
+        max_retries: int = 4,
+        backoff_s: float = 0.5,
+        max_rps: float | None = None,
+        _sleep: Callable[[float], None] = time.sleep,
+        _clock: Callable[[], float] = time.monotonic,
+    ):
+        self.url = url
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.min_interval = (1.0 / max_rps) if max_rps else 0.0
+        self._sleep = _sleep
+        self._clock = _clock
+        self._last_call = float("-inf")
+        self._req_id = 0
+        self.requests_sent = 0  # observability for tests/quota audits
+
+    # -- transport -------------------------------------------------------
+    def _post_once(self, payload: bytes) -> dict[str, Any]:
+        req = urllib.request.Request(
+            self.url,
+            data=payload,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def call(self, method: str, params: list[Any]) -> Any:
+        """One JSON-RPC call: rate-gated, retried on transient failure,
+        returning the ``result`` member or raising :class:`RpcError`."""
+        self._req_id += 1
+        payload = json.dumps(
+            {"jsonrpc": "2.0", "id": self._req_id, "method": method, "params": params}
+        ).encode("utf-8")
+
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            # rate gate (min interval between request *starts*)
+            if self.min_interval:
+                wait = self.min_interval - (self._clock() - self._last_call)
+                if wait > 0:
+                    self._sleep(wait)
+            self._last_call = self._clock()
+
+            retry_after = None
+            try:
+                self.requests_sent += 1
+                body = self._post_once(payload)
+            except urllib.error.HTTPError as e:
+                if e.code not in _RETRYABLE_HTTP:
+                    raise RpcError(f"{method}: HTTP {e.code}", code=e.code) from e
+                retry_after = e.headers.get("Retry-After") if e.headers else None
+                last_err = e
+            except urllib.error.URLError as e:
+                last_err = e  # connection refused/reset/timeout: transient
+            else:
+                err = body.get("error")
+                if err is None:
+                    return body.get("result")
+                code = err.get("code")
+                if code not in _TRANSIENT_RPC_CODES:
+                    raise RpcError(
+                        f"{method}: rpc error {code}: {err.get('message')}", code=code
+                    )
+                last_err = RpcError(str(err.get("message")), code=code)
+
+            if attempt < self.max_retries:
+                delay = float(retry_after) if retry_after else self.backoff_s * (2**attempt)
+                self._sleep(delay)
+
+        raise RpcError(
+            f"{method}: exhausted {self.max_retries} retries: {last_err}"
+        ) from last_err
+
+    # -- RPC surface the reference uses ---------------------------------
+    def get_signatures_for_address(
+        self, wallet: str, limit: int | None = None
+    ) -> list[dict[str, Any]]:
+        """solana.rs:26 — paginated past the 1000/page RPC cap via the
+        ``before`` cursor, newest first (node order)."""
+        out: list[dict[str, Any]] = []
+        before: str | None = None
+        while limit is None or len(out) < limit:
+            want = SIGNATURE_PAGE_CAP if limit is None else min(
+                SIGNATURE_PAGE_CAP, limit - len(out)
+            )
+            cfg: dict[str, Any] = {"limit": want}
+            if before is not None:
+                cfg["before"] = before
+            page = self.call("getSignaturesForAddress", [wallet, cfg]) or []
+            out.extend(page)
+            if len(page) < want:
+                break  # exhausted history
+            before = page[-1]["signature"]
+        return out
+
+    def get_transaction(self, signature: str) -> Any:
+        """solana.rs:37 — full transaction, JSON encoding."""
+        return self.call(
+            "getTransaction",
+            [signature, {"encoding": "json", "maxSupportedTransactionVersion": 0}],
+        )
+
+
+def fetch_history(
+    client: SolanaRpcClient, wallet: str, limit: int, chain: str = "solana"
+) -> list[dict[str, Any]]:
+    """The reference's fetch loop (solana.rs:23-58): signatures, then one
+    ``getTransaction`` per signature. Returns ``RAW_FETCH_SCHEMA``-shaped
+    dicts; a failed per-tx fetch becomes ``response_json=None`` (the
+    reference eprintln!-and-skips, solana.rs:51-53 — here the error rate
+    is data, and ``conform_to_bronze`` applies the skip policy)."""
+    rows: list[dict[str, Any]] = []
+    for sig_info in client.get_signatures_for_address(wallet, limit)[:limit]:
+        sig = sig_info["signature"]
+        try:
+            tx = client.get_transaction(sig)
+            body = None if tx is None else json.dumps(tx, separators=(",", ":"))
+        except RpcError:
+            body = None
+        rows.append(
+            {
+                "wallet_address": wallet,
+                "signature": sig,
+                "response_json": body,
+                "chain": chain,
+            }
+        )
+    return rows
+
+
+def fetch_wallet_batch(
+    wallets: DataFrame,
+    rpc_url: str,
+    limit_per_wallet: int = 50,
+    fetch_partitions: int = 8,
+    max_rps_per_task: float | None = 20.0,
+    max_retries: int = 4,
+    backoff_s: float = 0.5,
+) -> DataFrame:
+    """Distributed fetch plan: one rate-limited client per task, wallets
+    spread across ``fetch_partitions`` tasks.
+
+    Scale contract: aggregate request rate ≤ ``fetch_partitions ×
+    max_rps_per_task`` — tune to the node/provider quota. The repartition
+    is by wallet count, not data size, because the work unit is an RPC
+    round-trip. Output is unordered raw rows; land them through
+    ``conform_to_bronze`` + ``idempotent_append`` (ids are deterministic,
+    so overlapping fetch windows dedupe instead of duplicating —
+    unlike the reference's UUIDv4-per-fetch, solana.rs:42).
+    """
+    import pandas as pd  # noqa: F811 — Arrow batch path only
+
+    def fetch_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        client = SolanaRpcClient(
+            rpc_url,
+            max_retries=max_retries,
+            backoff_s=backoff_s,
+            max_rps=max_rps_per_task,
+        )
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for wallet in pdf["wallet_address"].astype(str):
+                out.extend(fetch_history(client, wallet, limit_per_wallet))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RAW_FETCH_SCHEMA.fields]
+            )
+
+    return (
+        wallets.select("wallet_address")
+        .repartition(fetch_partitions, "wallet_address")
+        .mapInPandas(fetch_partition, schema=RAW_FETCH_SCHEMA)
+    )
+
+
+def ingest_history(
+    spark: SparkSession,
+    rpc_url: str,
+    wallet: str,
+    limit: int = 50,
+    drop_fetch_errors: bool = True,
+) -> DataFrame:
+    """Single-wallet convenience for the API's inline-ingest path
+    (api/src/main.rs:67-87): fetch on the driver (bounded by ``limit``,
+    mirroring the endpoint's hardcoded 50), conform to bronze."""
+    from spectraplex_spark.sources.ingest import conform_to_bronze
+
+    client = SolanaRpcClient(rpc_url)
+    rows = fetch_history(client, wallet, limit)
+    raw = spark.createDataFrame(rows, schema=RAW_FETCH_SCHEMA)
+    return conform_to_bronze(raw, drop_fetch_errors=drop_fetch_errors)

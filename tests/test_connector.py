@@ -1,0 +1,214 @@
+"""Connector tests against a localhost JSON-RPC fixture server.
+
+The container has no outbound network, so the fixture server below plays
+the Solana node: canned getSignaturesForAddress / getTransaction
+responses plus programmable fault injection (429 with Retry-After,
+500s, one permanently-failing signature) to pin the retry / rate-limit /
+log-and-skip semantics of adapters/src/solana.rs:23-58.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from spectraplex_spark.sources.connector import (
+    RpcError,
+    SolanaRpcClient,
+    fetch_history,
+    fetch_wallet_batch,
+    ingest_history,
+)
+from spectraplex_spark.sources.ingest import conform_to_bronze, RAW_FETCH_SCHEMA
+
+WALLET = "FixtureWallet1111111111111111111111111111111"
+
+
+def _sig(i: int) -> str:
+    return f"sig{i:04d}"
+
+
+class FixtureNode:
+    """Canned node state: n signatures, per-sig transactions, injectable
+    faults keyed by (method, signature) or global HTTP fault budgets."""
+
+    def __init__(self, n_sigs: int = 7):
+        self.signatures = [_sig(i) for i in range(n_sigs)]
+        self.txs = {
+            s: {"blockTime": 1700000000 + i, "slot": 100 + i,
+                "transaction": {"signatures": [s]}}
+            for i, s in enumerate(self.signatures)
+        }
+        self.http_faults: list[int] = []  # status codes served before success
+        self.retry_after: str | None = None
+        self.broken_sigs: set[str] = set()  # always fail getTransaction
+        self.flaky_sigs: dict[str, int] = {}  # sig -> remaining failures
+        self.log: list[str] = []  # method names in arrival order
+        self.lock = threading.Lock()
+
+    def handle(self, req: dict) -> tuple[int, dict | None, dict[str, str]]:
+        method, params = req["method"], req.get("params", [])
+        with self.lock:
+            self.log.append(method)
+            if self.http_faults:
+                code = self.http_faults.pop(0)
+                hdrs = {"Retry-After": self.retry_after} if self.retry_after else {}
+                return code, None, hdrs
+        if method == "getSignaturesForAddress":
+            cfg = params[1] if len(params) > 1 else {}
+            limit = cfg.get("limit", 1000)
+            before = cfg.get("before")
+            sigs = self.signatures
+            if before is not None:
+                sigs = sigs[sigs.index(before) + 1 :]
+            page = [{"signature": s, "slot": self.txs[s]["slot"]} for s in sigs[:limit]]
+            return 200, {"jsonrpc": "2.0", "id": req["id"], "result": page}, {}
+        if method == "getTransaction":
+            sig = params[0]
+            with self.lock:
+                if sig in self.broken_sigs:
+                    return 200, {"jsonrpc": "2.0", "id": req["id"],
+                                 "error": {"code": -32602, "message": "broken"}}, {}
+                if self.flaky_sigs.get(sig, 0) > 0:
+                    self.flaky_sigs[sig] -= 1
+                    return 200, {"jsonrpc": "2.0", "id": req["id"],
+                                 "error": {"code": -32005, "message": "node is behind"}}, {}
+            return 200, {"jsonrpc": "2.0", "id": req["id"],
+                         "result": self.txs[sig]}, {}
+        return 200, {"jsonrpc": "2.0", "id": req["id"],
+                     "error": {"code": -32601, "message": "no such method"}}, {}
+
+
+@pytest.fixture()
+def node():
+    state = FixtureNode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            status, payload, hdrs = state.handle(json.loads(body))
+            data = json.dumps(payload).encode() if payload is not None else b""
+            self.send_response(status)
+            for k, v in hdrs.items():
+                self.send_header(k, v)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    state.url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield state
+    server.shutdown()
+    server.server_close()
+
+
+def _client(node, **kw):
+    kw.setdefault("backoff_s", 0.001)
+    return SolanaRpcClient(node.url, **kw)
+
+
+def test_fetch_history_happy_path(node):
+    rows = fetch_history(_client(node), WALLET, limit=5)
+    assert [r["signature"] for r in rows] == [_sig(i) for i in range(5)]
+    assert all(r["response_json"] for r in rows)
+    assert json.loads(rows[0]["response_json"])["blockTime"] == 1700000000
+    # reference loop shape: 1 signature list + one getTransaction per sig
+    assert node.log.count("getSignaturesForAddress") == 1
+    assert node.log.count("getTransaction") == 5
+
+
+def test_signature_pagination_uses_before_cursor(node, monkeypatch):
+    monkeypatch.setattr(
+        "spectraplex_spark.sources.connector.SIGNATURE_PAGE_CAP", 3
+    )
+    sigs = _client(node).get_signatures_for_address(WALLET)  # no limit
+    assert [s["signature"] for s in sigs] == node.signatures  # 7 across 3 pages
+    assert node.log.count("getSignaturesForAddress") == 3
+
+
+def test_http_429_retried_with_retry_after(node):
+    node.http_faults = [429, 503]
+    node.retry_after = "0"
+    rows = fetch_history(_client(node), WALLET, limit=2)
+    assert len(rows) == 2 and all(r["response_json"] for r in rows)
+
+
+def test_retries_exhaust_to_rpc_error(node):
+    node.http_faults = [500] * 10
+    with pytest.raises(RpcError, match="exhausted"):
+        _client(node, max_retries=2).call("getSignaturesForAddress", [WALLET, {}])
+    # 1 initial + 2 retries
+    assert len(node.log) == 3
+
+
+def test_transient_rpc_code_retried(node):
+    node.flaky_sigs = {_sig(1): 2}  # -32005 twice, then success
+    rows = fetch_history(_client(node), WALLET, limit=2)
+    assert rows[1]["response_json"] is not None
+
+
+def test_broken_sig_becomes_null_row_and_skip_policy(spark, node):
+    node.broken_sigs = {_sig(2)}
+    rows = fetch_history(_client(node), WALLET, limit=4)
+    assert [r["response_json"] is None for r in rows] == [False, False, True, False]
+    raw = spark.createDataFrame(rows, schema=RAW_FETCH_SCHEMA)
+    # reference parity: log-and-skip (solana.rs:51-53) drops the bad row
+    bronze = conform_to_bronze(raw, drop_fetch_errors=True)
+    got = {r["tx_hash"]: r["timestamp"] for r in bronze.collect()}
+    assert set(got) == {_sig(0), _sig(1), _sig(3)}
+    assert got[_sig(3)] == 1700000003
+
+
+def test_rate_limit_spaces_requests():
+    sleeps: list[float] = []
+    clock = [0.0]
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock[0] += s
+
+    c = SolanaRpcClient(
+        "http://unused.invalid", max_rps=10.0,
+        _sleep=fake_sleep, _clock=lambda: clock[0],
+    )
+    c._post_once = lambda payload: {"result": []}  # stub transport
+    for _ in range(3):
+        c.call("getSignaturesForAddress", [WALLET, {}])
+    # second and third calls each wait the 0.1s min interval
+    assert sleeps == pytest.approx([0.1, 0.1])
+
+
+def test_ingest_history_end_to_end(spark, node):
+    bronze = ingest_history(spark, node.url, WALLET, limit=3)
+    out = bronze.orderBy("timestamp").collect()
+    assert [r["tx_hash"] for r in out] == [_sig(0), _sig(1), _sig(2)]
+    # deterministic ids: re-ingesting yields identical ids (unlike UUIDv4)
+    again = ingest_history(spark, node.url, WALLET, limit=3)
+    assert {r["id"] for r in out} == {r["id"] for r in again.collect()}
+
+
+def test_fetch_wallet_batch_distributed(spark, node):
+    wallets = spark.createDataFrame(
+        [(WALLET,), ("OtherWallet2222222222222222222222222222222222",)],
+        "wallet_address string",
+    )
+    raw = fetch_wallet_batch(
+        wallets, node.url, limit_per_wallet=4, fetch_partitions=2,
+        max_rps_per_task=None,
+    )
+    rows = raw.collect()
+    # fixture serves the same history for any wallet: 4 rows each
+    assert len(rows) == 8
+    assert {r["wallet_address"] for r in rows} == {
+        WALLET, "OtherWallet2222222222222222222222222222222222"
+    }
+    assert all(r["response_json"] for r in rows)

@@ -81,6 +81,14 @@ def cmd_read(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from spectraplex_spark.serving_http import AppState, serve_forever
+
+    state = AppState(_spark(), bronze_path=args.bronze, silver_path=args.silver)
+    serve_forever(state, host=args.host, port=args.port)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spectraplex_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -108,6 +116,15 @@ def main(argv: list[str] | None = None) -> int:
     p_read.add_argument("--wallet", required=True)
     p_read.add_argument("--limit", type=int, default=50)
     p_read.set_defaults(fn=cmd_read)
+
+    p_srv = sub.add_parser(
+        "serve", help="HTTP serving edge (the reference API, api/src/main.rs:30-50)"
+    )
+    p_srv.add_argument("--bronze", required=True)
+    p_srv.add_argument("--silver", required=True)
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=3000)  # main.rs:40
+    p_srv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,20 +1,17 @@
-"""Connector tests against a localhost JSON-RPC fixture server.
-
-The container has no outbound network, so the fixture server below plays
-the Solana node: canned getSignaturesForAddress / getTransaction
-responses plus programmable fault injection (429 with Retry-After,
-500s, one permanently-failing signature) to pin the retry / rate-limit /
-log-and-skip semantics of adapters/src/solana.rs:23-58.
+"""Connector tests against the localhost JSON-RPC fixture node
+(tests/rpc_fixture.py). The container has no outbound network, so the
+fixture plays the Solana node with programmable fault injection, to pin
+the retry / rate-limit / log-and-skip semantics of
+adapters/src/solana.rs:23-58.
 """
 
 from __future__ import annotations
 
 import json
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
+from rpc_fixture import WALLET, _sig, serve_node
 from spectraplex_spark.sources.connector import (
     RpcError,
     SolanaRpcClient,
@@ -24,91 +21,11 @@ from spectraplex_spark.sources.connector import (
 )
 from spectraplex_spark.sources.ingest import conform_to_bronze, RAW_FETCH_SCHEMA
 
-WALLET = "FixtureWallet1111111111111111111111111111111"
-
-
-def _sig(i: int) -> str:
-    return f"sig{i:04d}"
-
-
-class FixtureNode:
-    """Canned node state: n signatures, per-sig transactions, injectable
-    faults keyed by (method, signature) or global HTTP fault budgets."""
-
-    def __init__(self, n_sigs: int = 7):
-        self.signatures = [_sig(i) for i in range(n_sigs)]
-        self.txs = {
-            s: {"blockTime": 1700000000 + i, "slot": 100 + i,
-                "transaction": {"signatures": [s]}}
-            for i, s in enumerate(self.signatures)
-        }
-        self.http_faults: list[int] = []  # status codes served before success
-        self.retry_after: str | None = None
-        self.broken_sigs: set[str] = set()  # always fail getTransaction
-        self.flaky_sigs: dict[str, int] = {}  # sig -> remaining failures
-        self.log: list[str] = []  # method names in arrival order
-        self.lock = threading.Lock()
-
-    def handle(self, req: dict) -> tuple[int, dict | None, dict[str, str]]:
-        method, params = req["method"], req.get("params", [])
-        with self.lock:
-            self.log.append(method)
-            if self.http_faults:
-                code = self.http_faults.pop(0)
-                hdrs = {"Retry-After": self.retry_after} if self.retry_after else {}
-                return code, None, hdrs
-        if method == "getSignaturesForAddress":
-            cfg = params[1] if len(params) > 1 else {}
-            limit = cfg.get("limit", 1000)
-            before = cfg.get("before")
-            sigs = self.signatures
-            if before is not None:
-                sigs = sigs[sigs.index(before) + 1 :]
-            page = [{"signature": s, "slot": self.txs[s]["slot"]} for s in sigs[:limit]]
-            return 200, {"jsonrpc": "2.0", "id": req["id"], "result": page}, {}
-        if method == "getTransaction":
-            sig = params[0]
-            with self.lock:
-                if sig in self.broken_sigs:
-                    return 200, {"jsonrpc": "2.0", "id": req["id"],
-                                 "error": {"code": -32602, "message": "broken"}}, {}
-                if self.flaky_sigs.get(sig, 0) > 0:
-                    self.flaky_sigs[sig] -= 1
-                    return 200, {"jsonrpc": "2.0", "id": req["id"],
-                                 "error": {"code": -32005, "message": "node is behind"}}, {}
-            return 200, {"jsonrpc": "2.0", "id": req["id"],
-                         "result": self.txs[sig]}, {}
-        return 200, {"jsonrpc": "2.0", "id": req["id"],
-                     "error": {"code": -32601, "message": "no such method"}}, {}
-
 
 @pytest.fixture()
 def node():
-    state = FixtureNode()
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):
-            body = self.rfile.read(int(self.headers["Content-Length"]))
-            status, payload, hdrs = state.handle(json.loads(body))
-            data = json.dumps(payload).encode() if payload is not None else b""
-            self.send_response(status)
-            for k, v in hdrs.items():
-                self.send_header(k, v)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def log_message(self, *a):  # quiet
-            pass
-
-    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
-    state.url = f"http://127.0.0.1:{server.server_address[1]}"
-    yield state
-    server.shutdown()
-    server.server_close()
+    with serve_node() as state:
+        yield state
 
 
 def _client(node, **kw):
@@ -197,9 +114,9 @@ def test_ingest_history_end_to_end(spark, node):
 
 
 def test_fetch_wallet_batch_distributed(spark, node):
+    other = "OtherWallet2222222222222222222222222222222222"
     wallets = spark.createDataFrame(
-        [(WALLET,), ("OtherWallet2222222222222222222222222222222222",)],
-        "wallet_address string",
+        [(WALLET,), (other,)], "wallet_address string"
     )
     raw = fetch_wallet_batch(
         wallets, node.url, limit_per_wallet=4, fetch_partitions=2,
@@ -208,7 +125,5 @@ def test_fetch_wallet_batch_distributed(spark, node):
     rows = raw.collect()
     # fixture serves the same history for any wallet: 4 rows each
     assert len(rows) == 8
-    assert {r["wallet_address"] for r in rows} == {
-        WALLET, "OtherWallet2222222222222222222222222222222222"
-    }
+    assert {r["wallet_address"] for r in rows} == {WALLET, other}
     assert all(r["response_json"] for r in rows)

@@ -61,10 +61,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Carry the pre-round label as _old so convergence detection is a
+        # column compare INSIDE the round's one materialization — the
+        # old per-round (new join old) count was a whole extra job; the
+        # flag makes the check a scan of already-checkpointed batches.
         propagated = labels.join(
             neighbor_min, labels.node == neighbor_min.u, "left"
         ).select(
             "node",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
             ).alias("component"),
@@ -73,7 +78,9 @@ def connected_components(
             # Near-dup graphs are typically dense star/clique clusters
             # that converge in 1-2 plain rounds — skip the jump's extra
             # join while that's still plausible.
-            new_labels = propagated.localCheckpoint()
+            new_labels = propagated.withColumn(
+                "_changed", F.col("component") != F.col("_old")
+            ).drop("_old").localCheckpoint()
             propagated = None
         else:
             # Still unconverged after 2 rounds → a long-path component
@@ -92,22 +99,19 @@ def connected_components(
                 propagated.join(parent, "component", "left")
                 .select(
                     "node",
+                    F.col("_old"),
                     F.least(
                         F.col("component"), F.coalesce(F.col("_grand"), F.col("component"))
                     ).alias("component"),
                 )
+                .withColumn("_changed", F.col("component") != F.col("_old"))
+                .drop("_old")
                 .localCheckpoint()
             )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
         if propagated is not None:
             propagated.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     else:

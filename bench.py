@@ -54,7 +54,26 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
         extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
     )
-    bench_queries = [q for q in CATALOG.values() if q.bench]
+    # Pinned execution order matching BASELINE.md so round-over-round
+    # numbers are comparable regardless of catalog registration order
+    # (r3's graded-window reordering put normalize_throughput first and
+    # it absorbed session warmup).
+    BENCH_ORDER = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "join_broadcast_brand_revenue",
+        "dedup_exact_docs",
+        "simsearch_cosine_topk",
+        "minhash_neardup_pairs",
+        "normalize_throughput",
+        "corpus_prep_pipeline",
+    ]
+    flagged = [q.name for q in CATALOG.values() if q.bench]
+    assert set(flagged) == set(BENCH_ORDER), (
+        f"bench set drifted from pinned order: {sorted(set(flagged) ^ set(BENCH_ORDER))}"
+    )
+    bench_queries = [CATALOG[n] for n in BENCH_ORDER]
     # JVM/codegen warmup on the tiny SF so measured times are steady-state
     for q in bench_queries:
         q.builder(spark, WARMUP_DIR).write.format("noop").mode("overwrite").save()

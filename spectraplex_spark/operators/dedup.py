@@ -132,6 +132,7 @@ def minhash_neardup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     max_band_bucket: int = 256,
+    verify_on_text: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact shingle Jaccard ≥
     threshold, found via LSH banding (no all-pairs compare).
@@ -203,12 +204,22 @@ def minhash_neardup_pairs(
         (F.col("_bsz") > max_band_bucket) & (F.col("_id") != F.col("_head"))
     ).select(F.col("_head").alias("id_a"), F.col("_id").alias("id_b"))
     cands = pairs_quadratic.unionByName(pairs_star).dropDuplicates(["id_a", "id_b"])
-    # Jaccard over hashed shingles == string Jaccard up to negligible
-    # 31-bit collisions, at a fraction of the compare cost.
+    # Default verify: Jaccard over hashed shingles == string Jaccard up
+    # to negligible 31-bit collisions, at a fraction of the compare cost.
+    # verify_on_text instead joins back STRING shingle sets for the
+    # (small) candidate set — collision-free and reproducible in ANSI
+    # SQL, which is what makes the planted-pair catalog query
+    # oracle-gradable; banding still runs on the hashed fast path.
+    if verify_on_text:
+        verify = df.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_h")
+        )
+    else:
+        verify = hashed
     jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
     return (
-        cands.join(hashed.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a")), "id_a")
-        .join(hashed.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b")), "id_b")
+        cands.join(verify.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a")), "id_a")
+        .join(verify.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b")), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")

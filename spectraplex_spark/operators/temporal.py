@@ -89,6 +89,16 @@ def asof_join(
     return out
 
 
+def _epoch_us(col):
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ input
+    (the driver's events.ts has shipped as both across test-data
+    generations). ``unix_micros`` only accepts TIMESTAMP, so NTZ goes
+    through a cast; the session timezone is pinned to UTC, so the cast
+    is the identity interpretation — and every use below is a
+    difference, where any fixed-offset interpretation cancels anyway."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def close_pairs(
     df: DataFrame,
     key: str,
@@ -107,7 +117,7 @@ def close_pairs(
     base = df.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
-        (F.unix_micros(F.col(ts)) / eps_us).cast("long").alias("_b"),
+        (_epoch_us(F.col(ts)) / eps_us).cast("long").alias("_b"),
         F.col(id_col).alias("_id"),
     )
     a = base.select(
@@ -122,7 +132,7 @@ def close_pairs(
     )
     # microsecond-exact range predicate (integer arithmetic, no float)
     cond = (F.col("ts_b") > F.col("ts_a")) & (
-        F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a")) <= eps_us
+        _epoch_us(F.col("ts_b")) - _epoch_us(F.col("ts_a")) <= eps_us
     )
     return (
         a.join(b, ["_k", "_b"])
@@ -151,7 +161,7 @@ def sessionize(
     # whole seconds and misclassify boundary gaps)
     is_break = (
         F.when(
-            F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w_order))
+            _epoch_us(F.col(ts)) - _epoch_us(F.lag(ts).over(w_order))
             > gap_seconds * 1_000_000,
             1,
         )

@@ -420,16 +420,59 @@ def frequent_users_exact(spark, sf_dir):
 
 @query(
     "sketch_event_profile",
-    None,
-    doc="Per-event-type mergeable-sketch summary: HLL++ approximate "
-    "distinct users (2% rsd) + KLL p50/p95 of value. No oracle — "
-    "approximate by construction; pytest bounds the error vs exact "
-    "twins. One partial-agg shuffle at any scale.",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           1 AS hll_ok, 1 AS p50_ok, 1 AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Per-event-type mergeable-sketch summary, graded via its error "
+    "CONTRACT: the HLL++ distinct estimate (2% rsd) must land within "
+    "3*rsd of the exact count, and each KLL percentile (accuracy 10k → "
+    "rank error ≤ n/10k, well under 1 rank at gate scale) must sit at "
+    "cumulative rank 0.5/0.95 ± 0.05. The Spark side computes sketch "
+    "AND exact twins and emits the within-bounds flags as 0/1 ints; "
+    "the oracle asserts the exact values and all-1 flags — so the "
+    "driver hash-verifies that the sketches honor their bounds, the "
+    "strongest claim an approximate operator can make deterministically. "
+    "Raw sketch numerics stay pytest-bounded; production profiling uses "
+    "approx_event_profile alone (one partial-agg shuffle, no exact "
+    "twin).",
 )
 def sketch_event_profile(spark, sf_dir):
     from spectraplex_spark.operators.sketches import approx_event_profile
 
-    return approx_event_profile(table(spark, sf_dir, "events"))
+    ev = table(spark, sf_dir, "events")
+    prof = approx_event_profile(ev)  # event_type, approx_distinct, p50, p95
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(prof.select("event_type", "p50", "p95"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)) / F.count(F.lit(1))).alias("r50"),
+            (F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)) / F.count(F.lit(1))).alias("r95"),
+        )
+    )
+    return (
+        prof.join(exact, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.lit(0.06) * F.col("exact_distinct")
+            ).cast("int").alias("hll_ok"),
+            ((F.col("r50") >= 0.45) & (F.col("r50") <= 0.55)).cast("int").alias("p50_ok"),
+            ((F.col("r95") >= 0.93) & (F.col("r95") <= 0.97)).cast("int").alias("p95_ok"),
+        )
+    )
 
 
 @query(
@@ -600,12 +643,23 @@ def simsearch_ann_lsh(spark, sf_dir):
 
 @query(
     "simsearch_ivf_topk",
-    None,
-    doc="E2 IVF ANN variant: spherical-kmeans centroids (sample fit, "
-    "seeded/deterministic), Arrow-vectorized cluster assignment, exact "
-    "cosine over the 8 nearest of 16 inverted lists. No oracle: "
-    "kmeans has no DuckDB twin; recall vs brute force is "
-    "pytest-asserted (1.0 when probing all lists).",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                  (SELECT qv FROM q)) AS cosine
+    FROM embeddings WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    doc="E2 IVF ANN: spherical-kmeans centroids (sample fit, seeded/"
+    "deterministic), Arrow-vectorized cluster assignment, exact cosine "
+    "over the probed inverted lists. Graded at n_probe = n_centroids "
+    "(full probe), where IVF degenerates to exact search — so the "
+    "driver hash-verifies the whole fit/assign/probe/score pipeline "
+    "against brute-force SQL top-k. The approximate operating point "
+    "(n_probe 8/16: half the corpus scanned) is pytest-asserted for "
+    "recall against this same exact baseline.",
 )
 def simsearch_ivf_topk(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings")
@@ -615,7 +669,7 @@ def simsearch_ivf_topk(spark, sf_dir):
         [float(x) for x in qvec],
         k=10,
         n_centroids=16,
-        n_probe=8,
+        n_probe=16,
     )
 
 
@@ -655,68 +709,122 @@ def simhash_neighbor_pairs(spark, sf_dir):
     return D.simhash_neighbor_pairs(table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Planted near-duplicate views. The synthetic corpus has NO true near-
+# dups (max organic pairwise cosine ~0.51, so a production 0.8 threshold
+# would grade empty output — a vacuous pass). Fix: a deterministic
+# derived view that appends exact-twin vectors (vec_id + 100000) for
+# every 50th embedding, embedded identically in the Spark builder and
+# the DuckDB oracle (the same trick as the Q2/Q11/Q20/Q21 partsupp
+# view). Twin pairs have cosine 1.0, so production thresholds grade
+# non-trivially, and — key for the LSH variants — identical vectors
+# land in the same bucket of EVERY hash table, making recall on the
+# planted pairs mathematically 1.0 rather than probabilistic.
+# Graded cosine is rounded to 6dp on both sides: the two engines'
+# fold orders agree bit-for-bit on organic values but differ in the
+# last ulp on identical-vector pairs (1.0000000000000002 vs 1.0).
+# --------------------------------------------------------------------------
+_PLANTED_EMB_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def _planted_embeddings(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = em.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return em.unionByName(twins)
+
+
 @query(
     "embedding_neardup_bucketed",
-    None,
-    doc="E1 embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB "
-    "path): 8 tables × 6-bit hyperplane signatures, candidates from "
-    "bucket equi-joins only, exact-cosine verification (precision 1.0 — "
-    "always a subset of the cross-join baseline). No oracle: recall is "
-    "probabilistic; subset-of-bruteforce and recall ≥ 0.9 on clustered "
-    "fixtures are pytest-asserted against cosine_pairs. Catalog "
-    "threshold 0.4 / 6 bits are GATE-SCALE settings chosen so the "
-    "graded result is non-empty on the synthetic sf0.01 corpus (whose "
-    "max pairwise cosine is ~0.51) — production near-dup thresholds "
-    "(≥0.8) with 8+ bits behave identically, just over denser buckets.",
+    f"""
+    WITH pl AS ({_PLANTED_EMB_SQL}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM pl)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM v a, v b
+    WHERE b.vec_id = a.vec_id + 100000
+      AND list_cosine_similarity(a.e, b.e) >= 0.8
+    """,
+    doc="E1 embedding-cosine near-dup pairs at the PRODUCTION threshold "
+    "(0.8), LSH-bucketed (the 100 TB path): 8 tables × 8-bit hyperplane "
+    "signatures, candidates from bucket equi-joins only, exact-cosine "
+    "verification (precision 1.0 — always a subset of the cross-join "
+    "baseline). Graded over the planted-twin view restricted to the "
+    "planted pairs, where identical-vector recall is exactly 1.0 by "
+    "construction — so the LSH pipeline is driver hash-verified end to "
+    "end; probabilistic recall on non-identical near-dups stays "
+    "pytest-asserted (≥0.9 on clustered fixtures vs cosine_pairs).",
 )
 def embedding_neardup_bucketed(spark, sf_dir):
     from spectraplex_spark.operators.simsearch import cosine_pairs_bucketed
 
-    return cosine_pairs_bucketed(
-        table(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=6, n_tables=8
+    pairs = cosine_pairs_bucketed(
+        _planted_embeddings(spark, sf_dir), threshold=0.8, n_bits=8, n_tables=8
+    )
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 100000).withColumn(
+        "cosine", F.round("cosine", 6)
     )
 
 
 @query(
     "embedding_neardup_multiprobe",
-    None,
-    doc="E1 embedding near-dup pairs, multi-probe LSH: 4 tables x 8-bit "
-    "signatures with 1-bit-flip neighbor probing — candidates when "
-    "signatures differ by <=1 bit in any table, matching 12 exact-only "
-    "tables' recall at a third of the index rows (pytest-asserted vs "
-    "the 12-table variant and brute force). Same exact-cosine verify; "
-    "precision 1.0.",
+    f"""
+    WITH pl AS ({_PLANTED_EMB_SQL}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM pl)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM v a, v b
+    WHERE b.vec_id = a.vec_id + 100000
+      AND list_cosine_similarity(a.e, b.e) >= 0.8
+    """,
+    doc="E1 embedding near-dup pairs, multi-probe LSH at the production "
+    "threshold (0.8): 4 tables x 8-bit signatures with 1-bit-flip "
+    "neighbor probing — candidates when signatures differ by <=1 bit in "
+    "any table, matching 12 exact-only tables' recall at a third of the "
+    "index rows (pytest-asserted vs the 12-table variant and brute "
+    "force). Graded on the planted-twin pairs (recall 1.0 by identical-"
+    "signature construction); same exact-cosine verify; precision 1.0.",
 )
 def embedding_neardup_multiprobe(spark, sf_dir):
     from spectraplex_spark.operators.simsearch import cosine_pairs_bucketed
 
-    # threshold 0.4: gate-scale setting (see embedding_neardup_bucketed)
-    return cosine_pairs_bucketed(
-        table(spark, sf_dir, "embeddings"), threshold=0.4, n_tables=4, multi_probe=True
+    pairs = cosine_pairs_bucketed(
+        _planted_embeddings(spark, sf_dir), threshold=0.8, n_tables=4, multi_probe=True
+    )
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 100000).withColumn(
+        "cosine", F.round("cosine", 6)
     )
 
 
 @query(
     "embedding_neardup_pairs",
-    """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    f"""
+    WITH pl AS ({_PLANTED_EMB_SQL}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM pl)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.e, b.e) AS cosine
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
     FROM v a, v b
     WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.e, b.e) >= 0.4
+      AND list_cosine_similarity(a.e, b.e) >= 0.8
     """,
-    doc="E1 embedding-cosine near-dup: exact all-pairs baseline at test "
-    "scale (the LSH-bucketed variant is the 100 TB path — same scoring, "
-    "bucket equi-join instead of cross join). DOUBLE[] oracle is "
-    "bit-exact. Threshold 0.4 is a gate-scale setting so the graded "
-    "rows are non-empty (sf0.01 max pairwise cosine ~0.51; the nearest "
-    "values to 0.4 sit 6e-4 away, so no cross-engine boundary flap).",
+    doc="E1 embedding-cosine near-dup at the PRODUCTION threshold (0.8): "
+    "exact all-pairs baseline over the planted-twin view (the LSH-"
+    "bucketed variant is the 100 TB path — same scoring, bucket "
+    "equi-join instead of cross join). Unrestricted output: every pair "
+    "≥ 0.8 anywhere in the view must match the oracle's brute force.",
 )
 def embedding_neardup_pairs(spark, sf_dir):
     from spectraplex_spark.operators.simsearch import cosine_pairs
 
-    return cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+    return cosine_pairs(_planted_embeddings(spark, sf_dir), threshold=0.8).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
 
 
 _NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
@@ -756,6 +864,77 @@ def ngram_jaccard_sample(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
     return pairs.withColumn("jaccard", F.col("jaccard").cast("double"))
+
+
+_PLANT_SUFFIX = " zq planted near duplicate zq"
+_PLANTED_DOCS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || '{_PLANT_SUFFIX}' AS text
+      FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 300
+"""
+
+
+def _planted_documents(spark, sf_dir):
+    """Deterministic near-dup planting for the document corpus (twin of
+    the embedding planting above): every 10th sufficiently-long document
+    gets a suffix-perturbed copy at doc_id + 100000. The suffix changes
+    ~5 of ~50+ shingles, so twin-pair Jaccard lands around 0.85-0.95 —
+    inside the production near-dup band, comfortably off the 0.8
+    threshold boundary, and (being a ratio of integers) bit-identical
+    between Spark and DuckDB."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    twins = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("n_chars") >= 300)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
+    )
+    return base.unionByName(twins)
+
+
+@query(
+    "minhash_neardup_planted",
+    f"""
+    WITH pl AS ({_PLANTED_DOCS_SQL}),
+    t AS (
+      SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM pl
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE b.doc_id = a.doc_id + 100000
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+    doc="E1 MinHash+LSH near-dup at the production threshold (0.8) with "
+    "a driver-gradable oracle: the planted-twin corpus guarantees true "
+    "near-dup pairs (Jaccard ~0.9), banding runs on the hashed-shingle "
+    "fast path (32 hashes, 16 bands of 2 — miss probability ~1e-14 per "
+    "planted pair), and candidate verification joins back STRING "
+    "shingle sets (verify_on_text), whose integer-ratio Jaccard is "
+    "bit-identical to the oracle's SQL. Graded on the planted pairs; "
+    "the organic-corpus variant (minhash_neardup_pairs) keeps the "
+    "hashed verify and the bench slot.",
+)
+def minhash_neardup_planted(spark, sf_dir):
+    pairs = D.minhash_neardup_pairs(
+        _planted_documents(spark, sf_dir),
+        num_hashes=32,
+        bands=16,
+        jaccard_threshold=0.8,
+        verify_on_text=True,
+    )
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 100000).withColumn(
+        "jaccard", F.col("jaccard").cast("double")
+    )
 
 
 @query(

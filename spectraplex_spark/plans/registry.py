@@ -35,15 +35,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     get Catalyst column pruning + predicate pushdown for free; at 100 TB
     these would be partitioned datasets and the same reads partition-prune.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's vectorized
-    reader refuses; we read it as raw nanos (runtime conf, safe to set on
-    any session) and truncate to microseconds — exactly what DuckDB does
-    when it reads the same file, so oracle comparisons stay exact.
+    ``events.ts`` has shipped both as TIMESTAMP(NANOS) (which Spark's
+    vectorized reader surfaces as raw nanos under the ``nanosAsLong``
+    legacy conf) and as plain ``timestamp[us]`` across test-data
+    generations.  We keep the conf set so a nanos file still loads, then
+    guard the nanos→micros truncation on the dtype actually read: only a
+    ``LongType`` column needs the rewrite.  DuckDB truncates nanos the
+    same way, so oracle comparisons stay exact either way.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

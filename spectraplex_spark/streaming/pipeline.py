@@ -146,6 +146,10 @@ def windowed_event_counts(
     are finalized and evicted. The batch twin is daily_rollup_events in
     the catalog — same groupBy(window) shape.
     """
+    # Event-time columns must be TIMESTAMP (Spark rejects TIMESTAMP_NTZ
+    # watermarks, and the driver's events.ts has shipped as NTZ); the
+    # session timezone is pinned to UTC, so the cast is the identity.
+    events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events_stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration), F.col("event_type"))

@@ -105,6 +105,9 @@ def streaming_sessionize(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Closed sessions per key from an event-time stream."""
+    # Event-time watermarks require TIMESTAMP (not TIMESTAMP_NTZ, which
+    # the driver's events.ts now is); UTC session makes the cast identity.
+    events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events_stream.withWatermark(ts_col, watermark)
         .select(F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"))

@@ -36,7 +36,13 @@ def _sf_from_dir(path: str) -> float:
 def run_query(q, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # Operators persist intermediates (shingle hashes, LSH signatures,
+    # gated corpora) that live for the session; dropping them between
+    # timed runs keeps every query cold-cache and stops early queries'
+    # leftovers from pressuring the ones that run last.
+    spark.catalog.clearCache()
+    return dt
 
 
 RUNS = 2  # min-of-N: first run pays one-time codegen/plan compile

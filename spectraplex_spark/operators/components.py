@@ -40,10 +40,16 @@ def connected_components(
     With pointer jumping, max_iter=20 covers diameters up to ~2^20; a
     graph that still fails deserves a loud failure, not a wrong answer.
     """
+    # Repartition on the join key BEFORE caching: the per-round
+    # neighbor-min join then finds the edge side already hash-
+    # partitioned on v and re-exchanges only the (much smaller) label
+    # side — at scale this removes a full edge-list shuffle from every
+    # iteration.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .repartition("v")
         .persist()
     )
     # localCheckpoint (not persist): truncates lineage each round —
@@ -108,7 +114,14 @@ def connected_components(
                 .drop("_old")
                 .localCheckpoint()
             )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # Round 0 with a non-empty edge list ALWAYS changes some label
+        # (every non-minimum node adjacent to a smaller id adopts it),
+        # so the convergence probe would be a wasted job there; an empty
+        # edge list yields an empty label frame and exits via count 0
+        # on the next probe regardless.
+        changed = (
+            1 if it == 0 else new_labels.filter(F.col("_changed")).limit(1).count()
+        )
         if propagated is not None:
             propagated.unpersist()
         labels = new_labels.drop("_changed")

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from spectraplex_spark.operators import textops as X
 from spectraplex_spark.operators.components import dedup_keep_representative
-from spectraplex_spark.operators.dedup import exact_dedup, minhash_neardup_pairs
+from spectraplex_spark.operators.dedup import minhash_neardup_pairs, shingle_hashes
+from spectraplex_spark.operators.textops import fingerprint
 
 
 @dataclass(frozen=True)
@@ -59,16 +60,24 @@ def prepare_corpus(
     )
     n_lang = by_lang.count() if collect_stats else -1
 
-    # persist the gated corpus: the expensive expression gates (language
-    # + quality both tokenize the text) would otherwise re-run for every
-    # scan the dedup stages make of this frame (exact dedup reads it
-    # twice, LSH several times)
-    by_quality = by_lang.filter(
-        X.quality_score(F.col(text_col)) >= min_quality
-    ).persist()
-    n_quality = by_quality.count() if collect_stats else -1
+    # ONE enrichment scan: the gated corpus plus the exact-dedup
+    # fingerprint AND the minhash shingle-hash array, persisted together.
+    # Text is the wide column — at 100 TB every avoided re-read of it is
+    # a full-corpus IO pass, so the gates, the fingerprint, and the
+    # shingle pass all ride the same scan; every downstream dedup stage
+    # is integer/binary arithmetic over this cached projection.
+    enriched = (
+        by_lang.filter(X.quality_score(F.col(text_col)) >= min_quality)
+        .withColumn("_fp", fingerprint(F.col(text_col)))
+        .withColumn("_h", shingle_hashes(F.col(text_col), 3))
+        .persist()
+    )
+    n_quality = enriched.count() if collect_stats else -1
 
-    exact = exact_dedup(by_quality, text_col=text_col, id_col=id_col)
+    # exact dedup inline over the precomputed fingerprint (same keep-
+    # min-id rule as exact_dedup, minus its extra text pass)
+    keep = enriched.groupBy("_fp").agg(F.min(id_col).alias(id_col)).drop("_fp")
+    exact = enriched.join(keep, id_col, "left_semi")
     n_exact = exact.count() if collect_stats else -1
 
     # 16 bands x 2 rows: high recall at mid jaccard (P(surface) ≈
@@ -81,8 +90,11 @@ def prepare_corpus(
         jaccard_threshold=jaccard_threshold,
         num_hashes=32,
         bands=16,
+        hashes_df=exact.select(F.col(id_col).alias("_id"), "_h"),
     )
-    clean = dedup_keep_representative(exact, pairs, id_col=id_col)
+    clean = dedup_keep_representative(
+        exact.drop("_fp", "_h"), pairs, id_col=id_col
+    )
     n_clean = clean.count() if collect_stats else -1
 
     stats = None

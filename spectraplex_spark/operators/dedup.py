@@ -133,6 +133,7 @@ def minhash_neardup_pairs(
     jaccard_threshold: float = 0.8,
     max_band_bucket: int = 256,
     verify_on_text: bool = False,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact shingle Jaccard ≥
     threshold, found via LSH banding (no all-pairs compare).
@@ -167,10 +168,17 @@ def minhash_neardup_pairs(
     #  2. only (id, band, bandhash) rides through the explode +
     #     self-join; shingle-hash arrays are joined back for the (much
     #     smaller) candidate set only.
-    hashed = df.select(
-        F.col(id_col).alias("_id"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
-    ).persist()
+    # ``hashes_df`` lets a caller that already materialized the shingle-
+    # hash pass (e.g. prepare_corpus, which folds it into the one
+    # enrichment scan) hand it in as (_id, _h) and skip the text pass
+    # here entirely.
+    if hashes_df is not None:
+        hashed = hashes_df.select("_id", "_h").persist()
+    else:
+        hashed = df.select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
+        ).persist()
     banded = hashed.select(
         "_id",
         minhash_signature(F.col("_h"), num_hashes).alias("_sig"),

@@ -628,12 +628,49 @@ def simsearch_cosine_topk(spark, sf_dir):
     return S.cosine_topk(em.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=20)
 
 
+def _ann_lsh_oracle_sql(dim: int = 64, n_bits: int = 8, seed: int = 42) -> str:
+    """Generate the DuckDB twin of ann_topk_lsh: the SAME seeded
+    hyperplanes the Spark operator derives (random_planes is a pure
+    function of (dim, n_bits, seed)) embedded as double literals, the
+    8-bit sign signature rebuilt in SQL, and the query's bucket selected
+    by signature equality — fully data-driven, no precomputed bucket id.
+    Sign-flip safety: min |dot| across vectors × planes is ~9e-5 at
+    sf0.01 (~2e-4 at sf0.1), nine orders of magnitude above cross-engine
+    accumulation noise, so both engines agree on every signature bit.
+    ``repr(float)`` literals round-trip to the identical double."""
+    from spectraplex_spark.operators.simsearch import random_planes
+
+    planes = random_planes(dim, n_bits, seed)
+    bits = "\n        + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in plane)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id, e,
+        {bits} AS s
+      FROM v
+    ),
+    q AS (SELECT e AS qe, s AS qs FROM sig WHERE vec_id = 0)
+    SELECT vec_id,
+           list_cosine_similarity(e, (SELECT qe FROM q)) AS cosine
+    FROM sig
+    WHERE vec_id != 0 AND s = (SELECT qs FROM q)
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
 @query(
     "simsearch_ann_lsh",
-    None,
+    _ann_lsh_oracle_sql(),
     doc="E2 ANN variant: 8-bit random-hyperplane LSH bucket filter before "
     "scoring (recall/fan-in tradeoff; bucket predicate partition-prunes "
-    "when the signature is materialized).",
+    "when the signature is materialized). ORACLE: the seeded hyperplanes "
+    "are embedded as SQL literals and the signature/bucket selection is "
+    "recomputed in DuckDB, so the driver hash-verifies the whole "
+    "bucket-then-score pipeline, not just its shape.",
 )
 def simsearch_ann_lsh(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings")
@@ -690,10 +727,19 @@ def minhash_neardup_pairs(spark, sf_dir):
     None,
     doc="E1 SimHash 64-bit signature buckets with >1 member (exact-"
     "signature screen; one aggregate expression per doc, one group-by "
-    "shuffle on the 8-byte signature).",
+    "shuffle on the 8-byte signature). Rows-only BY NECESSITY: xxhash64 "
+    "has no DuckDB twin, and a shingle-set-equality stand-in oracle is "
+    "unsound — at sf0.1 the corpus has 6 organic signature collisions "
+    "between near-identical docs with different shingle sets (near-dups "
+    "colliding at distance 0 is simhash WORKING, not a bug), so only "
+    "the signature itself defines the grouping. Exactness vs brute-"
+    "force Hamming is pytest-asserted instead.",
 )
 def simhash_dup_groups(spark, sf_dir):
     return D.simhash_dup_groups(table(spark, sf_dir, "documents"))
+
+
+_NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
 
 @query(
@@ -825,9 +871,6 @@ def embedding_neardup_pairs(spark, sf_dir):
     return cosine_pairs(_planted_embeddings(spark, sf_dir), threshold=0.8).withColumn(
         "cosine", F.round("cosine", 6)
     )
-
-
-_NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
 
 @query(

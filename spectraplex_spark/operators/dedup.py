@@ -172,13 +172,21 @@ def minhash_neardup_pairs(
     # hash pass (e.g. prepare_corpus, which folds it into the one
     # enrichment scan) hand it in as (_id, _h) and skip the text pass
     # here entirely.
+    # Lazy localCheckpoint, not persist: the signature/band/verify
+    # stages all re-read this frame, and persist() entries live in the
+    # CacheManager for the whole session — repeated calls (serving, a
+    # long bench session) would accumulate cached text-pass outputs.
+    # Checkpoint blocks are RDD-scoped and freed by the ContextCleaner
+    # when the frame is garbage collected; eager=False keeps plan
+    # construction side-effect free (materialization happens on the
+    # first action, exactly like persist).
     if hashes_df is not None:
-        hashed = hashes_df.select("_id", "_h").persist()
+        hashed = hashes_df.select("_id", "_h").localCheckpoint(eager=False)
     else:
         hashed = df.select(
             F.col(id_col).alias("_id"),
             shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
-        ).persist()
+        ).localCheckpoint(eager=False)
     banded = hashed.select(
         "_id",
         minhash_signature(F.col("_h"), num_hashes).alias("_sig"),

@@ -251,6 +251,45 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> None:
+    """Materialize the IVF index as a cluster-partitioned parquet layout
+    — the 100 TB shape the docstrings above promise: one assignment pass
+    at build time, then every query's probe filter PARTITION-PRUNES the
+    scan (only n_probe/n_centroids of the corpus is read from storage,
+    verified against the plan's PartitionFilters in tests)."""
+    ivf_assign(df, centroids, vec_col, cluster_col).write.mode("overwrite").partitionBy(
+        cluster_col
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Query the materialized IVF index: same probe selection and exact
+    scoring as :func:`ivf_topk`, but the cluster predicate hits the
+    partition column, so the scan never touches unprobed clusters'
+    files. This is the query-time half of write_ivf_index."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    probes = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
+    scan = spark.read.parquet(path).filter(F.col(cluster_col).isin(probes))
+    return cosine_topk(scan, query_vec, k, vec_col, id_col)
+
+
 def cosine_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.8,

@@ -101,6 +101,39 @@ def read_bronze_kafka_stream(
     return decode_bronze_kafka(raw)
 
 
+def read_yellowstone_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = 10_000,
+) -> DataFrame:
+    """The live-subscription shape end to end: Yellowstone gRPC frames
+    relayed onto Kafka (the standard production deployment — a thin
+    relay owns the gRPC connection, Kafka owns replay/backpressure),
+    decoded by the wire-format decoder into bronze rows.
+
+    Same connector caveat as read_bronze_kafka_stream; the decode half
+    (streaming/yellowstone.py) is broker-less-tested against an
+    independent wire encoder, and composes with
+    stream_normalize_to_silver unchanged — the bronze interchange is
+    the shared seam for all three sources (file, Kafka JSON, Yellowstone
+    protobuf).
+    """
+    from spectraplex_spark.streaming.yellowstone import decode_yellowstone
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    return decode_yellowstone(raw)
+
+
 def slot_filter(stream: DataFrame, min_slot: int) -> DataFrame:
     """'Filtering of slots' (README.md:3): parse just the slot field and
     predicate on it. get_json_object keeps this JVM-side; rows without a

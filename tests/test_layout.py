@@ -197,3 +197,44 @@ def test_bronze_partition_pruning_in_plan(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "chain" in plan.split("PartitionFilters")[1][:200]
     assert df.count() == 3
+
+
+def test_ivf_index_partition_prunes_and_matches_inline(spark, tmp_path):
+    """The materialized IVF layout must (a) partition-prune: the probe
+    filter appears as PartitionFilters and the scan reads only probed
+    cluster directories; (b) agree exactly with the on-the-fly ivf_topk
+    for the same centroids and probes."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.simsearch import (
+        fit_ivf_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from spectraplex_spark.plans import table
+
+    em = table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    qvec = [
+        float(x)
+        for x in table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    cent = fit_ivf_centroids(em, n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(em, path, cent)
+
+    indexed = ivf_topk_indexed(spark, path, qvec, cent, k=10, n_probe=3)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "ivf_cluster" in pf and ("IN (" in pf or "INSET" in pf or " IN " in pf)
+
+    inline = ivf_topk(em, qvec, k=10, n_probe=3, centroids=cent)
+    assert [(r[0], r[1]) for r in indexed.collect()] == [
+        (r[0], r[1]) for r in inline.collect()
+    ]

@@ -213,3 +213,52 @@ def test_yellowstone_streaming_smoke(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [r["tx_hash"] for r in out] == [SIG_B58]
+
+
+def test_yellowstone_kafka_reader_surface(spark):
+    """The configured Yellowstone-over-Kafka reader either loads
+    (connector present) with the bronze schema, or fails with Spark's
+    missing-data-source error — never a silent wrong shape."""
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.streaming.pipeline import read_yellowstone_kafka_stream
+
+    try:
+        df = read_yellowstone_kafka_stream(spark, "broker:9092", "yellowstone")
+    except Exception as e:  # noqa: BLE001 — asserting the failure mode
+        assert "kafka" in str(e).lower()
+    else:
+        assert df.schema == BRONZE_SCHEMA
+
+
+def test_yellowstone_stream_to_silver_end_to_end(spark, tmp_path):
+    """Full live-subscription composition, broker-less: wire frames →
+    decode_yellowstone → stream_normalize_to_silver → idempotent silver
+    parquet, read back independently with DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.streaming.pipeline import stream_normalize_to_silver
+    from spectraplex_spark.streaming.yellowstone import decode_yellowstone
+
+    src = tmp_path / "frames"
+    spark.createDataFrame(
+        [
+            (None, encode_g1_update(), "yellowstone", 0, 0),
+            (None, b"junk-frame", "yellowstone", 0, 1),
+        ],
+        _FRAME_SCHEMA,
+    ).write.parquet(str(src))
+    wire_stream = spark.readStream.schema(_FRAME_SCHEMA).parquet(str(src))
+    silver_path = str(tmp_path / "silver")
+    q = stream_normalize_to_silver(
+        decode_yellowstone(wire_stream),
+        silver_path,
+        str(tmp_path / "ckpt"),
+        audit_ts=F.lit("2024-01-01 00:00:00").cast("timestamp"),
+    ).start()
+    q.awaitTermination(120)
+    rows = duckdb.sql(
+        f"SELECT wallet_address, asset_symbol, CAST(amount AS DOUBLE) AS a "
+        f"FROM '{silver_path}/*.parquet'"
+    ).fetchall()
+    assert rows == [(WALLET_B58, "SOL", -0.5)]

@@ -84,9 +84,12 @@ def connected_components(
             # Near-dup graphs are typically dense star/clique clusters
             # that converge in 1-2 plain rounds — skip the jump's extra
             # join while that's still plausible.
+            # eager=False: the convergence probe below is the FIRST
+            # action over this frame, so it doubles as the checkpoint
+            # materialization — one job per round instead of two.
             new_labels = propagated.withColumn(
                 "_changed", F.col("component") != F.col("_old")
-            ).drop("_old").localCheckpoint()
+            ).drop("_old").localCheckpoint(eager=False)
             propagated = None
         else:
             # Still unconverged after 2 rounds → a long-path component
@@ -112,7 +115,7 @@ def connected_components(
                 )
                 .withColumn("_changed", F.col("component") != F.col("_old"))
                 .drop("_old")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         # Round 0 with a non-empty edge list ALWAYS changes some label
         # (every non-minimum node adjacent to a smaller id adopts it),

@@ -84,12 +84,18 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, int | bytes]]:
             val, i = _read_varint(buf, i)
         elif wt == 2:  # length-delimited
             ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError("truncated length-delimited field")
             val = buf[i : i + ln]
             i += ln
         elif wt == 1:  # fixed64
+            if i + 8 > n:
+                raise ValueError("truncated fixed64 field")
             val = buf[i : i + 8]
             i += 8
         elif wt == 5:  # fixed32
+            if i + 4 > n:
+                raise ValueError("truncated fixed32 field")
             val = buf[i : i + 4]
             i += 4
         else:

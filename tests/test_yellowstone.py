@@ -262,3 +262,53 @@ def test_yellowstone_stream_to_silver_end_to_end(spark, tmp_path):
         f"FROM '{silver_path}/*.parquet'"
     ).fetchall()
     assert rows == [(WALLET_B58, "SOL", -0.5)]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _tx_params(draw):
+    n_accounts = draw(st.integers(min_value=1, max_value=6))
+    return {
+        "pre": tuple(draw(st.lists(st.integers(0, 2**62), min_size=n_accounts, max_size=n_accounts))),
+        "post": tuple(draw(st.lists(st.integers(0, 2**62), min_size=n_accounts, max_size=n_accounts))),
+        "fee": draw(st.integers(0, 10**9)),
+        "slot": draw(st.integers(0, 2**40)),
+        "block_time": draw(st.integers(0, 2**31 - 1)),
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(_tx_params())
+def test_decode_round_trip_property(params):
+    """Whatever balances/fee/slot the encoder writes, the decoder reads
+    back exactly — varint boundaries (7-bit group edges), packed
+    repeated scalars, and nested framing included."""
+    tx = decode_subscribe_update(
+        encode_g1_update(
+            pre=params["pre"],
+            post=params["post"],
+            fee=params["fee"],
+            slot=params["slot"],
+            block_time=params["block_time"],
+        )
+    )
+    assert tx["slot"] == params["slot"]
+    assert tx["blockTime"] == params["block_time"]
+    assert tx["meta"]["fee"] == params["fee"]
+    assert tx["meta"]["preBalances"] == list(params["pre"])
+    assert tx["meta"]["postBalances"] == list(params["post"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_decoder_never_crashes_on_junk(raw):
+    """Arbitrary bytes either decode to a dict/None or raise the
+    ValueError/IndexError family the DataFrame stage catches — never an
+    unhandled crash type."""
+    try:
+        out = decode_subscribe_update(raw)
+    except (ValueError, IndexError, UnicodeDecodeError, struct.error):
+        return
+    assert out is None or isinstance(out, dict)

@@ -1,0 +1,185 @@
+"""Streaming near-duplicate filtering — the E1 MinHash/LSH dedup as an
+INCREMENTAL operator over a document stream.
+
+The batch operators (operators/dedup.py) answer "which pairs in this
+corpus are near-dups"; a training-data INGESTION pipeline asks the
+incremental question instead: "is this new document a near-dup of
+anything already accepted?" Re-running the batch pairs job per
+micro-batch would re-scan the whole accepted corpus; this operator
+keeps the LSH *index* (band signatures + hashed shingle sets) as an
+append-only parquet store, so each micro-batch costs:
+
+  1. one narrow pass over the batch (shingle-hash + signature + bands);
+  2. a band equi-join against the index — candidates only, never a
+     corpus scan of text (the index rows are (band, bandhash, id):
+     16 bytes of key per band per doc);
+  3. exact-Jaccard verification of candidates via the stored hashed
+     shingle sets (joined for the candidate ids only);
+  4. in-batch self-dedup with the same banding (min-id survives);
+  5. idempotent append of survivors' docs/bands/hashes — replays add
+     zero rows (sources/io.idempotent_append's anti-join protocol), so
+     the accepted corpus and the index cannot diverge on restart.
+
+State is storage, not executor memory: the index lives in parquet and
+scales with the corpus, not with watermark windows — near-dup identity
+has no event-time expiry, so applyInPandasWithState (bounded keyed
+state) is the wrong tool; foreachBatch + idempotent storage is the
+standard Spark shape for unbounded dedup state.
+
+At 100 TB: partition the band store by ``pmod(bandhash, N)`` so the
+per-batch band join partition-prunes, and scope the doc store append's
+anti-join by ingest date. Both knobs exist on the underlying helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spectraplex_spark.operators.dedup import minhash_signature, shingle_hashes
+from spectraplex_spark.sources.io import idempotent_append
+
+
+def _band_frame(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, h, band, bandhash) for a batch — the narrow LSH pass,
+    computed once per batch (shingle hashes ride along for verify)."""
+    rows_per_band = num_hashes // bands
+    hashed = docs.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
+    )
+    return hashed.select(
+        "_id",
+        "_h",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            minhash_signature(F.col("_h"), num_hashes),
+                            b * F.lit(rows_per_band) + 1,
+                            rows_per_band,
+                        ),
+                    )
+                ),
+            )
+        ).alias("_band", "_bandhash"),
+    )
+
+
+def neardup_filter_batch(
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """One micro-batch through the incremental near-dup gate.
+
+    Returns the batch's SURVIVORS (not near-dups of the accepted corpus
+    nor of a smaller-id batch sibling) and appends their signatures to
+    the index stores idempotently. Callable directly for batch
+    ingestion; ``stream_neardup_filter`` wraps it for foreachBatch.
+    """
+    spark = batch.sparkSession
+    bands_path = f"{index_dir}/bands"
+    hashes_path = f"{index_dir}/hashes"
+
+    bf = _band_frame(batch, text_col, id_col, num_hashes, bands, shingle_n)
+    # one localCheckpoint: banding is the expensive text pass and is read
+    # by the index join, the self-join, and the append below
+    bf = bf.localCheckpoint(eager=False)
+
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
+
+    def verified(cands: DataFrame, left_hashes: DataFrame, right_hashes: DataFrame):
+        return (
+            cands.join(left_hashes.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a")), "id_a")
+            .join(right_hashes.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b")), "id_b")
+            .filter(jac >= jaccard_threshold)
+            .select("id_b")
+        )
+
+    batch_hashes = bf.select("_id", "_h").dropDuplicates(["_id"])
+
+    losers = None
+    try:
+        idx_bands = spark.read.parquet(bands_path)
+        idx_hashes = spark.read.parquet(hashes_path)
+        cands_vs_index = (
+            idx_bands.alias("a")
+            .join(bf.alias("b"), ["_band", "_bandhash"])
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        losers = verified(cands_vs_index, idx_hashes, batch_hashes)
+    except Exception:  # noqa: BLE001 — first batch: no index yet
+        pass
+
+    # in-batch self-dedup: smaller id wins (same rule as the batch op)
+    self_cands = (
+        bf.alias("a")
+        .join(bf.alias("b"), ["_band", "_bandhash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    self_losers = verified(self_cands, batch_hashes, batch_hashes)
+    all_losers = (
+        self_losers if losers is None else losers.unionByName(self_losers)
+    ).dropDuplicates(["id_b"]).withColumnRenamed("id_b", id_col)
+
+    survivors = batch.join(all_losers, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    surviving_ids = survivors.select(F.col(id_col).alias("_id"))
+    idempotent_append(
+        bf.join(surviving_ids, "_id", "left_semi").select("_id", "_band", "_bandhash")
+        .withColumn("id", F.concat_ws(":", "_id", "_band")),
+        bands_path,
+        id_col="id",
+    )
+    idempotent_append(
+        batch_hashes.join(surviving_ids, "_id", "left_semi")
+        .withColumn("id", F.col("_id")),
+        hashes_path,
+        id_col="id",
+    )
+    return survivors
+
+
+def stream_neardup_filter(
+    docs_stream: DataFrame,
+    survivors_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    **kwargs,
+):
+    """Streaming wrapper: each micro-batch flows through
+    :func:`neardup_filter_batch`; survivors land idempotently, so a
+    replayed batch neither re-admits a dropped near-dup nor duplicates
+    a survivor. Returns the DataStreamWriter (call .start())."""
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        survivors = neardup_filter_batch(batch_df, index_dir, id_col=id_col, **kwargs)
+        idempotent_append(
+            survivors.withColumn("id", F.col(id_col)), survivors_path, id_col="id"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -55,6 +55,7 @@ _GRADED_PRIORITY = [
     "variant_json_events",
     # (b) new/changed this round
     "minhash_neardup_planted",
+    "incremental_neardup_planted",
     "embedding_neardup_pairs",
     "embedding_neardup_bucketed",
     "embedding_neardup_multiprobe",
@@ -91,9 +92,10 @@ _GRADED_PRIORITY = [
     "simhash_neighbor_pairs",
     "simsearch_ann_lsh",
     "solana_normalize_udtf_golden",
-    "solana_normalize_golden",
     "backfill_wallet_migration",
-    # first past the 50-cutoff
+    # first past the 50-cutoff (solana_normalize_golden: green r3;
+    # streaming_window_rollup: green r2)
+    "solana_normalize_golden",
     "streaming_window_rollup",
 ]
 

@@ -980,6 +980,79 @@ def minhash_neardup_planted(spark, sf_dir):
     )
 
 
+_PLANTED_SHINGLES_CTE = f"""
+    t AS (
+      SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM pl
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    )"""
+
+
+@query(
+    "incremental_neardup_planted",
+    f"""
+    WITH pl0 AS ({_PLANTED_DOCS_SQL}),
+    pl AS (SELECT * FROM pl0 WHERE doc_id % 100000 < 500),
+    {_PLANTED_SHINGLES_CTE},
+    b1 AS (SELECT doc_id FROM pl WHERE doc_id < 100000),
+    surv1 AS (
+      SELECT doc_id FROM b1 WHERE NOT EXISTS (
+        SELECT 1 FROM pairs WHERE pairs.id_b = b1.doc_id AND pairs.id_a < 100000)
+    ),
+    b2 AS (SELECT doc_id FROM pl WHERE doc_id >= 100000),
+    surv2 AS (
+      SELECT doc_id FROM b2
+      WHERE NOT EXISTS (
+          SELECT 1 FROM pairs JOIN surv1 ON pairs.id_a = surv1.doc_id
+          WHERE pairs.id_b = b2.doc_id)
+        AND NOT EXISTS (
+          SELECT 1 FROM pairs WHERE pairs.id_b = b2.doc_id AND pairs.id_a >= 100000)
+    )
+    SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv2
+    """,
+    doc="The INCREMENTAL near-dup gate (streaming/neardup.py) driver-"
+    "graded end to end: the planted corpus arrives as two batches "
+    "(originals, then their suffix twins), each flowing through the "
+    "banding pass, index equi-join, exact-Jaccard verify, in-batch "
+    "self-dedup, and idempotent index append. Twins must be rejected "
+    "as near-dups of the ACCEPTED corpus; originals survive unless an "
+    "organic smaller-id near-dup exists. The oracle replays the same "
+    "greedy two-batch semantics over brute-force SQL Jaccard "
+    "(verify_on_text → integer-ratio values, engine-exact). Index "
+    "state lives in a per-call temp dir — the parquet-backed state "
+    "store is itself under test.",
+)
+def incremental_neardup_planted(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.streaming.neardup import neardup_filter_batch
+
+    # bounded id range (same rule as ngram_jaccard_sample): covers the
+    # sf0.01 corpus exactly while keeping the oracle's quadratic
+    # brute-force block constant-size at every scale factor
+    pl = _planted_documents(spark, sf_dir).filter(F.col("doc_id") % 100000 < 500)
+    index_dir = tempfile.mkdtemp(prefix="neardup_gate_")
+    kw = dict(num_hashes=32, bands=16, jaccard_threshold=0.8, verify_on_text=True)
+    surv1 = neardup_filter_batch(
+        pl.filter(F.col("doc_id") < 100000), index_dir, **kw
+    )
+    surv2 = neardup_filter_batch(
+        pl.filter(F.col("doc_id") >= 100000), index_dir, **kw
+    )
+    return surv1.select("doc_id").unionByName(surv2.select("doc_id"))
+
+
 @query(
     "corpus_prep_pipeline",
     None,  # composes LSH near-dup (no SQL twin) → rows-only

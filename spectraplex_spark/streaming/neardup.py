@@ -46,14 +46,30 @@ def _band_frame(
     num_hashes: int,
     bands: int,
     shingle_n: int,
+    verify_on_text: bool = False,
 ) -> DataFrame:
     """(id, h, band, bandhash) for a batch — the narrow LSH pass,
-    computed once per batch (shingle hashes ride along for verify)."""
+    computed once per batch (shingle hashes ride along for verify).
+
+    ``verify_on_text`` stores STRING shingle sets for verification
+    (banding still uses hashed shingles) — collision-free integer-ratio
+    Jaccard, reproducible in ANSI SQL for the oracle-graded catalog
+    twin. The hashed default is the cheap production path.
+    """
+    from spectraplex_spark.operators.dedup import shingles
+
     rows_per_band = num_hashes // bands
-    hashed = docs.select(
+    # banding ALWAYS runs on hashed shingles (integer minhash); only the
+    # verification payload `_h` switches representation
+    cols = [
         F.col(id_col).alias("_id"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
-    )
+        shingle_hashes(F.col(text_col), shingle_n).alias("_bh"),
+    ]
+    if verify_on_text:
+        cols.append(shingles(F.col(text_col), shingle_n).alias("_h"))
+    hashed = docs.select(*cols)
+    if not verify_on_text:
+        hashed = hashed.withColumn("_h", F.col("_bh"))
     return hashed.select(
         "_id",
         "_h",
@@ -64,7 +80,7 @@ def _band_frame(
                     F.concat_ws(
                         ",",
                         F.slice(
-                            minhash_signature(F.col("_h"), num_hashes),
+                            minhash_signature(F.col("_bh"), num_hashes),
                             b * F.lit(rows_per_band) + 1,
                             rows_per_band,
                         ),
@@ -84,6 +100,7 @@ def neardup_filter_batch(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    verify_on_text: bool = False,
 ) -> DataFrame:
     """One micro-batch through the incremental near-dup gate.
 
@@ -96,7 +113,9 @@ def neardup_filter_batch(
     bands_path = f"{index_dir}/bands"
     hashes_path = f"{index_dir}/hashes"
 
-    bf = _band_frame(batch, text_col, id_col, num_hashes, bands, shingle_n)
+    bf = _band_frame(
+        batch, text_col, id_col, num_hashes, bands, shingle_n, verify_on_text
+    )
     # one localCheckpoint: banding is the expensive text pass and is read
     # by the index join, the self-join, and the append below
     bf = bf.localCheckpoint(eager=False)

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from spectraplex_spark.operators.dedup import minhash_signature, shingle_hashes
-from spectraplex_spark.sources.io import idempotent_append
+from spectraplex_spark.sources.io import _target_exists, idempotent_append
 
 
 def _band_frame(
@@ -133,7 +133,7 @@ def neardup_filter_batch(
     batch_hashes = bf.select("_id", "_h").dropDuplicates(["_id"])
 
     losers = None
-    try:
+    if _target_exists(spark, bands_path):
         idx_bands = spark.read.parquet(bands_path)
         idx_hashes = spark.read.parquet(hashes_path)
         cands_vs_index = (
@@ -143,8 +143,6 @@ def neardup_filter_batch(
             .dropDuplicates(["id_a", "id_b"])
         )
         losers = verified(cands_vs_index, idx_hashes, batch_hashes)
-    except Exception:  # noqa: BLE001 — first batch: no index yet
-        pass
 
     # in-batch self-dedup: smaller id wins (same rule as the batch op)
     self_cands = (

@@ -123,6 +123,29 @@ def minhash_signature(hash_col, num_hashes: int = 32):
     )
 
 
+def band_keys(sig_col, num_hashes: int, bands: int):
+    """Per-band LSH bucket keys over an ALREADY-COMPUTED minhash
+    signature column: xxhash64 of each ``rows_per_band``-slice.
+
+    The single source of truth for band derivation — the batch pair
+    miner and the incremental gate (streaming/neardup.py) must produce
+    bit-identical keys or their parquet band indexes silently stop
+    matching. Takes the signature as a column (not the hash array)
+    deliberately: embedding minhash_signature inside the per-band
+    lambda would re-evaluate all ``num_hashes`` minhashes once PER BAND
+    (HOF lambdas defeat common-subexpression elimination).
+    """
+    rows_per_band = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",", F.slice(sig_col, b * F.lit(rows_per_band) + 1, rows_per_band)
+            )
+        ),
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -157,7 +180,6 @@ def minhash_neardup_pairs(
     similar — but recall 1.0 is NOT guaranteed past the cap; other bands
     usually (not provably) re-surface the lost pairs.
     """
-    rows_per_band = num_hashes // bands
     # Structural rules that make this scale (and run at all — see git
     # history: the naive expression nesting recomputed the text pass
     # 2×bands×hashes times because HOF lambdas defeat common-
@@ -180,6 +202,11 @@ def minhash_neardup_pairs(
     # when the frame is garbage collected; eager=False keeps plan
     # construction side-effect free (materialization happens on the
     # first action, exactly like persist).
+    # Known trade: checkpoint blocks do NOT recompute from lineage on
+    # executor loss (persist blocks do) — in local mode that's moot; on
+    # a preemptible-node cluster, prefer a reliable checkpoint dir or
+    # write the hashed-shingle table to storage (the documented 100 TB
+    # shape above) so a lost block is a re-read, not a failed job.
     if hashes_df is not None:
         hashed = hashes_df.select("_id", "_h").localCheckpoint(eager=False)
     else:
@@ -192,16 +219,9 @@ def minhash_neardup_pairs(
         minhash_signature(F.col("_h"), num_hashes).alias("_sig"),
     ).select(
         "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice(F.col("_sig"), b * F.lit(rows_per_band) + 1, rows_per_band)
-                    )
-                ),
-            )
-        ).alias("_band", "_bandhash"),
+        F.posexplode(band_keys(F.col("_sig"), num_hashes, bands)).alias(
+            "_band", "_bandhash"
+        ),
     )
     wb = Window.partitionBy("_band", "_bandhash")
     sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(wb)).withColumn(

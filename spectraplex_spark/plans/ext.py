@@ -444,7 +444,13 @@ def sketch_event_profile(spark, sf_dir):
     from spectraplex_spark.operators.sketches import approx_event_profile
 
     ev = table(spark, sf_dir, "events")
-    prof = approx_event_profile(ev)  # event_type, approx_distinct, p50, p95
+    # one evaluation of the sketch aggregate (5 rows), shared by the
+    # rank-check join AND the output join — without the checkpoint the
+    # HLL/KLL groupBy would run twice and percentile_approx's partial-
+    # merge order could even disagree between the two copies
+    prof = approx_event_profile(ev).localCheckpoint(
+        eager=False
+    )  # event_type, approx_distinct, p50, p95
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("exact_distinct"),
@@ -1034,6 +1040,8 @@ _PLANTED_SHINGLES_CTE = f"""
     "store is itself under test.",
 )
 def incremental_neardup_planted(spark, sf_dir):
+    import os
+    import shutil
     import tempfile
 
     from spectraplex_spark.streaming.neardup import neardup_filter_batch
@@ -1042,7 +1050,14 @@ def incremental_neardup_planted(spark, sf_dir):
     # sf0.01 corpus exactly while keeping the oracle's quadratic
     # brute-force block constant-size at every scale factor
     pl = _planted_documents(spark, sf_dir).filter(F.col("doc_id") % 100000 < 500)
-    index_dir = tempfile.mkdtemp(prefix="neardup_gate_")
+    # fixed per-(sf, process) scratch dir, wiped at entry: repeated
+    # builder calls stay idempotent and /tmp holds at most one index
+    # per live process instead of one per invocation
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"neardup_gate_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
     kw = dict(num_hashes=32, bands=16, jaccard_threshold=0.8, verify_on_text=True)
     surv1 = neardup_filter_batch(
         pl.filter(F.col("doc_id") < 100000), index_dir, **kw

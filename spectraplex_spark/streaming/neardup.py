@@ -35,7 +35,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from spectraplex_spark.operators.dedup import minhash_signature, shingle_hashes
+from spectraplex_spark.operators.dedup import (
+    band_keys,
+    minhash_signature,
+    shingle_hashes,
+    shingles,
+)
 from spectraplex_spark.sources.io import _target_exists, idempotent_append
 
 
@@ -56,9 +61,6 @@ def _band_frame(
     Jaccard, reproducible in ANSI SQL for the oracle-graded catalog
     twin. The hashed default is the cheap production path.
     """
-    from spectraplex_spark.operators.dedup import shingles
-
-    rows_per_band = num_hashes // bands
     # banding ALWAYS runs on hashed shingles (integer minhash); only the
     # verification payload `_h` switches representation
     cols = [
@@ -70,24 +72,17 @@ def _band_frame(
     hashed = docs.select(*cols)
     if not verify_on_text:
         hashed = hashed.withColumn("_h", F.col("_bh"))
+    # two-step select: signature computed ONCE per row, then the shared
+    # band_keys derivation (dedup.py) — the same expression the batch
+    # pair miner uses, so the parquet band index stays bit-compatible
     return hashed.select(
+        "_id", "_h", minhash_signature(F.col("_bh"), num_hashes).alias("_sig")
+    ).select(
         "_id",
         "_h",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            minhash_signature(F.col("_bh"), num_hashes),
-                            b * F.lit(rows_per_band) + 1,
-                            rows_per_band,
-                        ),
-                    )
-                ),
-            )
-        ).alias("_band", "_bandhash"),
+        F.posexplode(band_keys(F.col("_sig"), num_hashes, bands)).alias(
+            "_band", "_bandhash"
+        ),
     )
 
 
@@ -133,12 +128,21 @@ def neardup_filter_batch(
     batch_hashes = bf.select("_id", "_h").dropDuplicates(["_id"])
 
     losers = None
-    if _target_exists(spark, bands_path):
+    # Both stores must exist: hashes is appended BEFORE bands below, so
+    # bands present ⇒ hashes present; checking both still guards against
+    # an externally half-built index dir.
+    if _target_exists(spark, bands_path) and _target_exists(spark, hashes_path):
         idx_bands = spark.read.parquet(bands_path)
         idx_hashes = spark.read.parquet(hashes_path)
         cands_vs_index = (
             idx_bands.alias("a")
             .join(bf.alias("b"), ["_band", "_bandhash"])
+            # id inequality, not just band match: a REPLAYED batch meets
+            # its own index entries (jaccard 1.0 vs itself) — without
+            # this, at-least-once redelivery would reject every
+            # previously-accepted doc as a self-duplicate and the
+            # survivors append would permanently drop it.
+            .filter(F.col("a._id") != F.col("b._id"))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -161,16 +165,21 @@ def neardup_filter_batch(
         eager=False
     )
     surviving_ids = survivors.select(F.col(id_col).alias("_id"))
-    idempotent_append(
-        bf.join(surviving_ids, "_id", "left_semi").select("_id", "_band", "_bandhash")
-        .withColumn("id", F.concat_ws(":", "_id", "_band")),
-        bands_path,
-        id_col="id",
-    )
+    # hashes FIRST, bands second: the index-presence probe above keys on
+    # bands, so a crash between the two appends leaves a state the next
+    # batch treats as consistent (hashes-only = no index yet; both =
+    # full index). The reverse order would leave bands without hashes —
+    # an unrecoverable read failure on every subsequent batch.
     idempotent_append(
         batch_hashes.join(surviving_ids, "_id", "left_semi")
         .withColumn("id", F.col("_id")),
         hashes_path,
+        id_col="id",
+    )
+    idempotent_append(
+        bf.join(surviving_ids, "_id", "left_semi").select("_id", "_band", "_bandhash")
+        .withColumn("id", F.concat_ws(":", "_id", "_band")),
+        bands_path,
         id_col="id",
     )
     return survivors

@@ -51,6 +51,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
+from pandas.errors import OutOfBoundsDatetime
 from pyspark.sql import DataFrame
 
 from spectraplex_spark.schemas import BRONZE_SCHEMA
@@ -318,35 +319,56 @@ def decode_yellowstone(frames: DataFrame, value_col: str = "value") -> DataFrame
             for raw in pdf[value_col]:
                 if raw is None:
                     continue
+                # The WHOLE per-frame path (decode + row build) is the
+                # skip scope: a wrong-wire-type field surfaces as
+                # TypeError/AttributeError (int where bytes expected and
+                # vice versa), and an out-of-range created_at overflows
+                # pd.Timestamp — any of these escaping would kill the
+                # streaming query on one bad frame instead of dropping
+                # it, which is the documented contract.
                 try:
                     tx = decode_subscribe_update(bytes(raw))
-                except (ValueError, IndexError, UnicodeDecodeError):
+                    if tx is None:
+                        continue
+                    sigs = tx["transaction"]["signatures"]
+                    keys = tx["transaction"]["message"]["accountKeys"]
+                    tx_hash = sigs[0] if sigs else ""
+                    wallet = keys[0]["pubkey"] if keys else ""
+                    # created_at: null rather than garbage for absurd
+                    # epochs (a corrupt varint decodes to e.g. 2^61 s,
+                    # which pandas happily renders as year-73-billion
+                    # at second resolution and Spark then mangles);
+                    # 253402300799 = 9999-12-31, the sanity ceiling
+                    bt = tx.get("blockTime")
+                    created = (
+                        pd.Timestamp(bt, unit="s")
+                        if bt is not None and 0 <= bt <= 253402300799
+                        else None
+                    )
+                    rows.append(
+                        {
+                            "id": f"{tx['slot']}-{tx['index']}",
+                            "user_id": "",
+                            "wallet_address": wallet,
+                            "timestamp": int(tx.get("blockTime") or 0),
+                            "tx_hash": tx_hash,
+                            "chain": "solana",
+                            "raw_metadata": json.dumps(
+                                {k: v for k, v in tx.items() if k != "index"}
+                            ),
+                            "created_at": created,
+                        }
+                    )
+                except (
+                    ValueError,  # truncated fields, varint overflow, bad ts
+                    IndexError,
+                    UnicodeDecodeError,
+                    TypeError,  # varint where bytes expected
+                    AttributeError,  # bytes op on an int field
+                    OverflowError,
+                    OutOfBoundsDatetime,
+                ):
                     continue  # unreadable frame: nothing to land
-                if tx is None:
-                    continue
-                sigs = tx["transaction"]["signatures"]
-                keys = tx["transaction"]["message"]["accountKeys"]
-                tx_hash = sigs[0] if sigs else ""
-                wallet = keys[0]["pubkey"] if keys else ""
-                created = (
-                    pd.Timestamp(tx["blockTime"], unit="s")
-                    if tx.get("blockTime") is not None
-                    else None
-                )
-                rows.append(
-                    {
-                        "id": f"{tx['slot']}-{tx['index']}",
-                        "user_id": "",
-                        "wallet_address": wallet,
-                        "timestamp": int(tx.get("blockTime") or 0),
-                        "tx_hash": tx_hash,
-                        "chain": "solana",
-                        "raw_metadata": json.dumps(
-                            {k: v for k, v in tx.items() if k != "index"}
-                        ),
-                        "created_at": created,
-                    }
-                )
             yield pd.DataFrame(
                 rows,
                 columns=[f.name for f in BRONZE_SCHEMA.fields],

@@ -53,15 +53,17 @@ def test_cross_batch_memory_and_unique_pass(spark, tmp_path):
     assert sorted(r.doc_id for r in second.collect()) == [11]
 
 
-def test_replayed_batch_appends_nothing(spark, tmp_path):
+def test_replayed_batch_reemits_survivors_and_appends_nothing(spark, tmp_path):
     idx = str(tmp_path / "idx")
     batch = _docs(spark, [(1, BASE), (3, OTHER)])
     neardup_filter_batch(batch, idx)
     bands_before = spark.read.parquet(f"{idx}/bands").count()
-    # replay the SAME batch: in-batch survivors recompute identically,
-    # but the idempotent appends must add zero rows
+    # replay the SAME batch (at-least-once redelivery): each doc meets
+    # its OWN index entry, which must not count as a near-dup — the
+    # survivors re-emit (so a failed downstream append can complete on
+    # retry) and the idempotent index appends add zero rows
     again = neardup_filter_batch(batch, idx)
-    assert sorted(r.doc_id for r in again.collect()) == []  # now near-dups of the index
+    assert sorted(r.doc_id for r in again.collect()) == [1, 3]
     assert spark.read.parquet(f"{idx}/bands").count() == bands_before
 
 

@@ -173,26 +173,37 @@ def test_yellowstone_to_normalize_golden(spark):
     """Wire frame → decode → normalize must reproduce the reference's
     golden parser result: ONE SOL entry of exactly -0.5 for the fee
     payer (solana_parser_test.rs:7-59)."""
+    # wrong WIRE TYPE: slot (varint field 2) sent length-delimited —
+    # int(bytes) inside the decoder must be contained per-frame
+    wrong_wire = _len_field(4, _len_field(2, b"x"))
+    # structurally valid tx whose created_at is an absurd epoch (2^61 s):
+    # the row must land, but with created_at nulled, not year-73-billion
+    absurd_ts = encode_g1_update(slot=999_999, block_time=2**61)
     frames = spark.createDataFrame(
         [
             (None, encode_g1_update(), "yellowstone", 0, 0),
             (None, b"\x01\x02garbage", "yellowstone", 0, 1),  # unreadable
             (None, encode_g1_update(is_vote=True), "yellowstone", 0, 2),
+            (None, wrong_wire, "yellowstone", 0, 3),
+            (None, absurd_ts, "yellowstone", 0, 4),
         ],
         _FRAME_SCHEMA,
     )
     bronze = decode_yellowstone(frames)
-    rows = bronze.collect()
-    assert len(rows) == 1
-    assert rows[0]["wallet_address"] == WALLET_B58
-    assert rows[0]["tx_hash"] == SIG_B58
-    assert rows[0]["chain"] == "solana"
+    rows = {r["id"]: r for r in bronze.collect()}
+    assert set(rows) == {"123456-7", "999999-7"}
+    golden = rows["123456-7"]
+    assert golden["wallet_address"] == WALLET_B58
+    assert golden["tx_hash"] == SIG_B58
+    assert golden["chain"] == "solana"
+    assert golden["created_at"] is not None
+    assert rows["999999-7"]["created_at"] is None
     silver = normalize(bronze).collect()
-    assert len(silver) == 1
-    e = silver[0]
-    assert e["asset_symbol"] == "SOL"
-    assert e["amount"] == Decimal("-0.5")
-    assert e["wallet_address"] == WALLET_B58
+    assert len(silver) == 2  # golden + the absurd-ts twin, same tx body
+    for e in silver:
+        assert e["asset_symbol"] == "SOL"
+        assert e["amount"] == Decimal("-0.5")
+        assert e["wallet_address"] == WALLET_B58
 
 
 def test_yellowstone_streaming_smoke(spark, tmp_path):

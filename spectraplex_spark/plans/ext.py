@@ -739,10 +739,18 @@ def minhash_neardup_pairs(spark, sf_dir):
     "between near-identical docs with different shingle sets (near-dups "
     "colliding at distance 0 is simhash WORKING, not a bug), so only "
     "the signature itself defines the grouping. Exactness vs brute-"
-    "force Hamming is pytest-asserted instead.",
+    "force Hamming is pytest-asserted instead. Runs over an exact-twin "
+    "planted view (doc_id+300000 copies of every 20th doc): the organic "
+    "corpus has zero same-signature pairs, so the unplanted query "
+    "returned 0 rows — a vacuous check; identical text guarantees "
+    "identical signatures, making the recorded row count non-trivial.",
 )
 def simhash_dup_groups(spark, sf_dir):
-    return D.simhash_dup_groups(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return D.simhash_dup_groups(docs.unionByName(twins))
 
 
 _NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
@@ -755,10 +763,16 @@ _NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+
     "buckets — pigeonhole guarantees recall 1.0 for distance ≤ 3 with "
     "only a (block, 2-byte key) equi-join; verified by bit_count(xor). "
     "No oracle: xxhash64-based signatures have no DuckDB twin; exactness "
-    "vs the brute-force Hamming cross-join is pytest-asserted.",
+    "vs the brute-force Hamming cross-join is pytest-asserted. Runs over "
+    "the same exact-twin planted view as simhash_dup_groups (Hamming 0 "
+    "pairs guaranteed), so the recorded row count is non-trivial.",
 )
 def simhash_neighbor_pairs(spark, sf_dir):
-    return D.simhash_neighbor_pairs(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return D.simhash_neighbor_pairs(docs.unionByName(twins))
 
 
 # --------------------------------------------------------------------------

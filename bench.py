@@ -33,6 +33,29 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _drop_cached(spark) -> None:
+    """Deterministically drop every cached artifact between timed runs.
+
+    A bare ``spark.catalog.clearCache()`` right after the action returns
+    races straggler task-end events still in the DAGScheduler queue —
+    their accumulator updates then reference just-unregistered
+    accumulators and stamp a benign-but-noisy ``Failed to update
+    accumulator`` ERROR stack into every bench log (BENCH_r04 tail).
+    Instead: wait for the scheduler's job queue to drain, clear the SQL
+    cache, then blocking-unpersist every remaining persistent RDD
+    (localCheckpoints included) so the next timed run starts cold with
+    no async cleanup in flight.
+    """
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    deadline = time.time() + 5.0
+    while tracker.getActiveJobsIds() and time.time() < deadline:
+        time.sleep(0.05)
+    spark.catalog.clearCache()
+    for jrdd in sc._jsc.getPersistentRDDs().values().toArray():
+        jrdd.unpersist(True)
+
+
 def run_query(q, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -41,7 +64,7 @@ def run_query(q, spark, sf_dir: str) -> float:
     # gated corpora) that live for the session; dropping them between
     # timed runs keeps every query cold-cache and stops early queries'
     # leftovers from pressuring the ones that run last.
-    spark.catalog.clearCache()
+    _drop_cached(spark)
     return dt
 
 

@@ -121,9 +121,14 @@ def connected_components(
         # (every non-minimum node adjacent to a smaller id adopts it),
         # so the convergence probe would be a wasted job there; an empty
         # edge list yields an empty label frame and exits via count 0
-        # on the next probe regardless.
+        # on the next probe regardless. The skip needs max_iter > 1:
+        # with max_iter=1 there IS no next probe, and forcing changed=1
+        # would turn an already-converged (empty/self-loop-only) input
+        # into a spurious RuntimeError.
         changed = (
-            1 if it == 0 else new_labels.filter(F.col("_changed")).limit(1).count()
+            1
+            if it == 0 and max_iter > 1
+            else new_labels.filter(F.col("_changed")).limit(1).count()
         )
         if propagated is not None:
             propagated.unpersist()

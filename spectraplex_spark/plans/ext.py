@@ -747,6 +747,7 @@ def minhash_neardup_pairs(spark, sf_dir):
 )
 def simhash_dup_groups(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_planted_headroom(docs, "doc_id", 300000, "simhash_dup_groups")
     twins = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text"
     )
@@ -769,6 +770,7 @@ _NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+
 )
 def simhash_neighbor_pairs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_planted_headroom(docs, "doc_id", 300000, "simhash_neighbor_pairs")
     twins = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text"
     )
@@ -790,6 +792,25 @@ def simhash_neighbor_pairs(spark, sf_dir):
 # fold orders agree bit-for-bit on organic values but differ in the
 # last ulp on identical-vector pairs (1.0000000000000002 vs 1.0).
 # --------------------------------------------------------------------------
+def _assert_planted_headroom(df, id_col: str, offset: int, view: str) -> None:
+    """Loud guard on every planted-view builder: twin ids live at
+    organic_id + offset, so if a larger scale factor's organic ids ever
+    reach the offset, twins would collide with organic rows and the
+    planted-pair restriction (id_b == id_a + offset) would silently
+    match organic pairs — corrupting the oracle comparison on BOTH
+    sides (Spark and DuckDB read the same parquet, so one check covers
+    both). One column-pruned max() job per catalog call, only on
+    planted views (never in the bench set)."""
+    top = df.agg(F.max(id_col).alias("m")).head()["m"]
+    if top is not None and top >= offset:
+        raise AssertionError(
+            f"planted view {view!r}: organic max({id_col})={top} >= twin offset "
+            f"{offset}; twins would collide with organic ids at this scale "
+            "factor. Raise the offset (and its hardcoded twin in the oracle "
+            "SQL) before grading."
+        )
+
+
 _PLANTED_EMB_SQL = """
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
@@ -800,6 +821,7 @@ _PLANTED_EMB_SQL = """
 
 def _planted_embeddings(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _assert_planted_headroom(em, "vec_id", 100000, "planted_embeddings")
     twins = em.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -948,6 +970,7 @@ def _planted_documents(spark, sf_dir):
     between Spark and DuckDB."""
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
+    _assert_planted_headroom(base, "doc_id", 100000, "planted_documents")
     twins = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("n_chars") >= 300)).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_PLANT_SUFFIX)).alias("text"),
@@ -1098,3 +1121,78 @@ def corpus_prep_pipeline(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     clean, _ = prepare_corpus(docs, keep_langs=("en",), collect_stats=False)
     return clean.select("doc_id", "lang", "n_chars")
+
+
+def _corpus_prep_planted_oracle() -> str:
+    """DuckDB replay of the ENTIRE prepare_corpus composition over the
+    bounded planted view: language gate (stopword-argmax == 'en') →
+    quality gate (score >= 0.5) → exact dedup (min id per md5 of the
+    normalized text) → brute-force 3-shingle Jaccard >= 0.8 pairs →
+    transitive closure via recursive CTE → min-id survivor set. Each
+    stage's SQL is the already-certified twin of its constituent query
+    (lang_id_report, lang_quality_report, dedup_exact_docs,
+    ngram_jaccard_sample / incremental_neardup_planted)."""
+    cnt = {lang: _stop_count_sql(lang) for lang in X.STOPWORDS}
+    m = f"GREATEST({cnt['en']}, {cnt['es']}, {cnt['fr']}, {cnt['de']})"
+    quality = f"""(
+        (CASE WHEN len({_TOKENS_SQL}) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN {cnt['en']} > 0 THEN 0.25 ELSE 0.0 END)
+    ) >= 0.5"""
+    return f"""
+    WITH RECURSIVE plb0 AS ({_PLANTED_DOCS_SQL}),
+    plb AS (SELECT doc_id, text FROM plb0 WHERE doc_id % 100000 < 500),
+    lq AS (
+      SELECT doc_id, text FROM plb
+      WHERE {m} > 0 AND {cnt['en']} = {m} AND {quality}
+    ),
+    pl AS (
+      SELECT doc_id, text FROM lq
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM lq GROUP BY md5({_NORM_SQL}))
+    ),
+    {_PLANTED_SHINGLES_CTE},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+    SELECT doc_id FROM pl
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    """
+
+
+@query(
+    "corpus_prep_planted",
+    _corpus_prep_planted_oracle(),
+    doc="The FLAGSHIP composition (prepare_corpus: language gate → "
+    "quality gate → exact dedup → LSH near-dup pairs → connected "
+    "components → min-id survivor set) driver-graded END TO END over "
+    "the bounded planted-twin view — the same planted-replay trick "
+    "that oracle-graded the incremental gate. verify_on_text gives "
+    "integer-ratio candidate Jaccard (engine-exact); the oracle "
+    "replays every stage in pure SQL, with transitive closure as a "
+    "recursive CTE standing in for the distributed label-propagation "
+    "components. The organic-corpus variant keeps the bench slot; "
+    "this entry gives the composition the driver's hard hash signal.",
+)
+def corpus_prep_planted(spark, sf_dir):
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    # bounded id range (same rule as the other planted queries): covers
+    # the sf0.01 corpus exactly while keeping the oracle's quadratic
+    # brute-force block and recursive closure constant-size at any SF
+    pl = _planted_documents(spark, sf_dir).filter(F.col("doc_id") % 100000 < 500)
+    clean, _ = prepare_corpus(
+        pl,
+        keep_langs=("en",),
+        min_quality=0.5,
+        jaccard_threshold=0.8,
+        collect_stats=False,
+        verify_on_text=True,
+    )
+    return clean.select("doc_id")

@@ -42,6 +42,7 @@ from spectraplex_spark.operators.dedup import (
     shingles,
 )
 from spectraplex_spark.sources.io import _target_exists, idempotent_append
+from spectraplex_spark.streaming.index_state import ensure_index_config
 
 
 def _band_frame(
@@ -107,6 +108,24 @@ def neardup_filter_batch(
     spark = batch.sparkSession
     bands_path = f"{index_dir}/bands"
     hashes_path = f"{index_dir}/hashes"
+    # Index rows are only bit-compatible under the parameters that wrote
+    # them (band hashes: num_hashes/bands/shingle_n; the _h verify
+    # payload: verify_on_text). Pin them in a sidecar on first creation
+    # and refuse mismatched calls — a silent mismatch would stop
+    # matching near-dups, not fail loudly. jaccard_threshold is NOT
+    # pinned: it gates verification only, so tuning it between batches
+    # is legitimate and leaves the index valid.
+    ensure_index_config(
+        spark,
+        index_dir,
+        {
+            "kind": "text-minhash-lsh",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "verify_on_text": verify_on_text,
+        },
+    )
 
     bf = _band_frame(
         batch, text_col, id_col, num_hashes, bands, shingle_n, verify_on_text

@@ -35,6 +35,10 @@ from spectraplex_spark.operators.simsearch import (
     random_planes,
 )
 from spectraplex_spark.sources.io import _target_exists, idempotent_append
+from spectraplex_spark.streaming.index_state import (
+    ensure_index_config,
+    read_index_config,
+)
 
 
 def _sig_frame(
@@ -44,11 +48,14 @@ def _sig_frame(
     n_bits: int,
     n_tables: int,
     seed: int,
+    dim: int,
 ) -> DataFrame:
     """(id, vector-as-double, table, signature): one row per (vector,
     table) — the narrow LSH pass, plus the double-cast vector carried
-    for candidate verification."""
-    dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    for candidate verification. ``dim`` is resolved by the caller (from
+    the index sidecar or a batch probe), never from head() of an
+    arbitrary first row — a null embedding there would hand
+    random_planes a None dimension."""
     sigs = [
         hyperplane_signature(vec_col, random_planes(dim, n_bits, seed + t))
         for t in range(n_tables)
@@ -76,23 +83,60 @@ def embedding_neardup_filter_batch(
     n_bits: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """One micro-batch through the incremental embedding near-dup gate;
     returns survivors and appends their signatures/vectors to the index
-    idempotently."""
+    idempotently.
+
+    ``dim`` (the vector dimension) may be passed explicitly; otherwise
+    it is recovered from the index sidecar, falling back to a
+    max(size) probe over the batch's non-null vectors on first
+    creation. Null or wrong-dimension vectors are quarantined (dropped
+    from survivors and never indexed) — signatures computed from them
+    would be incomparable with the index.
+    """
     spark = batch.sparkSession
     sigs_path = f"{index_dir}/sigs"
     vecs_path = f"{index_dir}/vecs"
 
     # empty micro-batch (e.g. a trigger with no new files): nothing to
-    # gate or index — and the dimension probe inside _sig_frame would
-    # read head() of an empty frame
+    # gate or index — and nothing to probe a dimension from
     if batch.isEmpty():
         return batch
 
-    sf = _sig_frame(batch, vec_col, id_col, n_bits, n_tables, seed).localCheckpoint(
-        eager=False
+    if dim is None:
+        stored = read_index_config(spark, index_dir)
+        if stored is not None and "dim" in stored:
+            dim = int(stored["dim"])
+        else:
+            # max over non-null rows (size(NULL) is NULL and max skips
+            # it) — robust to a null embedding in the first row, unlike
+            # a head() probe
+            dim = batch.agg(F.max(F.size(vec_col)).alias("d")).head()["d"]
+    if dim is None:
+        # every vector in the batch is null: all quarantined
+        return batch.limit(0)
+    # Pin the signature-defining parameters before touching the index:
+    # a call with different (n_bits, n_tables, seed, dim) computes
+    # signatures the index never contains — fail loudly instead.
+    # threshold is not pinned (verification-only, tunable per batch).
+    ensure_index_config(
+        spark,
+        index_dir,
+        {
+            "kind": "embedding-hyperplane-lsh",
+            "n_bits": n_bits,
+            "n_tables": n_tables,
+            "seed": seed,
+            "dim": dim,
+        },
     )
+    valid = batch.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+
+    sf = _sig_frame(
+        valid, vec_col, id_col, n_bits, n_tables, seed, dim
+    ).localCheckpoint(eager=False)
     batch_vecs = sf.select("_id", "_v").dropDuplicates(["_id"])
 
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
@@ -136,7 +180,9 @@ def embedding_neardup_filter_batch(
         self_losers if losers is None else losers.unionByName(self_losers)
     ).dropDuplicates(["id_b"]).withColumnRenamed("id_b", id_col)
 
-    survivors = batch.join(all_losers, id_col, "left_anti").localCheckpoint(eager=False)
+    # anti-join from `valid`, not `batch`: quarantined rows are neither
+    # survivors nor losers — they exit the gate entirely
+    survivors = valid.join(all_losers, id_col, "left_anti").localCheckpoint(eager=False)
     surviving = survivors.select(F.col(id_col).alias("_id"))
     # vecs first, sigs second: presence probe keys on sigs (see module doc)
     idempotent_append(

@@ -47,3 +47,19 @@ def test_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long").coalesce(2)
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_converged_input_with_max_iter_one(spark):
+    """A graph already converged at initialization (self-loop-only edge
+    list) must return correct labels under max_iter=1 instead of raising
+    — the round-0 probe skip only applies when a later probe exists."""
+    edges = spark.createDataFrame([(1, 1), (2, 2)], "id_a long, id_b long")
+    got = sorted(
+        (r.node, r.component) for r in connected_components(edges, max_iter=1).collect()
+    )
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_empty_edges_with_max_iter_one(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges, max_iter=1).count() == 0

@@ -94,3 +94,15 @@ def test_streaming_two_microbatches(spark, tmp_path):
     }
     # 2 dups 1 in-batch; 10 dups accepted 1 cross-batch; 11 unique
     assert survivors == {1, 3, 11}
+
+
+def test_index_config_mismatch_raises(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    neardup_filter_batch(_docs(spark, [(1, BASE)]), idx)
+    with pytest.raises(ValueError, match="different .*parameters|parameters"):
+        neardup_filter_batch(_docs(spark, [(2, OTHER)]), idx, bands=8)
+    with pytest.raises(ValueError, match="verify_on_text"):
+        neardup_filter_batch(_docs(spark, [(2, OTHER)]), idx, verify_on_text=True)
+    # matching params still work after the rejected calls
+    ok = neardup_filter_batch(_docs(spark, [(2, OTHER)]), idx)
+    assert [r.doc_id for r in ok.collect()] == [2]

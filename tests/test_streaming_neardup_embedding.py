@@ -84,3 +84,36 @@ def test_streaming_two_microbatches(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(str(tmp_path / "survivors")).collect()
     }
     assert survivors == {1, 3, 11}
+
+
+def test_null_and_ragged_vectors_quarantined(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    # null embedding in the FIRST row (the old head() probe's failure
+    # mode) plus a wrong-dimension vector: both quarantined, the valid
+    # vector survives and is indexed
+    out = embedding_neardup_filter_batch(
+        _vecs(spark, [(1, None), (2, [1.0, 2.0]), (3, _vec(3))]), idx
+    )
+    assert sorted(r.vec_id for r in out.collect()) == [3]
+    # the pinned dim comes from the valid row; a later exact copy of 3
+    # is still rejected against the index
+    nxt = embedding_neardup_filter_batch(_vecs(spark, [(10, _vec(3))]), idx)
+    assert nxt.count() == 0
+
+
+def test_all_null_batch_yields_empty(spark, tmp_path):
+    out = embedding_neardup_filter_batch(
+        _vecs(spark, [(1, None), (2, None)]), str(tmp_path / "idx")
+    )
+    assert out.count() == 0
+
+
+def test_embedding_index_config_mismatch_raises(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    embedding_neardup_filter_batch(_vecs(spark, [(1, _vec(1))]), idx)
+    with pytest.raises(ValueError, match="n_bits"):
+        embedding_neardup_filter_batch(_vecs(spark, [(2, _vec(2))]), idx, n_bits=4)
+    with pytest.raises(ValueError, match="dim"):
+        embedding_neardup_filter_batch(
+            _vecs(spark, [(2, [1.0] * 32)]), idx, dim=32
+        )

@@ -15,7 +15,18 @@ in this container, and the wire format itself (varints + tagged
 length-delimited fields) is a published, stable public spec.
 
 Field numbers used (public proto definitions):
-  SubscribeUpdate:            transaction = 4, created_at = 11
+  SubscribeUpdate (oneof):    account = 2, slot = 3, transaction = 4,
+      block = 5, ping = 6, block_meta = 7, entry = 8, pong = 9,
+      transaction_status = 10; created_at = 11
+  SubscribeUpdateAccount:     account = 1, slot = 2, is_startup = 3
+  SubscribeUpdateAccountInfo: pubkey = 1, lamports = 2, owner = 3,
+      executable = 4, rent_epoch = 5, data = 6, write_version = 7,
+      txn_signature = 8
+  SubscribeUpdateBlockMeta:   slot = 1, blockhash = 2, rewards = 3,
+      block_time = 4, block_height = 5, parent_slot = 6,
+      parent_blockhash = 7, executed_transaction_count = 8,
+      entries_count = 9
+  UnixTimestamp: timestamp = 1;  BlockHeight: block_height = 1
   SubscribeUpdateTransaction: info = 1, slot = 2
   SubscribeUpdateTransactionInfo:
       signature = 1, is_vote = 2, transaction = 3, meta = 4, index = 5
@@ -52,9 +63,41 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pandas.errors import OutOfBoundsDatetime
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, types as T
 
 from spectraplex_spark.schemas import BRONZE_SCHEMA
+
+# bronze-adjacent frames for the two non-transaction event families the
+# reference's README describes subscribing to (README.md:3)
+ACCOUNT_UPDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pubkey", T.StringType()),
+        T.StructField("lamports", T.LongType()),
+        T.StructField("owner", T.StringType()),
+        T.StructField("executable", T.BooleanType()),
+        T.StructField("rent_epoch", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("write_version", T.LongType()),
+        T.StructField("txn_signature", T.StringType()),
+        T.StructField("slot", T.LongType()),
+        T.StructField("is_startup", T.BooleanType()),
+        T.StructField("created_at", T.TimestampType()),
+    ]
+)
+
+BLOCK_META_SCHEMA = T.StructType(
+    [
+        T.StructField("slot", T.LongType()),
+        T.StructField("blockhash", T.StringType()),
+        T.StructField("block_time", T.TimestampType()),
+        T.StructField("block_height", T.LongType()),
+        T.StructField("parent_slot", T.LongType()),
+        T.StructField("parent_blockhash", T.StringType()),
+        T.StructField("executed_transaction_count", T.LongType()),
+        T.StructField("entries_count", T.LongType()),
+        T.StructField("created_at", T.TimestampType()),
+    ]
+)
 
 # --------------------------------------------------------------------------
 # protobuf wire-format primitives (public spec: varint + tagged fields)
@@ -230,22 +273,49 @@ def _decode_message(buf: bytes) -> dict:
     }
 
 
+# SubscribeUpdate oneof field numbers (geyser.proto)
+FRAME_ACCOUNT = 2
+FRAME_SLOT = 3
+FRAME_TRANSACTION = 4
+FRAME_BLOCK_META = 7
+_CREATED_AT = 11
+
+
+def _toplevel(raw: bytes) -> tuple[dict[int, bytes], int | None]:
+    """One pass over a ``SubscribeUpdate`` frame: the oneof payload
+    (keyed by field number) plus the decoded ``created_at`` seconds.
+    Shared by all three frame-family decoders so they agree on framing."""
+    payloads: dict[int, bytes] = {}
+    created_at = None
+    for fnum, wt, val in _fields(raw):
+        if fnum == _CREATED_AT and wt == 2:
+            for f2, _w2, v2 in _fields(val):
+                if f2 == 1:
+                    created_at = int(v2)
+        elif wt == 2:
+            payloads[fnum] = val
+    return payloads, created_at
+
+
+def frame_kind(raw: bytes) -> str | None:
+    """'transaction' | 'account' | 'block_meta' | None (slot/ping/other)."""
+    payloads, _ = _toplevel(raw)
+    if FRAME_TRANSACTION in payloads:
+        return "transaction"
+    if FRAME_ACCOUNT in payloads:
+        return "account"
+    if FRAME_BLOCK_META in payloads:
+        return "block_meta"
+    return None
+
+
 def decode_subscribe_update(raw: bytes) -> dict | None:
     """One Yellowstone ``SubscribeUpdate`` frame → getTransaction-style
     dict, or None for non-transaction updates (slot/ping/account/block
     frames have different oneof fields and are filtered here, mirroring
     the subscription filter the reference's adapter would request)."""
-    tx_update = None
-    created_at = None
-    for fnum, wt, val in _fields(raw):
-        if fnum == 4 and wt == 2:
-            tx_update = val
-        elif fnum == 11 and wt == 2:
-            secs = 0
-            for f2, _w2, v2 in _fields(val):
-                if f2 == 1:
-                    secs = int(v2)
-            created_at = secs
+    payloads, created_at = _toplevel(raw)
+    tx_update = payloads.get(FRAME_TRANSACTION)
     if tx_update is None:
         return None
     slot, info = 0, None
@@ -290,6 +360,104 @@ def decode_subscribe_update(raw: bytes) -> dict | None:
         "transaction": {"signatures": signatures, "message": message},
         "meta": _decode_meta(meta_buf) if meta_buf is not None else None,
     }
+
+
+def decode_account_update(raw: bytes) -> dict | None:
+    """One ``SubscribeUpdate`` frame → account-update dict, or None for
+    non-account frames. Covers the second of the three event families
+    the reference's README describes subscribing to (README.md:3 —
+    transactions, account updates, block metadata)."""
+    payloads, created_at = _toplevel(raw)
+    acct_update = payloads.get(FRAME_ACCOUNT)
+    if acct_update is None:
+        return None
+    slot = 0
+    is_startup = False
+    info = None
+    for fnum, _wt, val in _fields(acct_update):
+        if fnum == 1:
+            info = val
+        elif fnum == 2:
+            slot = int(val)
+        elif fnum == 3:
+            is_startup = bool(val)
+    if info is None:
+        return None
+    out = {
+        "pubkey": "",
+        "lamports": 0,
+        "owner": "",
+        "executable": False,
+        "rent_epoch": 0,
+        "data": b"",
+        "write_version": 0,
+        "txn_signature": None,
+        "slot": slot,
+        "is_startup": is_startup,
+        "created_at": created_at,
+    }
+    for fnum, _wt, val in _fields(info):
+        if fnum == 1:
+            out["pubkey"] = b58encode(bytes(val))
+        elif fnum == 2:
+            out["lamports"] = int(val)
+        elif fnum == 3:
+            out["owner"] = b58encode(bytes(val))
+        elif fnum == 4:
+            out["executable"] = bool(val)
+        elif fnum == 5:
+            out["rent_epoch"] = int(val)
+        elif fnum == 6:
+            out["data"] = bytes(val)
+        elif fnum == 7:
+            out["write_version"] = int(val)
+        elif fnum == 8:
+            out["txn_signature"] = b58encode(bytes(val))
+    return out
+
+
+def decode_block_meta(raw: bytes) -> dict | None:
+    """One ``SubscribeUpdate`` frame → block-metadata dict, or None for
+    non-block-meta frames (the third described event family). Rewards
+    (field 3) are skipped — the reference's pipeline consumes no reward
+    data and the frame stays bronze-faithful without them."""
+    payloads, created_at = _toplevel(raw)
+    bm = payloads.get(FRAME_BLOCK_META)
+    if bm is None:
+        return None
+    out = {
+        "slot": 0,
+        "blockhash": "",
+        "block_time": None,
+        "block_height": None,
+        "parent_slot": 0,
+        "parent_blockhash": "",
+        "executed_transaction_count": 0,
+        "entries_count": 0,
+        "created_at": created_at,
+    }
+    for fnum, _wt, val in _fields(bm):
+        if fnum == 1:
+            out["slot"] = int(val)
+        elif fnum == 2:
+            out["blockhash"] = val.decode("utf-8")
+        elif fnum == 4:  # UnixTimestamp { timestamp = 1 }
+            for f2, _w2, v2 in _fields(val):
+                if f2 == 1:
+                    out["block_time"] = int(v2)
+        elif fnum == 5:  # BlockHeight { block_height = 1 }
+            for f2, _w2, v2 in _fields(val):
+                if f2 == 1:
+                    out["block_height"] = int(v2)
+        elif fnum == 6:
+            out["parent_slot"] = int(val)
+        elif fnum == 7:
+            out["parent_blockhash"] = val.decode("utf-8")
+        elif fnum == 8:
+            out["executed_transaction_count"] = int(val)
+        elif fnum == 9:
+            out["entries_count"] = int(val)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -375,3 +543,78 @@ def decode_yellowstone(frames: DataFrame, value_col: str = "value") -> DataFrame
             )
 
     return frames.mapInPandas(decode, BRONZE_SCHEMA)
+
+
+_DECODE_SKIP = (
+    ValueError,
+    IndexError,
+    UnicodeDecodeError,
+    TypeError,
+    AttributeError,
+    OverflowError,
+    OutOfBoundsDatetime,
+)
+
+# 9999-12-31 in epoch seconds: the same sanity ceiling the transaction
+# path applies — a corrupt varint otherwise decodes to absurd epochs
+_TS_CEILING = 253402300799
+
+
+def _epoch_ts(secs: int | None) -> pd.Timestamp | None:
+    return (
+        pd.Timestamp(secs, unit="s")
+        if secs is not None and 0 <= secs <= _TS_CEILING
+        else None
+    )
+
+
+def _frame_decoder(decoder, to_row, schema):
+    """Shared mapInPandas body for the account/block frame families:
+    per-frame fault containment identical to the transaction path —
+    unreadable frames and other-family frames yield no row."""
+
+    def build(frames: DataFrame, value_col: str = "value") -> DataFrame:
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for raw in pdf[value_col]:
+                    if raw is None:
+                        continue
+                    try:
+                        d = decoder(bytes(raw))
+                        if d is None:
+                            continue
+                        rows.append(to_row(d))
+                    except _DECODE_SKIP:
+                        continue
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        return frames.mapInPandas(decode, schema)
+
+    return build
+
+
+def _account_row(d: dict) -> dict:
+    return {**d, "created_at": _epoch_ts(d["created_at"])}
+
+
+def _block_meta_row(d: dict) -> dict:
+    return {
+        **d,
+        "block_time": _epoch_ts(d["block_time"]),
+        "created_at": _epoch_ts(d["created_at"]),
+    }
+
+
+#: Binary Yellowstone frames → account-update rows (ACCOUNT_UPDATE_SCHEMA).
+#: Transaction/slot/ping frames yield no row; pair with
+#: :func:`decode_yellowstone` over the same frame stream to split one
+#: subscription into per-family bronze landings.
+decode_yellowstone_accounts = _frame_decoder(
+    decode_account_update, _account_row, ACCOUNT_UPDATE_SCHEMA
+)
+
+#: Binary Yellowstone frames → block-metadata rows (BLOCK_META_SCHEMA).
+decode_yellowstone_blocks = _frame_decoder(
+    decode_block_meta, _block_meta_row, BLOCK_META_SCHEMA
+)

@@ -312,6 +312,190 @@ def test_decode_round_trip_property(params):
     assert tx["meta"]["postBalances"] == list(params["post"])
 
 
+# --- account-update and block-metadata frame families ---------------------
+
+from spectraplex_spark.streaming.yellowstone import (  # noqa: E402
+    decode_account_update,
+    decode_block_meta,
+    decode_yellowstone_accounts,
+    decode_yellowstone_blocks,
+    frame_kind,
+)
+
+OWNER_RAW = bytes([3]) + bytes(31)
+OWNER_B58 = b58encode(OWNER_RAW)
+
+
+def encode_account_update(
+    pubkey=WALLET_RAW,
+    lamports=2_039_280,
+    owner=OWNER_RAW,
+    executable=False,
+    rent_epoch=361,
+    data=b"\x01\x02\x03\x04",
+    write_version=991,
+    txn_signature=SIG_RAW,
+    slot=123_456,
+    is_startup=False,
+    created_at=1_672_531_200,
+) -> bytes:
+    info = (
+        _len_field(1, pubkey)
+        + _uint_field(2, lamports)
+        + _len_field(3, owner)
+        + (_uint_field(4, 1) if executable else b"")
+        + _uint_field(5, rent_epoch)
+        + _len_field(6, data)
+        + _uint_field(7, write_version)
+        + (_len_field(8, txn_signature) if txn_signature else b"")
+    )
+    acct = (
+        _len_field(1, info)
+        + _uint_field(2, slot)
+        + (_uint_field(3, 1) if is_startup else b"")
+    )
+    return _len_field(2, acct) + _len_field(11, _uint_field(1, created_at))
+
+
+def encode_block_meta(
+    slot=123_456,
+    blockhash="B" * 43,
+    block_time=1_672_531_200,
+    block_height=110_000,
+    parent_slot=123_455,
+    parent_blockhash="P" * 43,
+    executed_transaction_count=1_234,
+    entries_count=64,
+    created_at=1_672_531_201,
+) -> bytes:
+    bm = (
+        _uint_field(1, slot)
+        + _len_field(2, blockhash.encode())
+        + _len_field(4, _uint_field(1, block_time))
+        + _len_field(5, _uint_field(1, block_height))
+        + _uint_field(6, parent_slot)
+        + _len_field(7, parent_blockhash.encode())
+        + _uint_field(8, executed_transaction_count)
+        + _uint_field(9, entries_count)
+    )
+    return _len_field(7, bm) + _len_field(11, _uint_field(1, created_at))
+
+
+def test_account_update_round_trip():
+    d = decode_account_update(encode_account_update())
+    assert d == {
+        "pubkey": WALLET_B58,
+        "lamports": 2_039_280,
+        "owner": OWNER_B58,
+        "executable": False,
+        "rent_epoch": 361,
+        "data": b"\x01\x02\x03\x04",
+        "write_version": 991,
+        "txn_signature": SIG_B58,
+        "slot": 123_456,
+        "is_startup": False,
+        "created_at": 1_672_531_200,
+    }
+    # a transaction frame is not an account frame, and vice versa
+    assert decode_account_update(encode_g1_update()) is None
+    assert decode_subscribe_update(encode_account_update()) is None
+
+
+def test_block_meta_round_trip():
+    d = decode_block_meta(encode_block_meta())
+    assert d == {
+        "slot": 123_456,
+        "blockhash": "B" * 43,
+        "block_time": 1_672_531_200,
+        "block_height": 110_000,
+        "parent_slot": 123_455,
+        "parent_blockhash": "P" * 43,
+        "executed_transaction_count": 1_234,
+        "entries_count": 64,
+        "created_at": 1_672_531_201,
+    }
+    assert decode_block_meta(encode_g1_update()) is None
+    assert decode_subscribe_update(encode_block_meta()) is None
+
+
+def test_frame_kind_classifies_all_families():
+    assert frame_kind(encode_g1_update()) == "transaction"
+    assert frame_kind(encode_account_update()) == "account"
+    assert frame_kind(encode_block_meta()) == "block_meta"
+    assert frame_kind(_len_field(3, _uint_field(1, 42))) is None  # slot frame
+
+
+def test_mixed_stream_splits_per_family(spark):
+    """One subscription stream carrying all three families: each
+    per-family decoder lands exactly its own frames, junk dropped."""
+    frames = spark.createDataFrame(
+        [
+            (None, encode_g1_update(), "yellowstone", 0, 0),
+            (None, encode_account_update(), "yellowstone", 0, 1),
+            (None, encode_block_meta(), "yellowstone", 0, 2),
+            (None, b"\x05junk", "yellowstone", 0, 3),
+            (None, _len_field(2, _uint_field(2, 1)), "yellowstone", 0, 4),  # acct, no info
+        ],
+        _FRAME_SCHEMA,
+    )
+    tx = decode_yellowstone(frames).collect()
+    accts = decode_yellowstone_accounts(frames).collect()
+    blocks = decode_yellowstone_blocks(frames).collect()
+    assert [r["tx_hash"] for r in tx] == [SIG_B58]
+    assert [(r["pubkey"], r["lamports"], r["owner"]) for r in accts] == [
+        (WALLET_B58, 2_039_280, OWNER_B58)
+    ]
+    assert accts[0]["data"] == bytearray(b"\x01\x02\x03\x04")
+    assert accts[0]["created_at"] is not None
+    assert [(r["slot"], r["block_height"], r["executed_transaction_count"]) for r in blocks] == [
+        (123_456, 110_000, 1_234)
+    ]
+    assert blocks[0]["block_time"] is not None
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lamports=st.integers(0, 2**62),
+    write_version=st.integers(0, 2**62),
+    slot=st.integers(0, 2**40),
+    rent_epoch=st.integers(0, 2**62),
+    data=st.binary(min_size=0, max_size=64),
+    executable=st.booleans(),
+    is_startup=st.booleans(),
+)
+def test_account_round_trip_property(
+    lamports, write_version, slot, rent_epoch, data, executable, is_startup
+):
+    d = decode_account_update(
+        encode_account_update(
+            lamports=lamports,
+            write_version=write_version,
+            slot=slot,
+            rent_epoch=rent_epoch,
+            data=data,
+            executable=executable,
+            is_startup=is_startup,
+        )
+    )
+    assert (d["lamports"], d["write_version"], d["slot"], d["rent_epoch"]) == (
+        lamports, write_version, slot, rent_epoch
+    )
+    assert d["data"] == data
+    assert d["executable"] is executable
+    assert d["is_startup"] is is_startup
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_family_decoders_never_crash_on_junk(raw):
+    for dec in (decode_account_update, decode_block_meta, frame_kind):
+        try:
+            out = dec(raw)
+        except (ValueError, IndexError, UnicodeDecodeError, struct.error):
+            continue
+        assert out is None or isinstance(out, (dict, str))
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.binary(min_size=0, max_size=200))
 def test_decoder_never_crashes_on_junk(raw):

@@ -1263,3 +1263,153 @@ def corpus_prep_planted(spark, sf_dir):
         verify_on_text=True,
     )
     return clean.select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# I/O protocol certification queries. The sources/sinks (S3/K3 JSONL,
+# K1/K2 idempotent parquet, S6 jdbc: dispatch) were pytest-only: no
+# catalog query exercised them, so the driver never hash-certified the
+# interchange protocols themselves. Each query below drives a full
+# write → read-back round trip through the PUBLIC helper (never a
+# shortcut re-read of the source) and returns a deterministic
+# projection whose DuckDB twin reads the original parquet — so any
+# loss, duplication, or type drift in the round trip breaks the hash.
+# Scratch lives in per-(sf, pid) temp dirs: repeated calls in one
+# process stay idempotent, and nothing lands inside the repo.
+# --------------------------------------------------------------------------
+
+
+def _scratch_dir(sf_dir: str, tag: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+
+
+@query(
+    "jsonl_roundtrip_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="S3/K3 JSONL interchange certified end to end: the events table "
+    "is written through the JSONL sink (write_jsonl) and read back "
+    "through the schema'd JSONL source (spark.read.schema(...).json — "
+    "never inferred), then aggregated per event type. The oracle "
+    "aggregates the ORIGINAL parquet, so the hash matches only if the "
+    "round trip preserved every row, timestamp (microsecond ISO "
+    "rendering), and double (shortest-round-trip rendering) exactly. "
+    "Decimal-cast sums keep the aggregation order-independent.",
+)
+def jsonl_roundtrip_events(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.sources.io import JSON_TS_NTZ_FORMAT, write_jsonl
+
+    ev = table(spark, sf_dir, "events")
+    path = _scratch_dir(sf_dir, "jsonl_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    write_jsonl(ev, path)
+    back = (
+        spark.read.schema(ev.schema)
+        .option("timestampNTZFormat", JSON_TS_NTZ_FORMAT)
+        .json(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast(T.DecimalType(38, 6))).cast("double").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "idempotent_sink_replay",
+    """
+    SELECT COUNT(*) AS n_rows,
+           0 AS replay_appended,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT event_id) AS n_ids
+    FROM events
+    """,
+    doc="K1/K2 idempotent-append protocol certified end to end: the "
+    "events table lands in a partitioned parquet target via "
+    "idempotent_append, then the SAME batch replays — the anti-join "
+    "must admit zero rows (replay_appended, hash-pinned to the "
+    "oracle's literal 0), and the target must hold exactly one copy "
+    "of every row (count + decimal-exact value sum vs the original "
+    "parquet). This is the ON CONFLICT DO NOTHING re-expression "
+    "(reference repo.rs:13-71) under the driver's hard signal.",
+)
+def idempotent_sink_replay(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.sources.io import idempotent_append
+
+    ev = table(spark, sf_dir, "events").withColumnRenamed("event_id", "id")
+    path = _scratch_dir(sf_dir, "idem_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    idempotent_append(ev, path, id_col="id", partition_by=("event_type",))
+    n_replay = idempotent_append(ev, path, id_col="id", partition_by=("event_type",))
+    target = spark.read.parquet(path)
+    return target.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(int(n_replay)).alias("replay_appended"),
+        F.sum(F.col("value").cast(T.DecimalType(38, 6))).cast("double").alias("total_value"),
+        F.countDistinct("id").alias("n_ids"),
+    )
+
+
+@query(
+    "jdbc_roundtrip_nation",
+    """
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+           CAST(n_regionkey AS INT) AS n_regionkey,
+           n_name
+    FROM nation
+    """,
+    doc="S6 source dispatch + JDBC sink/source certified end to end "
+    "over a REAL database (embedded Derby — the JDBC engine Spark "
+    "ships): the nation table is published via write_jdbc and read "
+    "back through open_source's jdbc: branch (the reference's db: URI "
+    "dispatch, cli/src/main.rs:118-124); the oracle reads the original "
+    "parquet. Hash-matches only if the dispatch, the JDBC write, and "
+    "the typed read-back all preserve the rows. Derby note: n_name "
+    "travels as VARCHAR explicitly — the dialect default CLOB is not "
+    "comparable on the JDBC side.",
+)
+def jdbc_roundtrip_nation(spark, sf_dir):
+    from spectraplex_spark.sources.io import open_source, write_jdbc
+
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        "n_name",
+    )
+    db = _scratch_dir(sf_dir, "jdbc_rt")
+    url = f"jdbc:derby:{db}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    write_jdbc(
+        nat,
+        url,
+        "nation_rt",
+        mode="overwrite",
+        driver=drv,
+        createTableColumnTypes="n_nationkey INT, n_regionkey INT, n_name VARCHAR(64)",
+    )
+    back = open_source(spark, url, "nation_rt", driver=drv)
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        "n_name",
+    )

@@ -443,9 +443,46 @@ def session_stats(spark, sf_dir):
     )
 
 
+_NT_WALLET = "W" * 44
+# Closed-form replay of the synthetic-bronze normalize output: the
+# generated tx bodies are analytic in the row index i, so every silver
+# column — including the sha256 content id over the exact decimal
+# string rendering — reconstructs in SQL. Row count ties to the events
+# table (1_000_000×sf == count(events) at every shipped SF), keeping
+# one static oracle string sf-faithful. SOL delta is exactly -1; the
+# SPL delta is (i+2_500_000)/1e6 rendered at decimal(38,18) scale.
+_NT_ORACLE = f"""
+    WITH i AS (SELECT unnest(range(0,
+        (SELECT GREATEST(1000, count(*)) FROM events))) AS i),
+    e AS (
+      SELECT i, 'SOL' AS asset_symbol,
+             '-1.000000000000000000' AS amt_str, '-1' AS ord_str
+      FROM i
+      UNION ALL
+      SELECT i, 'MintT',
+             CAST((i + 2500000) // 1000000 AS VARCHAR) || '.' ||
+               lpad(CAST((i + 2500000) % 1000000 AS VARCHAR), 6, '0') ||
+               repeat('0', 12),
+             '1'
+      FROM i
+    )
+    SELECT sha256('sig' || i || '|' || '{_NT_WALLET}' || '|' ||
+                  asset_symbol || '|' || amt_str || '|' || ord_str) AS id,
+           'b' || i AS transaction_id,
+           'u' AS user_id,
+           '{_NT_WALLET}' AS wallet_address,
+           asset_symbol,
+           CAST(amt_str AS DOUBLE) AS amount,
+           'transfer' AS entry_type,
+           CAST(NULL AS DOUBLE) AS fiat_value,
+           CAST(NULL AS TIMESTAMP) AS created_at
+    FROM e
+    """
+
+
 @query(
     "normalize_throughput",
-    None,  # synthetic self-generated input → rows-only check
+    _NT_ORACLE,
     bench=True,
     doc="U1 normalize throughput: generates sf-scaled synthetic bronze "
     "rows (solana-shaped raw_metadata built JVM-side via format_string — "
@@ -453,7 +490,10 @@ def session_stats(spark, sf_dir):
     "the head-to-head with the reference's core operation, which "
     "processes one row per Postgres INSERT round-trip "
     "(repo.rs:14-38): the DataFrame pipeline normalizes ~100k tx/s/node "
-    "vs the reference's network-bound hundreds/s.",
+    "vs the reference's network-bound hundreds/s. ORACLE: the synthetic "
+    "bronze is analytic in the row index, so the FULL silver output — "
+    "sha256 content ids over exact decimal strings included — is "
+    "replayed closed-form in SQL (no rows-only compromise).",
 )
 def normalize_throughput(spark, sf_dir):
     import os
@@ -498,7 +538,14 @@ def normalize_throughput(spark, sf_dir):
     )
     for f in BRONZE_SCHEMA.fields:
         bronze = bronze.withColumn(f.name, F.col(f.name).cast(f.dataType))
-    return normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
+    silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
+    # grading projection only (catalog convention: decimal outputs go to
+    # the driver as DOUBLE — the pandas canonicalizer reads DuckDB
+    # decimals as float64); the id hash is computed over the EXACT
+    # decimal(38,18) strings upstream, so precision is certified there
+    return silver.withColumn("amount", F.col("amount").cast("double")).withColumn(
+        "fiat_value", F.col("fiat_value").cast("double")
+    )
 
 
 @query(

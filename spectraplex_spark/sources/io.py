@@ -77,9 +77,23 @@ def read_bronze_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(BRONZE_SCHEMA).json(path)
 
 
+# Spark's JSON default renders timestamps at millisecond precision,
+# silently losing micros on a write→read round trip; the sink is an
+# interchange format, so it must be lossless. Readers parse these
+# fine: the ltz pattern is ISO-with-offset, the ntz pattern plain ISO.
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+JSON_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """K3: JSONL sink (one JSON object per line)."""
-    df.write.mode(mode).json(path)
+    """K3: JSONL sink (one JSON object per line, microsecond-faithful
+    timestamps)."""
+    (
+        df.write.mode(mode)
+        .option("timestampFormat", JSON_TS_FORMAT)
+        .option("timestampNTZFormat", JSON_TS_NTZ_FORMAT)
+        .json(path)
+    )
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:

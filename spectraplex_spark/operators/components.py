@@ -55,11 +55,16 @@ def connected_components(
     # localCheckpoint (not persist): truncates lineage each round —
     # an iterative plan otherwise grows by two joins per iteration and
     # planning time explodes long before data size matters.
+    # eager=False: the first convergence probe (round 1) is the first
+    # action over the label chain, so initialization materializes inside
+    # that job instead of paying a separate job submission up front —
+    # for the common star/clique near-dup graphs that converge at round
+    # 0, the whole components pass is then exactly ONE job.
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for it in range(max_iter):
         neighbor_min = (

@@ -28,75 +28,72 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # --------------------------------------------------------------------------
 # Graded-window curation. The external correctness gate grades the FIRST
 # 50 registered queries, so registration order is part of the contract.
-# Round-4 rotation: (a) the 14 queries that ERRed in round 3 on the
-# events-table dtype regeneration — the registry fix needs a fresh green
-# signature for every one of them; (b) queries new or changed this
-# round (the planted-near-dup oracles, the sketch bounds contract, the
-# full-probe IVF, the NTZ-safe temporal helper); (c) the 13 queries
-# whose only grade is round 1, refreshed; (d) benched headliners for a
-# same-round correctness+perf double-sign. Cumulative driver-green
-# target: every catalog query green within the last two rounds.
+# Round-5 rotation: (a) never-graded queries new this round (the two
+# incremental-gate replay oracles, the flagship corpus-prep replay, the
+# three I/O protocol round-trips); (b) normalize_throughput, whose
+# closed-form full-output oracle replaced its rows-only status this
+# round; (c) benched headliners for the same-round correctness+perf
+# double-sign; (d) the 32 queries whose latest green is round 2 — the
+# oldest evidence in the ledger — plus 4 round-3 entries to fill the
+# window. Everything else was green in round 4 (see CORRECTNESS_r04)
+# and rotates back in round 6.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # (a) round-3 ERR re-grades (all one cause: registry.py events load)
-    "events_by_user",
-    "recent_events_topk",
-    "user_activity_report",
-    "running_balance_events",
-    "daily_rollup_events",
-    "dedup_union_events",
-    "session_window_builtin",
-    "sliding_window_rollup",
-    "scd2_user_event_history",
-    "incremental_rollup_merge",
-    "frequent_users_exact",
-    "sketch_event_profile",
-    "scalar_json_events",
-    "variant_json_events",
-    # (b) new/changed this round
-    "minhash_neardup_planted",
-    "incremental_neardup_planted",
-    "embedding_neardup_pairs",
-    "embedding_neardup_bucketed",
-    "embedding_neardup_multiprobe",
-    "simsearch_ivf_topk",
-    "range_join_close_pairs",
-    "session_stats",
-    "asof_price_enrichment",
-    # (c) round-1-only evidence refresh
-    "agg_count_distinct",
-    "array_posexplode_embeddings",
-    "distinct_pairs",
-    "grouping_sets_orders",
-    "join_in_subquery",
-    "join_semi_customers_with_orders",
-    "q14_promo_revenue_ratio",
-    "q16_part_supplier_variety",
-    "scalar_conditional_funcs",
-    "scalar_date_arith",
-    "scalar_string_parts",
-    "sort_limit_offset",
-    "sort_topk_orders",
-    # (d) benched headliners: same-round correctness + perf evidence
+    # (a) never graded — new this round
+    "corpus_prep_planted",
+    "incremental_neardup_embedding_planted",
+    "jsonl_roundtrip_events",
+    "idempotent_sink_replay",
+    "jdbc_roundtrip_nation",
+    # (b) rows-only → full closed-form oracle this round (also benched)
+    "normalize_throughput",
+    # (c) benched headliners: same-round correctness + perf evidence
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "join_broadcast_brand_revenue",
     "dedup_exact_docs",
     "simsearch_cosine_topk",
-    # remaining rows-only ops (driver records row counts) + goldens
-    "normalize_throughput",
     "minhash_neardup_pairs",
     "corpus_prep_pipeline",
-    "simhash_dup_groups",
-    "simhash_neighbor_pairs",
-    "simsearch_ann_lsh",
-    "solana_normalize_udtf_golden",
-    "backfill_wallet_migration",
-    # first past the 50-cutoff (solana_normalize_golden: green r3;
-    # streaming_window_rollup: green r2)
-    "solana_normalize_golden",
+    # (d) oldest evidence: latest green = round 2
     "streaming_window_rollup",
+    "agg_rollup_lineitem",
+    "agg_cube_orders",
+    "join_left_order_counts",
+    "window_running_revenue",
+    "scalar_date_orders",
+    "scalar_math_lineitem",
+    "case_when_value_tiers",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "pivot_status_by_priority",
+    "window_moving_sum",
+    "agg_collect_sorted",
+    "map_ops_events",
+    "q7_nation_trade_flows",
+    "q9_product_profit",
+    "unpivot_lineitem_metrics",
+    "histogram_order_prices",
+    "agg_string_concat",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "q12_priority_shipping_buckets",
+    "q17_small_quantity_revenue",
+    "q8_market_share",
+    "doc_fingerprints",
+    "text_token_stats",
+    "lang_quality_report",
+    "lang_id_distribution",
+    "multimodal_binary_meta",
+    # (d') round-3 fill to complete the window of 50
+    "solana_normalize_golden",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
 ]
 
 

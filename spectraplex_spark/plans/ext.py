@@ -716,13 +716,49 @@ def simsearch_ivf_topk(spark, sf_dir):
     )
 
 
+_NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+
+
 @query(
     "minhash_neardup_pairs",
-    None,
+    f"""
+    WITH t AS (SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+    """,
     bench=True,
-    doc="E1 MinHash+LSH near-dup pairs (32 hashes, 8 bands, 3-shingles, "
-    "Jaccard ≥ 0.8): banding self-join emits only candidates — no "
-    "all-pairs compare at any scale.",
+    doc="E1 MinHash+LSH near-dup pairs over the ORGANIC corpus (32 "
+    "hashes, 8 bands, 3-shingles, Jaccard ≥ 0.8): banding self-join "
+    "emits only candidates — no all-pairs compare at any scale. ORACLE "
+    "(new round 5): exact Jaccard via an inverted shingle index "
+    "(unnest → equi-join → group-count = |A∩B|; c/(nA+nB−c) ≥ 0.8) — "
+    "the organic corpus DOES hold true near-dups (25 pairs at sf0.01, "
+    "256 at sf0.1, all Jaccard ≥ 0.9), and LSH output was verified "
+    "bit-identical to brute force at BOTH SFs before attaching this "
+    "twin. Caveats documented: banding miss-probability at the "
+    "observed Jaccard floor (0.9) is ≤ 2e-4 per pair — zero misses on "
+    "this corpus, deterministic under fixed seeds; the hashed-shingle "
+    "verify equals string Jaccard absent 31-bit collisions (none "
+    "here). A testdata regeneration planting near-threshold pairs "
+    "could reopen the gap; the planted variant stays the "
+    "recall-guaranteed certification.",
 )
 def minhash_neardup_pairs(spark, sf_dir):
     return D.minhash_neardup_pairs(table(spark, sf_dir, "documents"))
@@ -752,9 +788,6 @@ def simhash_dup_groups(spark, sf_dir):
         (F.col("doc_id") + 300000).alias("doc_id"), "text"
     )
     return D.simhash_dup_groups(docs.unionByName(twins))
-
-
-_NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 
 
 @query(
@@ -1172,15 +1205,82 @@ def incremental_neardup_embedding_planted(spark, sf_dir):
     return surv1.select("vec_id").unionByName(surv2.select("vec_id"))
 
 
+def _corpus_prep_pipeline_oracle() -> str:
+    """Full-corpus replay of the ENTIRE prepare_corpus composition —
+    no planted view, no id bound: language gate → quality gate → exact
+    dedup → 3-shingle Jaccard ≥ 0.8 pairs via an INVERTED SHINGLE INDEX
+    (unnest → equi-join → group-count = |A∩B|, the trick that makes the
+    exact pair mine feasible in SQL at any shipped SF) → transitive
+    closure (recursive CTE) → min-id survivor set. Attaching this twin
+    required verifying the LSH stage exactly reproduces brute force on
+    the organic corpus: pair sets AND Jaccard values are bit-identical
+    at sf0.01 (25 pairs) and sf0.1 (256 pairs) — banding miss
+    probability ≤ 2e-4/pair at the observed Jaccard floor of 0.9,
+    deterministic under fixed seeds. End-to-end survivor sets were
+    compared equal at both SFs before this oracle shipped."""
+    cnt = {lang: _stop_count_sql(lang) for lang in X.STOPWORDS}
+    m = f"GREATEST({cnt['en']}, {cnt['es']}, {cnt['fr']}, {cnt['de']})"
+    quality = f"""(
+        (CASE WHEN len({_TOKENS_SQL}) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN {cnt['en']} > 0 THEN 0.25 ELSE 0.0 END)
+    ) >= 0.5"""
+    return f"""
+    WITH RECURSIVE lq AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE {m} > 0 AND {cnt['en']} = {m} AND {quality}
+    ),
+    pl AS (
+      SELECT doc_id, text, lang, n_chars FROM lq
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM lq GROUP BY md5({_NORM_SQL}))
+    ),
+    t AS (SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM pl),
+    s AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+    SELECT doc_id, lang, n_chars FROM pl
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    """
+
+
 @query(
     "corpus_prep_pipeline",
-    None,  # composes LSH near-dup (no SQL twin) → rows-only
+    _corpus_prep_pipeline_oracle(),
     bench=True,
-    doc="The full training-data prep composition: language gate → "
-    "quality gate → exact dedup → transitive near-dup removal "
-    "(MinHash/LSH pairs + connected components) → cleaned corpus. "
-    "Rows-only: the LSH stage has no SQL twin; per-stage behavior is "
-    "oracle-checked via its constituent queries and pytest.",
+    doc="The full training-data prep composition over the ORGANIC "
+    "corpus: language gate → quality gate → exact dedup → transitive "
+    "near-dup removal (MinHash/LSH pairs + connected components) → "
+    "cleaned corpus. ORACLE (new round 5): the whole composition "
+    "replays in one SQL statement — the LSH pair mine is replaced by "
+    "an exact inverted-index Jaccard (verified bit-identical to the "
+    "engine's banding output at both shipped SFs), the components loop "
+    "by a recursive-CTE transitive closure. The flagship pipeline now "
+    "carries the driver's hard hash signal on its production input, "
+    "not just the bounded planted view (corpus_prep_planted).",
 )
 def corpus_prep_pipeline(spark, sf_dir):
     from spectraplex_spark.operators.corpus import prepare_corpus

@@ -52,7 +52,9 @@ def _drop_cached(spark) -> None:
     while tracker.getActiveJobsIds() and time.time() < deadline:
         time.sleep(0.05)
     spark.catalog.clearCache()
-    for jrdd in sc._jsc.getPersistentRDDs().values().toArray():
+    # py4j auto-converts the Java map to a dict-like view — iterate it
+    # directly (a .toArray() here is an AttributeError, not a Java call)
+    for jrdd in list(sc._jsc.getPersistentRDDs().values()):
         jrdd.unpersist(True)
 
 
@@ -109,9 +111,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}
+    plan_breaks: dict[str, int] = {}
     for q in bench_queries:
         timings[q.name] = round(min(run_query(q, spark, SF_DIR) for _ in range(RUNS)), 4)
-        # shuffle-consciousness evidence: exchanges in the executed plan
+        # shuffle-consciousness evidence: exchanges in the executed plan.
+        # CAVEAT recorded alongside: a localCheckpoint boundary replaces
+        # its upstream plan with an ExistingRDD scan, so exchanges paid
+        # INSIDE checkpointed segments don't appear in this string —
+        # plan_breaks counts those boundaries so a drop in the shuffle
+        # number can be told apart from a genuinely removed exchange.
         try:
             plan = (
                 q.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
@@ -119,8 +127,10 @@ def main() -> None:
             # real data shuffles only: broadcasts ship a dim to every
             # executor once and are the cheap path, not a shuffle
             shuffles[q.name] = plan.count("Exchange hashpartitioning")
+            plan_breaks[q.name] = plan.count("ExistingRDD")
         except Exception:
             shuffles[q.name] = -1
+            plan_breaks[q.name] = -1
 
     print(
         json.dumps(
@@ -132,6 +142,7 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "runs": RUNS,
                 "shuffles": shuffles,
+                "plan_breaks": plan_breaks,
             }
         )
     )

@@ -30,6 +30,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component =
     min node id in the connected component.
@@ -39,34 +40,57 @@ def connected_components(
     split one duplicate cluster into several and let near-dups through.
     With pointer jumping, max_iter=20 covers diameters up to ~2^20; a
     graph that still fails deserves a loud failure, not a wrong answer.
+
+    ``edges_deduped``: promise that the edge list is already distinct
+    with ``src < dst`` on every row (the contract of the LSH pair
+    miners, which dropDuplicate their output). The symmetrized frame is
+    then union-of-disjoint-halves and the dedup shuffle is skipped —
+    one full edge-list exchange saved, here and at 100 TB. The flag is
+    a pure performance knob: duplicate or self-loop rows in ``sym``
+    cannot change min-label propagation's result (min is idempotent),
+    so a mislabeled input costs shuffle bytes, never correctness.
     """
     # Repartition on the join key BEFORE caching: the per-round
     # neighbor-min join then finds the edge side already hash-
     # partitioned on v and re-exchanges only the (much smaller) label
     # side — at scale this removes a full edge-list shuffle from every
     # iteration.
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .repartition("v")
-        .persist()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not edges_deduped:
+        sym = sym.distinct()
+    sym = sym.repartition("v").persist()
+    # Round 0 fused into initialization: with identity labels the
+    # neighbor-min join is a no-op mapping (label(v) == v), so the first
+    # propagation collapses to ONE groupBy over the symmetrized edges —
+    # component = min(self, min(neighbors)). This also covers every
+    # node (symmetrization puts each node on the u side), so the
+    # separate distinct-nodes pass disappears: two exchanges saved per
+    # call versus the init-then-join form, at any scale.
     # localCheckpoint (not persist): truncates lineage each round —
     # an iterative plan otherwise grows by two joins per iteration and
-    # planning time explodes long before data size matters.
-    # eager=False: the first convergence probe (round 1) is the first
-    # action over the label chain, so initialization materializes inside
-    # that job instead of paying a separate job submission up front —
-    # for the common star/clique near-dup graphs that converge at round
-    # 0, the whole components pass is then exactly ONE job.
+    # planning time explodes long before data size matters. eager=False:
+    # the first convergence probe (round 1) is the first action over the
+    # label chain, so for star/clique near-dup graphs (converged at
+    # round 0) the whole components pass is exactly ONE job.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("u"), F.min("v")).alias("component"))
         .localCheckpoint(eager=False)
     )
-    for it in range(max_iter):
+    if max_iter == 1:
+        # Cannot verify convergence without a second round; converged
+        # after round 0 ⟺ no label moved off the identity.
+        if labels.filter(F.col("component") != F.col("node")).limit(1).count():
+            raise RuntimeError(
+                "connected_components did not converge within max_iter=1 rounds; "
+                "labels were still changing — raise max_iter (the result would be "
+                "wrong, not approximate: unconverged labels split duplicate clusters)"
+            )
+        sym.unpersist()
+        return labels
+    for it in range(1, max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -122,19 +146,11 @@ def connected_components(
                 .drop("_old")
                 .localCheckpoint(eager=False)
             )
-        # Round 0 with a non-empty edge list ALWAYS changes some label
-        # (every non-minimum node adjacent to a smaller id adopts it),
-        # so the convergence probe would be a wasted job there; an empty
-        # edge list yields an empty label frame and exits via count 0
-        # on the next probe regardless. The skip needs max_iter > 1:
-        # with max_iter=1 there IS no next probe, and forcing changed=1
-        # would turn an already-converged (empty/self-loop-only) input
-        # into a spurious RuntimeError.
-        changed = (
-            1
-            if it == 0 and max_iter > 1
-            else new_labels.filter(F.col("_changed")).limit(1).count()
-        )
+        # This probe is the round's ONE action (it materializes the lazy
+        # checkpoint chain, round 0's fused groupBy included on the
+        # first pass); round 1 probing zero changes is how round-0
+        # convergence — the common star/clique case — is detected.
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
         if propagated is not None:
             propagated.unpersist()
         labels = new_labels.drop("_changed")
@@ -153,7 +169,9 @@ def connected_components(
 
 def neardup_groups(pairs: DataFrame) -> DataFrame:
     """Near-dup pairs → (component, n_docs, members sorted) groups."""
-    comps = connected_components(pairs)
+    # LSH pair miners emit dropDuplicated (id_a < id_b) rows — the
+    # edges_deduped contract — so the symmetrize-dedup shuffle is waived
+    comps = connected_components(pairs, edges_deduped=True)
     return (
         comps.groupBy("component")
         .agg(
@@ -168,7 +186,7 @@ def dedup_keep_representative(
 ) -> DataFrame:
     """Remove near-duplicates: keep only the min-id representative of
     each duplicate cluster (plus all documents that appear in no pair)."""
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, edges_deduped=True)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -80,9 +80,19 @@ def prepare_corpus(
     n_quality = enriched.count() if collect_stats else -1
 
     # exact dedup inline over the precomputed fingerprint (same keep-
-    # min-id rule as exact_dedup, minus its extra text pass)
-    keep = enriched.groupBy("_fp").agg(F.min(id_col).alias(id_col)).drop("_fp")
-    exact = enriched.join(keep, id_col, "left_semi")
+    # min-id rule as exact_dedup, minus its extra text pass). A window
+    # over _fp instead of groupBy+semi-join: ONE shuffle of the enriched
+    # table on the 16-byte fingerprint, versus two (the agg shuffle on
+    # _fp plus the join shuffle on id) — the same trade at 100 TB, where
+    # the join would re-shuffle the full corpus a second time.
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("_fp")
+    exact = (
+        enriched.withColumn("_keep", F.min(id_col).over(w_fp))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
     n_exact = exact.count() if collect_stats else -1
 
     # 16 bands x 2 rows: high recall at mid jaccard (P(surface) ≈

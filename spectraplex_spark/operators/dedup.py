@@ -224,8 +224,15 @@ def minhash_neardup_pairs(
         ),
     )
     wb = Window.partitionBy("_band", "_bandhash")
-    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(wb)).withColumn(
-        "_head", F.min("_id").over(wb)
+    # lazy checkpoint: three consumers read this frame (both sides of
+    # the quadratic self-join and the star branch); without it the
+    # signature+window pass re-executes per consumer unless Catalyst
+    # happens to reuse the exchange — the checkpoint makes the single
+    # materialization structural, not plan-luck.
+    sized = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .withColumn("_head", F.min("_id").over(wb))
+        .localCheckpoint(eager=False)
     )
     small = sized.filter(F.col("_bsz") <= max_band_bucket).select(
         "_id", "_band", "_bandhash"

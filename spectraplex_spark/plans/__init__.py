@@ -45,6 +45,8 @@ _GRADED_PRIORITY = [
     "jsonl_roundtrip_events",
     "idempotent_sink_replay",
     "jdbc_roundtrip_nation",
+    "rpc_ingest_golden",
+    "http_serving_roundtrip",
     # (b) rows-only → full closed-form oracle this round (also benched)
     "normalize_throughput",
     # (c) benched headliners: same-round correctness + perf evidence
@@ -92,8 +94,6 @@ _GRADED_PRIORITY = [
     # (d') round-3 fill to complete the window of 50
     "solana_normalize_golden",
     "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_stock_suppliers",
 ]
 
 

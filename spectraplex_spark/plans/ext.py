@@ -1513,3 +1513,125 @@ def jdbc_roundtrip_nation(spark, sf_dir):
         F.col("n_regionkey").cast("int").alias("n_regionkey"),
         "n_name",
     )
+
+
+_FIXTURE_WALLET = "FixtureWallet1111111111111111111111111111111"
+_GOLDEN_LEDGER_ORACLE = f"""
+    SELECT 'sig' || lpad(CAST(i AS VARCHAR), 4, '0') AS tx_hash,
+           CAST(1700000000 + i AS BIGINT) AS ts,
+           '{_FIXTURE_WALLET}' AS wallet_address,
+           'SOL' AS asset_symbol,
+           CAST(-0.5 AS DOUBLE) AS amount
+    FROM (SELECT unnest(range(0, 7)) AS i)
+    """
+
+
+@query(
+    "rpc_ingest_golden",
+    _GOLDEN_LEDGER_ORACLE,
+    doc="S1 certified end to end under the driver's hash: a canned "
+    "localhost Solana JSON-RPC node (spectraplex_spark/testing/"
+    "rpc_fixture.py — golden-shaped −0.5 SOL transfers, the reference "
+    "parser's own vector) is served on an ephemeral port; the "
+    "connector's fetch loop (getSignaturesForAddress + per-signature "
+    "getTransaction, rate/retry policy included) pulls the wallet "
+    "history, conform_to_bronze lands it, normalize produces the "
+    "ledger. The oracle is the closed-form golden ledger — 7 "
+    "transactions × exactly −0.5 SOL. The fetch is eager (bounded, "
+    "driver-side — the API's inline-ingest path), so the fixture node "
+    "is shut down before the DataFrame is consumed.",
+)
+def rpc_ingest_golden(spark, sf_dir):
+    from spectraplex_spark.operators.normalize import normalize
+    from spectraplex_spark.sources.connector import ingest_history
+    from spectraplex_spark.testing.rpc_fixture import WALLET, serve_node
+
+    with serve_node(7) as node:
+        bronze = ingest_history(spark, node.url, WALLET, limit=50)
+    silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
+    return (
+        silver.join(
+            bronze.select(F.col("id").alias("transaction_id"), "tx_hash", "timestamp"),
+            "transaction_id",
+        )
+        .select(
+            "tx_hash",
+            F.col("timestamp").alias("ts"),
+            "wallet_address",
+            "asset_symbol",
+            F.col("amount").cast("double").alias("amount"),
+        )
+    )
+
+
+@query(
+    "http_serving_roundtrip",
+    f"""
+    SELECT wallet_address, asset_symbol, amount FROM (
+        SELECT '{_FIXTURE_WALLET}' AS wallet_address,
+               'SOL' AS asset_symbol,
+               CAST(-0.5 AS DOUBLE) AS amount
+        FROM (SELECT unnest(range(0, 7)) AS i)
+    )
+    """,
+    doc="K4 certified end to end under the driver's hash — the ENTIRE "
+    "reference API flow, route for route (api/src/main.rs:30-50), over "
+    "real HTTP: POST /v1/ingest pulls the fixture node's history "
+    "through the RPC connector into idempotent bronze, POST "
+    "/v1/normalize lands silver, GET /v1/ledger/<wallet> serves the "
+    "ledger as JSON. Ingest and normalize are POSTed TWICE — the "
+    "replayed calls must be no-ops (deterministic ids + anti-join, the "
+    "engine's ON CONFLICT), so 14 fetched transactions hash to exactly "
+    "7 ledger rows. Both servers run on ephemeral localhost ports "
+    "inside the builder; the response is materialized before teardown.",
+)
+def http_serving_roundtrip(spark, sf_dir):
+    import json as _json
+    import shutil
+    import threading
+    import urllib.request
+
+    from spectraplex_spark.serving_http import AppState, make_server
+    from spectraplex_spark.testing.rpc_fixture import WALLET, serve_node
+
+    scratch = _scratch_dir(sf_dir, "http_edge")
+    shutil.rmtree(scratch, ignore_errors=True)
+    state = AppState(spark, f"{scratch}/bronze", f"{scratch}/silver")
+    server = make_server(state)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def post(path: str, payload: dict) -> None:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200, resp.status
+
+    try:
+        with serve_node(7) as node:
+            ingest = {"chain": "solana", "wallet": WALLET, "rpc_url": node.url}
+            post("/v1/ingest", ingest)
+            post("/v1/ingest", ingest)  # replay: anti-join lands 0 rows
+        post("/v1/normalize", {"wallet": WALLET})
+        post("/v1/normalize", {"wallet": WALLET})  # replay: idempotent silver
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/ledger/{WALLET}", timeout=60
+        ) as resp:
+            rows = _json.loads(resp.read().decode())
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    out = spark.createDataFrame(
+        [
+            (r["wallet_address"], r["asset_symbol"], float(r["amount"]))
+            for r in rows
+        ],
+        "wallet_address string, asset_symbol string, amount double",
+    )
+    return out

@@ -30,12 +30,13 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # 50 registered queries, so registration order is part of the contract.
 # Round-5 rotation: (a) never-graded queries new this round (the two
 # incremental-gate replay oracles, the flagship corpus-prep replay, the
-# three I/O protocol round-trips); (b) normalize_throughput, whose
-# closed-form full-output oracle replaced its rows-only status this
-# round; (c) benched headliners for the same-round correctness+perf
-# double-sign; (d) the 32 queries whose latest green is round 2 — the
-# oldest evidence in the ledger — plus 4 round-3 entries to fill the
-# window. Everything else was green in round 4 (see CORRECTNESS_r04)
+# three I/O protocol round-trips, the RPC/HTTP edge certifications, the
+# account-state consumer); (b) normalize_throughput, whose closed-form
+# full-output oracle replaced its rows-only status this round; (c)
+# benched headliners for the same-round correctness+perf double-sign;
+# (d) the 32 queries whose latest green is round 2 — the oldest
+# evidence in the ledger — plus a round-3 fill to complete the window.
+# Everything else was green in rounds 3-4 (see CORRECTNESS_r0{3,4})
 # and rotates back in round 6.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
@@ -47,6 +48,7 @@ _GRADED_PRIORITY = [
     "jdbc_roundtrip_nation",
     "rpc_ingest_golden",
     "http_serving_roundtrip",
+    "account_state_latest",
     # (b) rows-only → full closed-form oracle this round (also benched)
     "normalize_throughput",
     # (c) benched headliners: same-round correctness + perf evidence
@@ -93,7 +95,6 @@ _GRADED_PRIORITY = [
     "multimodal_binary_meta",
     # (d') round-3 fill to complete the window of 50
     "solana_normalize_golden",
-    "q2_min_cost_supplier",
 ]
 
 

@@ -1635,3 +1635,46 @@ def http_serving_roundtrip(spark, sf_dir):
         "wallet_address string, asset_symbol string, amount double",
     )
     return out
+
+
+@query(
+    "account_state_latest",
+    """
+    WITH upd AS (
+      SELECT 'acct' || CAST(user_id AS VARCHAR) AS pubkey,
+             event_id AS slot,
+             event_id AS write_version,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS lamports
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY pubkey ORDER BY slot DESC, write_version DESC
+      ) AS rn FROM upd
+    )
+    SELECT pubkey, slot, write_version, lamports
+    FROM ranked WHERE rn = 1
+    """,
+    doc="The Geyser-consumer 'current account state' view "
+    "(streaming/accounts.py latest_account_state): one row per pubkey, "
+    "the update with the greatest (slot, write_version). Implemented "
+    "as max_by over a struct ordering key — partial-aggregatable, so "
+    "at 100 TB the shuffle carries one candidate per (pubkey, "
+    "partition) instead of the update history (a window/row_number "
+    "form shuffles everything). Driven here by a deterministic "
+    "update stream derived from the events table; the oracle replays "
+    "the pick with a SQL window. The wire half (SubscribeUpdateAccount "
+    "decode) is round-trip-certified in test_yellowstone.py; the "
+    "streaming landing (idempotent pubkey:write_version identity) in "
+    "test_accounts.py.",
+)
+def account_state_latest(spark, sf_dir):
+    from spectraplex_spark.streaming.accounts import latest_account_state
+
+    upd = table(spark, sf_dir, "events").select(
+        F.concat(F.lit("acct"), F.col("user_id").cast("string")).alias("pubkey"),
+        F.col("event_id").alias("slot"),
+        F.col("event_id").alias("write_version"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("lamports"),
+    )
+    return latest_account_state(upd)

@@ -35,7 +35,7 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # full-output oracle replaced its rows-only status this round; (c)
 # benched headliners for the same-round correctness+perf double-sign;
 # (d) the 32 queries whose latest green is round 2 — the oldest
-# evidence in the ledger — plus a round-3 fill to complete the window.
+# evidence in the ledger.
 # Everything else was green in rounds 3-4 (see CORRECTNESS_r0{3,4})
 # and rotates back in round 6.
 # --------------------------------------------------------------------------
@@ -49,6 +49,7 @@ _GRADED_PRIORITY = [
     "rpc_ingest_golden",
     "http_serving_roundtrip",
     "account_state_latest",
+    "block_continuity_report",
     # (b) rows-only → full closed-form oracle this round (also benched)
     "normalize_throughput",
     # (c) benched headliners: same-round correctness + perf evidence
@@ -93,8 +94,6 @@ _GRADED_PRIORITY = [
     "lang_quality_report",
     "lang_id_distribution",
     "multimodal_binary_meta",
-    # (d') round-3 fill to complete the window of 50
-    "solana_normalize_golden",
 ]
 
 

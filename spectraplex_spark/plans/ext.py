@@ -1678,3 +1678,67 @@ def account_state_latest(spark, sf_dir):
         F.floor(F.col("value") * 1000000).cast("bigint").alias("lamports"),
     )
     return latest_account_state(upd)
+
+
+@query(
+    "block_continuity_report",
+    """
+    WITH blocks AS (
+      SELECT event_id * 2 AS slot,
+             'h' || CAST(event_id * 2 AS VARCHAR) AS blockhash,
+             CASE WHEN event_id % 97 = 0 AND event_id > 0
+                  THEN event_id * 2 - 4 ELSE event_id * 2 - 2 END AS parent_slot,
+             'h' || CAST(CASE WHEN event_id % 89 = 0 AND event_id > 0
+                  THEN -1 ELSE event_id * 2 - 2 END AS VARCHAR) AS parent_blockhash
+      FROM events WHERE event_id < 2000
+    ),
+    cont AS (
+      SELECT slot, blockhash, parent_slot, parent_blockhash,
+             LAG(slot) OVER (ORDER BY slot) AS prev_slot,
+             LAG(blockhash) OVER (ORDER BY slot) AS prev_hash
+      FROM blocks
+    )
+    SELECT slot, blockhash, parent_slot, parent_blockhash, prev_slot,
+           parent_slot <> prev_slot AS has_gap,
+           parent_blockhash <> prev_hash AS hash_mismatch
+    FROM cont WHERE prev_slot IS NOT NULL
+    """,
+    doc="Block-metadata continuity verification (streaming/blocks.py "
+    "slot_continuity) — the canonical consumer of the third Yellowstone "
+    "event family: per block, does parent_slot point at the previous "
+    "seen block (gap / missed-frame detection) and does "
+    "parent_blockhash match its blockhash (fork/reorg signal even on "
+    "contiguous slots)? Driven by a deterministic block chain derived "
+    "from the events table with planted gaps (every 97th block skips a "
+    "slot) and hash breaks (every 89th block lies about its parent "
+    "hash); the oracle replays the lag-window verdicts. Bounded to "
+    "2000 blocks so the single-partition window is constant-size at "
+    "any SF (block metadata is ~1 row/400ms of chain time — tiny by "
+    "construction; partition by chain for multi-chain).",
+)
+def block_continuity_report(spark, sf_dir):
+    from spectraplex_spark.streaming.blocks import slot_continuity
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    blocks = ev.select(
+        (F.col("event_id") * 2).alias("slot"),
+        F.concat(F.lit("h"), (F.col("event_id") * 2).cast("string")).alias("blockhash"),
+        F.when(
+            (F.col("event_id") % 97 == 0) & (F.col("event_id") > 0),
+            F.col("event_id") * 2 - 4,
+        )
+        .otherwise(F.col("event_id") * 2 - 2)
+        .alias("parent_slot"),
+        F.concat(
+            F.lit("h"),
+            F.when(
+                (F.col("event_id") % 89 == 0) & (F.col("event_id") > 0), F.lit(-1)
+            )
+            .otherwise(F.col("event_id") * 2 - 2)
+            .cast("string"),
+        ).alias("parent_blockhash"),
+    )
+    # graded projection: the first block's verdicts are null by
+    # definition (no predecessor), and null booleans canonicalize
+    # differently across engines (None vs NaN) — grade the verdicted rows
+    return slot_continuity(blocks).filter(F.col("prev_slot").isNotNull())

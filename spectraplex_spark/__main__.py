@@ -81,6 +81,34 @@ def cmd_read(args) -> int:
     return 0
 
 
+def cmd_corpus_prep(args) -> int:
+    """The LLM-training-data extension surface, CLI-reachable: language
+    gate → quality gate → exact dedup → transitive near-dup removal →
+    cleaned corpus parquet (+ per-stage stats unless --no-stats)."""
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    clean, stats = prepare_corpus(
+        docs,
+        keep_langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        jaccard_threshold=args.jaccard,
+        collect_stats=not args.no_stats,
+    )
+    clean.write.mode("overwrite").parquet(args.output)
+    if stats is not None:
+        print(
+            f"corpus-prep: {stats.n_input} in -> {stats.n_after_lang} lang "
+            f"-> {stats.n_after_quality} quality -> {stats.n_after_exact_dedup} "
+            f"exact-dedup -> {stats.n_after_neardup} clean "
+            f"({stats.total_tokens} tokens) into {args.output}"
+        )
+    else:
+        print(f"corpus-prep: cleaned corpus written to {args.output}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from spectraplex_spark.serving_http import AppState, serve_forever
 
@@ -116,6 +144,18 @@ def main(argv: list[str] | None = None) -> int:
     p_read.add_argument("--wallet", required=True)
     p_read.add_argument("--limit", type=int, default=50)
     p_read.set_defaults(fn=cmd_read)
+
+    p_cp = sub.add_parser(
+        "corpus-prep",
+        help="training-data prep: gates -> exact dedup -> near-dup removal",
+    )
+    p_cp.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    p_cp.add_argument("--output", required=True)
+    p_cp.add_argument("--langs", default="en", help="comma-separated language keeps")
+    p_cp.add_argument("--min-quality", type=float, default=0.5)
+    p_cp.add_argument("--jaccard", type=float, default=0.8)
+    p_cp.add_argument("--no-stats", action="store_true", help="skip counting actions")
+    p_cp.set_defaults(fn=cmd_corpus_prep)
 
     p_srv = sub.add_parser(
         "serve", help="HTTP serving edge (the reference API, api/src/main.rs:30-50)"

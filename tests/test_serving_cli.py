@@ -222,3 +222,33 @@ def test_serving_reads_jdbc_parity(spark, tmp_path):
 
     bal_db = serving.wallet_balances(spark, url, WALLET, **drv).collect()
     assert len(bal_db) == 1 and bal_db[0].n_entries == 5
+
+
+def test_cli_corpus_prep(spark, tmp_path, capsys):
+    """corpus-prep subcommand: documents parquet in, cleaned corpus out,
+    per-stage stats on stdout; the near-dup twin must be removed."""
+    import duckdb
+
+    from spectraplex_spark.__main__ import main
+
+    words = "the quick brown fox jumps over lazy dogs and then runs far away home".split()
+    # six mutually-distinct docs: each rotates the vocabulary differently,
+    # so cross-doc shingle overlap stays far below the 0.8 threshold
+    rows = [
+        (i, " ".join(words[i % len(words):] + words[: i % len(words)]) * 4)
+        for i in range(6)
+    ]
+    rows.append((100, rows[0][1] + " suffix twin"))  # near-dup of doc 0
+    rows.append((101, "zz"))  # fails quality gate (too short)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    docs.write.parquet(src)
+    rc = main(["corpus-prep", "--input", src, "--output", out])
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "corpus-prep:" in got and "clean" in got
+    kept = sorted(
+        r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()
+    )
+    assert kept == [0, 1, 2, 3, 4, 5]  # twin 100 removed, junk 101 gated

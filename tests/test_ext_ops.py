@@ -616,3 +616,118 @@ def test_corpus_prep_pipeline(spark):
     assert stats.n_after_neardup == 2    # 3 (near-dup of 1) dropped
     assert kept == [1, 4]
     assert stats.total_tokens > 0
+
+
+# --- product quantization (operators/pq.py) ------------------------------
+
+
+def test_pq_fit_beats_random_codebooks(spark):
+    """The Lloyd-refined production fit must cut quantization error vs
+    the seeded random codebooks it grades with, and be deterministic."""
+    import numpy as np
+
+    from spectraplex_spark.operators import pq as PQ
+
+    em = table(spark, SF_DIR, "embeddings")
+    X = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in em.select("embedding").collect()]
+    )
+    m, k, dsub = 4, 8, 16
+
+    def mse(cb):
+        tot = 0.0
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).mean()
+        return tot
+
+    rand = PQ.pq_codebooks(64, m, k, seed=7, scale=0.25)
+    fit1 = PQ.fit_pq_codebooks(em, m=m, k=k, seed=7)
+    fit2 = PQ.fit_pq_codebooks(em, m=m, k=k, seed=7)
+    assert np.array_equal(fit1, fit2)  # seeded sample + init + fixed iters
+    assert mse(fit1) < mse(rand) * 0.8  # the fit actually learned the data
+
+
+def test_pq_rerank_recall_with_fit_codebooks(spark):
+    """End-to-end production recipe: fit → encode → ADC shortlist →
+    exact rerank. Rerank output must be a subset of the corpus ranked
+    exactly (cosine ties broken by id), with recall >= 0.8 vs brute
+    force at a 4x oversample on organic data. Operating point m=16/k=64
+    (96 bits = 16 B/vector, 16x compression of the 64-dim float corpus):
+    measured shortlist recall 1.0 here; the graded catalog config
+    (m=4/k=8) is coarser by design — it exists to bit-verify the
+    code/LUT/score pipeline, not to set the production accuracy."""
+    from spectraplex_spark.operators import pq as PQ
+
+    em = table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = em.filter(F.col("vec_id") != 0)
+    cb = PQ.fit_pq_codebooks(corpus, m=16, k=64, seed=7)
+
+    brute = [(r.vec_id, r.cosine) for r in S.cosine_topk(corpus, qvec, k=10).collect()]
+    rr = [(r.vec_id, r.cosine) for r in PQ.pq_topk_rerank(corpus, qvec, cb, k=10).collect()]
+    exact_by_id = dict(brute)
+    for vid, cos in rr:
+        if vid in exact_by_id:
+            assert cos == exact_by_id[vid]  # rerank scores are EXACT
+    recall = len({v for v, _ in rr} & {v for v, _ in brute}) / 10
+    assert recall >= 0.8
+
+
+def test_pq_encode_code_range_and_determinism(spark):
+    from spectraplex_spark.operators import pq as PQ
+
+    em = table(spark, SF_DIR, "embeddings")
+    cb = PQ.pq_codebooks(64, 4, 8, seed=7, scale=0.25)
+    a = {(r.vec_id, tuple(r.pq_code)) for r in PQ.pq_encode(em, cb).collect()}
+    b = {(r.vec_id, tuple(r.pq_code)) for r in PQ.pq_encode(em, cb).collect()}
+    assert a == b
+    codes = {c for _, cs in a for c in cs}
+    assert codes <= set(range(8)) and len(codes) > 1
+
+
+# --- benchmark decontamination (operators/decontam.py) -------------------
+
+
+def _decontam_fixture(spark):
+    """3 train docs: one embeds a benchmark sentence verbatim, one
+    shares nothing, one is shorter than n (whole-text fallback)."""
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words " + bench_text + " trailing words here"),
+            (2, "completely different content with no overlap at all in any window of eight tokens"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "eval_doc_id long, text string")
+    return train, bench
+
+
+def test_decontam_flags_verbatim_overlap_only(spark):
+    from spectraplex_spark.operators.decontam import contamination_report, decontaminate
+
+    train, bench = _decontam_fixture(spark)
+    report = {r.doc_id: r for r in contamination_report(train, bench, n=8).collect()}
+    assert set(report) == {1}  # only the embedding doc is flagged
+    r = report[1]
+    assert r.hits >= 1 and r.n_eval_docs == 1
+    assert 0 < r.contamination_share <= 1
+    clean = {r.doc_id for r in decontaminate(train, bench, n=8, hashed=False).collect()}
+    assert clean == {2, 3}
+
+
+def test_decontam_hashed_variant_same_verdicts(spark):
+    """The 100 TB path (xxhash64 shingle stream, no n-gram strings)
+    must produce identical per-doc hit counts on collision-free data."""
+    from spectraplex_spark.operators.decontam import contamination_report
+
+    train, bench = _decontam_fixture(spark)
+    s = {(r.doc_id, r.hits) for r in contamination_report(train, bench, n=8).collect()}
+    h = {
+        (r.doc_id, r.hits)
+        for r in contamination_report(train, bench, n=8, hashed=True).collect()
+    }
+    assert s == h

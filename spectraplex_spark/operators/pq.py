@@ -153,21 +153,41 @@ def adc_lut(query_vec: list[float], codebooks: np.ndarray) -> list[list[float]]:
     return lut
 
 
+# LUT quantization grid: entries are snapped to multiples of 2^-30
+# before scoring. Two reasons, one production and one verification:
+# production PQ scanners quantize the LUT anyway (FAISS packs it to
+# integers for SIMD lookup-add); and integer lookup-sums are exactly
+# reproducible across engines, where a float chain is not — DuckDB's
+# expression executor contracts a*b+c into FMA, so a double LUT
+# recomputed in SQL drifts by 1 ulp on data-dependent entries (caught
+# by the sf0.1 sweep). floor(x*2^30 + 0.5) avoids Python's banker's
+# rounding vs SQL round-half-away divergence; the final score is the
+# integer sum divided by 2^30 — an exact power-of-two double op.
+ADC_LUT_SCALE = 1 << 30
+
+
+def quantize_lut(lut: list[list[float]]) -> list[list[int]]:
+    import math
+
+    return [[int(math.floor(v * ADC_LUT_SCALE + 0.5)) for v in row] for row in lut]
+
+
 def adc_score(code_col: str, lut: list[list[float]]) -> Column:
-    """Expression-only ADC score: per-subspace literal lookup arrays,
-    element_at by code, left-associated addition chain (matches the
-    oracle's unrolled ``((t0 + t1) + t2) + t3``)."""
+    """Expression-only ADC score: per-subspace quantized-literal lookup
+    arrays, element_at by code, exact integer sum, one exact division
+    back to the double score."""
+    qlut = quantize_lut(lut)
     terms = [
         F.element_at(
-            F.array(*[F.lit(float(v)) for v in lut[j]]),
+            F.array(*[F.lit(int(v)).cast("long") for v in qlut[j]]),
             F.element_at(F.col(code_col), j + 1) + 1,
         )
-        for j in range(len(lut))
+        for j in range(len(qlut))
     ]
     acc = terms[0]
     for t in terms[1:]:
         acc = acc + t
-    return acc
+    return acc.cast("double") / F.lit(float(ADC_LUT_SCALE))
 
 
 def code_str(code_col: str) -> Column:

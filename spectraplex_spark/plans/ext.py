@@ -1754,6 +1754,7 @@ def block_continuity_report(spark, sf_dir):
 # margin 1.4e-4 at sf0.01 / 9.8e-5 at sf0.1 — nine orders above
 # cross-engine float noise, so both engines agree on every code.
 _PQ_M, _PQ_K, _PQ_DIM, _PQ_SEED, _PQ_SCALE = 4, 8, 64, 7, 0.25
+_ADC_SCALE_SQL = "CAST(1073741824 AS DOUBLE)"  # pq.ADC_LUT_SCALE = 2^30
 
 
 def _pq_graded_codebooks():
@@ -1788,19 +1789,26 @@ def _pq_oracle_sql(rerank: bool = False, k: int = 10, shortlist: int = 40) -> st
         )
         dist_cols.append(f"[{dists}] AS d{j}")
         code_cols.append(f"list_position(d{j}, list_min(d{j})) - 1 AS c{j}")
-        # lut[j][c] = <q_subj, cb[j][c]> as an unrolled left-assoc fold
+        # lut[j][c] = <q_subj, cb[j][c]> as an unrolled left-assoc fold,
+        # then snapped to the 2^-30 fixed-point grid (see pq.ADC_LUT_SCALE:
+        # DuckDB contracts a*b+c into FMA, so the raw double chain drifts
+        # 1 ulp from Python's — the integer grid absorbs it; floor(x*S+0.5)
+        # sidesteps Python-vs-SQL round-half tie semantics)
         entries = []
         for c in range(k_cent):
             terms = [f"(e[{j * dsub + i + 1}] * {dlit(cb[j][c][i])})" for i in range(dsub)]
             expr = terms[0]
             for t in terms[1:]:
                 expr = f"({expr} + {t})"
-            entries.append(expr)
+            entries.append(
+                f"CAST(floor(({expr}) * {_ADC_SCALE_SQL} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            )
         lut_cols.append("[" + ", ".join(entries) + f"] AS lut{j}")
 
     score = f"q.lut0[c.c0 + 1]"
     for j in range(1, m):
         score = f"({score} + q.lut{j}[c.c{j} + 1])"
+    score = f"(CAST({score} AS DOUBLE) / {_ADC_SCALE_SQL})"
     codestr = " || '-' || ".join(f"CAST(c{j} AS VARCHAR)" for j in range(m))
     base = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -97,3 +97,24 @@ def test_serving_read_pushes_wallet_predicate(spark, tmp_path):
     df = serving.transactions_by_wallet(spark, path, "w1")
     plan = _initial_plan(df)
     assert "PushedFilters" in plan and "wallet_address" in plan.split("PushedFilters")[1][:200]
+
+
+def test_pq_adc_scan_is_shuffle_free_topk(spark):
+    """PQ's whole query-time claim: the ADC scan is a narrow map stage
+    (literal LUT lookups) feeding TakeOrderedAndProject — no exchange of
+    any kind before the top-k."""
+    plan = _initial_plan(CATALOG["simsearch_pq_topk"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_decontam_probe_broadcasts_benchmark_side(spark):
+    """The training side must never hash-shuffle for the benchmark
+    probe: the benchmark n-gram set broadcasts, and the only hash
+    exchange in the whole report is the per-doc groupBy of colliding
+    rows (+ its tiny report re-join, also broadcast)."""
+    plan = _executed_plan(CATALOG["decontam_ngram_overlap"].builder(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # ngram probe + report attach
+    # the single permitted hash exchange: groupBy(doc_id) over hits
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg pair

@@ -84,7 +84,8 @@ def cmd_read(args) -> int:
 def cmd_corpus_prep(args) -> int:
     """The LLM-training-data extension surface, CLI-reachable: language
     gate → quality gate → exact dedup → transitive near-dup removal →
-    cleaned corpus parquet (+ per-stage stats unless --no-stats)."""
+    optional benchmark decontamination (--eval-docs) → cleaned corpus
+    parquet (+ per-stage stats unless --no-stats)."""
     from spectraplex_spark.operators.corpus import prepare_corpus
 
     spark = _spark()
@@ -95,14 +96,22 @@ def cmd_corpus_prep(args) -> int:
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard,
         collect_stats=not args.no_stats,
+        eval_docs=(
+            spark.read.parquet(args.eval_docs) if getattr(args, "eval_docs", None) else None
+        ),
     )
     clean.write.mode("overwrite").parquet(args.output)
     if stats is not None:
         print(
             f"corpus-prep: {stats.n_input} in -> {stats.n_after_lang} lang "
             f"-> {stats.n_after_quality} quality -> {stats.n_after_exact_dedup} "
-            f"exact-dedup -> {stats.n_after_neardup} clean "
-            f"({stats.total_tokens} tokens) into {args.output}"
+            f"exact-dedup -> {stats.n_after_neardup} near-dup"
+            + (
+                f" -> {stats.n_after_decontam} decontaminated"
+                if stats.n_after_decontam >= 0
+                else ""
+            )
+            + f" clean ({stats.total_tokens} tokens) into {args.output}"
         )
     else:
         print(f"corpus-prep: cleaned corpus written to {args.output}")
@@ -155,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
     p_cp.add_argument("--min-quality", type=float, default=0.5)
     p_cp.add_argument("--jaccard", type=float, default=0.8)
     p_cp.add_argument("--no-stats", action="store_true", help="skip counting actions")
+    p_cp.add_argument(
+        "--eval-docs",
+        help="benchmark parquet (eval_doc_id, text): drop training docs "
+        "sharing any verbatim 8-token n-gram with it (decontamination)",
+    )
     p_cp.set_defaults(fn=cmd_corpus_prep)
 
     p_srv = sub.add_parser(

@@ -1,14 +1,17 @@
 """End-to-end training-data corpus preparation — the composition the
 EXT operators exist for (BASELINE.json north star): language filter →
-quality filter → exact dedup → transitive near-dup removal → token
-accounting.
+quality filter → exact dedup → transitive near-dup removal →
+(optional) benchmark decontamination → token accounting.
 
 Pipeline stages and their scale shapes:
   1. language/quality gates: narrow map stage (expression-only scores).
   2. exact dedup: one shuffle on the 16-byte fingerprint.
   3. near-dup removal: MinHash/LSH pairs (band-join) → connected
      components (iterative label propagation) → anti-join losers.
-  4. token accounting: narrow map + one global agg.
+  4. benchmark decontamination (optional, pass eval_docs): the
+     benchmark n-gram set broadcasts; the corpus side never shuffles
+     for the probe (operators/decontam.py).
+  5. token accounting: narrow map + one global agg.
 
 At 100 TB each stage is independently scalable and the intermediate
 corpus never leaves distributed storage; only per-stage row counts come
@@ -35,6 +38,7 @@ class CorpusStats:
     n_after_exact_dedup: int
     n_after_neardup: int
     total_tokens: int
+    n_after_decontam: int = -1  # -1: stage not run (no eval_docs given)
 
 
 def prepare_corpus(
@@ -46,6 +50,8 @@ def prepare_corpus(
     id_col: str = "doc_id",
     collect_stats: bool = True,
     verify_on_text: bool = False,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 8,
 ) -> tuple[DataFrame, CorpusStats | None]:
     """Filter + dedup a document corpus for training-data use.
 
@@ -56,7 +62,11 @@ def prepare_corpus(
     pair miner: candidate verification joins back STRING shingle sets
     (collision-free integer-ratio Jaccard, ANSI-SQL-reproducible — what
     makes the planted catalog twin oracle-gradable); banding always
-    runs on the hashed fast path either way.
+    runs on the hashed fast path either way. Pass ``eval_docs`` (a
+    benchmark corpus with an ``eval_doc_id`` column) to append the
+    decontamination gate: docs sharing any verbatim ``decontam_n``-token
+    n-gram with a benchmark doc are dropped after near-dup removal
+    (hashed shingle-stream path — no n-gram strings at scale).
     """
     n_input = docs.count() if collect_stats else -1
 
@@ -113,10 +123,21 @@ def prepare_corpus(
     )
     n_clean = clean.count() if collect_stats else -1
 
+    n_decontam = -1
+    if eval_docs is not None:
+        from spectraplex_spark.operators.decontam import decontaminate
+
+        clean = decontaminate(
+            clean, eval_docs, n=decontam_n, text_col=text_col, id_col=id_col
+        )
+        n_decontam = clean.count() if collect_stats else -1
+
     stats = None
     if collect_stats:
         total_tokens = (
             clean.agg(F.sum(X.token_count(F.col(text_col))).cast("long")).head()[0] or 0
         )
-        stats = CorpusStats(n_input, n_lang, n_quality, n_exact, n_clean, int(total_tokens))
+        stats = CorpusStats(
+            n_input, n_lang, n_quality, n_exact, n_clean, int(total_tokens), n_decontam
+        )
     return clean, stats

@@ -240,3 +240,84 @@ def pq_topk_rerank(
     )
     candidates = df.join(F.broadcast(shortlist), id_col, "left_semi")
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF+PQ layout — the composition that actually
+    answers 100 TB ANN (FAISS's IVFPQ, as a parquet layout): one
+    ingest-time pass assigns the IVF cluster (partition key) and the PQ
+    code, and the index stores ONLY (id, code) per row, partitioned by
+    cluster.  The embedding column is not written: the index is m bytes
+    of code per row, and query-time scans can never touch vectors
+    because the vectors aren't there."""
+    from spectraplex_spark.operators.simsearch import ivf_assign
+
+    coded = pq_encode(ivf_assign(df, centroids, vec_col), codebooks, vec_col)
+    coded.select(id_col, "ivf_cluster", "pq_code").write.mode("overwrite").partitionBy(
+        "ivf_cluster"
+    ).parquet(path)
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the materialized IVF+PQ index: probe-cluster selection is
+    a driver-side argsort over n_centroids dots; the cluster predicate
+    PARTITION-PRUNES the scan (only n_probe/n_centroids of the index's
+    files are read), and scoring is the same literal-LUT ADC expression
+    as pq_topk over the m-byte codes — the whole query reads a few
+    bytes per candidate row and shuffles nothing."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    probes = [int(c) for c in np.argsort(-(np.asarray(centroids) @ q))[:n_probe]]
+    lut = adc_lut(query_vec, codebooks)
+    scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes))
+    return (
+        scan.select(
+            id_col,
+            code_str("pq_code").alias("pq_code"),
+            adc_score("pq_code", lut).alias("adc_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_topk_rerank(
+    spark,
+    path: str,
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    oversample: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full production recipe: pruned-partition ADC shortlist from the
+    codes-only index, exact cosine re-rank over the shortlist rows
+    fetched from the source table (broadcast semi-join — a k*oversample
+    row read, never a corpus scan)."""
+    from spectraplex_spark.operators.simsearch import cosine_topk
+
+    shortlist = ivfpq_topk(
+        spark, path, query_vec, centroids, codebooks, k * oversample, n_probe, id_col
+    ).select(id_col)
+    candidates = df.join(F.broadcast(shortlist), id_col, "left_semi")
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)

@@ -731,3 +731,29 @@ def test_decontam_hashed_variant_same_verdicts(spark):
         for r in contamination_report(train, bench, n=8, hashed=True).collect()
     }
     assert s == h
+
+
+def test_corpus_prep_with_decontam_stage(spark):
+    """prepare_corpus(eval_docs=...) appends the decontamination gate:
+    the surviving doc that embeds a benchmark n-gram is dropped, stats
+    record the stage; without eval_docs the stage is skipped (-1)."""
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    docs = _docs_with_dups(spark)
+    # benchmark = the quick-brown-fox text → doc 1 (survivor of the dup
+    # group) is contaminated; doc 4 is clean
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again")],
+        "eval_doc_id long, text string",
+    )
+    clean, stats = prepare_corpus(
+        docs, keep_langs=("en",), min_quality=0.5, jaccard_threshold=0.5,
+        eval_docs=bench, decontam_n=8,
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [4]
+    assert stats.n_after_neardup == 2 and stats.n_after_decontam == 1
+
+    _, stats_no = prepare_corpus(
+        docs, keep_langs=("en",), min_quality=0.5, jaccard_threshold=0.5
+    )
+    assert stats_no.n_after_decontam == -1

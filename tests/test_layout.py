@@ -238,3 +238,51 @@ def test_ivf_index_partition_prunes_and_matches_inline(spark, tmp_path):
     assert [(r[0], r[1]) for r in indexed.collect()] == [
         (r[0], r[1]) for r in inline.collect()
     ]
+
+
+def test_ivfpq_index_is_codes_only_and_partition_prunes(spark, tmp_path):
+    """The IVFPQ claims, plan-asserted: (a) the probe filter appears as
+    PartitionFilters (unprobed clusters' files are never read); (b) the
+    scan's ReadSchema carries the m-byte code column and NO embedding —
+    the index physically cannot read vectors; (c) full-probe ADC over
+    the index returns exactly what the inline pq_topk computes."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.pq import (
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+        pq_codebooks,
+        pq_topk,
+        write_ivfpq_index,
+    )
+    from spectraplex_spark.operators.simsearch import cosine_topk, fit_ivf_centroids
+    from spectraplex_spark.plans.registry import table
+    from tests.conftest import SF_DIR
+
+    em = table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = em.filter(F.col("vec_id") != 0)
+    cent = fit_ivf_centroids(corpus, n_centroids=8, seed=42)
+    cb = pq_codebooks(64, 4, 8, seed=7, scale=0.25)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(corpus, path, cent, cb)
+
+    pruned = ivfpq_topk(spark, path, qvec, cent, cb, k=10, n_probe=3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "ivf_cluster" in pf and ("IN (" in pf or "INSET" in pf or " IN " in pf)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_code" in read_schema and "embedding" not in read_schema
+
+    # full probe == inline pq_topk exactly (same codes, same quantized LUT)
+    full = ivfpq_topk(spark, path, qvec, cent, cb, k=10, n_probe=8).collect()
+    inline = pq_topk(corpus, qvec, cb, k=10).collect()
+    assert [(r.vec_id, r.pq_code, r.adc_score) for r in full] == [
+        (r.vec_id, r.pq_code, r.adc_score) for r in inline
+    ]
+
+    # rerank scores are exact cosines for surviving candidates
+    brute = {r.vec_id: r.cosine for r in cosine_topk(corpus, qvec, k=50).collect()}
+    rr = ivfpq_topk_rerank(spark, path, corpus, qvec, cent, cb, k=10, n_probe=8).collect()
+    assert rr and all(r.cosine == brute[r.vec_id] for r in rr if r.vec_id in brute)

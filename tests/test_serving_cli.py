@@ -252,3 +252,34 @@ def test_cli_corpus_prep(spark, tmp_path, capsys):
         r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()
     )
     assert kept == [0, 1, 2, 3, 4, 5]  # twin 100 removed, junk 101 gated
+
+
+def test_cli_corpus_prep_with_eval_docs(spark, tmp_path, capsys):
+    """--eval-docs appends the decontamination gate: the doc embedding a
+    benchmark n-gram is dropped and the stats line records the stage."""
+    import duckdb
+
+    from spectraplex_spark.__main__ import main
+
+    # topically-disjoint docs (rotations of one vocabulary would share
+    # CYCLIC 8-grams across every doc and all would be flagged)
+    rows = [
+        (0, "the cat sat on the mat and watched the birds outside the window all day long"),
+        (1, "a dog ran through the park while children played near the fountain in the sunshine"),
+        (2, "the ship sailed across the ocean carrying goods from distant lands to the harbor"),
+        (3, "music filled the hall as the orchestra played a symphony for the waiting audience"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900, rows[2][1])], "eval_doc_id long, text string"
+    )  # doc 2's text verbatim
+    src, ev, out = (str(tmp_path / d) for d in ("docs", "eval", "clean"))
+    docs.write.parquet(src)
+    bench.write.parquet(ev)
+    rc = main(["corpus-prep", "--input", src, "--output", out, "--eval-docs", ev])
+    assert rc == 0
+    assert "decontaminated" in capsys.readouterr().out
+    kept = sorted(
+        r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()
+    )
+    assert kept == [0, 1, 3]

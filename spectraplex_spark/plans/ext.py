@@ -1923,3 +1923,39 @@ def decontam_ngram_overlap(spark, sf_dir):
         ),
         n=8,
     )
+
+
+_SQ_CODE_SQL = (
+    "list_transform(e, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+    "CAST(floor(x * CAST(127 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))))"
+)
+
+
+@query(
+    "simsearch_sq_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id, {_SQ_CODE_SQL} AS codes FROM v WHERE vec_id != 0),
+    q AS (SELECT {_SQ_CODE_SQL} AS qc FROM v WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CAST(list_sum(c.codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(range(1, len(c.codes) + 1),
+                                        i -> c.codes[i] * q.qc[i])) AS DOUBLE)
+             / CAST(16129 AS DOUBLE) AS sq_score
+    FROM c, q
+    ORDER BY sq_score DESC, vec_id LIMIT 10
+    """,
+    doc="E2 symmetric int8 scalar quantization top-10 — the 4x-"
+    "compression/near-exact point of the quantization family (vs PQ's "
+    "16-64x/shortlist point): codes from a narrow expression pass (NO "
+    "UDF even at encode), score an EXACT integer dot product of "
+    "quantized query x quantized corpus (no float accumulation, no FMA "
+    "hazard — the only double op is one final division), zero shuffle, "
+    "TakeOrderedAndProject. code_sum rides as an integer witness of "
+    "the full code vector. At 100 TB the int8 column is materialized "
+    "once and the scan reads dim bytes/row instead of 4*dim.",
+)
+def simsearch_sq_topk(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return PQ.sq_topk(em.filter(F.col("vec_id") != 0), qvec, k=10)

@@ -118,3 +118,13 @@ def test_decontam_probe_broadcasts_benchmark_side(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # ngram probe + report attach
     # the single permitted hash exchange: groupBy(doc_id) over hits
     assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg pair
+
+
+def test_sq_scan_is_expression_only_shuffle_free(spark):
+    """SQ has no UDF anywhere — encode and score are pure expressions —
+    so the plan must be a single codegen'd scan into the top-k: no
+    exchange, no ArrowEvalPython/BatchEvalPython stage."""
+    plan = _initial_plan(CATALOG["simsearch_sq_topk"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

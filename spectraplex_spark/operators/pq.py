@@ -242,6 +242,30 @@ def pq_topk_rerank(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def _array_sha(arr: np.ndarray) -> str:
+    """Content fingerprint of a centroid/codebook matrix — pinned in the
+    materialized index's _config sidecar so a query with different
+    parameters fails loudly instead of silently mis-scoring (same
+    bit-compatibility contract as the streaming near-dup indexes)."""
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+    return hashlib.md5(a.tobytes() + str(a.shape).encode()).hexdigest()
+
+
+def _ivfpq_config(centroids: np.ndarray, codebooks: np.ndarray) -> dict[str, object]:
+    cb = np.asarray(codebooks)
+    return {
+        "kind": "ivfpq",
+        "n_centroids": int(np.asarray(centroids).shape[0]),
+        "m": int(cb.shape[0]),
+        "k": int(cb.shape[1]),
+        "dsub": int(cb.shape[2]),
+        "centroid_sha": _array_sha(centroids),
+        "codebook_sha": _array_sha(cb),
+    }
+
+
 def write_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -258,7 +282,9 @@ def write_ivfpq_index(
     of code per row, and query-time scans can never touch vectors
     because the vectors aren't there."""
     from spectraplex_spark.operators.simsearch import ivf_assign
+    from spectraplex_spark.streaming.index_state import ensure_index_config
 
+    ensure_index_config(df.sparkSession, path, _ivfpq_config(centroids, codebooks))
     coded = pq_encode(ivf_assign(df, centroids, vec_col), codebooks, vec_col)
     coded.select(id_col, "ivf_cluster", "pq_code").write.mode("overwrite").partitionBy(
         "ivf_cluster"
@@ -281,6 +307,9 @@ def ivfpq_topk(
     files are read), and scoring is the same literal-LUT ADC expression
     as pq_topk over the m-byte codes — the whole query reads a few
     bytes per candidate row and shuffles nothing."""
+    from spectraplex_spark.streaming.index_state import ensure_index_config
+
+    ensure_index_config(spark, path, _ivfpq_config(centroids, codebooks))
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     probes = [int(c) for c in np.argsort(-(np.asarray(centroids) @ q))[:n_probe]]

@@ -286,3 +286,31 @@ def test_ivfpq_index_is_codes_only_and_partition_prunes(spark, tmp_path):
     brute = {r.vec_id: r.cosine for r in cosine_topk(corpus, qvec, k=50).collect()}
     rr = ivfpq_topk_rerank(spark, path, corpus, qvec, cent, cb, k=10, n_probe=8).collect()
     assert rr and all(r.cosine == brute[r.vec_id] for r in rr if r.vec_id in brute)
+
+
+def test_ivfpq_index_rejects_mismatched_codebooks(spark, tmp_path):
+    """The _config sidecar contract: querying a materialized IVFPQ index
+    with codebooks other than the ones that built it must fail loudly
+    (different codebooks would silently mis-score every row)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.pq import (
+        ivfpq_topk,
+        pq_codebooks,
+        write_ivfpq_index,
+    )
+    from spectraplex_spark.operators.simsearch import fit_ivf_centroids
+    from spectraplex_spark.plans.registry import table
+    from tests.conftest import SF_DIR
+
+    em = table(spark, SF_DIR, "embeddings").limit(100)
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cent = fit_ivf_centroids(em, n_centroids=4, seed=42)
+    cb = pq_codebooks(64, 4, 8, seed=7)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(em, path, cent, cb)
+    # same params -> fine
+    assert ivfpq_topk(spark, path, qvec, cent, cb, k=5, n_probe=4).count() == 5
+    with pytest.raises(ValueError, match="codebook_sha"):
+        ivfpq_topk(spark, path, qvec, cent, pq_codebooks(64, 4, 8, seed=99), k=5)

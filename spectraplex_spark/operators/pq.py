@@ -426,3 +426,41 @@ def sq_topk(
         .orderBy(F.desc("sq_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_ivfpq_batch(
+    batch: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental maintenance of the materialized IVF+PQ index — the
+    ingestion-side twin of ivfpq_topk, with the same discipline as the
+    streaming near-dup gates: the _config sidecar pins the fit
+    parameters (a batch encoded under different codebooks must fail
+    loudly, never mix), and the append is REPLAY-IDEMPOTENT (ids already
+    in the index are anti-joined away, so a crashed-and-retried
+    micro-batch adds zero duplicate rows).  Designed for
+    ``foreachBatch``: each batch pays one assign+encode map pass and one
+    partitioned append; the index never rewrites, and queries
+    partition-prune it identically whether it was built in one pass or
+    a thousand.  Returns the number of rows appended.
+
+    Re-fitting: centroids/codebooks are fit ONCE (bounded sample) and
+    pinned; drift re-fits are a rebuild under a new path by design —
+    mixing two fits in one index silently corrupts every score, which
+    is exactly what the sidecar assertion exists to prevent.
+    """
+    from spectraplex_spark.operators.simsearch import ivf_assign
+    from spectraplex_spark.sources.io import idempotent_append
+    from spectraplex_spark.streaming.index_state import ensure_index_config
+
+    ensure_index_config(batch.sparkSession, path, _ivfpq_config(centroids, codebooks))
+    coded = pq_encode(ivf_assign(batch, centroids, vec_col), codebooks, vec_col).select(
+        id_col, "ivf_cluster", "pq_code"
+    )
+    return idempotent_append(
+        coded, path, id_col=id_col, partition_by=("ivf_cluster",)
+    )

@@ -314,3 +314,38 @@ def test_ivfpq_index_rejects_mismatched_codebooks(spark, tmp_path):
     assert ivfpq_topk(spark, path, qvec, cent, cb, k=5, n_probe=4).count() == 5
     with pytest.raises(ValueError, match="codebook_sha"):
         ivfpq_topk(spark, path, qvec, cent, pq_codebooks(64, 4, 8, seed=99), k=5)
+
+
+def test_ivfpq_incremental_append_replay_idempotent(spark, tmp_path):
+    """Two-batch incremental index build == one-shot build (same rows,
+    same query results); replaying a batch appends zero rows."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.pq import (
+        append_ivfpq_batch,
+        ivfpq_topk,
+        pq_codebooks,
+        write_ivfpq_index,
+    )
+    from spectraplex_spark.operators.simsearch import fit_ivf_centroids
+    from spectraplex_spark.plans.registry import table
+    from tests.conftest import SF_DIR
+
+    em = table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = em.filter(F.col("vec_id") != 0)
+    cent = fit_ivf_centroids(corpus, n_centroids=4, seed=42)
+    cb = pq_codebooks(64, 4, 8, seed=7)
+
+    b1 = corpus.filter(F.col("vec_id") % 2 == 1)
+    b2 = corpus.filter(F.col("vec_id") % 2 == 0)
+    inc_path = str(tmp_path / "inc")
+    assert append_ivfpq_batch(b1, inc_path, cent, cb) == b1.count()
+    assert append_ivfpq_batch(b2, inc_path, cent, cb) == b2.count()
+    assert append_ivfpq_batch(b1, inc_path, cent, cb) == 0  # replay no-op
+
+    oneshot = str(tmp_path / "oneshot")
+    write_ivfpq_index(corpus, oneshot, cent, cb)
+    a = [(r.vec_id, r.pq_code, r.adc_score) for r in ivfpq_topk(spark, inc_path, qvec, cent, cb, k=10, n_probe=4).collect()]
+    b = [(r.vec_id, r.pq_code, r.adc_score) for r in ivfpq_topk(spark, oneshot, qvec, cent, cb, k=10, n_probe=4).collect()]
+    assert a == b

@@ -133,3 +133,62 @@ def pack_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         (F.sum("n_tokens") / budget).cast("double").alias("fill_ratio"),
     )
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    domain_col: str,
+    parts: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Per-domain keep thresholds (on the 16-bit md5 grid) that sample
+    each domain down to its share of a TOKEN budget: domain d with
+    weight parts[d]/sum(parts) gets ~token_budget*w_d tokens.
+
+    All arithmetic is INTEGER (floor((65536*budget*parts) / (sum_parts*
+    domain_tokens))) so thresholds are bit-reproducible in any engine —
+    no float rates, no rounding-mode divergence. A threshold >= 65536
+    means the domain is under-represented vs its target and is kept
+    whole (this operator only downsamples; upweighting by repetition is
+    a separate concern). One aggregation pass; the result is a
+    #domains-sized driver dict, the planner's only state."""
+    totals = {
+        r[0]: int(r[1])
+        for r in df.filter(F.col(domain_col).isin(*parts))
+        .groupBy(domain_col)
+        .agg(F.sum(token_count(F.col(text_col)).cast("long")))
+        .collect()
+        if r[1] is not None
+    }
+    s = sum(parts.values())
+    return {
+        d: (65536 * token_budget * parts[d]) // (s * totals[d])
+        for d in parts
+        if totals.get(d)
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    parts: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-weighted corpus mixture to a token budget (the training-
+    mix curriculum op): docs outside the weighted domains drop; each
+    weighted domain is consistently-hash-downsampled to its token
+    share. Same nested/deterministic md5 guarantees as
+    stratified_sample; the planning pass is one aggregation, the sample
+    itself a narrow filter."""
+    thr = mixture_thresholds(df, domain_col, parts, token_budget, text_col)
+    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    keep = F.lit(False)
+    for d, t in thr.items():
+        keep = F.when(
+            F.col(domain_col) == d,
+            F.lit(t >= 65536) | (h4 < format(min(t, 65535), "04x")),
+        ).otherwise(keep)
+    return df.filter(keep)

@@ -1959,3 +1959,45 @@ def simsearch_sq_topk(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return PQ.sq_topk(em.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@query(
+    "corpus_mixture_sample",
+    f"""
+    WITH tok AS (SELECT doc_id, lang,
+                        CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+                 FROM documents WHERE lang IN ('en', 'de', 'fr')),
+    tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM tok GROUP BY 1),
+    thr AS (SELECT lang,
+                   CAST((65536 * 1500 * (CASE lang WHEN 'en' THEN 7
+                                                   WHEN 'de' THEN 2
+                                                   ELSE 1 END))
+                        // (10 * tot) AS BIGINT) AS t
+            FROM tot)
+    SELECT k.doc_id, k.lang, CAST(k.n_tokens AS INT) AS n_tokens
+    FROM tok k JOIN thr USING (lang)
+    WHERE t >= 65536
+       OR substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(least(t, 65535) AS BIGINT))
+    """,
+    doc="E4 domain-mixture curriculum sampling: weight the corpus "
+    "en:de:fr = 7:2:1 against a 1500-token budget; each domain is "
+    "consistently-hash-downsampled to its token share (md5 16-bit "
+    "grid — deterministic, nested, rows never move when other domains "
+    "change). The planning pass is ONE aggregation producing a "
+    "#domains-sized driver dict; thresholds are pure INTEGER floor "
+    "division, so Spark and the SQL twin derive bit-identical keep "
+    "sets with no float-rate divergence anywhere. Scale: the sample "
+    "itself is a narrow filter over the corpus — at 100 TB the only "
+    "cost above a scan is the one token-count aggregation.",
+)
+def corpus_mixture_sample(spark, sf_dir):
+    from spectraplex_spark.operators.packing import mixture_sample
+    from spectraplex_spark.operators.textops import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "lang", {"en": 7, "de": 2, "fr": 1}, token_budget=1500
+    ).select(
+        "doc_id", "lang", token_count(F.col("text")).cast("int").alias("n_tokens")
+    )

@@ -780,3 +780,38 @@ def test_sq_topk_near_exact_recall(spark):
     q = np.asarray(qvec)
     for r in sq:
         assert abs(r.sq_score - float(by_id[r.vec_id] @ q)) < 0.02
+
+
+def test_mixture_sample_mechanism_and_nesting(spark):
+    """The mixture planner's contract, asserted exactly: the kept set is
+    precisely {doc: md5-prefix(doc_id) < integer threshold(domain)} for
+    the independently-recomputed thresholds, unweighted domains drop
+    entirely, and samples nest (smaller budget -> subset). Realized
+    token mass per domain is NOT asserted tightly — at 60-doc domains
+    the hash-grid variance of doc-sized token quanta is large; the
+    threshold arithmetic IS the budget contract."""
+    import hashlib
+
+    from spectraplex_spark.operators.packing import mixture_sample, mixture_thresholds
+    from spectraplex_spark.operators.textops import token_count
+
+    docs = table(spark, SF_DIR, "documents")
+    parts = {"en": 7, "de": 2, "fr": 1}
+    thr = mixture_thresholds(docs, "lang", parts, 1500)
+    assert any(t < 65536 for t in thr.values())  # actually downsampling
+
+    expected = set()
+    for r in docs.select("doc_id", "lang").collect():
+        t = thr.get(r.lang)
+        if t is not None and (
+            t >= 65536
+            or hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4] < format(min(t, 65535), "04x")
+        ):
+            expected.add(r.doc_id)
+    out = mixture_sample(docs, "lang", parts, token_budget=1500)
+    got = {r.doc_id for r in out.collect()}
+    assert got == expected
+    assert {r.lang for r in out.select("lang").distinct().collect()} <= set(parts)
+
+    small = {r.doc_id for r in mixture_sample(docs, "lang", parts, 700).collect()}
+    assert small <= got  # nested: raising the budget only adds docs

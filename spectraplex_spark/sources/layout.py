@@ -128,3 +128,34 @@ def salted_group_sum(
     salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_n)))
     partial = salted.groupBy(*key_cols, "_salt").agg(F.sum(sum_col).alias("_partial"))
     return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(alias))
+
+
+def compact_to(
+    spark,
+    src: str,
+    dst: str,
+    rows_per_file: int = 1_000_000,
+) -> tuple[int, int]:
+    """Small-file compaction for append-heavy tables (the operational
+    tax of the idempotent-append protocol: every micro-batch lands its
+    own files, and at 100 TB a year of batches is millions of tiny
+    footers that dominate scan planning time).
+
+    Rewrites ``src`` into ceil(rows / rows_per_file) files at ``dst``
+    via ``coalesce`` — a NARROW rewrite: no shuffle, each output task
+    concatenates a set of input files. The trade (documented, not
+    hidden): coalesced files inherit input skew instead of being
+    size-balanced; when balanced output matters more than avoiding the
+    shuffle (e.g. compacting the final silver layout once), swap
+    ``coalesce`` for ``repartition``. Compact-to-NEW-path by design:
+    Spark cannot overwrite a dataset it is reading, and the
+    stage-then-swap at the catalog/manifest level is how every table
+    format does it. Returns (files_before, files_after)."""
+    import math
+
+    df = spark.read.parquet(src)
+    files_before = len(df.inputFiles())
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / max(rows_per_file, 1)))
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    return files_before, len(spark.read.parquet(dst).inputFiles())

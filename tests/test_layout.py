@@ -349,3 +349,26 @@ def test_ivfpq_incremental_append_replay_idempotent(spark, tmp_path):
     a = [(r.vec_id, r.pq_code, r.adc_score) for r in ivfpq_topk(spark, inc_path, qvec, cent, cb, k=10, n_probe=4).collect()]
     b = [(r.vec_id, r.pq_code, r.adc_score) for r in ivfpq_topk(spark, oneshot, qvec, cent, cb, k=10, n_probe=4).collect()]
     assert a == b
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.plans.registry import table
+    from spectraplex_spark.sources.layout import compact_to
+    from tests.conftest import SF_DIR
+
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    ev.repartition(16).write.parquet(src)
+    n = ev.count()
+    before, after = compact_to(spark, src, dst, rows_per_file=n // 3 + 1)
+    assert before >= 16 and after == 3
+    back = spark.read.parquet(dst)
+    assert back.count() == n
+    # content hash identical (order-independent aggregate)
+    h = lambda df: df.agg(
+        F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")).alias("h")
+    ).head()["h"]
+    assert h(back) == h(ev)

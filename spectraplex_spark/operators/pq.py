@@ -464,3 +464,71 @@ def append_ivfpq_batch(
     return idempotent_append(
         coded, path, id_col=id_col, partition_by=("ivf_cluster",)
     )
+
+
+# --- binary (1-bit) quantization: the far end of the family --------------
+#
+# PQ: 16-64x, shortlist quality. int8 SQ: 4x, near-exact. Binary: 32x
+# (one sign bit per dimension), Hamming-distance ranking — the
+# "binary embeddings" recipe: a first-stage filter whose scan is pure
+# integer XOR/popcount over packed words. Packing uses 32 bits per
+# BIGINT word so word values stay under 2^32 and every op (packing sum,
+# XOR, bit_count) is exact integer arithmetic in any engine.
+
+BQ_WORD_BITS = 32
+
+
+def bq_encode_col(vec_col, dim: int):
+    """Pack sign bits (x_i >= 0) into ceil(dim/32) long words — a pure
+    expression, no UDF. Bit i of word w covers dimension w*32+i."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n_words = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    words = []
+    for w in range(n_words):
+        acc = F.lit(0).cast("long")
+        for i in range(min(BQ_WORD_BITS, dim - w * BQ_WORD_BITS)):
+            bit = F.when(
+                F.get(col, w * BQ_WORD_BITS + i) >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            acc = acc + bit
+        words.append(acc)
+    return F.array(*words)
+
+
+def bq_quantize_query(query_vec: list[float]) -> list[int]:
+    words = []
+    for w in range(0, len(query_vec), BQ_WORD_BITS):
+        acc = 0
+        for i, x in enumerate(query_vec[w : w + BQ_WORD_BITS]):
+            if float(x) >= 0:
+                acc += 1 << i
+        words.append(acc)
+    return words
+
+
+def bq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hamming top-k over sign-bit codes: encode (expression-only),
+    XOR against the driver-packed query words, popcount, rank ascending.
+    Zero shuffle, TakeOrderedAndProject; at 100 TB the packed words are
+    materialized once and the scan reads dim/8 bytes per row. Standard
+    use is as the first stage before an int8/exact rerank (compose with
+    sq_topk / cosine_topk exactly like pq_topk_rerank)."""
+    dim = len(query_vec)
+    qw = bq_quantize_query(query_vec)
+    codes = bq_encode_col(vec_col, dim)
+    ham = F.lit(0).cast("long")
+    for w, q in enumerate(qw):
+        ham = ham + F.bit_count(
+            F.get(codes, w).bitwiseXOR(F.lit(int(q)).cast("long"))
+        ).cast("long")
+    return (
+        df.select(id_col, ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2044,3 +2044,51 @@ def compaction_roundtrip(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def _bq_oracle_sql(dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of bq_topk: sign-bit packing, XOR, popcount — every
+    op is exact integer arithmetic, so there is no cross-engine float
+    hazard anywhere (the sign threshold e[i] >= 0.0 is a single float
+    compare, identical in both engines)."""
+    n_words = (dim + 31) // 32
+
+    def word(src: str, w: int) -> str:
+        n = min(32, dim - w * 32)
+        return (
+            f"list_sum(list_transform(range(1, {n + 1}), "
+            f"i -> CASE WHEN {src}[{w * 32} + i] >= CAST(0 AS DOUBLE) "
+            f"THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    ham = " + ".join(
+        f"bit_count(xor(CAST(c.w{w} AS BIGINT), CAST(q.w{w} AS BIGINT)))"
+        for w in range(n_words)
+    )
+    cw = ", ".join(f"{word('e', w)} AS w{w}" for w in range(n_words))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id, {cw} FROM v WHERE vec_id != 0),
+    q AS (SELECT {cw} FROM v WHERE vec_id = 0)
+    SELECT c.vec_id, CAST({ham} AS BIGINT) AS hamming
+    FROM c, q
+    ORDER BY hamming ASC, vec_id ASC LIMIT {k}
+    """
+
+
+@query(
+    "simsearch_bq_topk",
+    _bq_oracle_sql(),
+    doc="E2 binary (1-bit) quantization Hamming top-10 — the 32x end of "
+    "the quantization family (PQ 16-64x shortlist / int8 4x near-exact "
+    "/ binary 32x first-stage): sign bits packed 32-per-word by a pure "
+    "expression, scored by XOR+popcount against the driver-packed "
+    "query. EVERY op is exact integer arithmetic — no float "
+    "accumulation exists to diverge, so the oracle replays packing and "
+    "scoring bit-for-bit. Compose with sq/exact rerank for the "
+    "standard two-stage recipe.",
+)
+def simsearch_bq_topk(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return PQ.bq_topk(em.filter(F.col("vec_id") != 0), qvec, k=10)

@@ -815,3 +815,25 @@ def test_mixture_sample_mechanism_and_nesting(spark):
 
     small = {r.doc_id for r in mixture_sample(docs, "lang", parts, 700).collect()}
     assert small <= got  # nested: raising the budget only adds docs
+
+
+def test_bq_topk_recall_as_first_stage(spark):
+    """Binary quantization is a FIRST-STAGE filter: at 4x oversample the
+    Hamming shortlist must retain a usable fraction of the exact top-10
+    (>= 0.5 on organic 64-dim data — one bit per dim), and hamming must
+    equal a numpy-recomputed reference exactly (integer semantics)."""
+    import numpy as np
+
+    from spectraplex_spark.operators import pq as PQ
+
+    em = table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = em.filter(F.col("vec_id") != 0)
+    brute = {r.vec_id for r in S.cosine_topk(corpus, qvec, k=10).collect()}
+    short = PQ.bq_topk(corpus, qvec, k=40).collect()
+    assert len({r.vec_id for r in short} & brute) / 10 >= 0.5
+
+    qb = np.asarray(qvec) >= 0
+    by_id = {r.vec_id: np.asarray(r.embedding) >= 0 for r in corpus.collect()}
+    for r in short:
+        assert r.hamming == int((by_id[r.vec_id] != qb).sum())

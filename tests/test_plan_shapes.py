@@ -128,3 +128,10 @@ def test_sq_scan_is_expression_only_shuffle_free(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bq_scan_is_expression_only_shuffle_free(spark):
+    plan = _initial_plan(CATALOG["simsearch_bq_topk"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

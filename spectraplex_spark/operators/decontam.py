@@ -53,7 +53,14 @@ def contamination_report(
     gram = (
         (lambda c: shingle_hashes(c, n)) if hashed else (lambda c: shingles(c, n))
     )
-    corpus = docs.select(F.col(id_col), gram(F.col(text_col)).alias("_ngrams"))
+    # lazy checkpoint barrier: the n-gram pass is THE expensive text scan
+    # and two consumers read it (per-doc sizes, the exploded probe) —
+    # without the barrier Catalyst inlines the expression into both and
+    # the corpus is tokenized twice (same discipline as the minhash
+    # miner's hashed-shingle pass).
+    corpus = docs.select(
+        F.col(id_col), gram(F.col(text_col)).alias("_ngrams")
+    ).localCheckpoint(eager=False)
     sizes = corpus.select(id_col, F.size("_ngrams").alias("n_ngrams"))
     exploded = corpus.select(id_col, F.explode("_ngrams").alias("_ngram"))
     bench = eval_docs.select(

@@ -1,0 +1,165 @@
+"""E2/E4 embedding clustering: distributed Lloyd's k-means for domain
+discovery over an embedding corpus.
+
+Why a training-data pipeline needs it: mixture balancing, dedup
+stratification, and targeted pruning all start from "which cluster is
+this document in" (semantic-dedup / SemDeDup-style recipes cluster
+embeddings first, then act per cluster). The IVF fit
+(simsearch.fit_ivf_centroids) answers the ANN-index version of this on
+a bounded SAMPLE; this operator is the corpus-scale version: every
+vector is assigned, and the iteration itself is distributed.
+
+Scale design:
+  - the quantized-vector pass is computed once and checkpointed (at
+    100 TB: materialized to storage once, like the shingle-hash table).
+  - ASSIGNMENT is a zero-shuffle expression: centroids (k x dim ints, a
+    few KB) are embedded as literal arrays, so each iteration's assign
+    is a narrow map over the corpus — no crossJoin, no shuffle.
+  - CENTROID UPDATE is one explode + groupBy per iteration: (cid, pos,
+    val) rows — 8-byte values, dim-x row amplification of a 3-column
+    frame, never the raw vectors. The k x dim result is a bounded
+    driver collect (same discipline as the IVF sample fit).
+  - iterations are a Python loop over JOBS, not over rows — k-means at
+    100 TB is iters x (one map pass + one tiny-row shuffle).
+
+Bit-exactness (what makes it ORACLE-GRADABLE, unlike float k-means):
+every arithmetic step is integer. Vectors snap to a 1/KM_SCALE grid
+with the tie-safe floor(x*S + 0.5) (same grid discipline as
+pq.sq_encode_col); distances are exact integer squared-L2; ties break
+to the lowest cluster id; centroid updates are floor(sum/count) on
+integer sums. Spark's long sum is exact and order-independent, so the
+trajectory is bit-identical on any partitioning, any engine — the SQL
+twin replays every iteration and lands on the same labels. Float
+k-means (MLlib's KMeans) cannot make that promise: float accumulation
+order changes results run to run.
+
+Caveat at extreme scale: floor(sum/count) routes through a double
+division — exact while |sum| < 2^53 (quantized values are ~2^10, so
+that holds to ~2^42 rows per cluster-dim); past that, swap the
+division to DECIMAL(38,0) arithmetic.
+
+Reference parity note: the reference engine has no clustering surface;
+this extends the E2 similarity family the driver mandates
+(SURVEY.md §2.11) with the corpus-scale fit the IVF index assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+KM_SCALE = 1024  # vector grid: 1/1024 resolution, |q| ~ 2^10 for unit-ish embeddings
+
+
+def km_quantize_col(vec_col, scale: int = KM_SCALE):
+    """floor(x*scale + 0.5) per element — half-up on the positive side,
+    tie-consistent across engines (floor is floor everywhere; round()
+    would pit banker's against half-away on exact .5 grid hits)."""
+    return F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _argmin_cluster(q_col, cents: list[list[int]]):
+    """0-based id of the nearest centroid (exact integer squared-L2,
+    ties to the lowest id). Centroids ride as literal arrays — the
+    whole thing is one narrow expression, no shuffle, no broadcast
+    variable, reproducible on any executor."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    q_col,
+                    F.array(*[F.lit(int(v)) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+    # array_position returns the FIRST index of the min (1-based) —
+    # exactly the ties-to-lowest-cid rule the SQL twin's
+    # ORDER BY dist, cid replays.
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = KM_SCALE,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Distributed integer-exact Lloyd's: returns (assignments, centroids).
+
+    assignments: (id_col, cluster_id) for EVERY vector, labeled by the
+    post-final-update centroids. centroids: k x dim ints on the
+    1/scale grid.
+
+    Init is deterministic and SQL-replayable: the quantized vectors of
+    the k lowest ids (k-means++ would add seeded-random machinery for
+    little gain at the operating points this serves; domain discovery
+    re-runs with different k, not different seeds). Empty clusters
+    keep their previous centroid, same as the twin's COALESCE.
+    """
+    q = (
+        df.select(F.col(id_col).alias("_id"), km_quantize_col(vec_col, scale).alias("_q"))
+        .localCheckpoint(eager=False)
+    )
+    init = q.orderBy("_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    cents = [list(r["_q"]) for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = q.select("_id", "_q", _argmin_cluster(F.col("_q"), cents).alias("_cid"))
+        upd = (
+            assigned.select("_cid", F.posexplode("_q").alias("_pos", "_val"))
+            .groupBy("_cid", "_pos")
+            .agg(
+                F.floor(F.sum("_val") / F.count(F.lit(1))).cast("long").alias("_cv")
+            )
+            .collect()  # bounded: k x dim rows of 3 ints
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster -> keep previous
+        for row in upd:
+            new_cents[row["_cid"]][row["_pos"]] = row["_cv"]
+        cents = new_cents
+    assignments = q.select(
+        F.col("_id").alias(id_col),
+        _argmin_cluster(F.col("_q"), cents).alias("cluster_id"),
+    )
+    return assignments, cents
+
+
+def cluster_profile(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = KM_SCALE,
+) -> DataFrame:
+    """Per-cluster summary (cluster_id, n_vecs, sum_vec_id, centroid_l1)
+    — every column an exact integer, so the whole k-means TRAJECTORY is
+    gradable: a single flipped assignment in any iteration moves
+    n_vecs/sum_vec_id, and a single off-grid centroid value moves
+    centroid_l1."""
+    assignments, cents = kmeans_fit_predict(df, k, iters, vec_col, id_col, scale)
+    l1 = {cid: sum(abs(int(v)) for v in c) for cid, c in enumerate(cents)}
+    l1_map = F.create_map(
+        *[F.lit(x) for cid in sorted(l1) for x in (cid, l1[cid])]
+    )
+    return (
+        assignments.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(id_col).alias("sum_vec_id"),
+        )
+        .withColumn("centroid_l1", F.element_at(l1_map, F.col("cluster_id")).cast("long"))
+    )

@@ -2092,3 +2092,85 @@ def simsearch_bq_topk(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return PQ.bq_topk(em.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1024) -> str:
+    """DuckDB twin of clustering.cluster_profile: replays EVERY Lloyd's
+    iteration as an unrolled CTE chain — quantize, (assign, update) x
+    iters, final assign — in the same all-integer arithmetic, so labels
+    and centroids land bit-identically (same trick as the incremental
+    near-dup gate's two-batch greedy replay, applied to an iterative
+    algorithm). Ties break ORDER BY (dist, cid) = Spark's
+    array_position-of-first-min; empty clusters COALESCE to the
+    previous centroid, mirroring the operator."""
+    quant = (
+        f"list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * CAST({scale} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i])))"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, q, cid FROM ("
+            f"SELECT v.vec_id, v.q, c.cid, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM qv v CROSS JOIN {cent} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"qv AS (SELECT vec_id, {quant} AS q FROM embeddings)",
+        f"c0 AS (SELECT rn - 1 AS cid, q FROM (SELECT q, row_number() OVER "
+        f"(ORDER BY vec_id) AS rn FROM qv) WHERE rn <= {k})",
+        f"pos AS (SELECT unnest(range(1, {dim + 1})) AS p)",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(assign(f"a{it}", f"c{it - 1}"))
+        ctes.append(
+            f"u{it} AS (SELECT cid, p, CAST(floor(SUM(a.q[p]) * 1.0 / COUNT(*)) "
+            f"AS BIGINT) AS cv FROM a{it} a CROSS JOIN pos GROUP BY cid, p)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT prev.cid, COALESCE(n.q, prev.q) AS q "
+            f"FROM c{it - 1} prev LEFT JOIN (SELECT cid, list(cv ORDER BY p) AS q "
+            f"FROM u{it} GROUP BY cid) n USING (cid))"
+        )
+    ctes.append(assign("fin", f"c{iters}"))
+    ctes.append(
+        f"l1 AS (SELECT cid, list_sum(list_transform(q, x -> abs(x))) "
+        f"AS centroid_l1 FROM c{iters})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(f.cid AS INT) AS cluster_id, COUNT(*) AS n_vecs,\n"
+        "       CAST(SUM(f.vec_id) AS BIGINT) AS sum_vec_id,\n"
+        "       CAST(l.centroid_l1 AS BIGINT) AS centroid_l1\n"
+        "FROM fin f JOIN l1 l ON l.cid = f.cid\n"
+        "GROUP BY f.cid, l.centroid_l1"
+    )
+
+
+@query(
+    "embedding_kmeans_clusters",
+    _kmeans_oracle_sql(),
+    doc="E2/E4 distributed integer-exact Lloyd's k-means (k=8, 3 "
+    "iterations) over the embedding corpus — the corpus-scale domain-"
+    "discovery fit that SemDeDup-style semantic dedup and mixture "
+    "balancing start from (the IVF fit answers the same question on a "
+    "bounded sample; this assigns EVERY vector, distributed). "
+    "Assignment is a zero-shuffle literal-centroid expression; the "
+    "update is one explode+groupBy of (cid,pos,val) ints per "
+    "iteration; centroids are a bounded kxdim driver collect. Every "
+    "step is integer arithmetic (1/1024-grid quantize, exact squared-"
+    "L2, ties to lowest cid, floor(sum/count) updates), so the oracle "
+    "replays the whole trajectory as unrolled CTEs and the grade "
+    "covers labels AND centroids bit-for-bit — a promise float k-means "
+    "(MLlib) cannot make even against itself across partitionings.",
+)
+def embedding_kmeans_clusters(spark, sf_dir):
+    from spectraplex_spark.operators.clustering import cluster_profile
+
+    em = table(spark, sf_dir, "embeddings")
+    return cluster_profile(em, k=8, iters=3)

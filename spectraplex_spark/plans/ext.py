@@ -2174,3 +2174,69 @@ def embedding_kmeans_clusters(spark, sf_dir):
 
     em = table(spark, sf_dir, "embeddings")
     return cluster_profile(em, k=8, iters=3)
+
+
+# --- inverted-index retrieval (postings / conjunctive / phrase) ----------
+
+
+@query(
+    "index_conjunctive_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+           WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+    FROM tf GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = 3
+    ORDER BY tf_sum DESC, doc_id ASC LIMIT 10
+    """,
+    doc="E4 inverted-index conjunctive search: docs containing ALL of "
+    "{spark, window, join}, top-10 by Σtf with ties to the lowest "
+    "doc_id — ALL-integer ranking, so the grade is exact. The postings "
+    "build is one explode + one groupBy of (term, doc_id, pos) "
+    "triples; at 100 TB the index is materialized once partitioned by "
+    "term-hash bucket and probes partition-prune to the query's "
+    "buckets (plan-asserted in tests/test_retrieval.py), so a search "
+    "never rescans the corpus. BM25 float ranking over the same index "
+    "is pytest-verified against a Python reference (ln + float "
+    "accumulation exclude it from bit grading, same argument as "
+    "simhash).",
+)
+def index_conjunctive_topk(spark, sf_dir):
+    from spectraplex_spark.operators.retrieval import conjunctive_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return conjunctive_topk(docs, ["spark", "window", "join"], k=10)
+
+
+@query(
+    "index_phrase_search",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                                          i -> array_to_string(toks[i:i+1], ' '))
+                      ELSE [] END AS grams
+          FROM tok)
+    SELECT doc_id,
+           CAST(len(list_filter(grams, x -> x = 'fast table')) AS BIGINT)
+             AS n_occurrences
+    FROM g
+    WHERE len(list_filter(grams, x -> x = 'fast table')) > 0
+    """,
+    doc="E4 exact phrase search ('fast table') from the inverted index: "
+    "intersect each phrase term's position list shifted by its offset "
+    "(pos_i - i) — a start position survives every intersection iff "
+    "the terms sit consecutively. Integer array ops end to end; the "
+    "per-term frames are query-sized after the term filter so the "
+    "joins broadcast. The ORACLE recounts by 2-gram string equality — "
+    "an INDEPENDENT formulation of the same quantity, so agreement "
+    "certifies the position arithmetic, not a shared code path.",
+)
+def index_phrase_search(spark, sf_dir):
+    from spectraplex_spark.operators.retrieval import phrase_match
+
+    docs = table(spark, sf_dir, "documents")
+    return phrase_match(docs, ["fast", "table"])

@@ -1,0 +1,133 @@
+"""Inverted-index retrieval (operators/retrieval.py): postings
+invariants, conjunctive/phrase search vs brute force, BM25 vs an
+independent Python reference, and partition pruning on the
+materialized index. Cross-engine grading of the integer rankings is in
+test_oracle_parity.py (index_conjunctive_topk / index_phrase_search).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spectraplex_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+    conjunctive_topk,
+    doc_lengths,
+    materialize_postings,
+    phrase_match,
+    read_postings,
+)
+
+DOCS = [
+    (0, "spark window join window spark"),
+    (1, "fast table fast table fast"),
+    (2, "the quick fox jumps over the lazy dog"),
+    (3, "spark join"),
+    (4, "window window window"),
+    (5, "a a a a"),
+    (6, "fast  Table extra   spaces"),  # normalization folds case/space
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_postings_invariants(spark):
+    p = build_postings(_df(spark)).collect()
+    for r in p:
+        assert r["tf"] == len(r["positions"])
+        assert r["positions"] == sorted(r["positions"])
+    # sum of tf over a doc == its token count
+    by_doc = {}
+    for r in p:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["tf"]
+    dls = {r["doc_id"]: r["dl"] for r in doc_lengths(_df(spark)).collect()}
+    assert by_doc == dls
+
+
+def test_conjunctive_matches_bruteforce(spark):
+    got = conjunctive_topk(_df(spark), ["spark", "join"], k=10).collect()
+    want = []
+    for did, text in DOCS:
+        toks = text.lower().split()
+        if "spark" in toks and "join" in toks:
+            want.append((did, toks.count("spark") + toks.count("join")))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r["doc_id"], r["tf_sum"]) for r in got] == want
+
+
+def test_phrase_match_counts_occurrences(spark):
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(_df(spark), ["fast", "table"]).collect()
+    }
+    # doc 1: "fast table fast table fast" -> 2; doc 6 normalizes to
+    # "fast table extra spaces" -> 1
+    assert got == {1: 2, 6: 1}
+
+
+def test_phrase_match_repeated_term(spark):
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(_df(spark), ["a", "a"]).collect()
+    }
+    assert got == {5: 3}  # "a a a a" holds 3 overlapping "a a" starts
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(_df(spark), ["window", "window", "window"]).collect()
+    }
+    assert got3 == {4: 1}
+
+
+def test_phrase_match_no_false_positives_on_nonadjacent(spark):
+    # doc 0 has spark...join but never adjacent as "join spark"
+    assert phrase_match(_df(spark), ["join", "spark"]).count() == 0
+
+
+def test_bm25_matches_python_reference(spark):
+    terms = ["spark", "window", "fast"]
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_topk(_df(spark), terms, k=7).collect()]
+
+    docs = {did: text.lower().split() for did, text in DOCS}
+    # doc 6 normalizes "Table" -> "table"; split on raw lower is enough here
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfs = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    k1, b = 1.2, 0.75
+
+    def score(toks):
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        return s
+
+    want = sorted(
+        ((did, score(toks)) for did, toks in docs.items() if score(toks) > 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, c) in zip(got, want):
+        assert abs(a - c) < 1e-9
+
+
+def test_materialized_index_partition_prunes(spark, tmp_path):
+    path = str(tmp_path / "postings_idx")
+    materialize_postings(_df(spark), path, n_partitions=16)
+    probe = read_postings(spark, path, ["spark", "fast"], n_partitions=16)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the _tp IN (...) predicate must land in the scan's partition
+    # filters, not a post-scan Filter over all buckets
+    assert "PartitionFilters: [" in plan and "_tp" in plan.split("PartitionFilters:")[1]
+    # probing the index returns the same postings as an inline build
+    inline = build_postings(_df(spark)).filter(F.col("term").isin(["spark", "fast"]))
+    got = {(r["term"], r["doc_id"], r["tf"]) for r in probe.collect()}
+    want = {(r["term"], r["doc_id"], r["tf"]) for r in inline.collect()}
+    assert got == want

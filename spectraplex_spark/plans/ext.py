@@ -2094,14 +2094,15 @@ def simsearch_bq_topk(spark, sf_dir):
     return PQ.bq_topk(em.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1024) -> str:
-    """DuckDB twin of clustering.cluster_profile: replays EVERY Lloyd's
-    iteration as an unrolled CTE chain — quantize, (assign, update) x
-    iters, final assign — in the same all-integer arithmetic, so labels
-    and centroids land bit-identically (same trick as the incremental
-    near-dup gate's two-batch greedy replay, applied to an iterative
-    algorithm). Ties break ORDER BY (dist, cid) = Spark's
-    array_position-of-first-min; empty clusters COALESCE to the
+def _kmeans_ctes(
+    src: str, k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1024
+) -> list[str]:
+    """Unrolled-CTE replay of the integer Lloyd's trajectory over
+    ``src`` (a vec_id/embedding relation): quantize, (assign, update) x
+    iters, final assign into ``fin(vec_id, q, cid)`` — the same trick
+    as the incremental near-dup gate's two-batch greedy replay, applied
+    to an iterative algorithm. Ties break ORDER BY (dist, cid) =
+    Spark's array_position-of-first-min; empty clusters COALESCE to the
     previous centroid, mirroring the operator."""
     quant = (
         f"list_transform(CAST(embedding AS DOUBLE[]), "
@@ -2121,7 +2122,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1
         )
 
     ctes = [
-        f"qv AS (SELECT vec_id, {quant} AS q FROM embeddings)",
+        f"qv AS (SELECT vec_id, {quant} AS q FROM ({src}))",
         f"c0 AS (SELECT rn - 1 AS cid, q FROM (SELECT q, row_number() OVER "
         f"(ORDER BY vec_id) AS rn FROM qv) WHERE rn <= {k})",
         f"pos AS (SELECT unnest(range(1, {dim + 1})) AS p)",
@@ -2138,6 +2139,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1
             f"FROM u{it} GROUP BY cid) n USING (cid))"
         )
     ctes.append(assign("fin", f"c{iters}"))
+    return ctes
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1024) -> str:
+    """DuckDB twin of clustering.cluster_profile (see _kmeans_ctes)."""
+    ctes = _kmeans_ctes("SELECT vec_id, embedding FROM embeddings", k, iters, dim, scale)
     ctes.append(
         f"l1 AS (SELECT cid, list_sum(list_transform(q, x -> abs(x))) "
         f"AS centroid_l1 FROM c{iters})"
@@ -2240,3 +2247,54 @@ def index_phrase_search(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return phrase_match(docs, ["fast", "table"])
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1024,
+    cos_num: int = 4, cos_den: int = 5,
+) -> str:
+    """DuckDB twin of clustering.semantic_dedup_pairs over the planted
+    view: replay the Lloyd's trajectory (same CTE chain as the kmeans
+    oracle), then within-cluster pairs under the exact integer cosine
+    test den²·dot² >= num²·|a|²·|b|², restricted to the planted twins."""
+    ctes = _kmeans_ctes(_PLANTED_EMB_SQL, k, iters, dim, scale)
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> a.q[i] * b.q[i]))"
+    sq = lambda s: (  # noqa: E731
+        f"list_sum(list_transform({s}.q, x -> x * x))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cid AS INT) AS cluster_id
+    FROM fin a JOIN fin b
+      ON b.vec_id = a.vec_id + 100000 AND b.cid = a.cid
+    WHERE {dot} >= 0
+      AND CAST({cos_den * cos_den} AS BIGINT) * {dot} * {dot}
+          >= CAST({cos_num * cos_num} AS BIGINT) * {sq('a')} * {sq('b')}
+    """
+    )
+
+
+@query(
+    "semantic_dedup_planted",
+    _semantic_dedup_oracle_sql(),
+    doc="E1 SemDeDup (Abbas et al. 2023): semantic near-dup pairs by "
+    "clustering first (the integer-exact k-means above), then cosine "
+    "comparison WITHIN clusters only — the recipe that turns O(n²) "
+    "all-pairs into O(n²/k) and is how web-scale semantic dedup "
+    "actually runs (production k ~ 10⁴-10⁵ keeps each cluster's "
+    "quadratic local; the graded k=8 bit-verifies the composition). "
+    "The cosine threshold (0.8 = 4/5) is decided in EXACT integer "
+    "arithmetic on the quantized grid (den²·dot² >= num²·|a|²·|b|²), "
+    "so clustering trajectory AND pair verdicts grade bit-for-bit. "
+    "Graded on the planted exact-twin view restricted to planted "
+    "pairs: identical vectors quantize and assign identically, so "
+    "twin recall is exactly 1.0 by construction; cross-cluster misses "
+    "are SemDeDup's documented approximation, bounded in pytest "
+    "against brute-force cosine pairs.",
+)
+def semantic_dedup_planted(spark, sf_dir):
+    from spectraplex_spark.operators.clustering import semantic_dedup_pairs
+
+    pl = _planted_embeddings(spark, sf_dir)
+    pairs = semantic_dedup_pairs(pl, k=8, iters=3)
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 100000)

@@ -19,6 +19,7 @@ from spectraplex_spark.operators.clustering import (
     KM_SCALE,
     cluster_profile,
     kmeans_fit_predict,
+    semantic_dedup_pairs,
 )
 
 VEC_SCHEMA = T.StructType(
@@ -152,6 +153,92 @@ def test_kmeans_assignment_plan_is_shuffle_free(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_finds_exact_twins(spark):
+    dim = 8
+    base = _blob([1.0] * dim, 10, dim, start_id=0, step=3) + _blob(
+        [-1.0] * dim, 10, dim, start_id=1, step=3
+    )
+    twins = [(vid + 1000, vec) for vid, vec in base[:4]]
+    df = spark.createDataFrame(base + twins, VEC_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(df, k=2, iters=2).collect()
+    }
+    # every exact twin pair surfaces (identical vectors co-cluster by
+    # construction and have cosine 1 >= 0.8)
+    for vid, _ in base[:4]:
+        assert (vid, vid + 1000) in pairs
+
+
+def test_semantic_dedup_integer_threshold_matches_float_cosine(spark):
+    """The integer verdict den²·dot² >= num²·|a|²·|b|² over the
+    quantized grid must agree with float cosine ON THE GRID — and any
+    disagreement with raw-float cosine must sit inside the
+    quantization band around the threshold."""
+    dim = 6
+    rows = [
+        (
+            i,
+            [
+                float(math.sin(0.9 * i + d) + 0.25 * math.cos(2 * i * d + 1))
+                for d in range(dim)
+            ],
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(df, k=2, iters=2).collect()
+    }
+    assigned, _ = kmeans_fit_predict(df, k=2, iters=2)
+    label = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+
+    def qcos(a, b):
+        qa = [int(math.floor(x * KM_SCALE + 0.5)) for x in a]
+        qb = [int(math.floor(x * KM_SCALE + 0.5)) for x in b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na2 = sum(x * x for x in qa)
+        nb2 = sum(x * x for x in qb)
+        return dot >= 0 and 25 * dot * dot >= 16 * na2 * nb2
+
+    want = {
+        (i, j)
+        for i, a in rows
+        for j, b in rows
+        if i < j and label[i] == label[j] and qcos(a, b)
+    }
+    assert got == want
+
+
+def test_semantic_dedup_subset_of_all_pairs(spark):
+    """SemDeDup misses only CROSS-cluster near-dups (its documented
+    approximation) — it must never invent a pair the brute-force
+    threshold rejects."""
+    dim = 6
+    rows = [
+        (i, [float(math.sin(0.7 * i + d)) for d in range(dim)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(df, k=3, iters=2).collect()
+    }
+
+    def fcos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    # quantized verdicts can flip within ~1e-3 of the threshold; the
+    # subset property is asserted with that band excluded
+    brute = {
+        (i, j) for i, a in rows for j, b in rows if i < j and fcos(a, b) >= 0.799
+    }
+    assert got <= brute
 
 
 def test_cluster_profile_totals(spark):

@@ -85,6 +85,49 @@ def materialize_postings(
     )
 
 
+def append_postings_batch(
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+) -> int:
+    """Incremental maintenance of the materialized inverted index — the
+    ingestion-side twin of materialize_postings, under the same
+    discipline as the IVFPQ and near-dup indexes: the ``_config``
+    sidecar pins the layout (bucket count AND tokenizer version —
+    postings are only meaningful under the tokenization that wrote
+    them; a changed tokenizer must fail loudly, never mix), and the
+    append is REPLAY-IDEMPOTENT: (doc_id, term) rows already indexed
+    are anti-joined away, so a crashed-and-retried micro-batch adds
+    zero duplicate postings and tf counts never double. Designed for
+    ``foreachBatch``; probes partition-prune identically whether the
+    index was built in one pass or a thousand. Postings land at
+    ``{index_dir}/postings`` (pass that to read_postings). Returns the
+    number of rows appended."""
+    from spectraplex_spark.sources.io import idempotent_append
+    from spectraplex_spark.streaming.index_state import ensure_index_config
+
+    spark = batch.sparkSession
+    ensure_index_config(
+        spark,
+        index_dir,
+        {
+            "kind": "inverted-postings",
+            "n_partitions": n_partitions,
+            "tokenizer": "ws-lower-v1",
+        },
+    )
+    p = (
+        build_postings(batch, text_col, id_col)
+        .withColumn("_tp", F.pmod(F.xxhash64("term"), F.lit(n_partitions)))
+        .withColumn("id", F.concat_ws(":", F.col("doc_id"), F.col("term")))
+    )
+    return idempotent_append(
+        p, f"{index_dir}/postings", id_col="id", partition_by=("_tp",)
+    )
+
+
 def read_postings(spark, path: str, terms: list[str], n_partitions: int = 64) -> DataFrame:
     """Probe the materialized index: the `_tp IN (...)` predicate is a
     partition filter, so only the probed terms' buckets are read."""

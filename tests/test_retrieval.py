@@ -11,7 +11,10 @@ import math
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from spectraplex_spark.operators.retrieval import (
+    append_postings_batch,
     bm25_topk,
     build_postings,
     conjunctive_topk,
@@ -116,6 +119,56 @@ def test_bm25_matches_python_reference(spark):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, a), (_, c) in zip(got, want):
         assert abs(a - c) < 1e-9
+
+
+def test_incremental_postings_two_batch_equals_oneshot(spark, tmp_path):
+    idx = str(tmp_path / "inc_idx")
+    b1 = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    b2 = spark.createDataFrame(DOCS[4:], "doc_id long, text string")
+    n1 = append_postings_batch(b1, idx, n_partitions=8)
+    n2 = append_postings_batch(b2, idx, n_partitions=8)
+    assert n1 > 0 and n2 > 0
+    got = {
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in spark.read.parquet(f"{idx}/postings").collect()
+    }
+    want = {
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in build_postings(_df(spark)).collect()
+    }
+    assert got == want
+
+
+def test_incremental_postings_replay_is_noop(spark, tmp_path):
+    idx = str(tmp_path / "replay_idx")
+    b1 = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    assert append_postings_batch(b1, idx, n_partitions=8) > 0
+    # at-least-once redelivery: the identical batch must append nothing
+    assert append_postings_batch(b1, idx, n_partitions=8) == 0
+
+
+def test_incremental_postings_pins_layout_config(spark, tmp_path):
+    idx = str(tmp_path / "cfg_idx")
+    b1 = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    append_postings_batch(b1, idx, n_partitions=8)
+    with pytest.raises(ValueError, match="different parameters"):
+        append_postings_batch(b1, idx, n_partitions=16)
+
+
+def test_incremental_index_serves_search(spark, tmp_path):
+    idx = str(tmp_path / "serve_idx")
+    for lo, hi in ((0, 3), (3, 7)):
+        append_postings_batch(
+            spark.createDataFrame(DOCS[lo:hi], "doc_id long, text string"),
+            idx,
+            n_partitions=8,
+        )
+    postings = read_postings(spark, f"{idx}/postings", ["spark", "join"], n_partitions=8)
+    got = conjunctive_topk(None, ["spark", "join"], k=10, postings=postings).collect()
+    want = conjunctive_topk(_df(spark), ["spark", "join"], k=10).collect()
+    assert [(r["doc_id"], r["tf_sum"]) for r in got] == [
+        (r["doc_id"], r["tf_sum"]) for r in want
+    ]
 
 
 def test_materialized_index_partition_prunes(spark, tmp_path):

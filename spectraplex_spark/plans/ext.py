@@ -2298,3 +2298,38 @@ def semantic_dedup_planted(spark, sf_dir):
     pl = _planted_embeddings(spark, sf_dir)
     pairs = semantic_dedup_pairs(pl, k=8, iters=3)
     return pairs.filter(F.col("id_b") == F.col("id_a") + 100000)
+
+
+@query(
+    "knn_join_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+    c AS (SELECT vec_id AS corpus_id, e FROM v WHERE vec_id >= 3)
+    SELECT query_id, corpus_id, ROUND(list_cosine_similarity(qe, e), 6) AS cosine
+    FROM (SELECT q.query_id, c.corpus_id, q.qe, c.e,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qe, c.e) DESC, c.corpus_id) AS rn
+          FROM q CROSS JOIN c) WHERE rn <= 5
+    """,
+    doc="E2 batch k-NN join: top-5 cosine neighbors for EVERY query in "
+    "a batch (here vec_id<3) — the eval-harness / retrieval-labeling "
+    "op; cosine_topk is its one-query degenerate case. Two-stage "
+    "top-k: each corpus partition reduces to k candidates per query "
+    "BEFORE anything shuffles, so the exchange carries "
+    "Q*k*partitions rows, never the corpus. Graded on the "
+    "deterministic expression-fold scoring (SQL-twin fold parity "
+    "established by simsearch_cosine_topk, 6dp grading per the "
+    "planted-view precedent); the Arrow matmul stage-1 — the true "
+    "100 TB path — is pytest-asserted equal to float64 round-off.",
+)
+def knn_join_topk(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    res = S.knn_join(
+        em.filter(F.col("vec_id") >= 3),
+        em.filter(F.col("vec_id") < 3),
+        k=5,
+    )
+    return res.select(
+        "query_id", "corpus_id", F.round("score", 6).alias("cosine")
+    )

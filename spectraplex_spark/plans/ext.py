@@ -2333,3 +2333,52 @@ def knn_join_topk(spark, sf_dir):
     return res.select(
         "query_id", "corpus_id", F.round("score", 6).alias("cosine")
     )
+
+
+def _quality_linear_oracle_sql() -> str:
+    from spectraplex_spark.operators.textops import (
+        QSCORE_BUCKETS,
+        seeded_quality_weights,
+    )
+
+    wq = seeded_quality_weights()
+    wlit = "[" + ", ".join(str(w) for w in wq) + "]"
+    bucket = (
+        "(ascii(substring(md5(t), 1, 1)) * 256 + ascii(substring(md5(t), 2, 1)))"
+        f" % {QSCORE_BUCKETS}"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    w AS (SELECT CAST({wlit} AS BIGINT[]) AS wq),
+    m AS (SELECT doc_id,
+                 CAST(COALESCE(list_sum(list_transform(toks,
+                        t -> wq[{bucket} + 1])), 0) AS BIGINT)
+                   + CAST(250000 AS BIGINT) AS margin_q
+          FROM tok, w)
+    SELECT doc_id, margin_q,
+           CAST(margin_q AS DOUBLE) / CAST(1000000 AS DOUBLE) AS margin,
+           margin_q >= 0 AS keep
+    FROM m
+    """
+
+
+@query(
+    "quality_linear_score",
+    _quality_linear_oracle_sql(),
+    doc="E4 hashed bag-of-tokens linear quality classifier — the "
+    "SERVING shape of a fastText-style quality filter (the CCNet / "
+    "RefinedWeb gate that precedes dedup): feature-hash each token to "
+    "one of 64 buckets (engine-portable md5+ascii fold — xxhash64 has "
+    "no DuckDB twin), sum the buckets' weights, threshold the margin. "
+    "Weights live on a 1e-6 INTEGER grid, so margins are pure BIGINT "
+    "sums and the keep/drop verdict is an integer compare — ZERO "
+    "float boundary risk, bit-identical in any engine (the displayed "
+    "margin pays one final division, the sq_topk precedent). The "
+    "graded weights are seeded stand-ins: the operator is the "
+    "deliverable; production quantizes its trained weights to the "
+    "same grid. One narrow expression pass, zero shuffle.",
+)
+def quality_linear_score(spark, sf_dir):
+    from spectraplex_spark.operators.textops import quality_classifier_report
+
+    return quality_classifier_report(table(spark, sf_dir, "documents"))

@@ -837,3 +837,44 @@ def test_bq_topk_recall_as_first_stage(spark):
     by_id = {r.vec_id: np.asarray(r.embedding) >= 0 for r in corpus.collect()}
     for r in short:
         assert r.hamming == int((by_id[r.vec_id] != qb).sum())
+
+
+def test_quality_linear_scorer_matches_python_replay(spark):
+    import math
+
+    from spectraplex_spark.operators.textops import (
+        QSCORE_BUCKETS,
+        QSCORE_WSCALE,
+        quality_classifier_report,
+        seeded_quality_weights,
+    )
+
+    docs = [
+        (0, "spark window join fast table"),
+        (1, "the quick fox"),
+        (2, ""),  # empty text -> bias-only margin, not null
+        (3, "a A  a"),  # case/space normalization folds to 3x 'a'
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["margin_q"], r["keep"]) for r in quality_classifier_report(df).collect()}
+
+    wq = seeded_quality_weights()
+    import hashlib
+
+    def bucket(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return (ord(h[0]) * 256 + ord(h[1])) % QSCORE_BUCKETS
+
+    for did, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        mq = sum(wq[bucket(t)] for t in toks) + 250_000
+        assert got[did] == (mq, mq >= 0), f"doc {did}"
+
+
+def test_quality_linear_scorer_plan_is_narrow(spark):
+    from spectraplex_spark.operators.textops import quality_classifier_report
+
+    df = spark.createDataFrame([(0, "spark join")], "doc_id long, text string")
+    plan = quality_classifier_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -2382,3 +2382,35 @@ def quality_linear_score(spark, sf_dir):
     from spectraplex_spark.operators.textops import quality_classifier_report
 
     return quality_classifier_report(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_top_ngrams",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    ng AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END)) AS ngram FROM tok)
+    SELECT ngram, COUNT(*) AS doc_freq
+    FROM ng GROUP BY ngram
+    ORDER BY doc_freq DESC, ngram ASC LIMIT 20
+    """,
+    doc="E4 corpus boilerplate profile: the 20 word-3-grams present in "
+    "the most documents (distinct-per-doc, so a phrase repeated inside "
+    "one doc counts once) — the diagnostic that finds boilerplate/"
+    "template contamination before dedup thresholds are tuned. Rides "
+    "the zip_with shingle pass (tokenize once per row, not once per "
+    "n-gram); the only shuffle is the groupBy of (ngram, doc) rows. "
+    "All-integer ranking with lexicographic tie-break, so the top-20 "
+    "grades exactly.",
+)
+def corpus_top_ngrams(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(D.shingles(F.col("text"), 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(20)
+    )

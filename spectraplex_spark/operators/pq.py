@@ -286,9 +286,14 @@ def write_ivfpq_index(
 
     ensure_index_config(df.sparkSession, path, _ivfpq_config(centroids, codebooks))
     coded = pq_encode(ivf_assign(df, centroids, vec_col), codebooks, vec_col)
+    # Code rows live in a `codes/` SUBDIRECTORY with `_config` as a
+    # sibling (same layout as streaming/neardup.py's bands/hashes):
+    # mode('overwrite') clears its whole target directory, so writing
+    # rows into `path` itself would delete the sidecar just written
+    # above and void the mismatched-params guarantee.
     coded.select(id_col, "ivf_cluster", "pq_code").write.mode("overwrite").partitionBy(
         "ivf_cluster"
-    ).parquet(path)
+    ).parquet(f"{path}/codes")
 
 
 def ivfpq_topk(
@@ -314,7 +319,7 @@ def ivfpq_topk(
     q /= max(float(np.linalg.norm(q)), 1e-12)
     probes = [int(c) for c in np.argsort(-(np.asarray(centroids) @ q))[:n_probe]]
     lut = adc_lut(query_vec, codebooks)
-    scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes))
+    scan = spark.read.parquet(f"{path}/codes").filter(F.col("ivf_cluster").isin(probes))
     return (
         scan.select(
             id_col,
@@ -462,7 +467,7 @@ def append_ivfpq_batch(
         id_col, "ivf_cluster", "pq_code"
     )
     return idempotent_append(
-        coded, path, id_col=id_col, partition_by=("ivf_cluster",)
+        coded, f"{path}/codes", id_col=id_col, partition_by=("ivf_cluster",)
     )
 
 

@@ -27,11 +27,15 @@ Scale design:
         an INDEPENDENT formulation of the same quantity.
       * bm25_topk is the production relevance ranking (k1/b, log idf).
         Its idf/avgdl constants are driver-computed from two bounded
-        aggregates; the per-doc score is float — ln() and float
-        accumulation make it non-bit-gradable cross-engine by the same
-        argument as simhash (FIXTURES.md FMA note), so it is
-        pytest-verified against an independent Python reference
-        instead, and the integer rankings above carry the driver hash.
+        aggregates; length normalization reads the dl column the
+        postings DENORMALIZE at build time (layout v2) — never a
+        corpus-sided join. The raw per-doc score is float — ln() and
+        float accumulation make it non-bit-gradable cross-engine by
+        the same argument as simhash (FIXTURES.md FMA note) — so the
+        graded entry (``bm25_topk_grid``) snaps each per-posting
+        contribution to a 2^-20 integer grid before the sum, making
+        the ranking itself exact-integer and hash-gradable while the
+        ungridded float path stays pytest-verified.
 """
 
 from __future__ import annotations
@@ -46,16 +50,26 @@ from spectraplex_spark.operators.textops import tokens
 def build_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(term, doc_id, tf, positions) — the classic inverted index.
+    """(term, doc_id, tf, positions, dl) — the classic inverted index.
     positions are 0-based token offsets, sorted; tf == size(positions)
-    by construction."""
-    t = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    by construction. ``dl`` (document token length) is DENORMALIZED
+    into every posting at build time — it is known for free during
+    tokenization, and carrying it means BM25's length normalization
+    never joins a corpus-sized doc-length table at query time (the
+    same denormalize-for-lookup trade as the reference's
+    add_wallet_to_ledger migration, migrations/20251219010000:1-15)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    t = toks.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.posexplode("_toks").alias("pos", "term"),
     )
     return t.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.first("dl").alias("dl"),
     )
 
 
@@ -116,6 +130,10 @@ def append_postings_batch(
             "kind": "inverted-postings",
             "n_partitions": n_partitions,
             "tokenizer": "ws-lower-v1",
+            # layout v2: postings carry the denormalized doc length
+            # (dl). An index written by v1 has no dl column — scoring
+            # against it must fail loudly here, not NPE downstream.
+            "layout": "postings-dl-v2",
         },
     )
     p = (
@@ -153,7 +171,13 @@ def conjunctive_topk(
 ) -> DataFrame:
     """Docs containing ALL query terms, ranked by Σ tf (integer), ties
     to the lowest doc_id. Pass ``postings`` to search a prebuilt /
-    materialized index instead of rescanning the corpus."""
+    materialized index instead of rescanning the corpus.
+
+    Duplicate query terms are collapsed up front: conjunction over
+    ['spark','spark','join'] means {spark, join} — without the dedupe,
+    count_distinct(term) could never reach len(terms) and the query
+    would silently return zero rows."""
+    terms = list(dict.fromkeys(terms))
     p = (postings if postings is not None else build_postings(df, text_col, id_col))
     hits = p.filter(F.col("term").isin(terms))
     return (
@@ -204,6 +228,97 @@ def phrase_match(
     )
 
 
+BM25_GRID = 65536  # 2^16 — idf quantization grid for the graded ranking
+
+
+def bm25_topk_grid(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    grid: int = BM25_GRID,
+) -> DataFrame:
+    """BM25 ranking on an EXACT-INTEGER grid — the driver-gradable twin
+    of bm25_topk (same recipe as sq_topk/quality_linear_score: put the
+    score on an integer lattice so the ranking is bit-identical in any
+    engine).
+
+    With the standard constants as exact rationals (k1 = 6/5, b = 3/4)
+    and avgdl = S/N (S = total corpus tokens, N = docs), the per-posting
+    BM25 term multiplies out to idf · 44·S·tf / (20·S·tf + 6·S + 18·dl·N)
+    — numerator and denominator are exact BIGINTs. Quantizing idf to
+    ``floor(ln(1 + (2(N-df)+1)/(2df+1)) · grid)`` makes the whole
+    contribution ``(idf_q · 44·S·tf) div (20·S·tf + 6·S + 18·dl·N)`` —
+    pure integer multiply/divide, summed exactly. The ONLY float op is
+    that one ln over an exactly-representable rational, identical input
+    in every engine; a driver-side guard asserts the quantized value
+    sits far from its floor boundary (and that the integer products fit
+    in 62 bits), so a pathological libm divergence fails loudly instead
+    of flipping a rank. Scale shape is identical to bm25_topk: narrow
+    pass over the probed postings, one groupBy, TakeOrderedAndProject.
+    """
+    terms = list(dict.fromkeys(terms))
+    p = (postings if postings is not None else build_postings(df, text_col, id_col))
+    if "dl" not in p.columns:
+        raise ValueError(
+            "bm25_topk_grid needs postings with the denormalized 'dl' "
+            "column (layout postings-dl-v2) — rebuild the index."
+        )
+    per_doc = (
+        doc_lengths(df, text_col, id_col)
+        if df is not None
+        else p.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).head()
+    n_docs, s_tok = int(stats["n"]), int(stats["s"])
+    hits = p.filter(F.col("term").isin(terms))
+    tstats = hits.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"), F.max("tf").alias("max_tf")
+    ).collect()
+    dfs = {r["term"]: int(r["df"]) for r in tstats}
+    max_tf = max((int(r["max_tf"]) for r in tstats), default=1)
+    idf_q: dict[str, int] = {}
+    for t in terms:
+        d = dfs.get(t, 0)
+        v = math.log(1.0 + (2 * (n_docs - d) + 1) / (2 * d + 1)) * grid
+        if abs(v - round(v)) < 1e-6:
+            raise ValueError(
+                f"idf grid value for term {t!r} sits within 1e-6 of an "
+                f"integer boundary ({v!r}); pick a different grid to keep "
+                "the ranking engine-independent."
+            )
+        idf_q[t] = int(math.floor(v))
+    if max(idf_q.values(), default=0) * 44 * s_tok * max_tf >= 2**62:
+        raise ValueError(
+            "bm25_topk_grid integer products would overflow 62 bits at "
+            f"this corpus size (S={s_tok}, max_tf={max_tf}); lower the grid."
+        )
+    idf_map = F.create_map(
+        *[F.lit(x) for t in terms for x in (t, idf_q[t])]
+    )
+    num = (
+        F.element_at(idf_map, F.col("term")).cast("long")
+        * (F.lit(44 * s_tok).cast("long") * F.col("tf"))
+    )
+    den = (
+        F.lit(20 * s_tok).cast("long") * F.col("tf")
+        + F.lit(6 * s_tok).cast("long")
+        + F.lit(18 * n_docs).cast("long") * F.col("dl")
+    )
+    return (
+        hits.select("doc_id", num.alias("_num"), den.alias("_den"))
+        .select("doc_id", F.expr("_num div _den").alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.sum("_c").cast("long").alias("bm25_q"))
+        .orderBy(F.desc("bm25_q"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     terms: list[str],
@@ -220,12 +335,33 @@ def bm25_topk(
     N/avgdl come from one corpus aggregate and per-term df from one
     query-sized aggregate — both bounded driver collects; idf rides as
     literals, so scoring is a single narrow pass over the probed
-    postings. Float scores: the production ranking, pytest-verified
-    against a Python reference (see module docstring for why the
-    integer rankings are the bit-graded ones)."""
+    postings. Length normalization reads the ``dl`` column the postings
+    carry since layout v2 (denormalized at build time) — the query
+    never joins, let alone broadcasts, a corpus-sized doc-length table.
+    Duplicate query terms are collapsed (a repeated term contributes
+    one BM25 summand, not two). Float scores: the production ranking,
+    pytest-verified against a Python reference; grading goes through
+    the integer-grid contract oracle (``bm25_topk_grid``)."""
+    terms = list(dict.fromkeys(terms))
     p = (postings if postings is not None else build_postings(df, text_col, id_col))
-    dls = doc_lengths(df, text_col, id_col)
-    stats = dls.agg(
+    if "dl" not in p.columns:
+        raise ValueError(
+            "bm25_topk needs postings with the denormalized 'dl' column "
+            "(layout postings-dl-v2, written by build_postings / "
+            "append_postings_batch). A v1 index has no per-posting doc "
+            "length — rebuild it; joining a corpus-sized doc_lengths "
+            "table at query time is a 100 TB anti-pattern this module "
+            "refuses to reintroduce."
+        )
+    # Corpus stats (N, avgdl): one bounded aggregate. From the corpus
+    # when given; otherwise recovered from the index itself (postings
+    # carry dl, so distinct doc_id rows reproduce the length table).
+    per_doc = (
+        doc_lengths(df, text_col, id_col)
+        if df is not None
+        else p.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).head()
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
@@ -245,8 +381,7 @@ def bm25_topk(
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
     )
     return (
-        hits.join(F.broadcast(dls), "doc_id")
-        .select("doc_id", contrib.alias("_c"))
+        hits.select("doc_id", contrib.alias("_c"))
         .groupBy("doc_id")
         .agg(F.sum("_c").alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))

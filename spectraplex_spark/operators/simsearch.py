@@ -428,6 +428,8 @@ def knn_join(
     q_vec_col: str = "embedding",
     q_id_col: str = "vec_id",
     method: str = "expression",
+    quantize: int | None = None,
+    max_query_batch: int = 10_000,
 ) -> DataFrame:
     """Top-k cosine neighbors for EVERY row of a query batch — the op
     an eval harness / retrieval-labeling pipeline runs (cosine_topk is
@@ -435,8 +437,10 @@ def knn_join(
     score), exactly k rows per query, ties to the lowest corpus_id.
 
     The query batch is collected and rides as literals/ndarray —
-    bounded by design (query batches are eval sets, not corpora; for
-    corpus x corpus use the near-dup family instead).
+    bounded by CONTRACT, enforced: more than ``max_query_batch`` query
+    rows raises before anything is collected (a silent driver OOM is
+    not an acceptable failure mode; for corpus x corpus workloads use
+    the near-dup family — cosine_pairs_bucketed / semantic_dedup_pairs).
 
     Two-stage top-k is the scale shape: stage 1 reduces each corpus
     partition to k candidates PER QUERY before anything shuffles, so
@@ -450,14 +454,33 @@ def knn_join(
     shuffle write — fine at the graded scale, but the Arrow path is
     the true 100 TB stage 1.
     method='arrow' (scale/fast path): stage 1 is one mapInPandas
-    numpy matmul per partition emitting exactly k rows per query —
-    pytest-asserted to agree with the expression path to float64
-    round-off (matmul reassociates the sum, so it is deliberately NOT
-    the graded path).
+    numpy matmul per partition emitting exactly k rows per query.
+    With ``quantize=None`` scoring is a float64 matmul — pytest-
+    asserted to agree with the expression path to round-off (the
+    matmul reassociates the sum, so that variant is NOT bit-graded).
+    With ``quantize=S`` set (the graded configuration), vector
+    components are snapped to the integer grid floor(x*S + 0.5) FIRST,
+    dots and squared norms are exact int64 sums, and the only float
+    ops are the final per-pair int->double converts, two sqrts and one
+    divide — each a single correctly-rounded IEEE scalar op with
+    identical inputs in numpy, Spark and any SQL engine. No float
+    accumulation, no libm transcendental, no FMA shape: the scale path
+    itself becomes bit-gradable (the sq_topk recipe applied to the
+    Arrow stage).
     """
-    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qrows = queries.select(q_id_col, q_vec_col).limit(max_query_batch + 1).collect()
+    if len(qrows) > max_query_batch:
+        raise ValueError(
+            f"knn_join query batch exceeds max_query_batch={max_query_batch}: "
+            "the batch is collected to the driver by design (eval sets, not "
+            "corpora). For corpus x corpus similarity use the near-dup "
+            "family (cosine_pairs_bucketed / semantic_dedup_pairs), or "
+            "raise max_query_batch explicitly if the driver can hold it."
+        )
     if not qrows:
         raise ValueError("queries batch is empty")
+    if quantize is not None and method != "arrow":
+        raise ValueError("quantize is implemented for method='arrow' only")
     qids = [int(r[0]) for r in qrows]
     qvecs = [[float(x) for x in r[1]] for r in qrows]
     qnorms = [math.sqrt(sum(x * x for x in v)) for v in qvecs]
@@ -557,14 +580,29 @@ def knn_join(
         ]
     )
 
+    if quantize is not None:
+        # integer grid: exact int64 dots/norms; per-query norms shared
+        qmat_q = np.floor(qmat * float(quantize) + 0.5).astype(np.int64)
+        pa = (qmat_q * qmat_q).sum(axis=1)  # int64, per query
+
     def local_topk(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf["corpus_id"].to_numpy(dtype=np.int64)
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            vn = np.sqrt((V * V).sum(axis=1))
-            S = (V @ qmat.T) / (vn[:, None] * qn[None, :])  # N x Q
+            if quantize is not None:
+                Vq = np.floor(V * float(quantize) + 0.5).astype(np.int64)
+                pb = (Vq * Vq).sum(axis=1)  # int64, per corpus row
+                D = Vq @ qmat_q.T  # exact int64 matmul, N x Q
+                denom = np.sqrt(pb.astype(np.float64))[:, None] * np.sqrt(
+                    pa.astype(np.float64)
+                )[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(denom == 0.0, 0.0, D.astype(np.float64) / denom)
+            else:
+                vn = np.sqrt((V * V).sum(axis=1))
+                S = (V @ qmat.T) / (vn[:, None] * qn[None, :])  # N x Q
             kk = min(k, len(ids))
             rows = {"query_id": [], "corpus_id": [], "score": []}
             for j in range(len(qid_arr)):

@@ -28,72 +28,76 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # --------------------------------------------------------------------------
 # Graded-window curation. The external correctness gate grades the FIRST
 # 50 registered queries, so registration order is part of the contract.
-# Round-5 rotation: (a) never-graded queries new this round (the two
-# incremental-gate replay oracles, the flagship corpus-prep replay, the
-# three I/O protocol round-trips, the RPC/HTTP edge certifications, the
-# account-state consumer); (b) normalize_throughput, whose closed-form
-# full-output oracle replaced its rows-only status this round; (c)
-# benched headliners for the same-round correctness+perf double-sign;
-# (d) the 32 queries whose latest green is round 2 — the oldest
-# evidence in the ledger.
-# Everything else was green in rounds 3-4 (see CORRECTNESS_r0{3,4})
-# and rotates back in round 6.
+# Round-6 rotation — the r5 verdict's top ask: (a) the 14 late-r5
+# queries that have NEVER been in the driver's window (PQ/SQ/BQ
+# quantized ANN, k-means, SemDeDup, inverted-index retrieval, knn
+# join, decontamination, mixture sampling, compaction, quality score,
+# boilerplate n-grams) — local-gate-green at both SFs, now getting the
+# hard signal; (b) the two queries NEW this round (integer-grid BM25
+# closing the r5 scale bug, and the Arrow-stage knn join — the graded
+# path and the 100 TB path are now the same code); (c) all 29 queries
+# whose latest green is round 3 — the oldest evidence in the ledger;
+# (d) benched headliners touched by this round's perf work, for the
+# same-round correctness+perf double-sign.
+# Everything else was green in rounds 4-5 (see CORRECTNESS_r0{4,5})
+# and rotates back next round. Cumulative driver coverage after this
+# window: 136/136 ever-graded.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # (a) never graded — new this round
-    "corpus_prep_planted",
-    "incremental_neardup_embedding_planted",
-    "jsonl_roundtrip_events",
-    "idempotent_sink_replay",
-    "jdbc_roundtrip_nation",
-    "rpc_ingest_golden",
-    "http_serving_roundtrip",
-    "account_state_latest",
-    "block_continuity_report",
-    # (b) rows-only → full closed-form oracle this round (also benched)
-    "normalize_throughput",
-    # (c) benched headliners: same-round correctness + perf evidence
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_broadcast_brand_revenue",
-    "dedup_exact_docs",
-    "simsearch_cosine_topk",
+    # (a) never graded — registered past position 50 in round 5
+    "simsearch_pq_topk",
+    "simsearch_pq_rerank",
+    "simsearch_sq_topk",
+    "simsearch_bq_topk",
+    "embedding_kmeans_clusters",
+    "semantic_dedup_planted",
+    "index_conjunctive_topk",
+    "index_phrase_search",
+    "knn_join_topk",
+    "decontam_ngram_overlap",
+    "corpus_mixture_sample",
+    "compaction_roundtrip",
+    "quality_linear_score",
+    "corpus_top_ngrams",
+    # (b) new this round
+    "bm25_ranked_topk",
+    "knn_join_topk_arrow",
+    # (c) oldest evidence: latest green = round 3
+    "join_anti_customers_without_orders",
+    "window_topn_orders_per_customer",
+    "window_lag_order_gap",
+    "setop_union_segments",
+    "setop_intersect_segments",
+    "setop_except_segments",
+    "array_ops_embeddings",
+    "q4_order_priority_check",
+    "window_rank_suite",
+    "scalar_string_advanced",
+    "correlated_above_avg_orders",
+    "agg_percentiles",
+    "scalar_try_functions",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
+    "q21_suppliers_kept_waiting",
+    "solana_normalize_golden",
+    "text_pii_redaction",
+    "text_markup_strip",
+    "text_sentence_split",
+    "snapshot_table_diff",
+    "stratified_embedding_sample",
+    "text_repetition_stats",
+    "corpus_split_assignment",
+    "corpus_pack_assignment",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "ngram_jaccard_sample",
+    # (d) benched headliners touched by round-6 perf work
     "minhash_neardup_pairs",
     "corpus_prep_pipeline",
-    # (d) oldest evidence: latest green = round 2
-    "streaming_window_rollup",
-    "agg_rollup_lineitem",
-    "agg_cube_orders",
-    "join_left_order_counts",
-    "window_running_revenue",
-    "scalar_date_orders",
-    "scalar_math_lineitem",
-    "case_when_value_tiers",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "pivot_status_by_priority",
-    "window_moving_sum",
-    "agg_collect_sorted",
-    "map_ops_events",
-    "q7_nation_trade_flows",
-    "q9_product_profit",
-    "unpivot_lineitem_metrics",
-    "histogram_order_prices",
-    "agg_string_concat",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "q12_priority_shipping_buckets",
-    "q17_small_quantity_revenue",
-    "q8_market_share",
-    "doc_fingerprints",
-    "text_token_stats",
-    "lang_quality_report",
-    "lang_id_distribution",
-    "multimodal_binary_meta",
+    "q1_pricing_summary",
+    "simsearch_cosine_topk",
+    "normalize_throughput",
 ]
 
 

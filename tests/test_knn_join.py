@@ -93,3 +93,52 @@ def test_knn_join_empty_queries_raises(spark):
     qdf = spark.createDataFrame([], VEC_SCHEMA)
     with pytest.raises(ValueError, match="empty"):
         knn_join(cdf, qdf, k=2)
+
+
+def test_knn_join_over_limit_query_batch_raises(spark):
+    """The driver-side collect is bounded by CONTRACT: exceeding
+    max_query_batch must raise before collecting, pointing at the
+    near-dup family — never a silent driver OOM."""
+    cdf = spark.createDataFrame(_vecs(3, 4), VEC_SCHEMA)
+    qdf = spark.createDataFrame(_vecs(7, 4), VEC_SCHEMA)
+    with pytest.raises(ValueError, match="near-dup"):
+        knn_join(cdf, qdf, k=2, max_query_batch=6)
+    # exactly at the limit is fine
+    assert knn_join(cdf, qdf, k=1, max_query_batch=7).count() == 7
+
+
+def test_knn_join_quantized_arrow_ranks_like_float(spark):
+    """quantize=1024 snaps components to an integer grid before the
+    matmul; at grid granularity the neighbor ordering should agree
+    with the float path on well-separated vectors, and scores must be
+    deterministic doubles (exact ints through sqrt/divide)."""
+    corpus = _vecs(60, 16)
+    queries = [(300 + i, v) for i, (_, v) in enumerate(_vecs(3, 16, phase=2.1))]
+    cdf = spark.createDataFrame(corpus, VEC_SCHEMA).repartition(8)
+    qdf = spark.createDataFrame(queries, VEC_SCHEMA)
+    fl = {}
+    for r in knn_join(cdf, qdf, k=5, method="arrow").collect():
+        fl.setdefault(r["query_id"], []).append(r["corpus_id"])
+    qz = {}
+    for r in knn_join(cdf, qdf, k=5, method="arrow", quantize=1024).collect():
+        qz.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert set(fl) == set(qz)
+    for qid in fl:  # same top-5 sets; order may differ only on grid ties
+        assert set(fl[qid]) == set(qz[qid])
+    # determinism: two runs produce bit-identical scores
+    a = sorted(
+        (r["query_id"], r["corpus_id"], r["score"])
+        for r in knn_join(cdf, qdf, k=5, method="arrow", quantize=1024).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["corpus_id"], r["score"])
+        for r in knn_join(cdf, qdf, k=5, method="arrow", quantize=1024).collect()
+    )
+    assert a == b
+
+
+def test_knn_join_quantize_requires_arrow(spark):
+    cdf = spark.createDataFrame(_vecs(3, 4), VEC_SCHEMA)
+    qdf = spark.createDataFrame(_vecs(2, 4), VEC_SCHEMA)
+    with pytest.raises(ValueError, match="arrow"):
+        knn_join(cdf, qdf, k=2, method="expression", quantize=1024)

@@ -310,10 +310,14 @@ def test_ivfpq_index_rejects_mismatched_codebooks(spark, tmp_path):
     cb = pq_codebooks(64, 4, 8, seed=7)
     path = str(tmp_path / "idx")
     write_ivfpq_index(em, path, cent, cb)
-    # same params -> fine
-    assert ivfpq_topk(spark, path, qvec, cent, cb, k=5, n_probe=4).count() == 5
+    # Mismatched params must fail on a FRESH index, before any correct-
+    # params query runs: this proves the _config sidecar survived the
+    # one-shot build's overwrite (a correct query first would silently
+    # re-create a missing sidecar from its own params, masking the loss).
     with pytest.raises(ValueError, match="codebook_sha"):
         ivfpq_topk(spark, path, qvec, cent, pq_codebooks(64, 4, 8, seed=99), k=5)
+    # same params -> fine
+    assert ivfpq_topk(spark, path, qvec, cent, cb, k=5, n_probe=4).count() == 5
 
 
 def test_ivfpq_incremental_append_replay_idempotent(spark, tmp_path):

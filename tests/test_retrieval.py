@@ -184,3 +184,63 @@ def test_materialized_index_partition_prunes(spark, tmp_path):
     got = {(r["term"], r["doc_id"], r["tf"]) for r in probe.collect()}
     want = {(r["term"], r["doc_id"], r["tf"]) for r in inline.collect()}
     assert got == want
+
+
+def test_bm25_grid_ranks_like_float_bm25(spark):
+    """The integer-grid graded variant must produce the same document
+    ordering as the float production ranking whenever scores are
+    separated by more than the grid granularity (~2^-16 on idf)."""
+    from spectraplex_spark.operators.retrieval import bm25_topk_grid
+
+    terms = ["spark", "window", "fast"]
+    fl = [r["doc_id"] for r in bm25_topk(_df(spark), terms, k=7).collect()]
+    gr = [r["doc_id"] for r in bm25_topk_grid(_df(spark), terms, k=7).collect()]
+    assert fl == gr
+    # integer scores, strictly ordered desc with doc_id ties
+    rows = bm25_topk_grid(_df(spark), terms, k=7).collect()
+    scores = [r["bm25_q"] for r in rows]
+    assert all(isinstance(s, int) for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_duplicate_query_terms_collapse(spark):
+    """['spark','spark','join'] must mean the conjunction over
+    {spark, join}, not an unsatisfiable 3-term requirement; BM25 must
+    count a repeated term once, not twice."""
+    from spectraplex_spark.operators.retrieval import bm25_topk_grid
+
+    base = conjunctive_topk(_df(spark), ["spark", "join"], k=10).collect()
+    dup = conjunctive_topk(_df(spark), ["spark", "spark", "join"], k=10).collect()
+    assert [(r["doc_id"], r["tf_sum"]) for r in base] == [
+        (r["doc_id"], r["tf_sum"]) for r in dup
+    ]
+    assert len(base) > 0  # the fixture does have conjunctive hits
+    b1 = [(r["doc_id"], r["bm25"]) for r in bm25_topk(_df(spark), ["spark", "fast"], k=7).collect()]
+    b2 = [(r["doc_id"], r["bm25"]) for r in bm25_topk(_df(spark), ["spark", "spark", "fast"], k=7).collect()]
+    assert b1 == b2
+    g1 = [(r["doc_id"], r["bm25_q"]) for r in bm25_topk_grid(_df(spark), ["spark", "fast"], k=7).collect()]
+    g2 = [(r["doc_id"], r["bm25_q"]) for r in bm25_topk_grid(_df(spark), ["spark", "spark", "fast"], k=7).collect()]
+    assert g1 == g2
+
+
+def test_bm25_never_broadcasts_corpus_side(spark):
+    """The r5 verdict's one flagged scale bug: BM25's length
+    normalization must read the denormalized dl from the postings, not
+    join (broadcast or otherwise) a corpus-sized doc-length table. The
+    plan therefore contains NO join at all — one filter + one groupBy."""
+    plan = bm25_topk(_df(spark), ["spark", "fast"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    from spectraplex_spark.operators.retrieval import bm25_topk_grid
+
+    plan_g = bm25_topk_grid(_df(spark), ["spark", "fast"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_g
+
+
+def test_bm25_rejects_v1_postings_without_dl(spark):
+    """A layout-v1 index (no dl column) must fail loudly, not NPE or
+    silently rejoin the corpus."""
+    import pytest as _pytest
+
+    v1 = build_postings(_df(spark)).drop("dl")
+    with _pytest.raises(ValueError, match="dl"):
+        bm25_topk(_df(spark), ["spark"], postings=v1)

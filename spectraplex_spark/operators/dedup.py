@@ -243,6 +243,17 @@ def minhash_neardup_pairs(
     # signature+window pass re-executes per consumer unless Catalyst
     # happens to reuse the exchange — the checkpoint makes the single
     # materialization structural, not plan-luck.
+    # Measured (r6, sf0.1, min of 4 alternating runs): checkpoint 2.07s,
+    # no-checkpoint 1.99s, persist 2.18s — all within session noise, so
+    # the checkpoint's materialization cost is NOT a bottleneck at this
+    # SF; it stays because at 100 TB one banding shuffle + a
+    # materialized read beats three full window shuffles (ReuseExchange
+    # was observed NOT to kick in across the three consumers). A
+    # groupBy+collect_list rewrite (pairs generated expression-side, no
+    # self-join) also measured equal (1.98s) with identical output, but
+    # puts an O(bucket-size) array in a single row for over-cap buckets
+    # — a driver-row memory hazard the window+filter form doesn't have,
+    # so the window form stays.
     sized = (
         banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
         .withColumn("_head", F.min("_id").over(wb))

@@ -62,6 +62,8 @@ _GRADED_PRIORITY = [
     # (b) new this round
     "bm25_ranked_topk",
     "knn_join_topk_arrow",
+    "repeated_spans_report",
+    "span_dedup_clean",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -92,12 +94,12 @@ _GRADED_PRIORITY = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "ngram_jaccard_sample",
-    # (d) benched headliners touched by round-6 perf work
+    # (d) benched headliners for the correctness+perf double-sign
+    # (q1/cosine/normalize were r5-green and unchanged — they yield
+    # their slots to the two new span queries and rotate back in r7)
     "minhash_neardup_pairs",
     "corpus_prep_pipeline",
     "q1_pricing_summary",
-    "simsearch_cosine_topk",
-    "normalize_throughput",
 ]
 
 

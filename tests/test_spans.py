@@ -1,0 +1,88 @@
+"""Repeated-substring span removal (operators/spans.py): island
+merging, within-doc repetition, short-doc edges, hashed-path parity.
+Cross-engine grading is in test_oracle_parity.py
+(repeated_spans_report / span_dedup_clean).
+"""
+
+from __future__ import annotations
+
+from spectraplex_spark.operators.spans import (
+    remove_repeated_spans,
+    repeated_spans,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _spans(spark, docs, k=3, **kw):
+    df = spark.createDataFrame(docs, SCHEMA)
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(df, k=k, **kw).collect()
+    )
+
+
+def test_cross_doc_repeat_marks_both_docs(spark):
+    docs = [
+        (0, "alpha beta gamma delta unique0 tail0"),
+        (1, "head1 alpha beta gamma delta unique1"),
+        (2, "nothing shared here at all zero"),
+    ]
+    got = _spans(spark, docs, k=4)
+    # "alpha beta gamma delta" (4 tokens) repeats across docs 0 and 1
+    assert got == [(0, 0, 4), (1, 1, 5)]
+
+
+def test_within_doc_repetition_counts(spark):
+    # the 3-gram "a b c" occurs twice INSIDE one doc — still repeated
+    docs = [(0, "a b c x y z a b c"), (1, "totally different words here")]
+    got = _spans(spark, docs, k=3)
+    assert got == [(0, 0, 3), (0, 6, 9)]
+
+
+def test_overlapping_and_touching_spans_merge(spark):
+    # two docs share a 5-token run; with k=3 the run's three 3-grams
+    # produce overlapping intervals that must merge into ONE span
+    docs = [
+        (0, "p q r s t end0 filler0"),
+        (1, "start1 p q r s t end1"),
+    ]
+    got = _spans(spark, docs, k=3)
+    assert got == [(0, 0, 5), (1, 1, 6)]
+
+
+def test_docs_shorter_than_k_emit_nothing(spark):
+    docs = [(0, "one two"), (1, "one two")]
+    assert _spans(spark, docs, k=3) == []
+    # but at k=2 the full (identical) docs are spans
+    assert _spans(spark, docs, k=2) == [(0, 0, 2), (1, 0, 2)]
+
+
+def test_hashed_path_agrees_with_string_path(spark):
+    docs = [
+        (0, "alpha beta gamma delta unique0 tail0 alpha beta gamma delta"),
+        (1, "head1 alpha beta gamma delta unique1"),
+        (2, "nothing shared here at all zero"),
+    ]
+    assert _spans(spark, docs, k=4, hashed=True) == _spans(spark, docs, k=4)
+
+
+def test_remove_rebuilds_uncovered_tokens(spark):
+    docs = [
+        (0, "keep0 alpha beta gamma delta keep1 keep2"),
+        (1, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(docs, SCHEMA)
+    rows = {r["doc_id"]: r for r in remove_repeated_spans(df, k=4).collect()}
+    assert rows[0]["clean_text"] == "keep0 keep1 keep2"
+    assert (rows[0]["n_tokens"], rows[0]["n_removed"]) == (7, 4)
+    assert rows[1]["clean_text"] == ""  # fully covered doc
+    assert (rows[1]["n_tokens"], rows[1]["n_removed"]) == (4, 4)
+
+
+def test_remove_passes_clean_docs_through_normalized(spark):
+    docs = [(0, "  Mixed   CASE text  "), (1, "other words entirely")]
+    df = spark.createDataFrame(docs, SCHEMA)
+    rows = {r["doc_id"]: r for r in remove_repeated_spans(df, k=3).collect()}
+    assert rows[0]["n_removed"] == 0
+    assert rows[0]["clean_text"] == "mixed case text"  # canonical form

@@ -291,3 +291,70 @@ def quality_classifier_report(
         (mq.cast("double") / F.lit(float(QSCORE_WSCALE))).alias("margin"),
         (mq >= 0).alias("keep"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication diagnostic: for every pair of sources
+    (a < b), how many distinct word n-grams they share, and what share
+    of the smaller source's n-gram vocabulary that overlap is — the
+    matrix a curation run reads BEFORE choosing dedup thresholds
+    ("which feeds are mirroring which").
+
+    Returns (source_a, source_b, shared_ngrams, ngrams_a, ngrams_b,
+    containment) for pairs with >= 1 shared n-gram; containment =
+    shared / min(|a|, |b|) (one exact-int division — deterministic).
+
+    Scale shape: per-doc DISTINCT shingles (the zip_with pass), one
+    explode to (source, gram), one dropDuplicates shuffle, one
+    gram-keyed self-join whose per-gram fan-out is bounded by the
+    SOURCE count (feeds/domains — tens to thousands, never corpus-
+    scale), one pair groupBy. Per-source totals are a tiny aggregate
+    joined back by broadcast. No corpus-side broadcast, no quadratic
+    blowup: the join output is at most (#sources choose 2) rows per
+    gram and the matrix itself is #sources^2-bounded.
+    """
+    from spectraplex_spark.operators.dedup import shingles
+
+    sg = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .dropDuplicates(["_src", "_g"])
+    )
+    totals = sg.groupBy("_src").agg(F.count(F.lit(1)).alias("_total"))
+    pairs = (
+        sg.alias("a")
+        .join(sg.alias("b"), "_g")
+        .filter(F.col("a._src") < F.col("b._src"))
+        .groupBy(
+            F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("_src").alias("source_a"), F.col("_total").alias("ngrams_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("_src").alias("source_b"), F.col("_total").alias("ngrams_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_ngrams",
+            F.col("ngrams_a").cast("long").alias("ngrams_a"),
+            F.col("ngrams_b").cast("long").alias("ngrams_b"),
+            (
+                F.col("shared_ngrams").cast("double")
+                / F.least("ngrams_a", "ngrams_b").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -64,6 +64,9 @@ _GRADED_PRIORITY = [
     "knn_join_topk_arrow",
     "repeated_spans_report",
     "span_dedup_clean",
+    "source_overlap_matrix",
+    "stream_interval_join_replay",
+    "stream_dedup_replay",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -94,12 +97,10 @@ _GRADED_PRIORITY = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "ngram_jaccard_sample",
-    # (d) benched headliners for the correctness+perf double-sign
-    # (q1/cosine/normalize were r5-green and unchanged — they yield
-    # their slots to the two new span queries and rotate back in r7)
-    "minhash_neardup_pairs",
-    "corpus_prep_pipeline",
-    "q1_pricing_summary",
+    # (d) — no benched-headliner slots this round: every benched
+    # query's code is untouched since its r5 green, and the seven new
+    # graded queries outrank a redundant re-sign; headliners rotate
+    # back in r7.
 ]
 
 

@@ -2597,3 +2597,45 @@ def span_dedup_clean(spark, sf_dir):
     return remove_repeated_spans(table(spark, sf_dir, "documents"), k=_SPAN_K).filter(
         F.col("n_removed") > 0
     )
+
+
+_SRC_SHINGLES_SQL = (
+    "list_distinct(CASE WHEN len(toks) >= 3 "
+    "THEN list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH tok AS (SELECT source, {_TOKENS_SQL} AS toks FROM documents),
+    sg AS (SELECT DISTINCT source AS src, unnest({_SRC_SHINGLES_SQL}) AS g FROM tok),
+    totals AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS total FROM sg GROUP BY src),
+    pairs AS (SELECT a.src AS source_a, b.src AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+              FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+              GROUP BY a.src, b.src)
+    SELECT source_a, source_b, shared_ngrams,
+           ta.total AS ngrams_a, tb.total AS ngrams_b,
+           CAST(shared_ngrams AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE)
+             AS containment
+    FROM pairs
+    JOIN totals ta ON ta.src = source_a
+    JOIN totals tb ON tb.src = source_b
+    """,
+    doc="E4 cross-source duplication matrix: distinct shared 3-grams "
+    "and containment (shared / min vocab) for every source pair — the "
+    "diagnostic a curation run reads before tuning dedup thresholds "
+    "('which feeds mirror which'). Per-doc distinct shingles ride the "
+    "zip_with pass; one (source, gram) dropDuplicates shuffle, one "
+    "gram-keyed self-join whose fan-out is bounded by the SOURCE "
+    "count (never corpus-scale), tiny totals broadcast back. "
+    "All-integer counts; containment pays one exact int/int division "
+    "(deterministic double, the sq_topk precedent).",
+)
+def source_overlap_matrix(spark, sf_dir):
+    from spectraplex_spark.operators.textops import source_overlap_matrix as som
+
+    return som(table(spark, sf_dir, "documents"), n=3)

@@ -339,6 +339,109 @@ def streaming_window_rollup(spark, sf_dir):
 
 
 @query(
+    "stream_interval_join_replay",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS error_id,
+           l.user_id AS user_id,
+           CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'error'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+    """,
+    doc="S2/§2.9 stream-STREAM inner join, replayed end-to-end: the "
+    "click feed and the error feed run as two real file-source "
+    "streams through Spark's symmetric-hash stream-stream join with "
+    "an event-time interval bound (error within 4h after the click, "
+    "same user) — the correlation the reference's tx/account-update "
+    "gRPC families would need (solana_grpc.rs:19-23 stubs both). Both "
+    "sides are watermarked; the bound plus the right watermark is "
+    "what lets Spark EVICT join state — the property that keeps a "
+    "forever-running join bounded (state ~ rate x horizon, never "
+    "stream length). Replay is one availableNow batch so the match "
+    "set is exactly the batch join (multi-batch watermark progression "
+    "and eviction-loss behavior are pytest-covered with ordered "
+    "arrival). All-integer output grades exactly.",
+)
+def stream_interval_join_replay(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.streaming.joins import stream_interval_join
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_ssj_")
+    events.coalesce(1).write.parquet(f"{d}/src")
+    src = lambda: spark.readStream.schema(events.schema).parquet(f"{d}/src")  # noqa: E731
+    clicks = src().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = src().filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        clicks, errors, on="user_id", upper="4 hours", right_watermark="5 hours"
+    )
+    out = joined.select(
+        "click_id",
+        "error_id",
+        "user_id",
+        (F.unix_timestamp("ts_right") - F.unix_timestamp("ts")).cast("long").alias("lag_s"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{d}/out")
+
+
+@query(
+    "stream_dedup_replay",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+    doc="K1/§2.9 exactly-once landing on an at-least-once transport: "
+    "the events feed is replayed DUPLICATED (every row delivered "
+    "twice, the retry/redelivery mode) through "
+    "dropDuplicatesWithinWatermark on the event id — state holds only "
+    "a watermark-deep key set (bounded by rate x horizon; plain "
+    "dropDuplicates on a stream grows forever), which is the "
+    "streaming twin of the batch idempotent_append anti-join. The "
+    "deduped stream must equal the original table exactly — the same "
+    "guarantee the bronze sink's replay test pins batch-side.",
+)
+def stream_dedup_replay(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.streaming.joins import stream_dedup_within_watermark
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_sdd_")
+    # deliver every row twice (two identical files, one batch)
+    events.coalesce(1).write.parquet(f"{d}/src")
+    events.coalesce(1).write.mode("append").parquet(f"{d}/src")
+    stream = spark.readStream.schema(events.schema).parquet(f"{d}/src")
+    deduped = stream_dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    out = deduped.select("event_id", "user_id", "event_type", F.col("value").cast("double"))
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{d}/out")
+
+
+@query(
     "asof_price_enrichment",
     """
     WITH prices AS (

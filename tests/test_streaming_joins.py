@@ -1,0 +1,107 @@
+"""Stream-stream interval join + watermarked dedup (streaming/joins.py):
+multi-batch watermark progression with controlled arrival order, replay
+idempotence, state-bound semantics. Single-batch replay grading is in
+the catalog (stream_interval_join_replay / stream_dedup_replay).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from spectraplex_spark.streaming.joins import (
+    stream_dedup_within_watermark,
+    stream_interval_join,
+)
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _t(minute):
+    return datetime.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def _write_batch(spark, path, rows, mtime):
+    """One parquet file per micro-batch; file mtime pins arrival order
+    (FileStreamSource orders by modification time)."""
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            full = os.path.join(path, f)
+            if os.path.getmtime(full) > mtime:
+                os.utime(full, (mtime, mtime))
+
+
+def _run(stream_df, out, ckpt):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_interval_join_multibatch_matches_batch_join(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = time.time() - 1000
+    # time-ordered arrival: clicks early, errors later
+    _write_batch(spark, src, [(1, _t(0), 7, "click", 0.0), (2, _t(1), 8, "click", 0.0)], base)
+    _write_batch(spark, src, [(3, _t(5), 7, "error", 0.0), (4, _t(30), 8, "error", 0.0)], base + 10)
+    _write_batch(spark, src, [(5, _t(40), 7, "error", 0.0)], base + 20)
+
+    schema = spark.createDataFrame([], EV_SCHEMA).schema
+    rs = lambda: spark.readStream.schema(schema).option(  # noqa: E731
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    clicks = rs().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = rs().filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        clicks, errors, on="user_id", upper="10 minutes", right_watermark="1 hour"
+    ).select("click_id", "error_id")
+    _run(joined, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = {
+        (r["click_id"], r["error_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # only (1,3): user 7 error at +5min; user 8's error is +29min > bound,
+    # user 7's second error at +40min also out of bound
+    assert got == {(1, 3)}
+
+
+def test_dedup_multibatch_replay_emits_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = time.time() - 1000
+    rows = [(i, _t(i), i % 3, "view", float(i)) for i in range(6)]
+    _write_batch(spark, src, rows, base)          # batch 1: originals
+    _write_batch(spark, src, rows[:4], base + 10)  # batch 2: redelivery
+    schema = spark.createDataFrame([], EV_SCHEMA).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = stream_dedup_within_watermark(
+        stream, ["event_id"], watermark="2 hours"
+    ).select("event_id")
+    _run(deduped, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    out = [r["event_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()]
+    assert sorted(out) == list(range(6))  # every id exactly once
+
+
+def test_dedup_within_single_batch_collapses_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [(1, _t(0), 1, "view", 1.0), (1, _t(0), 1, "view", 1.0), (2, _t(1), 1, "view", 2.0)]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(src)
+    schema = spark.createDataFrame([], EV_SCHEMA).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup_within_watermark(stream, ["event_id"]).select("event_id")
+    _run(deduped, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    out = sorted(r["event_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert out == [1, 2]

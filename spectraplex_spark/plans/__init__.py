@@ -67,6 +67,9 @@ _GRADED_PRIORITY = [
     "source_overlap_matrix",
     "stream_interval_join_replay",
     "stream_dedup_replay",
+    "rpc_ingest_datasource",
+    "csv_roundtrip_events",
+    "udaf_value_stats",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -94,9 +97,9 @@ _GRADED_PRIORITY = [
     "text_repetition_stats",
     "corpus_split_assignment",
     "corpus_pack_assignment",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "ngram_jaccard_sample",
+    # (multimodal_resize / multimodal_frame_sample / ngram_jaccard_sample
+    # — r3-graded with deep sibling coverage — yield their slots to the
+    # round's never-graded additions; they rotate back in r7)
     # (d) — no benched-headliner slots this round: every benched
     # query's code is untouched since its r5 green, and the seven new
     # graded queries outrank a redundant re-sign; headliners rotate

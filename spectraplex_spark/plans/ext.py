@@ -1435,6 +1435,46 @@ def jsonl_roundtrip_events(spark, sf_dir):
 
 
 @query(
+    "csv_roundtrip_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="S3/K3 CSV interchange certified end to end, the JSONL round "
+    "trip's tabular twin: events written through the CSV sink (header, "
+    "microsecond timestamp format, full quoting) and read back through "
+    "the schema'd CSV source (declared schema — inference double-scans "
+    "and guesses, the 100 TB anti-pattern), then aggregated per event "
+    "type against the ORIGINAL parquet's oracle. Hash-matches only if "
+    "every row, microsecond timestamp, and shortest-round-trip double "
+    "survived the text format exactly.",
+)
+def csv_roundtrip_events(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.sources.io import read_csv, write_csv
+
+    ev = table(spark, sf_dir, "events")
+    path = _scratch_dir(sf_dir, "csv_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    write_csv(ev, path)
+    back = read_csv(spark, path, ev.schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast(T.DecimalType(38, 6))).cast("double").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
     "idempotent_sink_replay",
     """
     SELECT COUNT(*) AS n_rows,
@@ -1549,6 +1589,59 @@ def rpc_ingest_golden(spark, sf_dir):
 
     with serve_node(7) as node:
         bronze = ingest_history(spark, node.url, WALLET, limit=50)
+    silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
+    return (
+        silver.join(
+            bronze.select(F.col("id").alias("transaction_id"), "tx_hash", "timestamp"),
+            "transaction_id",
+        )
+        .select(
+            "tx_hash",
+            F.col("timestamp").alias("ts"),
+            "wallet_address",
+            "asset_symbol",
+            F.col("amount").cast("double").alias("amount"),
+        )
+    )
+
+
+@query(
+    "rpc_ingest_datasource",
+    _GOLDEN_LEDGER_ORACLE,
+    doc="S1 through PySpark 4's Python Data Source API — the SECOND "
+    "ingest surface, graded against the same golden ledger as "
+    "rpc_ingest_golden: spark.read.format('solana_rpc') plans one "
+    "InputPartition per wallet, so each wallet's fetch loop "
+    "(signatures + per-signature getTransaction, rate/retry policy "
+    "included) runs as an EXECUTOR task with its own rate-limited "
+    "client — the driver never fetches or collects; aggregate node "
+    "pressure is the task count x per-task rps, throttled by the "
+    "scheduler. The lazy scan is materialized inside the fixture "
+    "node's lifetime (scratch parquet), then conform_to_bronze + "
+    "normalize produce the ledger: 7 transactions x exactly -0.5 SOL.",
+)
+def rpc_ingest_datasource(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.operators.normalize import normalize
+    from spectraplex_spark.sources.datasource import SolanaRpcDataSource
+    from spectraplex_spark.sources.ingest import conform_to_bronze
+    from spectraplex_spark.testing.rpc_fixture import WALLET, serve_node
+
+    spark.dataSource.register(SolanaRpcDataSource)
+    scratch = _scratch_dir(sf_dir, "rpc_ds")
+    shutil.rmtree(scratch, ignore_errors=True)
+    with serve_node(7) as node:
+        raw = (
+            spark.read.format("solana_rpc")
+            .option("url", node.url)
+            .option("wallets", WALLET)
+            .option("limit", 50)
+            .load()
+        )
+        # the scan is lazy — land it while the node is alive
+        raw.write.parquet(f"{scratch}/raw")
+    bronze = conform_to_bronze(spark.read.parquet(f"{scratch}/raw"))
     silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
     return (
         silver.join(
@@ -2639,3 +2732,39 @@ def source_overlap_matrix(spark, sf_dir):
     from spectraplex_spark.operators.textops import source_overlap_matrix as som
 
     return som(table(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "udaf_value_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(median(value), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+             AS iqr_value
+    FROM events GROUP BY event_type
+    """,
+    doc="§2.10 UDAF surface: per-event-type EXACT median, IQR and size "
+    "via GROUPED_AGG pandas UDFs (Arrow Series in, scalar out; the "
+    "count is a pandas UDAF too — Spark rejects mixing GROUPED_AGG "
+    "with builtin aggregates in one agg(), INVALID_PANDAS_UDF_"
+    "PLACEMENT, and that contract is part of the surface). Grades "
+    "against DuckDB's exact "
+    "median/quantile_cont at 6dp (the knn_join rounding precedent — "
+    "linear interpolation's op order may differ by 1 ulp across "
+    "engines). The module docstring states the scale trade honestly: "
+    "GROUPED_AGG has no partial aggregation (full group columns "
+    "shuffle to one task) — right for many-medium-groups, wrong for "
+    "corpus-scale groups, where the builtin percentile/sketch "
+    "aggregates apply.",
+)
+def udaf_value_stats(spark, sf_dir):
+    from spectraplex_spark.functions.udaf import robust_value_stats
+
+    r = robust_value_stats(table(spark, sf_dir, "events"))
+    return r.select(
+        "event_type",
+        "n",
+        F.round("median_value", 6).alias("median_value"),
+        F.round("iqr_value", 6).alias("iqr_value"),
+    )

@@ -96,6 +96,37 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink, interchange-grade: header row, microsecond-faithful
+    timestamps (same lossless contract as the JSONL sink — Spark's CSV
+    default also truncates to milliseconds), full quoting semantics
+    (embedded commas/quotes/newlines survive)."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("timestampFormat", JSON_TS_FORMAT)
+        .option("timestampNTZFormat", JSON_TS_NTZ_FORMAT)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with a DECLARED schema — inference double-scans the
+    data and guesses types (a 100 TB anti-pattern and a correctness
+    hazard); interchange readers always declare. Multiline quoted
+    fields are honored so text columns round-trip."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", JSON_TS_FORMAT)
+        .option("timestampNTZFormat", JSON_TS_NTZ_FORMAT)
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+
+
 def _target_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds a readable Parquet dataset.
 

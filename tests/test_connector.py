@@ -127,3 +127,39 @@ def test_fetch_wallet_batch_distributed(spark, node):
     assert len(rows) == 8
     assert {r["wallet_address"] for r in rows} == {WALLET, other}
     assert all(r["response_json"] for r in rows)
+
+
+def test_datasource_api_partitions_per_wallet(spark):
+    """The Python Data Source plans one InputPartition per wallet —
+    partition count IS the concurrency/rate-policy knob."""
+    from spectraplex_spark.sources.datasource import SolanaRpcDataSource
+    from spectraplex_spark.testing.rpc_fixture import WALLET, serve_node
+
+    spark.dataSource.register(SolanaRpcDataSource)
+    with serve_node(3) as node:
+        raw = (
+            spark.read.format("solana_rpc")
+            .option("url", node.url)
+            .option("wallets", f"{WALLET},OtherWallet2222222222222222222222222222222")
+            .option("limit", 10)
+            .load()
+        )
+        assert raw.rdd.getNumPartitions() == 2
+        rows = raw.collect()
+    # fixture serves history for any wallet it is asked about
+    by_wallet = {}
+    for r in rows:
+        by_wallet.setdefault(r["wallet_address"], []).append(r)
+    assert set(len(v) for v in by_wallet.values()) == {3}
+
+
+def test_datasource_api_missing_options_raise(spark):
+    import pytest as _pytest
+
+    from spectraplex_spark.sources.datasource import SolanaRpcDataSource
+
+    spark.dataSource.register(SolanaRpcDataSource)
+    with _pytest.raises(Exception, match="url"):
+        spark.read.format("solana_rpc").option("wallets", "w").load().collect()
+    with _pytest.raises(Exception, match="wallets"):
+        spark.read.format("solana_rpc").option("url", "http://x").load().collect()

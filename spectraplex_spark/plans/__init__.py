@@ -70,6 +70,7 @@ _GRADED_PRIORITY = [
     "rpc_ingest_datasource",
     "csv_roundtrip_events",
     "udaf_value_stats",
+    "grpc_replay_ingest_golden",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -96,10 +97,10 @@ _GRADED_PRIORITY = [
     "stratified_embedding_sample",
     "text_repetition_stats",
     "corpus_split_assignment",
-    "corpus_pack_assignment",
-    # (multimodal_resize / multimodal_frame_sample / ngram_jaccard_sample
-    # — r3-graded with deep sibling coverage — yield their slots to the
-    # round's never-graded additions; they rotate back in r7)
+    # (corpus_pack_assignment / multimodal_resize / multimodal_frame_sample
+    # / ngram_jaccard_sample — r3-graded with deep sibling coverage —
+    # yield their slots to the round's never-graded additions; they
+    # rotate back in r7)
     # (d) — no benched-headliner slots this round: every benched
     # query's code is untouched since its r5 green, and the seven new
     # graded queries outrank a redundant re-sign; headliners rotate

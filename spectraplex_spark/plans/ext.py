@@ -1659,6 +1659,74 @@ def rpc_ingest_datasource(spark, sf_dir):
 
 
 @query(
+    "grpc_replay_ingest_golden",
+    """
+    SELECT 'BUguQsv2ZuHus54HAFzjdJHzZBkygAjKhEeYwSG19tUfUyvvz3worsdQCdAXDNjakJHioSiyxhFiDJrm8XpSXRA'
+             AS tx_hash,
+           CAST(1672531200 + i AS BIGINT) AS ts,
+           '4uQeVj5tqViQh7yWWGStvkEG1Zmhx6uasJtWCJziofM' AS wallet_address,
+           'SOL' AS asset_symbol,
+           CAST(-0.5 AS DOUBLE) AS amount
+    FROM (SELECT unnest(range(0, 7)) AS i)
+    """,
+    doc="S2 certified end to end under the driver's hash — the THIRD "
+    "ingest surface: a gRPC-relay frame log (7 golden Yellowstone "
+    "transaction frames, hand-encoded against the public protobuf "
+    "field numbers by testing/wire_fixture.py — an encoder independent "
+    "of the decoder) streams through the registered Python Data Source "
+    "streaming reader (spark.readStream.format('grpc_replay'), real "
+    "offset management, checkpoint-resume pytest-certified in "
+    "test_replay_source.py), decodes via the wire decoder into bronze, "
+    "and normalizes to the ledger: 7 transactions x exactly -0.5 SOL "
+    "with per-frame block times. The oracle is the closed-form golden "
+    "ledger with the b58 constants the wire bytes imply.",
+)
+def grpc_replay_ingest_golden(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.operators.normalize import normalize
+    from spectraplex_spark.streaming.replay_source import GrpcReplayDataSource
+    from spectraplex_spark.streaming.yellowstone import decode_yellowstone
+    from spectraplex_spark.testing.wire_fixture import write_wire_log
+
+    spark.dataSource.register(GrpcReplayDataSource)
+    scratch = _scratch_dir(sf_dir, "grpc_replay")
+    shutil.rmtree(scratch, ignore_errors=True)
+    import os
+
+    os.makedirs(scratch, exist_ok=True)
+    log = f"{scratch}/wire.jsonl"
+    write_wire_log(log, n=7)
+    q = (
+        spark.readStream.format("grpc_replay")
+        .option("path", log)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{scratch}/frames")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    bronze = decode_yellowstone(spark.read.parquet(f"{scratch}/frames"), value_col="frame")
+    silver = normalize(bronze, audit_ts=F.lit(None).cast("timestamp"))
+    return (
+        silver.join(
+            bronze.select(F.col("id").alias("transaction_id"), "tx_hash", "timestamp"),
+            "transaction_id",
+        )
+        .select(
+            "tx_hash",
+            F.col("timestamp").alias("ts"),
+            "wallet_address",
+            "asset_symbol",
+            F.col("amount").cast("double").alias("amount"),
+        )
+    )
+
+
+@query(
     "http_serving_roundtrip",
     f"""
     SELECT wallet_address, asset_symbol, amount FROM (

@@ -358,3 +358,35 @@ def source_overlap_matrix(
             ).alias("containment"),
         )
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    n_per_source: int = 5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample over-represented sources to at most ``n_per_source``
+    documents each — the quota step of mixture balancing (a handful of
+    crawl feeds otherwise dominate the token budget). Selection is a
+    DETERMINISTIC pseudo-random draw: rank docs within each source by
+    md5 of the doc id (engine-portable — the quality-classifier's hash
+    precedent) so reruns, engines, and incremental rebuilds pick the
+    SAME survivors; ties (md5 collisions) break on the id itself.
+
+    One window shuffle on the source key. At 100 TB a hot source is a
+    skewed partition: the window form is exact; for pathological skew
+    switch to the two-phase form — filter md5 < threshold first (a
+    narrow pass that discards most of the hot source before the
+    shuffle), then rank the survivors.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_source)
+        .drop("_rk")
+    )

@@ -2836,3 +2836,55 @@ def udaf_value_stats(spark, sf_dir):
         F.round("median_value", 6).alias("median_value"),
         F.round("iqr_value", 6).alias("iqr_value"),
     )
+
+
+@query(
+    "doc_chunks_report",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(r.i // 48 AS BIGINT) AS chunk_id,
+           CAST(r.i AS BIGINT) AS chunk_start,
+           CAST(len(toks[r.i+1:r.i+64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[r.i+1:r.i+64], ' ') AS chunk_text
+    FROM tok, UNNEST(range(0, len(toks), 48)) AS r(i)
+    WHERE len(toks) > 0
+    """,
+    doc="E4/packing-prep document chunking: overlapping 64-token "
+    "windows sliding by 48 (16-token overlap keeps boundary context "
+    "in both neighbors — the HF return_overflowing_tokens recipe), "
+    "the last prep step before tokenized training batches. "
+    "Expression-only, zero-shuffle narrow map (sequence of starts + "
+    "transform/slice + one posexplode); the packer owns the "
+    "batch-shaping shuffle downstream. Final short chunks and the "
+    "one-chunk short-doc case grade exactly; chunk text rebuilds from "
+    "the canonical token array so chunk-then-tokenize == "
+    "tokenize-then-chunk.",
+)
+def doc_chunks_report(spark, sf_dir):
+    from spectraplex_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(table(spark, sf_dir, "documents"), max_tokens=64, stride=48)
+
+
+@query(
+    "source_quota_sample",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) WHERE rk <= 5
+    """,
+    doc="E4 mixture balancing, quota step: cap every source at 5 docs "
+    "via a DETERMINISTIC pseudo-random draw — rank within source by "
+    "md5 of the doc id (engine-portable hash, the quality-classifier "
+    "precedent) so reruns, engines and incremental rebuilds pick the "
+    "same survivors. One window shuffle on the source key; for "
+    "pathologically hot sources the two-phase form (md5-threshold "
+    "filter before the shuffle) is documented in the operator.",
+)
+def source_quota_sample(spark, sf_dir):
+    from spectraplex_spark.operators.textops import cap_per_source
+
+    return cap_per_source(table(spark, sf_dir, "documents"), 5).select("source", "doc_id")

@@ -1,0 +1,77 @@
+"""Document chunking (operators/chunking.py) + per-source quota
+(textops.cap_per_source): window arithmetic edges, determinism.
+Cross-engine grading is in test_oracle_parity.py (doc_chunks_report /
+source_quota_sample).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spectraplex_spark.operators.chunking import chunk_documents
+from spectraplex_spark.operators.textops import cap_per_source
+
+SCHEMA = "doc_id long, text string"
+
+
+def _chunks(spark, docs, **kw):
+    df = spark.createDataFrame(docs, SCHEMA)
+    return sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, **kw).collect()
+    )
+
+
+def test_short_doc_yields_one_chunk(spark):
+    got = _chunks(spark, [(0, "a b c")], max_tokens=8, stride=8)
+    assert got == [(0, 0, 0, 3, "a b c")]
+
+
+def test_disjoint_chunks_cover_exactly(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    got = _chunks(spark, [(0, text)], max_tokens=4, stride=4)
+    assert [(c[2], c[4]) for c in got] == [
+        (0, "t0 t1 t2 t3"),
+        (4, "t4 t5 t6 t7"),
+        (8, "t8 t9"),  # short tail chunk, never empty
+    ]
+
+
+def test_overlapping_stride_shares_boundary_tokens(spark):
+    text = " ".join(f"t{i}" for i in range(8))
+    got = _chunks(spark, [(0, text)], max_tokens=4, stride=2)
+    # starts 0,2,4,6: every interior token appears in two chunks
+    assert [c[2] for c in got] == [0, 2, 4, 6]
+    assert got[0][4] == "t0 t1 t2 t3" and got[1][4] == "t2 t3 t4 t5"
+    assert got[3][4] == "t6 t7"
+
+
+def test_empty_doc_yields_no_chunks(spark):
+    assert _chunks(spark, [(0, "   "), (1, "x")], max_tokens=4, stride=4) == [
+        (1, 0, 0, 1, "x")
+    ]
+
+
+def test_bad_stride_raises(spark):
+    df = spark.createDataFrame([(0, "a b")], SCHEMA)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, max_tokens=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, max_tokens=4, stride=0)
+
+
+def test_cap_per_source_deterministic_and_capped(spark):
+    rows = [(i, f"doc {i}") for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t, f"src{i % 4}") for i, t in rows], "doc_id long, text string, source string"
+    )
+    a = sorted((r["source"], r["doc_id"]) for r in cap_per_source(df, 3).collect())
+    b = sorted((r["source"], r["doc_id"]) for r in cap_per_source(df, 3).collect())
+    assert a == b  # deterministic draw
+    per_src = {}
+    for s, d in a:
+        per_src.setdefault(s, []).append(d)
+    assert all(len(v) == 3 for v in per_src.values())
+    # under-quota sources keep everything
+    small = df.filter("doc_id < 2")
+    assert cap_per_source(small, 3).count() == 2

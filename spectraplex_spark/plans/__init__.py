@@ -73,6 +73,7 @@ _GRADED_PRIORITY = [
     "grpc_replay_ingest_golden",
     "doc_chunks_report",
     "source_quota_sample",
+    "incremental_spans_planted",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -96,8 +97,8 @@ _GRADED_PRIORITY = [
     "text_markup_strip",
     "text_sentence_split",
     "snapshot_table_diff",
-    "stratified_embedding_sample",
-    # (text_repetition_stats / corpus_split_assignment /
+    # (stratified_embedding_sample / text_repetition_stats /
+    # corpus_split_assignment /
     # corpus_pack_assignment / multimodal_resize / multimodal_frame_sample
     # / ngram_jaccard_sample — r3-graded with deep sibling coverage —
     # yield their slots to the round's never-graded additions; they

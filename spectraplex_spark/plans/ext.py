@@ -2888,3 +2888,36 @@ def source_quota_sample(spark, sf_dir):
     from spectraplex_spark.operators.textops import cap_per_source
 
     return cap_per_source(table(spark, sf_dir, "documents"), 5).select("source", "doc_id")
+
+
+@query(
+    "incremental_spans_planted",
+    f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end
+    FROM spans WHERE doc_id % 2 = 1
+    ORDER BY doc_id, span_start
+    """,
+    doc="E1/§2.9 the span family's INCREMENTAL gate, two-batch SQL "
+    "replay (the incremental_neardup_planted recipe): even-id docs "
+    "ingest as batch 1, odd-id docs as batch 2 through "
+    "streaming/spans_incremental.py — positional grams land in a "
+    "gram-hash-bucket-partitioned parquet index (replay-idempotent, "
+    "_config-pinned params), and each batch's spans are detected "
+    "against the FULL ingested history with a partition-pruned probe. "
+    "The oracle computes whole-corpus repeated spans restricted to "
+    "batch-2 docs — exactly the gate's history-at-batch-2 answer, so "
+    "agreement certifies that incremental == batch. Per-batch cost is "
+    "one narrow gram pass + one pruned probe (measured-flat, the "
+    "neardup gate's property).",
+)
+def incremental_spans_planted(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.streaming.spans_incremental import spans_filter_batch
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = _scratch_dir(sf_dir, "span_gate")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    spans_filter_batch(docs.filter(F.col("doc_id") % 2 == 0), index_dir, k=_SPAN_K)
+    return spans_filter_batch(docs.filter(F.col("doc_id") % 2 == 1), index_dir, k=_SPAN_K)

@@ -135,3 +135,50 @@ def test_bq_scan_is_expression_only_shuffle_free(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_chunking_is_zero_shuffle_narrow_map(spark):
+    """Chunking must stay a narrow map stage: no exchange of any kind —
+    it parallelizes with the scan and the packer owns the shuffle."""
+    plan = _initial_plan(CATALOG["doc_chunks_report"].builder(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_span_mining_has_no_corpus_broadcast_or_selfjoin_blowup(spark):
+    """Repeated-span mining: the repeated-gram semi-join must be a
+    shuffle join of (gram, doc, pos) streams — never a broadcast of a
+    corpus-sided frame — and the quadratic all-pairs shape must not
+    appear (no CartesianProduct / BroadcastNestedLoopJoin)."""
+    plan = _initial_plan(CATALOG["repeated_spans_report"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_grid_is_joinless_single_agg(spark):
+    """The graded BM25's length normalization reads the denormalized dl
+    from the postings (layout v2) — the plan has NO join at all (the r5
+    verdict's corpus-broadcast bug, structurally prevented)."""
+    plan = _initial_plan(CATALOG["bm25_ranked_topk"].builder(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_overlap_joins_stay_hash_equi_joins(spark):
+    """The totals frames (#sources rows) broadcast, and no join in the
+    matrix degrades to a nested-loop/cartesian shape. The gram-keyed
+    self-join is an EQUI-join, so at gate scale AQE legitimately
+    broadcasts its (tiny) sides too — at 100 TB the same plan flips to
+    a shuffle hash join on the runtime statistics; the invariant worth
+    pinning is the equi-join key, not the tiny-SF strategy choice."""
+    plan = _executed_plan(CATALOG["source_overlap_matrix"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quota_sample_single_window_exchange(spark):
+    """cap_per_source is one hash exchange on the source key + one
+    window — no extra shuffles, no global sort."""
+    plan = _initial_plan(CATALOG["source_quota_sample"].builder(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan

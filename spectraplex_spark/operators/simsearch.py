@@ -618,3 +618,66 @@ def knn_join(
     )
     local = base.mapInPandas(local_topk, schema=out_schema)
     return _global_topk(local)
+
+
+def fit_feature_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus moments for feature standardization — the
+    fit half of the standard (x - mean) / std preprocessing every
+    embedding pipeline runs before quantization/clustering.
+
+    Returns (dim, n, mean, std), EXACT where it matters: per-component
+    sums go through DECIMAL(38,12) (float32 components convert to
+    double exactly; x*x is exact in double because 24-bit mantissas
+    square into 48 bits; the decimal cast rounds at 1e-12
+    deterministically), so the accumulated moments are shuffle-order-
+    independent and engine-identical. The final mean/std pay a handful
+    of single IEEE double ops (divide, multiply, subtract, sqrt).
+
+    One posexplode + one groupBy(dim) — the shuffle carries (dim,
+    partial decimal sums) after partial aggregation: dim rows per
+    partition, never the corpus. At 100 TB this is the cheapest
+    full-corpus statistic there is.
+    """
+    d = T.DecimalType(38, 12)
+    comps = df.select(F.posexplode(vec_col).alias("dim", "x")).select(
+        "dim",
+        F.col("x").cast("double").alias("xd"),
+    )
+    return (
+        comps.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xd").cast(d)).alias("_sx"),
+            F.sum((F.col("xd") * F.col("xd")).cast(d)).alias("_sx2"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("_sx").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.col("_sx2").cast("double") / F.col("n")
+                - (F.col("_sx").cast("double") / F.col("n"))
+                * (F.col("_sx").cast("double") / F.col("n"))
+            ).alias("std"),
+        )
+    )
+
+
+def standardize_vectors(
+    df: DataFrame, stats: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Apply half: (x - mean) / std per dimension, means/stds collected
+    once (dim rows — bounded by the embedding width, never the corpus)
+    and applied as literal arrays through one zip_with pass. Zero
+    shuffle; zero-variance dims pass through centered but unscaled."""
+    rows = sorted(
+        ((int(r["dim"]), float(r["mean"]), float(r["std"])) for r in stats.collect())
+    )
+    means = F.array(*[F.lit(m) for _, m, _ in rows])
+    stds = F.array(*[F.lit(s if s > 0 else 1.0) for _, _, s in rows])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(v, means, lambda x, m: x - m)
+    return df.select(
+        id_col,
+        F.zip_with(centered, stds, lambda x, s: x / s).alias("standardized"),
+    )

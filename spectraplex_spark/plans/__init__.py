@@ -75,6 +75,8 @@ _GRADED_PRIORITY = [
     "source_quota_sample",
     "incremental_spans_planted",
     "fuzzy_decontam_planted",
+    "zorder_curve_events",
+    "feature_stats_report",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -95,9 +97,8 @@ _GRADED_PRIORITY = [
     "q21_suppliers_kept_waiting",
     "solana_normalize_golden",
     "text_pii_redaction",
-    "text_markup_strip",
-    "text_sentence_split",
-    # (snapshot_table_diff also deferred to r7 — see note below)
+    # (text_markup_strip / text_sentence_split / snapshot_table_diff
+    # also deferred to r7 — see note below)
     # (stratified_embedding_sample / text_repetition_stats /
     # corpus_split_assignment /
     # corpus_pack_assignment / multimodal_resize / multimodal_frame_sample

@@ -2968,3 +2968,81 @@ def fuzzy_decontam_planted(spark, sf_dir):
         F.col("doc_id").alias("probe_id"), "text"
     )
     return D.cross_corpus_neardup(docs, probe, verify_on_text=True)
+
+
+@query(
+    "zorder_curve_events",
+    """
+    WITH t AS (SELECT event_id,
+                      user_id % 256 AS zx,
+                      CAST(FLOOR(value * 100) AS BIGINT) % 256 AS zy
+               FROM events)
+    SELECT event_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+           CAST((((zx >> 0) & 1) << 0) + (((zx >> 1) & 1) << 2) + (((zx >> 2) & 1) << 4) + (((zx >> 3) & 1) << 6) + (((zx >> 4) & 1) << 8) + (((zx >> 5) & 1) << 10) + (((zx >> 6) & 1) << 12) + (((zx >> 7) & 1) << 14)
+              + (((zy >> 0) & 1) << 1) + (((zy >> 1) & 1) << 3) + (((zy >> 2) & 1) << 5) + (((zy >> 3) & 1) << 7) + (((zy >> 4) & 1) << 9) + (((zy >> 5) & 1) << 11) + (((zy >> 6) & 1) << 13) + (((zy >> 7) & 1) << 15) AS BIGINT) AS zval
+    FROM t
+    """,
+    doc="Layout: the Morton (Z-order) curve value behind "
+    "layout.write_zordered, graded bit-for-bit — interleave the low 8 "
+    "bits of two bucket ids with pure shift/mask expressions (whole-"
+    "stage codegen, zero shuffle). Sorting by this value clusters rows "
+    "close in BOTH dimensions into the same parquet row groups, so "
+    "min/max stats prune two-predicate scans where a single-column "
+    "sort prunes one — the Delta/Iceberg OPTIMIZE ZORDER trick as "
+    "plain Spark; the pruning effect itself is measured in "
+    "tests/test_layout.py::test_zorder_layout_prunes_two_column_boxes. "
+    "Bucketing here is integer-exact (pmod / floor of a single "
+    "product) so the curve grades in any engine.",
+)
+def zorder_curve_events(spark, sf_dir):
+    from spectraplex_spark.sources.layout import zorder_value
+
+    ev = table(spark, sf_dir, "events")
+    zx = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    zy = F.pmod(F.floor(F.col("value") * 100).cast("long"), F.lit(256))
+    return ev.select(
+        "event_id",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        zorder_value(F.col("zx"), F.col("zy"), 8).alias("zval"),
+    ).select("event_id", "zx", "zy", "zval")
+
+
+@query(
+    "feature_stats_report",
+    """
+    WITH c AS (SELECT i - 1 AS dim, e[i] AS x
+               FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                    UNNEST(range(1, 65)) AS r(i)),
+    a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+                 SUM(CAST(x * x AS DECIMAL(38,12))) AS sx2
+          FROM c GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean,
+           ROUND(SQRT(CAST(sx2 AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 9) AS std
+    FROM a
+    """,
+    doc="E2 feature standardization FIT: per-dimension corpus mean/std "
+    "— the (x-mean)/std preprocessing every embedding pipeline runs "
+    "before quantization/clustering. Moments are EXACT: per-component "
+    "sums through DECIMAL(38,12) (float32 components convert to "
+    "double exactly; x*x squares a 24-bit mantissa into 48 bits — "
+    "exact in double; the decimal cast rounds deterministically), so "
+    "accumulation is shuffle-order-independent and engine-identical; "
+    "the final mean/std pay single IEEE ops, graded at 9dp (the mul-"
+    "sub variance shape is the one FMA-contractible step — the knn "
+    "rounding precedent). One posexplode + one groupBy(dim): after "
+    "partial aggregation the shuffle carries dim rows per partition, "
+    "never the corpus. The APPLY half (standardize_vectors: bounded "
+    "dim-row collect, literal arrays, one zip_with, zero shuffle) is "
+    "pytest-verified.",
+)
+def feature_stats_report(spark, sf_dir):
+    from spectraplex_spark.operators.simsearch import fit_feature_stats
+
+    s = fit_feature_stats(table(spark, sf_dir, "embeddings"))
+    return s.select(
+        "dim", "n", F.round("mean", 9).alias("mean"), F.round("std", 9).alias("std")
+    )

@@ -75,3 +75,30 @@ def test_cap_per_source_deterministic_and_capped(spark):
     # under-quota sources keep everything
     small = df.filter("doc_id < 2")
     assert cap_per_source(small, 3).count() == 2
+
+
+def test_feature_standardize_fit_apply(spark):
+    """standardize_vectors: standardized corpus has ~0 mean and ~1 std
+    per dim; zero-variance dims center but don't divide."""
+    import numpy as np
+
+    from spectraplex_spark.operators.simsearch import (
+        fit_feature_stats,
+        standardize_vectors,
+    )
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(loc=3.0, scale=2.0, size=(200, 4))
+    data[:, 3] = 5.0  # constant dim
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = fit_feature_stats(df)
+    srows = {r["dim"]: r for r in stats.collect()}
+    assert srows[3]["std"] == 0.0
+    out = standardize_vectors(df, stats)
+    mat = np.array([r["standardized"] for r in out.orderBy("vec_id").collect()])
+    assert np.allclose(mat[:, :3].mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(mat[:, :3].std(axis=0), 1.0, atol=1e-6)
+    assert np.allclose(mat[:, 3], 0.0)  # centered, not scaled

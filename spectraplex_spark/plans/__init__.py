@@ -77,6 +77,7 @@ _GRADED_PRIORITY = [
     "fuzzy_decontam_planted",
     "zorder_curve_events",
     "feature_stats_report",
+    "stateful_balance_replay",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -96,8 +97,8 @@ _GRADED_PRIORITY = [
     "q20_excess_stock_suppliers",
     "q21_suppliers_kept_waiting",
     "solana_normalize_golden",
-    "text_pii_redaction",
-    # (text_markup_strip / text_sentence_split / snapshot_table_diff
+    # (text_pii_redaction / text_markup_strip / text_sentence_split /
+    # snapshot_table_diff
     # also deferred to r7 — see note below)
     # (stratified_embedding_sample / text_repetition_stats /
     # corpus_split_assignment /

@@ -3046,3 +3046,49 @@ def feature_stats_report(spark, sf_dir):
     return s.select(
         "dim", "n", F.round("mean", 9).alias("mean"), F.round("std", 9).alias("std")
     )
+
+
+@query(
+    "stateful_balance_replay",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="§2.9/§2.10 arbitrary stateful streaming, replayed end to end: "
+    "the per-wallet running ledger balance (the reference's report "
+    "aggregate) kept as per-user stream state via "
+    "applyInPandasWithState — each micro-batch updates "
+    "(balance_cents, n_events) state and emits the post-batch "
+    "snapshot. Balances accumulate as INTEGER CENTS (floor(v*100+0.5), "
+    "single IEEE ops both engines) so state merges are exact integer "
+    "adds — no float drift across batches — and the snapshot grades "
+    "bit-for-bit against the batch SQL twin. State is one (bigint, "
+    "bigint) pair per user — size tracks distinct users, never event "
+    "history. The transformWithStateInPandas twin (typed ValueState, "
+    "the modern Spark 4 API) is implemented with identical semantics "
+    "and gated on the protobuf runtime this container lacks "
+    "(loud-probe discipline, pytest-pinned).",
+)
+def stateful_balance_replay(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.streaming.stateful import stream_running_balance
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_bal_")
+    events.coalesce(1).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(events.schema).parquet(f"{d}/src")
+    q = (
+        stream_running_balance(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{d}/out")

@@ -78,6 +78,7 @@ _GRADED_PRIORITY = [
     "zorder_curve_events",
     "feature_stats_report",
     "stateful_balance_replay",
+    "merge_upsert_roundtrip",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -91,7 +92,7 @@ _GRADED_PRIORITY = [
     "scalar_string_advanced",
     "correlated_above_avg_orders",
     "agg_percentiles",
-    "scalar_try_functions",
+    # (scalar_try_functions deferred to r7 with the rest below)
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_excess_stock_suppliers",

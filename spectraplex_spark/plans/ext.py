@@ -3092,3 +3092,74 @@ def stateful_balance_replay(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(f"{d}/out")
+
+
+@query(
+    "merge_upsert_roundtrip",
+    """
+    WITH up AS (SELECT event_id, user_id, event_type, value + 1000 AS value
+                FROM events WHERE event_id % 37 = 0),
+    del_keys AS (SELECT event_id FROM events
+                 WHERE event_id % 53 = 0 AND event_id % 37 <> 0),
+    ins AS (SELECT CAST(-i AS BIGINT) AS event_id, CAST(0 AS BIGINT) AS user_id,
+                   'merged' AS event_type, CAST(i AS DOUBLE) AS value
+            FROM (SELECT unnest(range(1, 6)) AS i)),
+    merged AS (
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_id % 37 <> 0
+        AND event_id NOT IN (SELECT event_id FROM del_keys)
+      UNION ALL SELECT * FROM up
+      UNION ALL SELECT * FROM ins)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM merged GROUP BY event_type
+    """,
+    doc="K1/K2 completion — MERGE INTO (upsert + delete) over plain "
+    "parquet, the CDC write path the reference's insert-only ON "
+    "CONFLICT lacks: corrections (value+1000 for every 37th event), "
+    "GDPR-style deletes (every 53rd), and inserts into a brand-new "
+    "partition, applied in ONE merge call. PARTITION-SCOPED "
+    "copy-on-write: only partitions containing updated keys are "
+    "rewritten (a merge touching 1 of 10k daily partitions costs "
+    "1/10k of the table — Delta/Iceberg file-pruning at partition "
+    "granularity; untouched-partition mtimes pinned in "
+    "tests/test_merge.py), staged-then-swapped because Spark cannot "
+    "overwrite what it reads. Graded by reading the merged table back "
+    "and aggregating in exact integer cents against the SQL "
+    "reconstruction of the same merge.",
+)
+def merge_upsert_roundtrip(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.sources.merge import merge_upsert
+
+    events = table(spark, sf_dir, "events")
+    path = _scratch_dir(sf_dir, "merge_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    events.write.partitionBy("event_type").parquet(path)
+    import datetime as _dt
+
+    up = (
+        events.filter(F.col("event_id") % 37 == 0)
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    dels = events.filter(
+        (F.col("event_id") % 53 == 0) & (F.col("event_id") % 37 != 0)
+    ).withColumn("_op", F.lit("delete"))
+    ins = spark.createDataFrame(
+        [
+            (-i, _dt.datetime(2024, 1, 1), 0, "merged", float(i), "{}", "upsert")
+            for i in range(1, 6)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string, _op string",
+    )
+    updates = up.unionByName(dels).unionByName(ins)
+    merge_upsert(spark, path, updates, "event_id", partition_col="event_type")
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("total_cents"),
+    )

@@ -39,6 +39,7 @@ class CorpusStats:
     n_after_neardup: int
     total_tokens: int
     n_after_decontam: int = -1  # -1: stage not run (no eval_docs given)
+    n_tokens_span_stripped: int = -1  # -1: span-strip stage not run
 
 
 def prepare_corpus(
@@ -52,6 +53,7 @@ def prepare_corpus(
     verify_on_text: bool = False,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 8,
+    strip_spans_k: int | None = None,
 ) -> tuple[DataFrame, CorpusStats | None]:
     """Filter + dedup a document corpus for training-data use.
 
@@ -67,8 +69,33 @@ def prepare_corpus(
     decontamination gate: docs sharing any verbatim ``decontam_n``-token
     n-gram with a benchmark doc are dropped after near-dup removal
     (hashed shingle-stream path — no n-gram strings at scale).
+    ``strip_spans_k`` (opt-in) prepends the repeated-substring span
+    strip (operators/spans.py, hashed gram path) BEFORE the gates:
+    boilerplate spans removed at token granularity so they can't skew
+    quality scores or dedup signatures; docs stripped to nothing fall
+    out at the quality gate. Off by default — whole-doc semantics (and
+    the graded pipeline twin) are unchanged unless requested.
     """
     n_input = docs.count() if collect_stats else -1
+
+    n_span_tokens = -1
+    if strip_spans_k is not None:
+        from spectraplex_spark.operators.spans import remove_repeated_spans
+
+        rr = remove_repeated_spans(
+            docs, k=strip_spans_k, text_col=text_col, id_col=id_col, hashed=True
+        )
+        if collect_stats:
+            n_span_tokens = int(
+                rr.agg(F.sum("n_removed").cast("long")).head()[0] or 0
+            )
+        docs = (
+            docs.drop(text_col)
+            .join(
+                rr.select(id_col, F.col("clean_text").alias(text_col)),
+                id_col,
+            )
+        )
 
     by_lang = docs.filter(
         X.detect_language(F.col(text_col)).isin(*keep_langs)
@@ -138,6 +165,13 @@ def prepare_corpus(
             clean.agg(F.sum(X.token_count(F.col(text_col))).cast("long")).head()[0] or 0
         )
         stats = CorpusStats(
-            n_input, n_lang, n_quality, n_exact, n_clean, int(total_tokens), n_decontam
+            n_input,
+            n_lang,
+            n_quality,
+            n_exact,
+            n_clean,
+            int(total_tokens),
+            n_decontam,
+            n_span_tokens,
         )
     return clean, stats

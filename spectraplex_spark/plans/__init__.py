@@ -79,6 +79,8 @@ _GRADED_PRIORITY = [
     "feature_stats_report",
     "stateful_balance_replay",
     "merge_upsert_roundtrip",
+    "lang_confusion_matrix",
+    "corpus_vocab_report",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -95,8 +97,8 @@ _GRADED_PRIORITY = [
     # (scalar_try_functions deferred to r7 with the rest below)
     "q2_min_cost_supplier",
     "q11_important_stock",
-    "q20_excess_stock_suppliers",
-    "q21_suppliers_kept_waiting",
+    # (q20/q21 deferred to r7 with the rest below — q2/q11 stay as the
+    # derived-view TPC-H family's representatives)
     "solana_normalize_golden",
     # (text_pii_redaction / text_markup_strip / text_sentence_split /
     # snapshot_table_diff

@@ -3163,3 +3163,78 @@ def merge_upsert_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("total_cents"),
     )
+
+
+def _lang_confusion_oracle() -> str:
+    from spectraplex_spark.plans.ext import _stop_count_sql  # self-import safe
+
+    cnt = {lang: _stop_count_sql(lang) for lang in X.STOPWORDS}
+    m = f"GREATEST({cnt['en']}, {cnt['es']}, {cnt['fr']}, {cnt['de']})"
+    return f"""
+    SELECT lang_labeled, lang_detected, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT lang AS lang_labeled, CASE
+        WHEN {m} = 0 THEN 'und'
+        WHEN {cnt['en']} = {m} THEN 'en'
+        WHEN {cnt['es']} = {m} THEN 'es'
+        WHEN {cnt['fr']} = {m} THEN 'fr'
+        ELSE 'de' END AS lang_detected
+      FROM documents) t
+    GROUP BY lang_labeled, lang_detected
+    """
+
+
+@query(
+    "lang_confusion_matrix",
+    _lang_confusion_oracle(),
+    doc="E4 language-ID QUALITY diagnostic: the labeled-vs-detected "
+    "confusion matrix — the table a curation run reads before trusting "
+    "the lang gate's thresholds (which labeled languages the stopword "
+    "heuristic mistakes for which). Same deterministic argmax as "
+    "lang_id_distribution, one groupBy on (label, prediction); at "
+    "100 TB this is a partial-aggregated shuffle of #langs² rows.",
+)
+def lang_confusion_matrix(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_labeled"),
+            X.detect_language(F.col("text")).alias("lang_detected"),
+        )
+        .groupBy("lang_labeled", "lang_detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "corpus_vocab_report",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM tok)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS total_count,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM u GROUP BY token
+    HAVING COUNT(*) >= 10
+    ORDER BY total_count DESC, token ASC
+    """,
+    doc="E4 corpus vocabulary (tokenizer-training prep): every token "
+    "with total frequency >= 10, with its document frequency — the "
+    "min-count-truncated vocab a word-level tokenizer or subword "
+    "trainer seeds from. One explode + one groupBy; the shuffle "
+    "carries (token, doc) rows with map-side partial aggregation. "
+    "All-integer with lexicographic tie-break — grades exactly.",
+)
+def corpus_vocab_report(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    from spectraplex_spark.operators.textops import tokens as _tokens
+
+    u = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    return (
+        u.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_count"),
+            F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .filter(F.col("total_count") >= 10)
+        .orderBy(F.desc("total_count"), F.asc("token"))
+    )

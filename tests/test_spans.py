@@ -134,3 +134,28 @@ def test_cross_corpus_neardup_broadcasts_probe_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # corpus side never shuffle-joins
+
+
+def test_prepare_corpus_optional_span_strip(spark):
+    """strip_spans_k prepends the boilerplate strip; defaults (None)
+    leave the pipeline identical to the graded twin's behavior."""
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    boiler = "shared license header repeated across docs verbatim"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} the quick brown fox jumps over the lazy dog again and again"),
+            (1, f"{boiler} a completely different body of useful sentence content here"),
+            (2, "no boilerplate in this one just plain useful english text content"),
+        ],
+        "doc_id long, text string",
+    )
+    base, base_stats = prepare_corpus(docs, min_quality=0.0)
+    stripped, s_stats = prepare_corpus(docs, min_quality=0.0, strip_spans_k=4)
+    assert base_stats.n_tokens_span_stripped == -1  # stage off by default
+    assert s_stats.n_tokens_span_stripped > 0
+    # the boilerplate tokens are gone from every surviving doc
+    for r in stripped.collect():
+        assert "license" not in r["text"]
+    # stripping must not duplicate or drop docs by itself
+    assert stripped.count() == base.count()

@@ -81,6 +81,8 @@ _GRADED_PRIORITY = [
     "merge_upsert_roundtrip",
     "lang_confusion_matrix",
     "corpus_vocab_report",
+    "embedding_covariance_report",
+    "embedding_jl_projection",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -88,7 +90,6 @@ _GRADED_PRIORITY = [
     "setop_union_segments",
     "setop_intersect_segments",
     "setop_except_segments",
-    "array_ops_embeddings",
     "q4_order_priority_check",
     "window_rank_suite",
     "scalar_string_advanced",
@@ -99,7 +100,9 @@ _GRADED_PRIORITY = [
     "q11_important_stock",
     # (q20/q21 deferred to r7 with the rest below — q2/q11 stay as the
     # derived-view TPC-H family's representatives)
-    "solana_normalize_golden",
+    # (array_ops_embeddings / solana_normalize_golden also deferred to
+    # r7 — normalize semantics stay certified by the r4/r5 greens of
+    # solana_normalize_udtf_golden and normalize_throughput)
     # (text_pii_redaction / text_markup_strip / text_sentence_split /
     # snapshot_table_diff
     # also deferred to r7 — see note below)

@@ -3238,3 +3238,94 @@ def corpus_vocab_report(spark, sf_dir):
         .filter(F.col("total_count") >= 10)
         .orderBy(F.desc("total_count"), F.asc("token"))
     )
+
+
+@query(
+    "embedding_covariance_report",
+    """
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT ii.i AS i, jj.j AS j, e[ii.i + 1] AS xi, e[jj.j + 1] AS xj
+          FROM v, UNNEST(range(0, 64)) AS ii(i), UNNEST(range(0, 64)) AS jj(j)
+          WHERE jj.j >= ii.i),
+    a AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(xi AS DECIMAL(38,12))) AS si,
+                 SUM(CAST(xj AS DECIMAL(38,12))) AS sj,
+                 SUM(CAST(xi * xj AS DECIMAL(38,12))) AS sij
+          FROM p GROUP BY i, j)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+           ROUND(CAST(sij AS DOUBLE) / n
+                 - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 9) AS cov
+    FROM a
+    """,
+    doc="E2 PCA fit input: the EXACT distributed covariance matrix of "
+    "the embedding components (upper triangle, 2080 cells at dim=64). "
+    "Component products of float32-origin doubles are exact in "
+    "float64 (24-bit mantissas), cross-moment sums ride "
+    "DECIMAL(38,12) — shuffle-order-independent, engine-identical; "
+    "the final E[xy]-E[x]E[y] pays single IEEE ops, graded at 9dp "
+    "(the feature_stats precedent). The shuffle carries dim(dim+1)/2 "
+    "partial-aggregated cells per partition, never the corpus — at "
+    "100 TB the cheapest second-moment statistic there is. The "
+    "driver-side eigendecomposition + literal-matrix projection "
+    "(pca_fit / pca_project, zero shuffle) are pytest-bounded: the "
+    "graded artifact is the covariance they consume.",
+)
+def embedding_covariance_report(spark, sf_dir):
+    from spectraplex_spark.operators.projections import covariance_matrix
+
+    c = covariance_matrix(table(spark, sf_dir, "embeddings"), dim=64)
+    return c.select("i", "j", "n", F.round("cov", 9).alias("cov"))
+
+
+def _jl_oracle_sql(k: int = 16, dim: int = 64, quantize: int = 1024, seed: int = 42) -> str:
+    from spectraplex_spark.operators.projections import jl_signs
+
+    signs = jl_signs(dim, k, seed)
+    rows = ", ".join(
+        "[" + ", ".join(str(int(s)) for s in row) + "]" for row in signs
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> CAST(FLOOR(x * {quantize} + 0.5) AS BIGINT))
+                        AS q FROM embeddings),
+    s AS (SELECT CAST([{rows}] AS BIGINT[][]) AS m),
+    pr AS (SELECT vec_id,
+                  list_transform(range(1, {k + 1}),
+                    r -> list_sum(list_transform(range(1, {dim + 1}),
+                                                 i -> q[i] * m[r][i]))) AS p
+           FROM v, s)
+    SELECT vec_id,
+           array_to_string(p, ',') AS proj_csv,
+           CAST(list_sum(p) AS BIGINT) AS proj_sum
+    FROM pr
+    """
+
+
+@query(
+    "embedding_jl_projection",
+    _jl_oracle_sql(),
+    doc="E2 Johnson-Lindenstrauss random projection (Achlioptas ±1 "
+    "form), 64→16 dims, EXACT: components snap to the 1024 integer "
+    "grid (single IEEE ops — deterministic everywhere), then every "
+    "output coordinate is an exact signed BIGINT sum under the SEEDED "
+    "sign matrix (embedded in the oracle as SQL literals — the "
+    "ann_lsh precedent). The full projected vector grades as a CSV "
+    "string plus an integer checksum. Zero shuffle, expression-only, "
+    "no UDF — the oblivious reducer that precedes LSH/quantization "
+    "when the raw dimension is too wide; distance preservation within "
+    "the standard JL bound is pytest-asserted.",
+)
+def embedding_jl_projection(spark, sf_dir):
+    from spectraplex_spark.operators.projections import jl_project_quantized
+
+    p = jl_project_quantized(table(spark, sf_dir, "embeddings"), k=16)
+    return p.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("projected", lambda x: x.cast("string"))).alias(
+            "proj_csv"
+        ),
+        F.aggregate(
+            "projected", F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("proj_sum"),
+    )

@@ -390,3 +390,57 @@ def cap_per_source(
         .filter(F.col("_rk") <= n_per_source)
         .drop("_rk")
     )
+
+
+def bigram_surprise_report(
+    df: DataFrame,
+    rare_threshold: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document RARE-BIGRAM rate — the integer-exact cousin of an
+    n-gram LM perplexity filter (the CCNet/KenLM quality gate): a
+    fluent document's word bigrams mostly re-occur across a corpus;
+    gibberish, OCR noise, and entropy-heavy spam are full of bigrams
+    the rest of the corpus never produces. Scoring by the SHARE of a
+    doc's bigram occurrences whose corpus count is < rare_threshold
+    keeps the whole signal in integers (a real LM's log-probs are
+    floats — this proxy trades their resolution for bit-gradable
+    verdicts; production can swap in a KenLM pandas_udf behind the
+    same output shape).
+
+    Returns (doc_id, n_bigrams, n_rare, rare_rate) — rate is one
+    exact int/int division. Scale shape = the repeated-span miner's:
+    one positional-shingle pass, one global bigram groupBy, one
+    semi-join back, one per-doc count; no text rescan, no broadcast.
+    """
+    from spectraplex_spark.operators.spans import positional_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(positional_shingles(F.col(text_col), 2)).alias("_g"),
+    )
+    rare = (
+        grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") < rare_threshold)
+        .select("_g")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    rare_per_doc = (
+        grams.join(rare, "_g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    return (
+        per_doc.join(rare_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+            (
+                F.coalesce(F.col("n_rare"), F.lit(0)).cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("rare_rate"),
+        )
+    )

@@ -83,10 +83,12 @@ _GRADED_PRIORITY = [
     "corpus_vocab_report",
     "embedding_covariance_report",
     "embedding_jl_projection",
+    "bigram_surprise_report",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
-    "window_lag_order_gap",
+    # (window_lag_order_gap deferred to r7 — the lag shape also carries
+    # r5 green via block_continuity_report)
     "setop_union_segments",
     "setop_intersect_segments",
     "setop_except_segments",

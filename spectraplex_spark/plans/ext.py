@@ -3329,3 +3329,36 @@ def embedding_jl_projection(spark, sf_dir):
             "projected", F.lit(0).cast("long"), lambda a, b: a + b
         ).alias("proj_sum"),
     )
+
+
+@query(
+    "bigram_surprise_report",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+          FROM tok, UNNEST(range(1, greatest(len(toks), 1))) AS r(i)
+          WHERE len(toks) >= 2),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) < 2),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM g GROUP BY doc_id),
+    rd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
+           FROM g WHERE gram IN (SELECT gram FROM c) GROUP BY doc_id)
+    SELECT pd.doc_id, pd.n_bigrams,
+           COALESCE(rd.n_rare, 0) AS n_rare,
+           CAST(COALESCE(rd.n_rare, 0) AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+             AS rare_rate
+    FROM pd LEFT JOIN rd ON pd.doc_id = rd.doc_id
+    """,
+    doc="E4 statistical fluency proxy — the integer-exact cousin of an "
+    "n-gram LM perplexity filter (the CCNet/KenLM gate): per doc, the "
+    "share of its word-bigram occurrences whose corpus count is "
+    "below 2 (gibberish/OCR noise/entropy spam is full of bigrams the "
+    "rest of the corpus never produces). All-integer counts, one "
+    "exact int/int division; scale shape = the span miner's (one "
+    "positional-shingle pass, one global bigram groupBy, one "
+    "semi-join back). A real LM swaps in behind the same output shape "
+    "as a pandas_udf; this proxy's verdicts grade bit-for-bit.",
+)
+def bigram_surprise_report(spark, sf_dir):
+    from spectraplex_spark.operators.textops import bigram_surprise_report as bsr
+
+    return bsr(table(spark, sf_dir, "documents"))

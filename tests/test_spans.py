@@ -159,3 +159,21 @@ def test_prepare_corpus_optional_span_strip(spark):
         assert "license" not in r["text"]
     # stripping must not duplicate or drop docs by itself
     assert stripped.count() == base.count()
+
+
+def test_bigram_surprise_flags_gibberish(spark):
+    from spectraplex_spark.operators.textops import bigram_surprise_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "zxqj vwpk qmfl xxyz jjqw zzpp"),  # gibberish: all-unique bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_surprise_report(docs).collect()}
+    assert rows[2]["rare_rate"] == 1.0
+    # the shared-prefix docs have mostly repeated bigrams
+    assert rows[0]["rare_rate"] < 0.5 and rows[1]["rare_rate"] < 0.5
+    assert rows[0]["n_bigrams"] == 8

@@ -28,20 +28,23 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # --------------------------------------------------------------------------
 # Graded-window curation. The external correctness gate grades the FIRST
 # 50 registered queries, so registration order is part of the contract.
-# Round-6 rotation — the r5 verdict's top ask: (a) the 14 late-r5
-# queries that have NEVER been in the driver's window (PQ/SQ/BQ
-# quantized ANN, k-means, SemDeDup, inverted-index retrieval, knn
-# join, decontamination, mixture sampling, compaction, quality score,
-# boilerplate n-grams) — local-gate-green at both SFs, now getting the
-# hard signal; (b) the two queries NEW this round (integer-grid BM25
-# closing the r5 scale bug, and the Arrow-stage knn join — the graded
-# path and the 100 TB path are now the same code); (c) all 29 queries
-# whose latest green is round 3 — the oldest evidence in the ledger;
-# (d) benched headliners touched by this round's perf work, for the
-# same-round correctness+perf double-sign.
-# Everything else was green in rounds 4-5 (see CORRECTNESS_r0{4,5})
-# and rotates back next round. Cumulative driver coverage after this
-# window: 136/136 ever-graded.
+# Round-6 final composition — the r5 verdict's top ask plus the round's
+# additions: (a) the 14 late-r5 queries that have NEVER been in the
+# driver's window (PQ/SQ/BQ quantized ANN, k-means, SemDeDup,
+# inverted-index retrieval, knn join, decontamination, mixture
+# sampling, compaction, quality score, boilerplate n-grams); (b) the
+# 26 queries NEW this round (integer-grid BM25, graded-Arrow knn,
+# repeated-substring spans + incremental gate, fuzzy decontam, source
+# overlap/quota, chunking, stream-stream joins + watermarked dedup,
+# batch+streaming Python Data Sources, CSV round trip, UDAFs, Z-order
+# curve, feature standardization, stateful balance, MERGE upsert,
+# confusion matrix, vocabulary, covariance + JL projection, bigram
+# surprise, media pHash) — every one verified at BOTH SFs through the
+# per-commit local gate before entering; (c) 10 of the oldest-evidence
+# (r3-green) entries. The remaining r3/r4/r5 greens rotate back in r7
+# (each deferral is annotated inline with its standing coverage);
+# nothing in the catalog lacks at least one prior driver-green round
+# except this round's additions, which this window graduates.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
     # (a) never graded — registered past position 50 in round 5
@@ -84,6 +87,7 @@ _GRADED_PRIORITY = [
     "embedding_covariance_report",
     "embedding_jl_projection",
     "bigram_surprise_report",
+    "media_phash_planted",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -91,7 +95,8 @@ _GRADED_PRIORITY = [
     # r5 green via block_continuity_report)
     "setop_union_segments",
     "setop_intersect_segments",
-    "setop_except_segments",
+    # (setop_except_segments deferred to r7 — union/intersect stay as
+    # the family's representatives)
     "q4_order_priority_check",
     "window_rank_suite",
     "scalar_string_advanced",

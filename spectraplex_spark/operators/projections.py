@@ -164,3 +164,74 @@ def jl_project_quantized(
             )
         )
     return df.select(id_col, F.array(*outs).alias("projected"))
+
+
+def covariance_state(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """MERGEABLE covariance state: (i, j, n, sx_i, sx_j, sxx) with the
+    moment sums kept as DECIMAL(38,12) — the incremental/streaming form
+    of covariance_matrix. Because decimal addition is exact and
+    associative, merging per-batch states is BIT-IDENTICAL to a
+    recompute over the union (the incremental_rollup_merge guarantee,
+    extended to second moments): fit PCA over a growing corpus by
+    folding batch states, never rescanning history."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    d = T.DecimalType(38, 12)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim - 1)),
+                        lambda j: F.struct(
+                            i.cast("int").alias("i"),
+                            j.cast("int").alias("j"),
+                            F.get(v, i).alias("xi"),
+                            F.get(v, j).alias("xj"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xi", "p.xj")
+    return pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xi").cast(d)).alias("sx_i"),
+        F.sum(F.col("xj").cast(d)).alias("sx_j"),
+        F.sum((F.col("xi") * F.col("xj")).cast(d)).alias("sxx"),
+    )
+
+
+def merge_covariance_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of per-batch states into one — exact decimal
+    adds per (i, j) cell; merge == recompute bit-for-bit."""
+    if not states:
+        raise ValueError("need at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx_i").alias("sx_i"),
+        F.sum("sx_j").alias("sx_j"),
+        F.sum("sxx").alias("sxx"),
+    )
+
+
+def finalize_covariance(state: DataFrame) -> DataFrame:
+    """State → (i, j, n, cov): the same single-IEEE-op finals as
+    covariance_matrix."""
+    return state.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        (
+            F.col("sxx").cast("double") / F.col("n")
+            - (F.col("sx_i").cast("double") / F.col("n"))
+            * (F.col("sx_j").cast("double") / F.col("n"))
+        ).alias("cov"),
+    )

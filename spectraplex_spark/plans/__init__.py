@@ -33,13 +33,14 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # driver's window (PQ/SQ/BQ quantized ANN, k-means, SemDeDup,
 # inverted-index retrieval, knn join, decontamination, mixture
 # sampling, compaction, quality score, boilerplate n-grams); (b) the
-# 26 queries NEW this round (integer-grid BM25, graded-Arrow knn,
+# 28 queries NEW this round (integer-grid BM25, graded-Arrow knn,
 # repeated-substring spans + incremental gate, fuzzy decontam, source
 # overlap/quota, chunking, stream-stream joins + watermarked dedup,
 # batch+streaming Python Data Sources, CSV round trip, UDAFs, Z-order
 # curve, feature standardization, stateful balance, MERGE upsert,
 # confusion matrix, vocabulary, covariance + JL projection, bigram
-# surprise, media pHash) — every one verified at BOTH SFs through the
+# surprise, media pHash, the simhash planted certification) — every
+# one verified at BOTH SFs through the
 # per-commit local gate before entering; (c) 10 of the oldest-evidence
 # (r3-green) entries. The remaining r3/r4/r5 greens rotate back in r7
 # (each deferral is annotated inline with its standing coverage);
@@ -88,6 +89,7 @@ _GRADED_PRIORITY = [
     "embedding_jl_projection",
     "bigram_surprise_report",
     "media_phash_planted",
+    "simhash_planted_twins",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -98,7 +100,8 @@ _GRADED_PRIORITY = [
     # (setop_except_segments deferred to r7 — union/intersect stay as
     # the family's representatives)
     "q4_order_priority_check",
-    "window_rank_suite",
+    # (window_rank_suite deferred to r7 — window_topn stays as the
+    # ranking family's representative)
     "scalar_string_advanced",
     "correlated_above_avg_orders",
     "agg_percentiles",
@@ -120,9 +123,9 @@ _GRADED_PRIORITY = [
     # yield their slots to the round's never-graded additions; they
     # rotate back in r7)
     # (d) — no benched-headliner slots this round: every benched
-    # query's code is untouched since its r5 green, and the seven new
-    # graded queries outrank a redundant re-sign; headliners rotate
-    # back in r7.
+    # query's code is untouched since its r5 green, and never-graded
+    # new queries outrank a redundant re-sign; headliners rotate back
+    # in r7.
 ]
 
 

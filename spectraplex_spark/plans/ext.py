@@ -3402,3 +3402,42 @@ def media_phash_planted(spark, sf_dir):
         )
     )
     return phash_dup_pairs(attach_binary_payload(planted))
+
+
+@query(
+    "simhash_planted_twins",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
+    FROM documents WHERE doc_id % 101 = 0
+    """,
+    doc="E1 SimHash, hash-graded at last via the planted-twin recipe "
+    "(media_phash_planted precedent): every 101st doc is duplicated "
+    "under a shifted id, signatures are computed over the planted "
+    "view, and the exact-signature pair join is FILTERED to the "
+    "planted clone relation (id_b = id_a + 1e6) — certifying the "
+    "determinism chain text → tokens → weighted bit votes → 64-bit "
+    "signature → pair join under the driver's hash. The filter is "
+    "what makes this oracle sound: the organic corpus holds true "
+    "near-identical signature collisions (6 at sf0.1) that no SQL "
+    "stand-in can reproduce (xxhash64 has no DuckDB twin) — the "
+    "UNRESTRICTED group/pair queries stay rows-only with that proof, "
+    "and this entry adds the bit-level certification they could not "
+    "carry.",
+)
+def simhash_planted_twins(spark, sf_dir):
+    from spectraplex_spark.operators.dedup import simhash64
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    sigs = planted.select("doc_id", simhash64(F.col("text")).alias("_s"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("_s"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("_s"))
+    return (
+        a.join(b, "_s")
+        .filter(F.col("id_b") == F.col("id_a") + 1000000)
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
+    )

@@ -159,3 +159,30 @@ def compact_to(
     n_files = max(1, math.ceil(n_rows / max(rows_per_file, 1)))
     df.coalesce(n_files).write.mode("overwrite").parquet(dst)
     return files_before, len(spark.read.parquet(dst).inputFiles())
+
+
+def zorder_value_n(cols: list[Column], bits: int = 8) -> Column:
+    """N-dimensional Morton interleave: bit b of column c lands at
+    output position b*len(cols) + c — the multi-column generalization
+    of zorder_value (Delta's OPTIMIZE ZORDER BY (a, b, c) curve). Pure
+    shift/mask expressions; len(cols)*bits must fit 63 bits. Sorting by
+    this value clusters rows close in EVERY listed dimension, so
+    min/max stats prune any-subset predicates — at the usual trade:
+    per-dimension selectivity dilutes as dimensions are added (2-4
+    columns is the practical sweet spot, same guidance as the table
+    formats)."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long's 63 usable bits")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for c, col in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1)),
+                    b * n + c,
+                )
+            )
+    return z

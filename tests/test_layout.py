@@ -376,3 +376,41 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
         F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")).alias("h")
     ).head()["h"]
     assert h(back) == h(ev)
+
+
+def test_zorder_value_n_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.sources.layout import zorder_value, zorder_value_n
+
+    rows = [(3, 5, 9), (0, 0, 0), (255, 1, 128), (17, 254, 63)]
+    df = spark.createDataFrame(rows, "x long, y long, w long")
+
+    def morton_n(vals, bits=8):
+        z = 0
+        n = len(vals)
+        for b in range(bits):
+            for c, v in enumerate(vals):
+                z |= ((v >> b) & 1) << (b * n + c)
+        return z
+
+    got = [
+        (r["x"], r["y"], r["w"], r["z3"])
+        for r in df.select(
+            "x", "y", "w",
+            zorder_value_n([F.col("x"), F.col("y"), F.col("w")], 8).alias("z3"),
+        ).collect()
+    ]
+    for x, y, w, z in got:
+        assert z == morton_n([x, y, w])
+    # 2-col form must agree with the existing pairwise interleave
+    two = df.select(
+        zorder_value_n([F.col("x"), F.col("y")], 8).alias("a"),
+        zorder_value(F.col("x"), F.col("y"), 8).alias("b"),
+    ).collect()
+    for r in two:
+        assert r["a"] == r["b"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_value_n([F.col("x")] * 9, 8)

@@ -84,3 +84,32 @@ def test_jl_exactness_vs_python_integer_replay(spark):
     q = np.floor(mat.astype(np.float64)[0] * 1024 + 0.5).astype(np.int64)
     want = [int((q * signs[r]).sum()) for r in range(3)]
     assert list(got) == want
+
+
+def test_covariance_state_merge_equals_recompute_bitwise(spark):
+    """Two-batch state merge must equal the one-shot state and the
+    one-shot covariance BIT-FOR-BIT (decimal sums are exact and
+    associative — the incremental_rollup_merge guarantee extended to
+    second moments)."""
+    from spectraplex_spark.operators.projections import (
+        covariance_state,
+        finalize_covariance,
+        merge_covariance_states,
+    )
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 5)).astype(np.float32)
+    df = _df(spark, mat)
+    b1 = df.filter("vec_id % 2 = 0")
+    b2 = df.filter("vec_id % 2 = 1")
+    merged = merge_covariance_states(
+        covariance_state(b1, dim=5), covariance_state(b2, dim=5)
+    )
+    oneshot = covariance_state(df, dim=5)
+    key = lambda r: (r["i"], r["j"])  # noqa: E731
+    ms = {key(r): (r["n"], str(r["sx_i"]), str(r["sx_j"]), str(r["sxx"])) for r in merged.collect()}
+    os_ = {key(r): (r["n"], str(r["sx_i"]), str(r["sx_j"]), str(r["sxx"])) for r in oneshot.collect()}
+    assert ms == os_  # bit-identical decimal state
+    fm = {key(r): r["cov"] for r in finalize_covariance(merged).collect()}
+    fo = {key(r): r["cov"] for r in covariance_matrix(df, dim=5).collect()}
+    assert fm == fo  # identical doubles

@@ -90,6 +90,7 @@ _GRADED_PRIORITY = [
     "bigram_surprise_report",
     "media_phash_planted",
     "simhash_planted_twins",
+    "webdataset_roundtrip",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -102,7 +103,8 @@ _GRADED_PRIORITY = [
     "q4_order_priority_check",
     # (window_rank_suite deferred to r7 — window_topn stays as the
     # ranking family's representative)
-    "scalar_string_advanced",
+    # (scalar_string_advanced deferred to r7 — scalar_string_parts
+    # carries the family's r4 green)
     "correlated_above_avg_orders",
     "agg_percentiles",
     # (scalar_try_functions deferred to r7 with the rest below)

@@ -3441,3 +3441,60 @@ def simhash_planted_twins(spark, sf_dir):
         .filter(F.col("id_b") == F.col("id_a") + 1000000)
         .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
     )
+
+
+@query(
+    "webdataset_roundtrip",
+    """
+    WITH r AS (SELECT doc_id, text,
+                      CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 AS INT)
+                        AS shard
+               FROM documents)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5
+    FROM r GROUP BY shard
+    """,
+    doc="K3 completion — the TRAINING-LOADER export: documents written "
+    "as WebDataset-style tar shards (stdlib tarfile, one groupBy "
+    "routes each shard to one task, entries key-sorted with zeroed "
+    "mtimes so shard BYTES are deterministic — re-exports are "
+    "byte-identical, pytest-pinned), then read back DISTRIBUTED "
+    "(binaryFile source + Arrow untar pass — no driver-side file "
+    "handling either direction). Graded per shard: count, id range, "
+    "and an order-chained md5 content digest must match the oracle's "
+    "independent reconstruction of the shard assignment — the hash "
+    "matches only if every sample landed in the right shard with "
+    "byte-exact text.",
+)
+def webdataset_roundtrip(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.sources.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = _scratch_dir(sf_dir, "wds_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    write_webdataset_shards(docs, out, samples_per_shard=100)
+    back = read_webdataset_shards(spark, out)
+    chained = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("doc_id"), F.md5("text").alias("_h")))
+                ),
+                lambda s: s["_h"],
+            ),
+        )
+    )
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        chained.alias("content_md5"),
+    )

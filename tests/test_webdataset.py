@@ -1,0 +1,60 @@
+"""WebDataset tar-shard sink/source (sources/webdataset.py):
+byte-deterministic export, distributed read-back fidelity, shard
+assignment. Cross-engine grading is in test_oracle_parity.py
+(webdataset_roundtrip).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import tarfile
+
+from spectraplex_spark.sources.webdataset import (
+    read_webdataset_shards,
+    write_webdataset_shards,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, n=25):
+    return spark.createDataFrame(
+        [(i, f"document number {i} with text çödë {i}") for i in range(n)], SCHEMA
+    )
+
+
+def test_roundtrip_preserves_every_sample(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    n_shards = write_webdataset_shards(_docs(spark), out, samples_per_shard=10)
+    assert n_shards == 3  # 25 docs → 10+10+5
+    back = read_webdataset_shards(spark, out)
+    rows = {r["doc_id"]: (r["shard"], r["text"]) for r in back.collect()}
+    assert len(rows) == 25
+    for i in range(25):
+        assert rows[i][0] == i // 10
+        assert rows[i][1] == f"document number {i} with text çödë {i}"  # utf-8 exact
+
+
+def test_reexport_is_byte_identical(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df = _docs(spark).repartition(8)  # partitioning must not matter
+    write_webdataset_shards(df, a, samples_per_shard=7)
+    write_webdataset_shards(df.repartition(3), b, samples_per_shard=7)
+    ha = {os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+          for f in glob.glob(f"{a}/*.tar")}
+    hb = {os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+          for f in glob.glob(f"{b}/*.tar")}
+    assert ha == hb and len(ha) == 4
+
+
+def test_shards_are_loader_consumable_tars(spark, tmp_path):
+    """A vanilla tar reader (what a dataloader uses) must see key-sorted
+    entries with the declared extension."""
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(_docs(spark, 9), out, samples_per_shard=4)
+    f = sorted(glob.glob(f"{out}/*.tar"))[0]
+    with tarfile.open(f) as tf:
+        names = [m.name for m in tf.getmembers()]
+    assert names == ["0.txt", "1.txt", "2.txt", "3.txt"]  # sorted, complete

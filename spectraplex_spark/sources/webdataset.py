@@ -40,15 +40,44 @@ def write_webdataset_shards(
 ) -> int:
     """Write (key, text) samples as shard-{N:06d}.tar files; returns the
     shard count. Shard id = key_rank div samples_per_shard (dense rank
-    over the key order — stable under re-export regardless of
-    partitioning)."""
+    over the key order — stable under re-export regardless of input
+    partitioning; keys must be UNIQUE, which post-dedup corpus ids
+    are — tied keys would make shard membership partition-dependent).
+
+    The global rank is computed WITHOUT a global window (a naive
+    ``row_number() over (order by key)`` funnels the whole corpus
+    through ONE task — the classic 100 TB sort anti-pattern): range
+    partitioning gives the cross-partition order, a bounded
+    per-partition count collect gives rank offsets, and the rank
+    window runs partitioned (parallel) — the standard two-pass
+    zipWithIndex recipe as DataFrame ops."""
     os.makedirs(out_dir, exist_ok=True)
     from pyspark.sql import Window
 
-    w = Window.orderBy("_k")
-    ranked = df.select(
-        F.col(key_col).alias("_k"), F.col(text_col).alias("_t")
-    ).withColumn("_shard", ((F.row_number().over(w) - 1) / samples_per_shard).cast("int"))
+    base = df.select(F.col(key_col).alias("_k"), F.col(text_col).alias("_t"))
+    n_parts = max(base.rdd.getNumPartitions(), 1)
+    part = base.repartitionByRange(n_parts, "_k").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded: one row per partition
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy("_k")  # parallel per-partition rank
+    ranked = part.withColumn(
+        "_shard",
+        (
+            (F.element_at(off_map, F.col("_pid")) + F.row_number().over(w) - 1)
+            / samples_per_shard
+        ).cast("int"),
+    )
 
     out_schema = T.StructType(
         [

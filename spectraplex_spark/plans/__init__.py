@@ -91,6 +91,7 @@ _GRADED_PRIORITY = [
     "media_phash_planted",
     "simhash_planted_twins",
     "webdataset_roundtrip",
+    "data_quality_report",
     # (c) oldest evidence: latest green = round 3
     "join_anti_customers_without_orders",
     "window_topn_orders_per_customer",
@@ -100,7 +101,8 @@ _GRADED_PRIORITY = [
     "setop_intersect_segments",
     # (setop_except_segments deferred to r7 — union/intersect stay as
     # the family's representatives)
-    "q4_order_priority_check",
+    # (q4_order_priority_check deferred to r7 — the conditioned-semi
+    # shape also carries join_semi's r4 green)
     # (window_rank_suite deferred to r7 — window_topn stays as the
     # ranking family's representative)
     # (scalar_string_advanced deferred to r7 — scalar_string_parts

@@ -3498,3 +3498,76 @@ def webdataset_roundtrip(spark, sf_dir):
         F.max("doc_id").cast("long").alias("max_id"),
         chained.alias("content_md5"),
     )
+
+
+@query(
+    "data_quality_report",
+    """
+    WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    checks AS (
+      SELECT 'not_null(event_id)' AS rule, 'not_null' AS kind,
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM events
+      UNION ALL
+      SELECT 'unique(event_id)', 'unique',
+             CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'not_null(ts)', 'not_null',
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'in_set(event_type)', 'in_set',
+             CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+               ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'in_range(value)', 'in_range',
+             CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 1000000)
+               THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'value_has_cents_precision', 'satisfies',
+             CAST(SUM(CASE WHEN NOT (FLOOR(value * 100 + 0.5) >= 0) THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'references(user_id)', 'references',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT user_id FROM events WHERE user_id IS NOT NULL
+                EXCEPT ALL
+                SELECT user_id FROM events WHERE user_id IN
+                  (SELECT c_custkey FROM customer)) t)
+    )
+    SELECT rule, kind, base.n AS n_rows, v AS n_violations, v = 0 AS passed
+    FROM checks, base
+    """,
+    doc="The reference's DDL integrity net re-expressed for the lake "
+    "(Postgres enforces PRIMARY KEY/NOT NULL/enum domains/REFERENCES "
+    "— init.sql:7-31, add_wallet:12; parquet enforces nothing): "
+    "declarative expectations evaluated in ONE aggregation pass "
+    "(every non-referential rule folds into a single partial-"
+    "aggregated scan regardless of rule count) plus one column-pruned "
+    "anti-join per foreign key. Exact BIGINT violation counts — the "
+    "report (counts AND pass/fail verdicts) grades bit-for-bit; "
+    "violation-counting correctness on dirty data is pytest-pinned "
+    "with planted nulls/dups/orphans in tests/test_expectations.py.",
+)
+def data_quality_report(spark, sf_dir):
+    from spectraplex_spark.operators import expectations as E
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    rules = [
+        E.not_null("event_id"),
+        E.unique("event_id"),
+        E.not_null("ts"),
+        E.in_set("event_type", ["click", "view", "purchase", "signup", "error"]),
+        E.in_range("value", 0, 1_000_000),
+        E.satisfies(
+            "value_has_cents_precision",
+            F.floor(F.col("value") * 100 + 0.5) >= 0,
+        ),
+        E.references("user_id", cust, "c_custkey"),
+    ]
+    return E.check_expectations(ev, rules)

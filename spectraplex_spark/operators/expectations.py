@@ -129,3 +129,38 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         [(n, k, nr, nv, nv == 0) for n, k, nr, nv in out],
         "rule string, kind string, n_rows long, n_violations long, passed boolean",
     )
+
+
+def violating_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Rows failing ANY row-level rule, annotated with the comma-joined
+    names of the rules they break — the selector that feeds the bronze
+    quarantine lane (sources/io.land_with_quarantine): aggregate
+    expectations tell you the table is dirty, this tells you WHICH rows
+    to divert. Row-level kinds only (not_null/in_set/in_range/
+    satisfies); set-level rules (unique, references) have no single
+    guilty row and raise."""
+    preds = []
+    for r in rules:
+        if r.kind == "not_null":
+            p = F.col(r.col).isNull()
+        elif r.kind == "in_set":
+            p = F.col(r.col).isNotNull() & ~F.col(r.col).isin(*r.values)
+        elif r.kind == "in_range":
+            p = F.col(r.col).isNotNull() & (
+                (F.col(r.col) < r.lo) | (F.col(r.col) > r.hi)
+            )
+        elif r.kind == "satisfies":
+            p = ~r.expr
+        else:
+            raise ValueError(
+                f"rule {r.name!r} ({r.kind}) is set-level — no single row is "
+                "the violation; use check_expectations for the aggregate count"
+            )
+        preds.append(F.when(p, F.lit(r.name)))
+    broken = F.array_compact(F.array(*preds))
+    return (
+        df.withColumn("_broken", broken)
+        .filter(F.size("_broken") > 0)
+        .withColumn("violated_rules", F.concat_ws(",", "_broken"))
+        .drop("_broken")
+    )

@@ -66,3 +66,20 @@ def test_unknown_rule_kind_raises(spark):
     df = spark.createDataFrame([(1, 1.0, "a", 1)], SCHEMA)
     with pytest.raises(ValueError, match="unknown rule kind"):
         E.check_expectations(df, [E.Rule(name="x", kind="bogus")])
+
+
+def test_violating_rows_selects_and_annotates(spark):
+    rows = [
+        (1, 1.0, "a", 1),
+        (None, -2.0, "zzz", 1),  # breaks three rules at once
+        (3, 5.0, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = E.violating_rows(
+        df,
+        [E.not_null("id"), E.in_set("kind", ["a", "b"]), E.in_range("v", 0, 100)],
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["violated_rules"] == "not_null(id),in_set(kind),in_range(v)"
+    with pytest.raises(ValueError, match="set-level"):
+        E.violating_rows(df, [E.unique("id")])

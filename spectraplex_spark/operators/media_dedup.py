@@ -55,8 +55,13 @@ def _decode_gray(payload: bytes) -> np.ndarray:
     """Deterministic byte-raster 'decode': payload bytes tiled/truncated
     into a RASTER×RASTER uint8 grid. Production: replace with a real
     image decode + resize; everything downstream is unchanged."""
+    if len(payload) == 0:
+        raise ValueError(
+            "phash: empty media payload (0 bytes) — cannot raster; filter "
+            "or null-guard payload rows before hashing"
+        )
     need = RASTER * RASTER
-    b = (payload * (need // max(len(payload), 1) + 1))[:need]
+    b = (payload * (need // len(payload) + 1))[:need]
     return np.frombuffer(bytes(b), dtype=np.uint8).reshape(RASTER, RASTER)
 
 

@@ -152,7 +152,7 @@ def remove_repeated_spans(
     min_count: int = 2,
     hashed: bool = False,
 ) -> DataFrame:
-    """(doc_id, n_tokens, n_removed, clean_text): each doc's NORMALIZED
+    """(<id_col>, n_tokens, n_removed, clean_text): each doc's NORMALIZED
     text with every repeated span stripped at token granularity. Docs
     with no repeated span pass through with n_removed = 0 (their
     clean_text is the normalized full text — reconstruction is always
@@ -173,7 +173,7 @@ def remove_repeated_spans(
         F.filter(F.col("_toks"), lambda t, i: ~covered(i))
     )
     return joined.select(
-        "doc_id",
+        F.col("doc_id").alias(id_col),  # preserve the caller's id name
         F.size("_toks").cast("long").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),

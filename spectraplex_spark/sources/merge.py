@@ -17,8 +17,10 @@ payload and an ``_op`` column — 'upsert' (insert-or-replace) or
 Scale design — PARTITION-SCOPED copy-on-write, the part that matters
 at 100 TB: when the table is partitioned and ``partition_col`` is
 given, only the partitions that actually contain updated keys are
-rewritten (derived from the updates frame — one tiny distinct);
-untouched partitions are never read, never written. A merge touching
+rewritten (the updates frame's distinct partition values, plus — by
+default — a key-probe of the target for keys whose stored partition
+differs; see ``probe_moved_keys``); untouched partitions are never
+rewritten. A merge touching
 1 of 10,000 daily partitions costs 1/10,000 of the table, exactly like
 Delta/Iceberg/Hudi copy-on-write file pruning (their granularity is
 the file; a partition is the portable approximation). The rewrite of
@@ -46,13 +48,27 @@ def merge_upsert(
     updates: DataFrame,
     key_col: str,
     partition_col: str | None = None,
+    probe_moved_keys: bool = True,
 ) -> dict[str, int]:
     """Apply ``updates`` (payload columns + ``_op`` in {'upsert',
     'delete'}) to the parquet table at ``target_path``. Returns
     counts: upserted / deleted / partitions_rewritten.
 
     Duplicate keys within one updates batch are invalid (which payload
-    wins would be arbitrary) and raise."""
+    wins would be arbitrary) and raise.
+
+    ``probe_moved_keys`` (default True) guards the partition-scoped
+    path against keys that MOVE partitions: an upsert whose
+    ``partition_col`` value differs from the row's currently-stored
+    partition (or a delete carrying a stale partition value) must also
+    rewrite the OLD partition, else the key survives there as a stale
+    duplicate. The probe is one broadcast semi-join of the target
+    against the update keys, reading only (key_col, partition_col) —
+    column-pruned but NOT partition-pruned (it must look everywhere by
+    definition). Workloads whose partition value is immutable per key
+    (e.g. event-date partitioning keyed by event id) can pass
+    ``probe_moved_keys=False`` to keep the fully partition-pruned
+    read; that flag is a CONTRACT that keys never change partition."""
     ops = updates.select(F.col(OP_COL)).distinct().collect()
     bad = [r[0] for r in ops if r[0] not in ("upsert", "delete")]
     if bad:
@@ -70,12 +86,23 @@ def merge_upsert(
     n_del = n_updates - n_up
 
     if partition_col is not None:
-        affected = [
-            r[0]
-            for r in updates.select(partition_col).distinct().collect()
-        ]
-        # the partition predicate PRUNES the read: untouched partitions
-        # are never scanned (verified in tests via file mtimes)
+        parts = updates.select(F.col(partition_col).alias("_p")).distinct()
+        if probe_moved_keys:
+            # key-probe: partitions where the updated keys CURRENTLY
+            # live — catches partition-moving upserts / stale-partition
+            # deletes that would otherwise leave the old copy behind
+            current = (
+                target.join(
+                    F.broadcast(updates.select(key_col)), key_col, "left_semi"
+                )
+                .select(F.col(partition_col).alias("_p"))
+                .distinct()
+            )
+            parts = parts.unionByName(current).distinct()
+        affected = [r[0] for r in parts.collect()]
+        # the partition predicate PRUNES the rewrite read: untouched
+        # partitions are never rewritten (verified in tests via file
+        # mtimes)
         scoped_target = target.filter(F.col(partition_col).isin(affected))
         n_parts = len(affected)
     else:

@@ -56,67 +56,85 @@ def write_webdataset_shards(
 
     base = df.select(F.col(key_col).alias("_k"), F.col(text_col).alias("_t"))
     n_parts = max(base.rdd.getNumPartitions(), 1)
-    part = base.repartitionByRange(n_parts, "_k").withColumn(
-        "_pid", F.spark_partition_id()
+    # persist BEFORE the counts collect: the rank offsets and the write
+    # job must read the SAME materialization — repartitionByRange
+    # boundaries come from sampling, so an uncached recompute could
+    # assign different partition contents than the collected counts
+    # assume, corrupting the global rank (the dedup.py checkpoint
+    # discipline, applied here).
+    part = (
+        base.repartitionByRange(n_parts, "_k")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }  # bounded: one row per partition
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
-    )
-    w = Window.partitionBy("_pid").orderBy("_k")  # parallel per-partition rank
-    ranked = part.withColumn(
-        "_shard",
-        (
-            (F.element_at(off_map, F.col("_pid")) + F.row_number().over(w) - 1)
-            / samples_per_shard
-        ).cast("int"),
-    )
+    try:
+        counts = {
+            r["_pid"]: r["n"]
+            for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }  # bounded: one row per partition
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_map = F.create_map(
+            *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+        )
+        w = Window.partitionBy("_pid").orderBy("_k")  # parallel per-partition rank
+        ranked = part.withColumn(
+            "_shard",
+            (
+                (F.element_at(off_map, F.col("_pid")) + F.row_number().over(w) - 1)
+                / samples_per_shard
+            ).cast("int"),
+        )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("shard", T.IntegerType()),
-            T.StructField("n_samples", T.LongType()),
-            T.StructField("n_bytes", T.LongType()),
-        ]
-    )
+        out_schema = T.StructType(
+            [
+                T.StructField("shard", T.IntegerType()),
+                T.StructField("n_samples", T.LongType()),
+                T.StructField("n_bytes", T.LongType()),
+            ]
+        )
 
-    def write_shard(pdfs):
-        import pandas as pd
+        def write_shard(pdf):
+            # applyInPandas delivers the ENTIRE shard group as one frame
+            # (bounded by samples_per_shard — the shard IS the unit a
+            # dataloader streams, so it must fit a task by contract).
+            # The earlier mapInPandas draft received ~10k-row Arrow
+            # batches and rewrote shard-NNNNNN.tar once per batch — a
+            # shard spanning two batches kept only the LAST partial
+            # batch's samples. Whole-group delivery makes that data
+            # loss structurally impossible.
+            import pandas as pd
 
-        for pdf in pdfs:
-            for shard, grp in pdf.groupby("_shard"):
-                grp = grp.sort_values("_k")
-                buf = io.BytesIO()
-                with tarfile.open(fileobj=buf, mode="w") as tf:
-                    for _, row in grp.iterrows():
-                        data = str(row["_t"]).encode("utf-8")
-                        info = tarfile.TarInfo(name=f"{int(row['_k'])}.{ext}")
-                        info.size = len(data)
-                        info.mtime = 0  # deterministic bytes
-                        tf.addfile(info, io.BytesIO(data))
-                payload = buf.getvalue()
-                with open(os.path.join(out_dir, f"shard-{int(shard):06d}.tar"), "wb") as fh:
-                    fh.write(payload)
-                yield pd.DataFrame(
-                    {
-                        "shard": [int(shard)],
-                        "n_samples": [len(grp)],
-                        "n_bytes": [len(payload)],
-                    }
-                )
+            shard = int(pdf["_shard"].iloc[0])
+            grp = pdf.sort_values("_k")
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for _, row in grp.iterrows():
+                    data = str(row["_t"]).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{int(row['_k'])}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic bytes
+                    tf.addfile(info, io.BytesIO(data))
+            payload = buf.getvalue()
+            with open(os.path.join(out_dir, f"shard-{shard:06d}.tar"), "wb") as fh:
+                fh.write(payload)
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "n_samples": [len(grp)],
+                    "n_bytes": [len(payload)],
+                }
+            )
 
-    manifest = (
-        ranked.repartition("_shard")
-        .mapInPandas(write_shard, out_schema)
-        .collect()  # one action drives all shard writes; manifest is #shards rows
-    )
+        manifest = (
+            ranked.groupBy("_shard")
+            .applyInPandas(write_shard, out_schema)
+            .collect()  # one action drives all shard writes; #shards rows
+        )
+    finally:
+        part.unpersist()
     return len(manifest)
 
 

@@ -63,3 +63,12 @@ def test_blocked_join_finds_hamming_le_k_pairs(spark):
     assert not any(2 in k for k in got)
     # exact-join config must NOT pair the perturbed twin
     assert phash_dup_pairs(df, max_hamming=0).count() == 0
+
+
+def test_empty_payload_raises_descriptive_error():
+    import pytest
+
+    from spectraplex_spark.operators.media_dedup import phash64_bytes
+
+    with pytest.raises(ValueError, match="empty media payload"):
+        phash64_bytes(b"")

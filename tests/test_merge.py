@@ -111,3 +111,48 @@ def test_duplicate_keys_and_bad_ops_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="_op"):
         merge_upsert(spark, path, bad, "k")
+
+
+def test_partition_moving_upsert_removes_stale_copy(spark, tmp_path):
+    """A key whose partition value CHANGES must vanish from its old
+    partition — the default key-probe derives affected partitions from
+    where keys currently live, not just from the updates frame."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # k=2 lives in part 'a'
+    updates = spark.createDataFrame(
+        [(2, "v2_moved", "b", "upsert")], "k long, v string, part string, _op string"
+    )
+    stats = merge_upsert(spark, path, updates, "k", partition_col="part")
+    assert stats["partitions_rewritten"] == 2  # old 'a' AND new 'b'
+    got = _read(spark, path)
+    assert (2, "v2_moved", "b") in got
+    assert not any(k == 2 and p == "a" for k, _, p in got)  # no stale dup
+    assert len(got) == 10
+
+
+def test_stale_partition_delete_finds_current_partition(spark, tmp_path):
+    """A delete carrying the WRONG partition value still removes the row
+    from its actual partition via the key-probe."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # k=8 lives in part 'b'
+    updates = spark.createDataFrame(
+        [(8, None, "a", "delete")], "k long, v string, part string, _op string"
+    )
+    merge_upsert(spark, path, updates, "k", partition_col="part")
+    assert not any(k == 8 for k, _, _ in _read(spark, path))
+
+
+def test_probe_opt_out_is_the_documented_immutable_contract(spark, tmp_path):
+    """probe_moved_keys=False keeps the fully partition-pruned read; the
+    price — pinned here so the contract is explicit, not latent — is
+    that a partition-moving upsert leaves the old copy behind."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "v2_moved", "b", "upsert")], "k long, v string, part string, _op string"
+    )
+    merge_upsert(
+        spark, path, updates, "k", partition_col="part", probe_moved_keys=False
+    )
+    got = _read(spark, path)
+    assert (2, "v2_moved", "b") in got and (2, "v2", "a") in got  # stale dup stays

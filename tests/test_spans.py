@@ -177,3 +177,30 @@ def test_bigram_surprise_flags_gibberish(spark):
     # the shared-prefix docs have mostly repeated bigrams
     assert rows[0]["rare_rate"] < 0.5 and rows[1]["rare_rate"] < 0.5
     assert rows[0]["n_bigrams"] == 8
+
+
+def test_remove_spans_preserves_caller_id_column(spark):
+    """remove_repeated_spans must hand back the caller's id column name
+    (a custom id_col used to come back hardcoded as 'doc_id', breaking
+    prepare_corpus(strip_spans_k=..., id_col=...))."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "x y z w q")], "my_id long, text string"
+    )
+    out = remove_repeated_spans(df, k=4, id_col="my_id")
+    assert "my_id" in out.columns and "doc_id" not in out.columns
+    assert {r["my_id"] for r in out.collect()} == {1, 2}
+
+
+def test_prepare_corpus_custom_id_col_with_span_strip(spark):
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id")
+    )
+    clean, stats = prepare_corpus(
+        docs, min_quality=0.0, strip_spans_k=6, id_col="id"
+    )
+    assert clean.filter(F.col("id").isNotNull()).count() == stats.n_after_neardup

@@ -91,3 +91,27 @@ def test_full_training_export_pipeline(spark, tmp_path):
     # every exported chunk belongs to a surviving doc
     surviving = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert {k // 1000 for k in orig} <= surviving
+
+
+def test_multi_arrow_batch_shards_lose_no_samples(spark, tmp_path):
+    """A shard whose rows span multiple Arrow batches must still arrive
+    whole: the write is groupBy(shard).applyInPandas (whole group per
+    call). The earlier mapInPandas draft rewrote the tar once per
+    ~10k-row batch, keeping only the last partial batch — this test
+    forces 16-row batches over 60-sample shards to pin the fix."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out = str(tmp_path / "wds")
+        n_shards = write_webdataset_shards(
+            _docs(spark, 120), out, samples_per_shard=60
+        )
+        assert n_shards == 2
+        back = read_webdataset_shards(spark, out)
+        rows = {r["doc_id"] for r in back.collect()}
+        assert rows == set(range(120))  # every sample present, none clobbered
+        for f in glob.glob(f"{out}/*.tar"):
+            with tarfile.open(f) as tf:
+                assert len(tf.getmembers()) == 60  # full shards on disk
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

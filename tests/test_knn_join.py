@@ -142,3 +142,20 @@ def test_knn_join_quantize_requires_arrow(spark):
     qdf = spark.createDataFrame(_vecs(2, 4), VEC_SCHEMA)
     with pytest.raises(ValueError, match="arrow"):
         knn_join(cdf, qdf, k=2, method="expression", quantize=1024)
+
+
+def test_no_aggregation_buffers_in_either_knn_plan(spark):
+    """Neither kNN method may buffer a partition's scored rows in
+    aggregation state: stage 1 is a streaming Arrow running-top-k
+    (Q·k resident rows), stage 2 a row_number window (spillable sort).
+    collect_list / ObjectHashAggregate in the plan would mean the
+    unbounded-buffer shape came back."""
+    cdf = spark.createDataFrame(_vecs(30, 8), VEC_SCHEMA)
+    qdf = spark.createDataFrame(
+        [(100 + i, v) for i, (_, v) in enumerate(_vecs(3, 8, phase=1.5))], VEC_SCHEMA
+    )
+    for method in ("expression", "arrow"):
+        plan = knn_join(cdf, qdf, k=5, method=method)._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan, method
+        assert "ObjectHashAggregate" not in plan, method
+        assert "Window" in plan, method

@@ -58,9 +58,92 @@ def count_udaf(v: pd.Series) -> int:
 def robust_value_stats(df: DataFrame, group_col: str = "event_type", value_col: str = "value") -> DataFrame:
     """Per-group exact median + IQR + size via the UDAF surface (an
     all-pandas agg — see count_udaf for why the count can't be the
-    builtin)."""
+    builtin). API demo: for the scale path use
+    :func:`robust_value_stats_scalable`, which computes the same
+    statistics with partial aggregation and spillable sorts."""
     return df.groupBy(group_col).agg(
         count_udaf(F.col(value_col)).alias("n"),
         median_udaf(F.col(value_col)).alias("median_value"),
         iqr_udaf(F.col(value_col)).alias("iqr_value"),
+    )
+
+
+def robust_value_stats_scalable(
+    df: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """The SCALE twin of :func:`robust_value_stats`: identical exact
+    median/IQR/size, built from partial-aggregatable pieces only — no
+    GROUPED_AGG pandas UDF, so no group's full column ever materializes
+    in one task's memory.
+
+    Two passes over the group:
+      1. per-group counts — builtin count, map-side combined;
+      2. rank each value (row_number window: the per-group sort runs
+         in Spark's spillable ExternalSorter, ties between equal
+         values are position-arbitrary but quantile SELECTION is by
+         position, so the selected VALUE is deterministic), keep only
+         the ≤6 rows sitting at the quantile index positions, then a
+         conditional-min aggregate (HashAggregate with partial_min —
+         the plan-visible partial aggregation) picks them out.
+
+    Quantile index arithmetic is exact integers: pos = (n-1)·num/den
+    with den ∈ {2,4}, so lo/hi indices are integer div/mod and the
+    interpolation fraction is one of {0, .25, .5, .75} — exact binary
+    doubles. The final q = lo + (hi-lo)·frac pays two IEEE ops,
+    matching numpy/pandas/DuckDB linear interpolation (graded at 6dp,
+    the udaf_value_stats precedent — op order may differ by 1 ulp
+    across engines).
+
+    At 100 TB: a skewed group costs a spillable sort, not an OOM — the
+    straggler risk the GROUPED_AGG version documents is gone."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = (
+        df.select(F.col(group_col), F.col(value_col).cast("double").alias("_v"))
+        .withColumn(
+            "_i",
+            F.row_number().over(Window.partitionBy(group_col).orderBy("_v")) - 1,
+        )
+        .join(F.broadcast(counts), group_col)
+    )
+
+    quantiles = (("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4))
+    agg_exprs = [F.max("_n").alias("n")]
+    keep = F.lit(False)
+    for name, num, den in quantiles:
+        t = (F.col("_n") - F.lit(1)) * F.lit(num)  # numerator of (n-1)*p*den
+        lo = ((t - t % den) / den).cast("long")
+        hi = lo + F.when(t % den != 0, F.lit(1)).otherwise(F.lit(0))
+        frac = (t % den).cast("double") / F.lit(float(den))
+        ranked = (
+            ranked.withColumn(f"_{name}_lo", lo)
+            .withColumn(f"_{name}_hi", hi)
+            .withColumn(f"_{name}_f", frac)
+        )
+        keep = keep | (F.col("_i") == F.col(f"_{name}_lo")) | (
+            F.col("_i") == F.col(f"_{name}_hi")
+        )
+        agg_exprs += [
+            F.min(F.when(F.col("_i") == F.col(f"_{name}_lo"), F.col("_v"))).alias(
+                f"_{name}_lov"
+            ),
+            F.min(F.when(F.col("_i") == F.col(f"_{name}_hi"), F.col("_v"))).alias(
+                f"_{name}_hiv"
+            ),
+            F.max(f"_{name}_f").alias(f"_{name}_frac"),
+        ]
+
+    g = ranked.filter(keep).groupBy(group_col).agg(*agg_exprs)
+
+    def q(name):
+        return F.col(f"_{name}_lov") + (
+            F.col(f"_{name}_hiv") - F.col(f"_{name}_lov")
+        ) * F.col(f"_{name}_frac")
+
+    return g.select(
+        group_col,
+        F.col("n"),
+        q("q50").alias("median_value"),
+        (q("q75") - q("q25")).alias("iqr_value"),
     )

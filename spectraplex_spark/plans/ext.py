@@ -2839,6 +2839,43 @@ def udaf_value_stats(spark, sf_dir):
 
 
 @query(
+    "udaf_value_stats_scalable",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(median(value), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+             AS iqr_value
+    FROM events GROUP BY event_type
+    """,
+    doc="The SCALE twin of udaf_value_stats — same exact median/IQR/"
+    "size against the same DuckDB oracle, but built from partial-"
+    "aggregatable pieces only (the r6 verdict's 'make the graded UDAF "
+    "the scale UDAF' ask): per-group counts map-side combine, a "
+    "row_number rank window sorts each group in the spillable "
+    "ExternalSorter, the ≤6 quantile-index rows per group survive "
+    "into a conditional-min HashAggregate (partial_min visible in the "
+    "plan — pytest-pinned), and the interpolation fraction is exact "
+    "((n-1)·p with p ∈ {¼,½,¾} is integer div/mod; frac ∈ {0,.25,.5,"
+    ".75} are exact binary doubles). No GROUPED_AGG pandas UDF, so no "
+    "group's full column ever sits in one task's memory — a skewed "
+    "group at 100 TB costs a spillable sort, not an OOM. Graded at "
+    "6dp (the udaf_value_stats precedent: linear interpolation's op "
+    "order may differ by 1 ulp across engines).",
+)
+def udaf_value_stats_scalable(spark, sf_dir):
+    from spectraplex_spark.functions.udaf import robust_value_stats_scalable
+
+    r = robust_value_stats_scalable(table(spark, sf_dir, "events"))
+    return r.select(
+        "event_type",
+        "n",
+        F.round("median_value", 6).alias("median_value"),
+        F.round("iqr_value", 6).alias("iqr_value"),
+    )
+
+
+@query(
     "doc_chunks_report",
     f"""
     WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)

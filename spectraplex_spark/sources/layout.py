@@ -158,6 +158,9 @@ def compact_to(
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / max(rows_per_file, 1)))
     df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    from spectraplex_spark.sources.commit import write_commit_manifest
+
+    write_commit_manifest(dst)  # publish: readers can validate/read_committed
     return files_before, len(spark.read.parquet(dst).inputFiles())
 
 

@@ -39,6 +39,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spectraplex_spark.sources.commit import write_commit_manifest
+
 OP_COL = "_op"
 
 
@@ -137,5 +139,11 @@ def merge_upsert(
                 shutil.rmtree(dst)
             if os.path.exists(src):
                 os.rename(src, dst)
+    # commit point: refresh the manifest AFTER the swap; until this
+    # rename lands, validate/read_committed reject the directory as
+    # mid-swap (sources/commit.py crash matrix) — the staged copy is
+    # only discarded once the new snapshot is committed
+    write_commit_manifest(target_path)
+    if partition_col is not None:
         shutil.rmtree(staged)
     return {"upserted": n_up, "deleted": n_del, "partitions_rewritten": n_parts}

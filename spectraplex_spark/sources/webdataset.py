@@ -135,6 +135,9 @@ def write_webdataset_shards(
         )
     finally:
         part.unpersist()
+    from spectraplex_spark.sources.commit import write_commit_manifest
+
+    write_commit_manifest(out_dir)  # publish the shard set atomically
     return len(manifest)
 
 
@@ -151,6 +154,14 @@ def read_webdataset_shards(
             T.StructField(text_col, T.StringType()),
         ]
     )
+
+    from spectraplex_spark.sources.commit import (
+        has_commit_manifest,
+        validate_commit_manifest,
+    )
+
+    if has_commit_manifest(in_dir):  # exported by write_webdataset_shards
+        validate_commit_manifest(in_dir)  # refuse a half-exported shard set
 
     def untar(pdfs):
         import pandas as pd

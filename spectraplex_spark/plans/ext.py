@@ -3481,6 +3481,82 @@ def simhash_planted_twins(spark, sf_dir):
 
 
 @query(
+    "simhash_dup_groups_planted",
+    """
+    SELECT doc_id AS representative, CAST(2 AS BIGINT) AS n_docs
+    FROM documents WHERE doc_id % 101 = 0
+    """,
+    doc="E1 SimHash GROUPING, hash-graded via the planted discipline — "
+    "the r6 verdict's stretch ask that retires the catalog's last "
+    "rows-only family. simhash_dup_groups runs over a RESTRICTED "
+    "planted view (every 101st doc plus its exact twin at +1e6): "
+    "identical text guarantees identical signatures, so each group is "
+    "exactly {doc, twin} and the oracle reconstructs (representative "
+    "= min id = doc_id, n_docs = 2) without ever computing a "
+    "signature. The signature column itself is dropped (xxhash64 has "
+    "no DuckDB twin — that's WHY the unrestricted query is rows-only). "
+    "Soundness guard: an organic signature collision WITHIN the 1/101 "
+    "subset would merge groups and invalidate the reconstruction, so "
+    "the builder asserts every group has exactly 2 members and fails "
+    "LOUDLY otherwise (verified clean at both SFs; the unrestricted "
+    "corpus's 6 organic collisions live outside this subset). The "
+    "unrestricted simhash_dup_groups stays in the catalog as the "
+    "documented rows-only operator.",
+)
+def simhash_dup_groups_planted(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") % 101 == 0)
+    twins = sub.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    groups = D.simhash_dup_groups(sub.unionByName(twins))
+    odd = groups.filter(F.col("n_docs") != 2).count()
+    if odd:  # loud, not a silent hash mismatch: the oracle's
+        # reconstruction is only sound when every group is {doc, twin}
+        raise AssertionError(
+            f"simhash_dup_groups_planted: {odd} group(s) with n_docs != 2 — "
+            "organic signature collision inside the 1/101 subset; planted "
+            "reconstruction unsound for this corpus"
+        )
+    return groups.select(
+        F.col("representative").cast("long").alias("representative"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "simhash_neighbor_pairs_planted",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
+    FROM documents WHERE doc_id % 101 = 0
+    """,
+    doc="E1 SimHash NEAR-MISS JOIN, hash-graded via the planted "
+    "discipline: the full 4×16-bit-block candidate join "
+    "(simhash_neighbor_pairs — posexplode into block buckets, "
+    "equi-join on (block, 2-byte key), bit_count(xor) verify, "
+    "dedup) runs over the corpus plus exact twins of every 101st "
+    "doc, and the output is filtered to the planted clone relation. "
+    "Pigeonhole recall is 1.0 for Hamming ≤ 3, and identical text "
+    "gives Hamming exactly 0, so the planted filter certifies the "
+    "ENTIRE blocked-join machinery bit-for-bit (the "
+    "simhash_planted_twins entry certifies only the exact-signature "
+    "equi-join; this one grades the scale path the unrestricted "
+    "rows-only query actually uses).",
+)
+def simhash_neighbor_pairs_planted(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    pairs = D.simhash_neighbor_pairs(planted)
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 1000000).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+@query(
     "webdataset_roundtrip",
     """
     WITH r AS (SELECT doc_id, text,

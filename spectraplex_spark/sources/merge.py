@@ -33,15 +33,34 @@ commits (compact_to's discipline).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from spectraplex_spark.sources.commit import write_commit_manifest
+from spectraplex_spark.sources.commit import (
+    TableInconsistentError,
+    validate_commit_manifest,
+    write_commit_manifest,
+)
 
 OP_COL = "_op"
+INTENT_NAME = "_spectraplex_intent.json"
+
+
+def _write_intent(staged_dir: str, intent: dict) -> None:
+    """WAL record inside the staged dir (underscore-prefixed: excluded
+    from data-file manifests), written tmp-then-rename BEFORE any swap
+    step so recover_merge can roll the swap forward."""
+    final = os.path.join(staged_dir, INTENT_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(intent, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, final)
 
 
 def merge_upsert(
@@ -120,17 +139,37 @@ def merge_upsert(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(staged)
+    # WAL: the intent record makes the staged dir self-describing, so
+    # recover_merge can roll an interrupted swap FORWARD — including
+    # pure-deletion partitions that leave no staged subdirectory
+    _write_intent(
+        staged,
+        {
+            "mode": "whole" if partition_col is None else "partitions",
+            "partition_col": partition_col,
+            "affected": [] if partition_col is None else [str(v) for v in affected],
+            # partitions WITH staged data are rewrites; affected
+            # partitions WITHOUT are pure deletions (recovery must
+            # re-delete them, not mistake the old dir for a finished
+            # swap)
+            "staged_parts": []
+            if partition_col is None
+            else sorted(
+                d for d in os.listdir(staged) if d.startswith(f"{partition_col}=")
+            ),
+        },
+    )
 
     if partition_col is None:
         # whole-table swap
         old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(target_path, old)
         os.rename(staged, target_path)
-        shutil.rmtree(old)
     else:
         # swap ONLY the affected partition directories; untouched
         # partitions are never read or written (verified in tests via
         # file mtimes)
+        old = None
         for v in affected:
             part = f"{partition_col}={v}"
             dst = os.path.join(target_path, part)
@@ -141,9 +180,141 @@ def merge_upsert(
                 os.rename(src, dst)
     # commit point: refresh the manifest AFTER the swap; until this
     # rename lands, validate/read_committed reject the directory as
-    # mid-swap (sources/commit.py crash matrix) — the staged copy is
-    # only discarded once the new snapshot is committed
+    # mid-swap (sources/commit.py crash matrix) — the staged/old copy
+    # is only discarded once the new snapshot is committed
+    if partition_col is None:
+        intent_in_target = os.path.join(target_path, INTENT_NAME)
+        if os.path.exists(intent_in_target):  # rode along in the rename
+            os.remove(intent_in_target)
     write_commit_manifest(target_path)
-    if partition_col is not None:
+    if partition_col is None:
+        shutil.rmtree(old)
+    else:
         shutil.rmtree(staged)
     return {"upserted": n_up, "deleted": n_del, "partitions_rewritten": n_parts}
+
+
+def _siblings(target_path: str, tag: str) -> list[str]:
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    base = os.path.basename(target_path.rstrip("/"))
+    return sorted(
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(f"{base}__{tag}_")
+    )
+
+
+def recover_merge(target_path: str) -> str:
+    """Bring a merge target back to a committed state after a crash,
+    rolling the interrupted swap FORWARD from the staged copy's intent
+    record (the WAL written before any swap step). Returns what was
+    done. State machine (every state a kill can leave, pytest-pinned):
+
+      clean           — manifest valid: drop orphan staged/old dirs.
+                        Includes a fully-staged merge whose swap never
+                        STARTED: it never reached its commit point, so
+                        it rolls back (staged copy abandoned; re-run
+                        the merge) — the canonical uncommitted-
+                        transaction outcome.
+      completed-merge — partition swap finished but the commit-manifest
+                        refresh didn't land (staged + intent present):
+                        re-apply the intent (idempotent — partitions
+                        already moved stay moved, pure-deletion
+                        partitions are re-deleted), commit, drop staged.
+      whole-forward   — whole-table swap interrupted: target missing →
+                        rename staged in; target present but
+                        uncommitted with a staged copy → replace it;
+                        then commit and drop the old copy.
+      commit-forward  — whole-table swap fully applied (old copy still
+                        beside the table, no staged) but uncommitted:
+                        write the manifest, drop old.
+      rolled-back     — only the old copy survived (target and staged
+                        both gone): restore old as target (its manifest
+                        is intact).
+
+    Anything else raises — automatic recovery must never guess."""
+    staged_dirs = _siblings(target_path, "staged")
+    old_dirs = _siblings(target_path, "old")
+    target_exists = os.path.exists(target_path)
+
+    def _committed() -> bool:
+        try:
+            validate_commit_manifest(target_path)
+            return True
+        except TableInconsistentError:
+            return False
+
+    if target_exists and _committed():
+        for d in (*staged_dirs, *old_dirs):
+            shutil.rmtree(d)
+        return "clean"
+
+    if len(staged_dirs) > 1:
+        raise TableInconsistentError(
+            f"{target_path}: {len(staged_dirs)} staged dirs — concurrent "
+            "writers are outside this protocol; resolve by hand"
+        )
+
+    if staged_dirs:
+        staged = staged_dirs[0]
+        intent_path = os.path.join(staged, INTENT_NAME)
+        if not os.path.exists(intent_path):
+            raise TableInconsistentError(
+                f"{staged}: staged dir without an intent record (pre-WAL "
+                "writer or partial stage) — remove it by hand and re-run "
+                "the merge"
+            )
+        with open(intent_path) as fh:
+            intent = json.load(fh)
+        if intent["mode"] == "whole":
+            if target_exists:
+                shutil.rmtree(target_path)  # uncommitted half-state
+            os.remove(intent_path)
+            os.rename(staged, target_path)
+            write_commit_manifest(target_path)
+            for d in old_dirs:
+                shutil.rmtree(d)
+            return "whole-forward"
+        # partition mode: re-apply the recorded swap, idempotently
+        pcol = intent["partition_col"]
+        staged_parts = set(intent["staged_parts"])
+        for v in intent["affected"]:
+            part = f"{pcol}={v}"
+            dst = os.path.join(target_path, part)
+            src = os.path.join(staged, part)
+            if part in staged_parts:  # rewrite: move unless already moved
+                if os.path.exists(src):
+                    if os.path.exists(dst):
+                        shutil.rmtree(dst)
+                    os.rename(src, dst)
+            else:  # pure deletion: the emptied partition must not survive
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+        write_commit_manifest(target_path)
+        shutil.rmtree(staged)
+        for d in old_dirs:
+            shutil.rmtree(d)
+        return "completed-merge"
+
+    if target_exists and old_dirs:
+        # whole-table swap fully applied but never committed
+        leftover = os.path.join(target_path, INTENT_NAME)
+        if os.path.exists(leftover):  # rode along in the rename
+            os.remove(leftover)
+        write_commit_manifest(target_path)
+        for d in old_dirs:
+            shutil.rmtree(d)
+        return "commit-forward"
+
+    if not target_exists and old_dirs:
+        os.rename(old_dirs[0], target_path)  # old manifest intact
+        validate_commit_manifest(target_path)
+        for d in old_dirs[1:]:
+            shutil.rmtree(d)
+        return "rolled-back"
+
+    raise TableInconsistentError(
+        f"{target_path}: no committed manifest, no staged copy, no old "
+        "copy — nothing to recover from automatically"
+    )
+

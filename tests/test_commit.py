@@ -146,3 +146,159 @@ def test_compact_to_publishes(spark, tmp_path):
     ).write.parquet(src)
     compact_to(spark, src, dst, rows_per_file=100)
     assert read_committed(spark, dst).count() == 50
+
+
+# ---- recover_merge: the crash-state machine -----------------------------
+
+def _intent(staged, mode, pcol=None, affected=(), staged_parts=()):
+    from spectraplex_spark.sources.merge import _write_intent
+
+    _write_intent(
+        staged,
+        {
+            "mode": mode,
+            "partition_col": pcol,
+            "affected": list(affected),
+            "staged_parts": list(staged_parts),
+        },
+    )
+
+
+def test_recover_clean_removes_orphans(spark, tmp_path):
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    merge_upsert(spark, path, _updates(spark), "k", partition_col="part")
+    os.makedirs(f"{path}__old_dead1")
+    assert recover_merge(path) == "clean"
+    assert not os.path.exists(f"{path}__old_dead1")
+    validate_commit_manifest(path)
+
+
+def test_recover_untouched_target_abandons_uncommitted_staged(spark, tmp_path):
+    """Crash BEFORE any swap step: the transaction never reached its
+    commit point, so recovery rolls BACK — the staged copy is dropped,
+    the committed table is untouched, and the caller re-runs the merge
+    (the canonical uncommitted-WAL-transaction outcome)."""
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    write_commit_manifest(path)
+    before = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    staged = f"{path}__staged_crash1"
+    spark.createDataFrame([(2, "v2_new", "a")], SCHEMA).write.partitionBy(
+        "part"
+    ).parquet(staged)
+    _intent(staged, "partitions", "part", ["a", "b"], ["part=a"])
+    assert recover_merge(path) == "clean"
+    assert not os.path.exists(staged)
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_recover_partition_swap_rolls_forward(spark, tmp_path):
+    """Crash MID-swap (the deletion of 'b' applied, the rewrite of 'a'
+    not yet): manifest invalid → recovery applies the remaining
+    rewrite AND keeps the pure deletion (the intent's
+    affected-without-staged-data case), then commits."""
+    import shutil as sh
+
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # parts a (k 0-4) and b (k 5-9)
+    write_commit_manifest(path)
+    staged = f"{path}__staged_crash1"
+    spark.createDataFrame([(2, "v2_new", "a")], SCHEMA).write.partitionBy(
+        "part"
+    ).parquet(staged)
+    _intent(staged, "partitions", "part", ["a", "b"], ["part=a"])
+    sh.rmtree(os.path.join(path, "part=b"))  # the deletion step ran
+    assert recover_merge(path) == "completed-merge"
+    validate_commit_manifest(path)
+    got = {(r["k"], r["v"], r["part"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(2, "v2_new", "a")}  # a rewritten, b stays deleted
+    assert not os.path.exists(staged)
+
+
+def test_recover_partition_swap_half_done_is_idempotent(spark, tmp_path):
+    """Crash AFTER 'a' moved but before 'b' was deleted: recovery must
+    keep the already-moved partition and finish the deletion."""
+    import shutil as sh
+
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    write_commit_manifest(path)
+    staged = f"{path}__staged_crash2"
+    spark.createDataFrame([(2, "v2_new", "a")], SCHEMA).write.partitionBy(
+        "part"
+    ).parquet(staged)
+    _intent(staged, "partitions", "part", ["a", "b"], ["part=a"])
+    # simulate: swap of 'a' already happened
+    sh.rmtree(os.path.join(path, "part=a"))
+    os.rename(os.path.join(staged, "part=a"), os.path.join(path, "part=a"))
+    assert recover_merge(path) == "completed-merge"
+    got = {(r["k"], r["v"], r["part"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(2, "v2_new", "a")}
+    validate_commit_manifest(path)
+
+
+def test_recover_whole_table_target_missing(spark, tmp_path):
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    write_commit_manifest(path)
+    old = f"{path}__old_crash3"
+    staged = f"{path}__staged_crash3"
+    spark.createDataFrame([(99, "v99", "a")], SCHEMA).write.parquet(staged)
+    _intent(staged, "whole")
+    os.rename(path, old)  # crash between the two renames
+    assert recover_merge(path) == "whole-forward"
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(99, "v99")}
+    validate_commit_manifest(path)
+    assert not os.path.exists(old) and not os.path.exists(staged)
+
+
+def test_recover_whole_table_uncommitted_target(spark, tmp_path):
+    """Crash after the new table renamed in but before the manifest
+    refresh: old copy still beside it, no staged — commit forward."""
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    write_commit_manifest(path)
+    old = f"{path}__old_crash4"
+    os.rename(path, old)
+    spark.createDataFrame([(99, "v99", "a")], SCHEMA).write.parquet(path)
+    assert recover_merge(path) == "commit-forward"
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(99, "v99")}
+    validate_commit_manifest(path)
+    assert not os.path.exists(old)
+
+
+def test_recover_rolled_back_restores_old(spark, tmp_path):
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    write_commit_manifest(path)
+    old = f"{path}__old_crash5"
+    os.rename(path, old)  # target vanished, no staged anywhere
+    assert recover_merge(path) == "rolled-back"
+    assert spark.read.parquet(path).count() == 10
+    validate_commit_manifest(path)
+
+
+def test_recover_refuses_to_guess(spark, tmp_path):
+    from spectraplex_spark.sources.merge import recover_merge
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # no manifest, no staged, no old
+    with pytest.raises(TableInconsistentError, match="nothing to recover"):
+        recover_merge(path)

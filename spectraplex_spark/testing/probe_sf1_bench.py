@@ -35,9 +35,15 @@ import time
 from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1eq"
+DST = "/tmp/sf1.0"  # parses as sf=1.0 (normalize_throughput scales its
+# synthetic generator by the dir-name SF — 10x rows at sf1.0, as intended)
 FACTOR = 10
 OFF = 10_000_000
+# embeddings replicas shift by only 2k per replica (organic vec_id < 2k):
+# the planted-view headroom guards require organic ids < the 100k twin
+# offset, and the guard firing on 10^7-shifted ids — correctly — was
+# masking the family's scaling numbers
+OFF_BY_TABLE = {"embeddings": 2_000}
 
 SHIFT_COLS = {
     "lineitem": ["l_orderkey"],
@@ -61,7 +67,7 @@ def build_replicated(spark, factor: int = FACTOR) -> None:
         for i in range(factor):
             r = base
             for k in keys:
-                r = r.withColumn(k, F.col(k) + F.lit(i * OFF))
+                r = r.withColumn(k, F.col(k) + F.lit(i * OFF_BY_TABLE.get(t, OFF)))
             if t == "documents" and i > 0:
                 # near-dup replicas: one appended token per replica so
                 # exact dedup keeps them and near-dup machinery works
@@ -94,7 +100,8 @@ def main() -> None:
     # phase A: one timed pass over every catalog query at sf0.1 to find
     # the most expensive non-headline entries (warmup at sf0.001 first)
     costs: dict[str, float] = {}
-    for name, q in CATALOG.items():
+    only_mode = len(sys.argv) > 1 and sys.argv[1] == "--only"
+    for name, q in ({} if only_mode else CATALOG).items():
         try:
             q.builder(spark, "/root/testdata/sf0.001").write.format("noop").mode(
                 "overwrite"
@@ -119,6 +126,8 @@ def main() -> None:
         print(f"  {n}: {t:.2f}s")
 
     targets = headline + top10
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        targets = sys.argv[2].split(",")
     print("\nphase B targets:", targets, flush=True)
     rows = []
     for name in targets:

@@ -3684,3 +3684,64 @@ def data_quality_report(spark, sf_dir):
         E.references("user_id", cust, "c_custkey"),
     ]
     return E.check_expectations(ev, rules)
+
+
+@query(
+    "epoch_append_roundtrip",
+    """
+    SELECT (SELECT COUNT(*) FROM events WHERE event_id % 3 = 0)
+               AS committed_before_adopt,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+    doc="K1/K2 append sinks under the epoch-commit protocol "
+    "(sources/commit.py) certified end to end: batch 1 (event_id % 3 "
+    "== 0) lands and commits epoch 0; batch 2 (the rest) lands with "
+    "its epoch commit suppressed — the simulated crash between "
+    "Spark's job commit and the epoch marker. The committed view must "
+    "show EXACTLY batch 1 (committed_before_adopt, hash-pinned to the "
+    "oracle's subquery count — a torn batch is invisible, never a "
+    "partial read), a replay of the torn batch must stay a no-op "
+    "(raw-directory anti-join), and adopt_uncommitted must roll the "
+    "orphaned files forward so the final committed view holds every "
+    "event exactly once (count + distinct ids + decimal-exact value "
+    "sum vs the source parquet). This closes the advice-ledger gap "
+    "that bronze/silver appends sat outside the manifest protocol — "
+    "the reference's Postgres INSERT atomicity (repo.rs:13-71), "
+    "re-expressed for parquet batches.",
+)
+def epoch_append_roundtrip(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.sources.commit import (
+        adopt_uncommitted,
+        read_committed_epochs,
+        validate_epochs,
+    )
+    from spectraplex_spark.sources.io import idempotent_append
+
+    ev = table(spark, sf_dir, "events").withColumnRenamed("event_id", "id")
+    path = _scratch_dir(sf_dir, "epoch_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    idempotent_append(
+        ev.filter(F.col("id") % 3 == 0), path, id_col="id", partition_by=("event_type",)
+    )
+    idempotent_append(
+        ev, path, id_col="id", partition_by=("event_type",), commit_epochs=False
+    )
+    n_before = read_committed_epochs(spark, path).count()
+    n_replay = idempotent_append(ev, path, id_col="id", partition_by=("event_type",))
+    if n_replay:  # torn batch must NOT be re-admitted by a replay
+        raise AssertionError(f"replay duplicated a torn batch: {n_replay} rows")
+    adopt_uncommitted(path)
+    if validate_epochs(path)["uncommitted"]:
+        raise AssertionError("adopt_uncommitted left orphaned files")
+    committed = read_committed_epochs(spark, path)
+    return committed.agg(
+        F.lit(int(n_before)).alias("committed_before_adopt"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.sum(F.col("value").cast(T.DecimalType(38, 6))).cast("double").alias("total_value"),
+    )

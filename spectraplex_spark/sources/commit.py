@@ -80,9 +80,25 @@ def _digest(files: dict[str, int]) -> str:
     return h.hexdigest()
 
 
-def write_commit_manifest(table_dir: str) -> dict:
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def write_commit_manifest(table_dir: str, content_hashes: bool = False) -> dict:
     """Snapshot table_dir's data files into the commit manifest.
-    tmp-write + fsync + rename: the rename IS the commit point."""
+    tmp-write + fsync + rename: the rename IS the commit point.
+
+    ``content_hashes=True`` additionally records a per-file sha256 —
+    opt-in because hashing re-reads every byte (at 100 TB that doubles
+    the write's I/O; the (path, size) default is sound for this write
+    protocol, see the module docstring). Use it for archival tables
+    where a byte-corrupting fault with preserved length must be caught
+    at validate() time rather than by parquet footer checksums at read
+    time."""
     files = _data_files(table_dir)
     manifest = {
         "version": 1,
@@ -91,6 +107,10 @@ def write_commit_manifest(table_dir: str) -> dict:
         "files": files,
         "digest": _digest(files),
     }
+    if content_hashes:
+        manifest["sha256"] = {
+            rel: _sha256(os.path.join(table_dir, rel)) for rel in files
+        }
     final = os.path.join(table_dir, MANIFEST_NAME)
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
@@ -105,11 +125,14 @@ def has_commit_manifest(table_dir: str) -> bool:
     return os.path.exists(os.path.join(table_dir, MANIFEST_NAME))
 
 
-def validate_commit_manifest(table_dir: str) -> dict:
+def validate_commit_manifest(table_dir: str, verify_content: bool = False) -> dict:
     """Prove table_dir matches its manifest exactly; return the
     manifest. Raises TableInconsistentError naming every missing /
     size-changed / unexpected file (a crash mid-swap leaves at least
-    one of those)."""
+    one of those). ``verify_content=True`` re-hashes every file against
+    the manifest's recorded sha256 (requires a manifest written with
+    ``content_hashes=True``; raises if the manifest carries none —
+    silently skipping the check the caller asked for would be worse)."""
     path = os.path.join(table_dir, MANIFEST_NAME)
     if not os.path.exists(path):
         raise TableInconsistentError(
@@ -134,6 +157,25 @@ def validate_commit_manifest(table_dir: str) -> dict:
             f"unexpected={unexpected[:5]}{'...' if len(unexpected) > 5 else ''} "
             f"resized={resized[:5]}{'...' if len(resized) > 5 else ''}"
         )
+    if verify_content:
+        recorded = manifest.get("sha256")
+        if not recorded:
+            raise TableInconsistentError(
+                f"{table_dir}: verify_content requested but the manifest "
+                "carries no content hashes — recommit with "
+                "write_commit_manifest(..., content_hashes=True)"
+            )
+        corrupt = sorted(
+            rel
+            for rel in expected
+            if _sha256(os.path.join(table_dir, rel)) != recorded[rel]
+        )
+        if corrupt:
+            raise TableInconsistentError(
+                f"{table_dir}: content hash mismatch (byte corruption with "
+                f"preserved length): {corrupt[:5]}"
+                f"{'...' if len(corrupt) > 5 else ''}"
+            )
     return manifest
 
 
@@ -147,3 +189,179 @@ def read_committed(spark, table_dir: str):
     if not paths:
         raise TableInconsistentError(f"{table_dir}: committed manifest lists no files")
     return spark.read.option("basePath", table_dir).parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# Epoch manifests for APPEND-ONLY sinks (bronze/silver, sources/io.py).
+#
+# Stage-then-swap tables get one manifest per publish; append-only
+# tables grow by batches, so a single whole-table manifest would go
+# stale on every append. The epoch protocol commits each batch
+# separately: after a batch's data files land, ONE epoch manifest
+# (``_spectraplex_epochs/epoch-%06d.json``, tmp+fsync+rename — the
+# rename is the commit point) lists exactly the files that batch
+# added. The committed table IS the union of the epoch manifests:
+#
+#   - a writer killed between Spark's job commit and the epoch write
+#     leaves data files covered by no epoch — committed readers do not
+#     see them (validate_epochs names them; adopt_uncommitted rolls
+#     them forward, sound because Spark's FileOutputCommitter only
+#     exposes complete task outputs at job commit);
+#   - a writer killed BEFORE job commit leaves only ``_temporary``
+#     droppings, which the underscore rule already excludes;
+#   - a reader racing an append sees the previous epochs in full —
+#     never a torn batch.
+#
+# Single-writer protocol, like merge_upsert: concurrent appenders
+# would race the epoch numbering; serialize writers per table.
+# Epoch 0 BOOTSTRAPS a legacy table: the first commit covers every
+# data file present (prior history + the first committed batch).
+# ---------------------------------------------------------------------------
+
+EPOCH_DIR = "_spectraplex_epochs"
+
+
+def _epoch_paths(table_dir: str) -> list[str]:
+    d = os.path.join(table_dir, EPOCH_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.startswith("epoch-") and f.endswith(".json")
+    )
+
+
+def committed_epoch_files(
+    table_dir: str, as_of_epoch: int | None = None
+) -> dict[str, int]:
+    """Union of committed epochs' file lists (rel path -> size).
+    ``as_of_epoch=N`` stops after epoch N — the table as it stood at
+    that commit (epochs are append-only, so old snapshots stay
+    readable: time travel for free)."""
+    out: dict[str, int] = {}
+    for p in _epoch_paths(table_dir):
+        with open(p) as fh:
+            m = json.load(fh)
+        if as_of_epoch is not None and m["epoch"] > as_of_epoch:
+            break
+        out.update(m["files"])
+    return out
+
+
+def commit_append_epoch(table_dir: str) -> dict | None:
+    """Commit the files an append batch just added: diff the directory
+    against the union of prior epochs and publish the delta as the
+    next epoch. Returns the epoch manifest, or None if the batch added
+    nothing (a replayed no-op append commits no epoch)."""
+    committed = committed_epoch_files(table_dir)
+    new = {
+        rel: size
+        for rel, size in _data_files(table_dir).items()
+        if rel not in committed
+    }
+    if not new:
+        return None
+    n = len(_epoch_paths(table_dir))
+    manifest = {
+        "version": 1,
+        "epoch": n,
+        "n_files": len(new),
+        "n_bytes": sum(new.values()),
+        "files": new,
+        "digest": _digest(new),
+    }
+    d = os.path.join(table_dir, EPOCH_DIR)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"epoch-{n:06d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, final)
+    return manifest
+
+
+def validate_epochs(table_dir: str) -> dict:
+    """Prove every committed epoch's files are present at their
+    recorded sizes; return {'files': union, 'epochs': n,
+    'uncommitted': [rel, ...]} where ``uncommitted`` lists data files
+    in the directory that no epoch covers (a writer died between job
+    commit and epoch commit — candidates for adopt_uncommitted).
+    Raises TableInconsistentError if a COMMITTED file is missing or
+    resized (epochs are append-only history; that never happens under
+    the protocol)."""
+    if not _epoch_paths(table_dir):
+        raise TableInconsistentError(
+            f"{table_dir}: no epoch manifests under {EPOCH_DIR} — table has "
+            "no committed appends; refusing to trust the directory listing"
+        )
+    committed = committed_epoch_files(table_dir)
+    actual = _data_files(table_dir)
+    missing = sorted(set(committed) - set(actual))
+    resized = sorted(
+        rel for rel in set(committed) & set(actual) if committed[rel] != actual[rel]
+    )
+    if missing or resized:
+        raise TableInconsistentError(
+            f"{table_dir}: committed epoch files deviate (append-only "
+            f"history violated): missing={missing[:5]}"
+            f"{'...' if len(missing) > 5 else ''} resized={resized[:5]}"
+            f"{'...' if len(resized) > 5 else ''}"
+        )
+    return {
+        "files": committed,
+        "epochs": len(_epoch_paths(table_dir)),
+        "uncommitted": sorted(set(actual) - set(committed)),
+    }
+
+
+def read_committed_epochs(spark, table_dir: str, as_of_epoch: int | None = None):
+    """Read exactly the union of committed epochs (basePath preserves
+    partition columns). Files from a torn append — present on disk but
+    committed by no epoch — are invisible. ``as_of_epoch=N`` reads the
+    table as of that commit (append-only epochs never rewrite old
+    files, so every historical snapshot remains intact until a
+    compaction rewrites the table)."""
+    state = validate_epochs(table_dir)
+    files = (
+        state["files"]
+        if as_of_epoch is None
+        else committed_epoch_files(table_dir, as_of_epoch)
+    )
+    if not files:
+        raise TableInconsistentError(
+            f"{table_dir}: committed epochs list no files"
+            + (f" as of epoch {as_of_epoch}" if as_of_epoch is not None else "")
+        )
+    paths = [os.path.join(table_dir, rel) for rel in sorted(files)]
+    return spark.read.option("basePath", table_dir).parquet(*paths)
+
+
+def adopt_uncommitted(table_dir: str) -> dict | None:
+    """Roll a torn append forward: commit every data file no epoch
+    covers as a new epoch. Sound because files only become visible at
+    Spark job commit (complete task outputs); call after verifying the
+    writer is dead. Returns the new epoch manifest or None if nothing
+    was orphaned."""
+    return commit_append_epoch(table_dir)
+
+
+def vacuum_uncommitted(table_dir: str) -> list[str]:
+    """The abandon alternative to adopt_uncommitted: DELETE every data
+    file no epoch covers, so the directory again equals the committed
+    union (and raw-directory readers — including the idempotent-append
+    anti-join — converge with the committed view, after which the
+    abandoned batch CAN be re-appended). Call only after verifying the
+    writer is dead; returns the deleted relative paths. Committed
+    files are never touched (validate_epochs first proves they're all
+    present, so a bad epoch dir aborts before any delete)."""
+    orphans = validate_epochs(table_dir)["uncommitted"]
+    for rel in orphans:
+        os.remove(os.path.join(table_dir, rel))
+    # drop now-empty partition dirs so the listing stays clean
+    for root, dirs, files in os.walk(table_dir, topdown=False):
+        if root != table_dir and not os.listdir(root):
+            os.rmdir(root)
+    return orphans

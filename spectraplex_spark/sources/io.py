@@ -150,6 +150,7 @@ def idempotent_append(
     id_col: str = "id",
     partition_by: tuple[str, ...] = (),
     scope: F.Column | None = None,
+    commit_epochs: bool = True,
 ) -> int:
     """K1/K2: append only rows whose id is not already in the target.
 
@@ -161,6 +162,16 @@ def idempotent_append(
     Within-batch duplicates are also collapsed (first occurrence wins
     arbitrarily among identical ids — the reference's ON CONFLICT keeps
     the first INSERT too, repo.rs:26).
+
+    Each batch that lands is committed as an epoch manifest
+    (sources/commit.py) — the append-only analog of the stage-then-swap
+    commit marker: readers via ``read_committed_epochs`` never see a
+    torn batch, and a writer killed between Spark's job commit and the
+    epoch commit is detected (and rolled forward) by
+    ``validate_epochs``/``adopt_uncommitted``. The anti-join above
+    deliberately reads the RAW directory, not the committed view, so a
+    replay after a torn append stays a no-op instead of duplicating the
+    orphaned rows.
     """
     spark = df.sparkSession
     batch = df.dropDuplicates([id_col])
@@ -181,6 +192,10 @@ def idempotent_append(
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
+            if commit_epochs:
+                from spectraplex_spark.sources.commit import commit_append_epoch
+
+                commit_append_epoch(path)
     finally:
         batch.unpersist()
     return n

@@ -302,3 +302,172 @@ def test_recover_refuses_to_guess(spark, tmp_path):
     _seed(spark, path)  # no manifest, no staged, no old
     with pytest.raises(TableInconsistentError, match="nothing to recover"):
         recover_merge(path)
+
+
+# ---------------------------------------------------------------------------
+# Epoch manifests for append-only sinks: each idempotent_append batch
+# commits an epoch; committed readers never see a torn batch.
+# ---------------------------------------------------------------------------
+
+from spectraplex_spark.sources.commit import (  # noqa: E402
+    EPOCH_DIR,
+    adopt_uncommitted,
+    commit_append_epoch,
+    read_committed_epochs,
+    validate_epochs,
+)
+from spectraplex_spark.sources.io import idempotent_append  # noqa: E402
+
+EV_SCHEMA = "id long, v string, part string"
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"v{i}", "a" if i % 2 == 0 else "b") for i in range(lo, hi)], EV_SCHEMA
+    )
+
+
+def test_each_append_batch_commits_one_epoch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",)) == 10
+    assert idempotent_append(_batch(spark, 5, 20), path, partition_by=("part",)) == 10
+    st = validate_epochs(path)
+    assert st["epochs"] == 2 and st["uncommitted"] == []
+    got = read_committed_epochs(spark, path)
+    assert got.count() == 20
+    assert "part" in got.columns  # partition column survives file-list read
+    # replayed no-op append commits NO epoch
+    assert idempotent_append(_batch(spark, 0, 20), path, partition_by=("part",)) == 0
+    assert validate_epochs(path)["epochs"] == 2
+
+
+def test_torn_append_is_invisible_then_adoptable(spark, tmp_path):
+    """Writer dies between Spark job commit and the epoch commit: the
+    batch's files exist but no epoch covers them — committed readers
+    see only prior epochs; adopt_uncommitted rolls the batch forward;
+    a replay before adoption stays a no-op (raw-directory anti-join)."""
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",))
+    # simulate the crash: land a second batch with NO epoch commit
+    idempotent_append(
+        _batch(spark, 10, 15), path, partition_by=("part",), commit_epochs=False
+    )
+    st = validate_epochs(path)
+    assert st["epochs"] == 1 and len(st["uncommitted"]) > 0
+    assert read_committed_epochs(spark, path).count() == 10
+    # replay of the torn batch does NOT duplicate its rows
+    assert idempotent_append(_batch(spark, 10, 15), path, partition_by=("part",)) == 0
+    m = adopt_uncommitted(path)
+    assert m is not None and m["epoch"] == 1
+    assert validate_epochs(path)["uncommitted"] == []
+    assert read_committed_epochs(spark, path).count() == 15
+
+
+def test_epoch_bootstrap_covers_legacy_files(spark, tmp_path):
+    """First committed append to a pre-epoch table: epoch 0 covers the
+    legacy history plus the batch — the committed view is complete."""
+    path = str(tmp_path / "t")
+    _batch(spark, 0, 10).write.partitionBy("part").parquet(path)  # legacy, no epochs
+    with pytest.raises(TableInconsistentError, match="no epoch manifests"):
+        validate_epochs(path)
+    idempotent_append(_batch(spark, 10, 12), path, partition_by=("part",))
+    st = validate_epochs(path)
+    assert st["epochs"] == 1 and st["uncommitted"] == []
+    assert read_committed_epochs(spark, path).count() == 12
+
+
+def test_committed_epoch_file_loss_is_detected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",))
+    victim = next(
+        f
+        for f in glob.glob(f"{path}/part=*/*")
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    os.remove(victim)
+    with pytest.raises(TableInconsistentError, match="missing"):
+        validate_epochs(path)
+
+
+def test_epoch_commit_is_atomic_tmp_then_rename(spark, tmp_path):
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",))
+    d = os.path.join(path, EPOCH_DIR)
+    assert not glob.glob(os.path.join(d, "*.tmp"))
+    # a directly-invoked no-op commit returns None and writes nothing
+    assert commit_append_epoch(path) is None
+    assert len(glob.glob(os.path.join(d, "epoch-*.json"))) == 1
+
+
+def test_content_hashes_catch_same_size_corruption(spark, tmp_path):
+    """The one fault the (path, size) default cannot see: a flipped
+    byte with preserved length. Opt-in sha256 catches it."""
+    from spectraplex_spark.sources.commit import _sha256  # noqa: F401
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m = write_commit_manifest(path, content_hashes=True)
+    assert set(m["sha256"]) == set(m["files"])
+    validate_commit_manifest(path, verify_content=True)  # clean table passes
+    victim = next(
+        f
+        for f in glob.glob(f"{path}/part=*/*")
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as fh:
+        fh.seek(size // 2)
+        b = fh.read(1)
+        fh.seek(size // 2)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    assert os.path.getsize(victim) == size
+    validate_commit_manifest(path)  # size-only check is blind to it
+    with pytest.raises(TableInconsistentError, match="content hash"):
+        validate_commit_manifest(path, verify_content=True)
+
+
+def test_verify_content_without_hashes_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    write_commit_manifest(path)
+    with pytest.raises(TableInconsistentError, match="no content hashes"):
+        validate_commit_manifest(path, verify_content=True)
+
+
+def test_time_travel_reads_historic_epochs(spark, tmp_path):
+    """Epochs are append-only, so every historical snapshot stays
+    readable: as_of_epoch=N is the table at that commit."""
+    from spectraplex_spark.sources.commit import committed_epoch_files
+
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",))
+    idempotent_append(_batch(spark, 10, 25), path, partition_by=("part",))
+    idempotent_append(_batch(spark, 25, 30), path, partition_by=("part",))
+    assert read_committed_epochs(spark, path, as_of_epoch=0).count() == 10
+    assert read_committed_epochs(spark, path, as_of_epoch=1).count() == 25
+    assert read_committed_epochs(spark, path).count() == 30
+    # as-of listing is a strict prefix of the full listing
+    assert set(committed_epoch_files(path, 1)) <= set(committed_epoch_files(path))
+
+
+def test_vacuum_abandons_torn_batch_and_reopens_replay(spark, tmp_path):
+    """The abandon path: vacuum deletes the orphaned files, after which
+    the SAME batch can be re-appended (the anti-join no longer sees the
+    torn copy) and commits a real epoch."""
+    from spectraplex_spark.sources.commit import vacuum_uncommitted
+
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",))
+    idempotent_append(
+        _batch(spark, 10, 15), path, partition_by=("part",), commit_epochs=False
+    )
+    deleted = vacuum_uncommitted(path)
+    assert deleted and validate_epochs(path)["uncommitted"] == []
+    # committed files untouched; raw directory == committed union again
+    assert read_committed_epochs(spark, path).count() == 10
+    assert spark.read.parquet(path).count() == 10
+    # the abandoned batch re-appends cleanly and commits epoch 1
+    assert idempotent_append(_batch(spark, 10, 15), path, partition_by=("part",)) == 5
+    st = validate_epochs(path)
+    assert st["epochs"] == 2 and st["uncommitted"] == []
+    assert read_committed_epochs(spark, path).count() == 15

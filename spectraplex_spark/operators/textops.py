@@ -444,3 +444,61 @@ def bigram_surprise_report(
             ).alias("rare_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Encoding / garbage detection — the CCNet/ftfy-style gate: documents
+# that survived a bad decode (U+FFFD replacement characters) or carry
+# raw control bytes are poison for tokenizer training. All metrics are
+# exact integer counts so the report bit-grades against a SQL oracle;
+# a real pipeline thresholds on them (e.g. drop any doc with a
+# replacement char; drop docs whose control density exceeds 1e-4).
+# Length-difference counting (len(t) - len(strip(t))) keeps the whole
+# pass in JVM expressions — narrow, zero-shuffle until the report's
+# single groupBy.
+# --------------------------------------------------------------------------
+
+REPLACEMENT_CHAR = "�"
+# C0 controls minus \t\n\r, plus DEL. Kept to single BMP code points so
+# Java (UTF-16 units) and RE2 (code points) count identically.
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def replacement_char_count(text: Column) -> Column:
+    """How many U+FFFD replacement characters the document carries —
+    each one marks a byte sequence some earlier decode step destroyed."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(REPLACEMENT_CHAR), F.lit("")))
+    ).cast("long")
+
+
+def control_char_count(text: Column) -> Column:
+    """Count of C0 control characters (excluding tab/newline/CR) and
+    DEL — the signature of binary data decoded as text."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, CONTROL_RE, ""))
+    ).cast("long")
+
+
+def encoding_report(df: DataFrame, text_col: str = "text", group_cols=("source",)) -> DataFrame:
+    """Per-group encoding-health report: document counts, total and
+    per-doc-flag counts of replacement/control characters, and the
+    clean-document count a filter stage would keep. One narrow
+    projection then one partial-aggregated groupBy — at 100 TB this is
+    a single scan whose shuffle carries |groups| rows."""
+    t = F.col(text_col)
+    enriched = df.select(
+        *group_cols,
+        replacement_char_count(t).alias("_repl"),
+        control_char_count(t).alias("_ctrl"),
+    )
+    return enriched.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("_repl").alias("replacement_chars"),
+        F.sum("_ctrl").alias("control_chars"),
+        F.sum((F.col("_repl") > 0).cast("long")).alias("mojibake_docs"),
+        F.sum((F.col("_ctrl") > 0).cast("long")).alias("control_docs"),
+        F.sum(((F.col("_repl") == 0) & (F.col("_ctrl") == 0)).cast("long")).alias(
+            "clean_docs"
+        ),
+    )

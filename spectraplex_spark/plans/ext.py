@@ -3745,3 +3745,58 @@ def epoch_append_roundtrip(spark, sf_dir):
         F.countDistinct("id").alias("n_ids"),
         F.sum(F.col("value").cast(T.DecimalType(38, 6))).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "encoding_quality_report",
+    """
+    WITH dirty AS (
+      SELECT source,
+             text || CASE
+               WHEN doc_id % 7 = 0 THEN ' ' || chr(65533) || chr(65533) || 'x' || chr(1)
+               WHEN doc_id % 11 = 0 THEN chr(65533)
+               WHEN doc_id % 13 = 0 THEN chr(2) || chr(127)
+               ELSE ''
+             END AS t
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(LENGTH(t) - LENGTH(REPLACE(t, chr(65533), ''))) AS BIGINT)
+               AS replacement_chars,
+           CAST(SUM(LENGTH(t) - LENGTH(regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))) AS BIGINT)
+               AS control_chars,
+           CAST(SUM(CASE WHEN LENGTH(t) > LENGTH(REPLACE(t, chr(65533), '')) THEN 1 ELSE 0 END) AS BIGINT)
+               AS mojibake_docs,
+           CAST(SUM(CASE WHEN LENGTH(t) > LENGTH(regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) THEN 1 ELSE 0 END) AS BIGINT)
+               AS control_docs,
+           CAST(SUM(CASE WHEN LENGTH(t) = LENGTH(REPLACE(t, chr(65533), ''))
+                     AND LENGTH(t) = LENGTH(regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs
+    FROM dirty
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="E4 encoding/garbage gate — the CCNet/ftfy-style stage a "
+    "tokenizer-training pipeline runs before anything else: U+FFFD "
+    "replacement characters (a destroyed decode) and raw C0/DEL "
+    "control bytes (binary decoded as text) are counted per source "
+    "with exact integers, so the report bit-grades. The corpus is "
+    "clean ASCII, so both engines plant the SAME deterministic "
+    "mojibake (doc_id mod 7/11/13 suffixes built from chr() on both "
+    "sides) and the detector must find exactly it — the planted-view "
+    "discipline. Length-difference counting keeps the pass in JVM "
+    "expressions: one narrow scan, one |sources|-row shuffle.",
+)
+def encoding_quality_report(spark, sf_dir):
+    from spectraplex_spark.operators.textops import encoding_report
+
+    docs = table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ��x\x01"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("�"))
+        .when(F.col("doc_id") % 13 == 0, F.lit("\x02\x7f"))
+        .otherwise(F.lit(""))
+    )
+    dirty = docs.select("source", F.concat(F.col("text"), suffix).alias("text"))
+    return encoding_report(dirty).orderBy("source")

@@ -878,3 +878,24 @@ def test_quality_linear_scorer_plan_is_narrow(spark):
     plan = quality_classifier_report(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_encoding_report_counts_planted_garbage(spark):
+    """The encoding gate finds exactly the planted mojibake/control
+    bytes: per-char totals AND per-doc flags, clean docs untouched."""
+    rows = [
+        ("a", "clean text"),
+        ("a", "bad � decode � here"),   # 2 replacement chars
+        ("a", "binary\x00\x1f\x7fleak"),          # 3 control chars
+        ("b", "tabs\tand\nnewlines\rare fine"),   # whitelisted controls
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: r
+        for r in X.encoding_report(df).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a["docs"], a["replacement_chars"], a["control_chars"]) == (3, 2, 3)
+    assert (a["mojibake_docs"], a["control_docs"], a["clean_docs"]) == (1, 1, 1)
+    assert (b["docs"], b["replacement_chars"], b["control_chars"]) == (1, 0, 0)
+    assert b["clean_docs"] == 1

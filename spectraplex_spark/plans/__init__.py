@@ -75,10 +75,17 @@ _GRADED_PRIORITY = [
     "text_sentence_split",
     "window_lag_order_gap",
     "window_rank_suite",
-    # (b) new this round
+    # (b) new this round (incl. two late additions: the append-epoch
+    # commit protocol and the encoding/garbage gate — both passed the
+    # dual-SF local parity bar; to keep the window at 50 they displace
+    # embedding_neardup_pairs and daily_rollup_events to r8, each of
+    # whose families keeps 2+/1 fresher entries in-window
+    # (bucketed+multiprobe; incremental_rollup_merge))
     "udaf_value_stats_scalable",
     "simhash_dup_groups_planted",
     "simhash_neighbor_pairs_planted",
+    "epoch_append_roundtrip",
+    "encoding_quality_report",
     # (c) code changed this round — r6 hash no longer certifies HEAD
     "webdataset_roundtrip",
     "merge_upsert_roundtrip",
@@ -95,13 +102,11 @@ _GRADED_PRIORITY = [
     "session_stats",
     "session_window_builtin",
     "sliding_window_rollup",
-    "daily_rollup_events",
     "incremental_rollup_merge",
     "incremental_neardup_planted",
     "minhash_neardup_planted",
     "embedding_neardup_bucketed",
     "embedding_neardup_multiprobe",
-    "embedding_neardup_pairs",
     "simsearch_ann_lsh",
     "simsearch_ivf_topk",
     "sketch_event_profile",

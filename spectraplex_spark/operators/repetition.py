@@ -1,0 +1,193 @@
+"""E4 repetition-quality signals (the Gopher/MassiveText filter family;
+Rae et al. 2021, table A1) for LLM-data pipelines — driver-mandated
+extension, SURVEY §2.11; no reference citation (the reference has no
+text-quality surface).
+
+Two signal families over word n-grams:
+
+  - ``top_ngram_char_frac(text, n)`` — fraction of characters covered
+    by the single most frequent word n-gram (n=2..4 in Gopher). High
+    values flag keyword stuffing / SEO spam.
+  - ``dup_ngram_char_frac(text, n)`` — fraction of characters covered
+    by n-grams that occur more than once (n=5..10 in Gopher). High
+    values flag templated / looping text.
+
+Definitions are made exact so both engines bit-agree:
+
+  - "characters" of an occurrence = ``length(gram)`` of the
+    space-joined n-gram (internal separator spaces included), times the
+    occurrence count; the denominator is ``length(normalized(text))``.
+    This is the standard non-overlap-adjusted variant (overlapping
+    occurrences double-count shared characters); Gopher's
+    overlap-adjusted char marking needs per-position state that buys
+    nothing on whitespace-tokenized corpora.
+  - ties for "most frequent" resolve to the lexicographically smallest
+    n-gram: the Spark side scans the SORTED gram array keeping strict
+    maxima, the DuckDB oracle orders ``cnt DESC, gram ASC``.
+  - numerators and denominators are exact BIGINTs; the one division is
+    int/int → IEEE double, which both engines round identically, so
+    the fractions bit-grade without a ROUND.
+
+100 TB shape: everything here is a per-row higher-order-function
+expression — whole-stage codegen, zero shuffle, zero Python. The gram
+arrays live only inside one projection (never materialized to a
+column of exploded rows), so the scan stays a narrow map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from spectraplex_spark.operators.textops import normalized, tokens
+
+
+def ngram_strings(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty when the doc
+    has fewer than ``n`` tokens — ``F.sequence`` would otherwise count
+    DOWN and fabricate grams)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngram_stats(text: Column, n: int) -> Column:
+    """``struct(cnt BIGINT, gram_chars BIGINT)`` of the most frequent
+    word n-gram: one run-length scan over the sorted gram array (strict
+    ``>`` keeps the lexicographically smallest gram among count ties)."""
+    grams = F.array_sort(ngram_strings(tokens(text), n))
+    scanned = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best_cnt"),
+            F.lit("").alias("best_gram"),
+        ),
+        lambda acc, x: _top_step(acc, x),
+        lambda acc: F.struct(
+            acc["best_cnt"].alias("cnt"),
+            F.length(acc["best_gram"]).cast("long").alias("gram_chars"),
+        ),
+    )
+    return scanned
+
+
+def _top_step(acc: Column, x: Column) -> Column:
+    run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    better = run > acc["best_cnt"]
+    return F.struct(
+        x.alias("prev"),
+        run.alias("run"),
+        F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+        F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+    )
+
+
+def top_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of normalized-text characters covered by the most
+    frequent word n-gram (0.0 for docs with fewer than n tokens)."""
+    stats = top_ngram_stats(text, n)
+    total = F.length(normalized(text)).cast("long")
+    return F.when(
+        (total > 0) & (stats["cnt"] > 0),
+        (stats["cnt"] * stats["gram_chars"]).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_chars(text: Column, n: int) -> Column:
+    """BIGINT characters covered by word n-grams occurring more than
+    once (count × gram length summed over duplicated grams): one
+    run-length scan over the sorted gram array, the trailing run folded
+    in by the finish lambda."""
+    grams = F.array_sort(ngram_strings(tokens(text), n))
+    return F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda st, x: _dup_step(st, x),
+        lambda st: st["acc"] + _run_chars(st["run"], st["prev"]),
+    )
+
+
+def _run_chars(run: Column, gram: Column) -> Column:
+    return F.when(run > 1, run * F.length(gram).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def _dup_step(st: Column, x: Column) -> Column:
+    new_run = F.when(x == st["prev"], st["run"] + 1).otherwise(
+        F.lit(1).cast("long")
+    )
+    closed = F.when(x == st["prev"], F.lit(0).cast("long")).otherwise(
+        _run_chars(st["run"], st["prev"])
+    )
+    return F.struct(
+        x.alias("prev"), new_run.alias("run"), (st["acc"] + closed).alias("acc")
+    )
+
+
+def dup_ngram_char_frac(text: Column, n: int) -> Column:
+    """Fraction of normalized-text characters covered by duplicated
+    word n-grams (0.0 for docs with fewer than n tokens)."""
+    total = F.length(normalized(text)).cast("long")
+    return F.when(
+        total > 0,
+        dup_ngram_chars(text, n).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_report(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7),
+) -> DataFrame:
+    """Per-document Gopher repetition signals: ``top{n}_gram_frac`` for
+    each n in ``top_ns`` and ``dup{n}_gram_frac`` for each n in
+    ``dup_ns``. One zero-shuffle projection."""
+    t = F.col(text_col)
+    out = df
+    for n in top_ns:
+        out = out.withColumn(f"top{n}_gram_frac", top_ngram_char_frac(t, n))
+    for n in dup_ns:
+        out = out.withColumn(f"dup{n}_gram_frac", dup_ngram_char_frac(t, n))
+    return out
+
+
+# Integer-grid gate thresholds: frac < num/den is evaluated as
+# cnt_chars * den < total_chars * num — exact BIGINT arithmetic, no
+# float boundary (a doc sitting exactly ON a float threshold can
+# otherwise flip between engines).
+TOP2_MAX = (20, 100)  # top-2-gram char fraction must be < 0.20
+DUP5_MAX = (30, 100)  # dup-5-gram char fraction must be < 0.30
+
+
+def repetition_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    top2_max: tuple[int, int] = TOP2_MAX,
+    dup5_max: tuple[int, int] = DUP5_MAX,
+) -> DataFrame:
+    """Keep documents passing the Gopher repetition thresholds, with
+    exact integer threshold arithmetic (the textops quality-classifier
+    discipline). Adds a ``repetition_pass`` boolean rather than
+    filtering, so callers can report as well as gate."""
+    t = F.col(text_col)
+    total = F.length(normalized(t)).cast("long")
+    top2 = top_ngram_stats(t, 2)
+    top2_chars = top2["cnt"] * top2["gram_chars"]
+    dup5_c = dup_ngram_chars(t, 5)
+    n2, d2 = top2_max
+    n5, d5 = dup5_max
+    passes = (total > 0) & (top2_chars * d2 < total * n2) & (dup5_c * d5 < total * n5)
+    return df.withColumn("repetition_pass", passes)

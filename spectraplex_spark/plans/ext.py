@@ -3800,3 +3800,141 @@ def encoding_quality_report(spark, sf_dir):
     )
     dirty = docs.select("source", F.concat(F.col("text"), suffix).alias("text"))
     return encoding_report(dirty).orderBy("source")
+
+
+# --- Gopher/MassiveText repetition signals (r7) ---------------------------
+
+def _duck_grams(n: int) -> str:
+    """DuckDB twin of repetition.ngram_strings over a ``toks`` column."""
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks)-{n}+2), "
+        f"i -> array_to_string(list_slice(toks, i, i+{n}-1), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _duck_top(n: int) -> str:
+    """CTE body: per-doc most-frequent n-gram (cnt DESC, gram ASC — the
+    twin of the strict-> scan over the sorted array)."""
+    return (
+        f"SELECT doc_id, cnt, CAST(length(gram) AS BIGINT) AS glen, "
+        f"ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn "
+        f"FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM "
+        f"(SELECT doc_id, unnest({_duck_grams(n)}) AS gram FROM base) GROUP BY 1, 2)"
+    )
+
+
+def _duck_dup(n: int) -> str:
+    """CTE body: per-doc characters covered by duplicated n-grams."""
+    return (
+        f"SELECT doc_id, CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) "
+        f"ELSE 0 END) AS BIGINT) AS dchars "
+        f"FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM "
+        f"(SELECT doc_id, unnest({_duck_grams(n)}) AS gram FROM base) GROUP BY 1, 2) "
+        f"GROUP BY doc_id"
+    )
+
+
+_REP_BASE_SQL = (
+    f"SELECT doc_id, source, CAST(length({_NORM_SQL}) AS BIGINT) AS total, "
+    f"{_TOKENS_SQL} AS toks FROM documents"
+)
+
+
+@query(
+    "gopher_repetition_report",
+    f"""
+    WITH base AS ({_REP_BASE_SQL}),
+    top2 AS ({_duck_top(2)}),
+    top3 AS ({_duck_top(3)}),
+    dup5 AS ({_duck_dup(5)}),
+    dup6 AS ({_duck_dup(6)})
+    SELECT b.doc_id,
+           COALESCE(CASE WHEN b.total > 0 AND t2.cnt > 0
+                    THEN CAST(t2.cnt * t2.glen AS DOUBLE) / CAST(b.total AS DOUBLE)
+                    END, CAST(0 AS DOUBLE)) AS top2_gram_frac,
+           COALESCE(CASE WHEN b.total > 0 AND t3.cnt > 0
+                    THEN CAST(t3.cnt * t3.glen AS DOUBLE) / CAST(b.total AS DOUBLE)
+                    END, CAST(0 AS DOUBLE)) AS top3_gram_frac,
+           COALESCE(CASE WHEN b.total > 0
+                    THEN CAST(d5.dchars AS DOUBLE) / CAST(b.total AS DOUBLE)
+                    END, CAST(0 AS DOUBLE)) AS dup5_gram_frac,
+           COALESCE(CASE WHEN b.total > 0
+                    THEN CAST(d6.dchars AS DOUBLE) / CAST(b.total AS DOUBLE)
+                    END, CAST(0 AS DOUBLE)) AS dup6_gram_frac
+    FROM base b
+    LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id AND t2.rn = 1
+    LEFT JOIN top3 t3 ON t3.doc_id = b.doc_id AND t3.rn = 1
+    LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+    LEFT JOIN dup6 d6 ON d6.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="E4 Gopher/MassiveText repetition signals (Rae et al. 2021 A1): "
+    "per-doc char fraction of the most frequent 2-/3-gram and of "
+    "duplicated 5-/6-grams. Spark side is one zero-shuffle HOF "
+    "projection (sorted-array run-length scans, no explode); grams are "
+    "space-joined, ties resolve lexicographically-smallest, numerators "
+    "and denominators are exact BIGINTs and the single int/int → IEEE "
+    "double division bit-agrees across engines (no ROUND needed). The "
+    "non-overlap-adjusted variant (can exceed 1.0 on looping text) is "
+    "deliberate and documented in operators/repetition.py.",
+)
+def gopher_repetition_report(spark, sf_dir):
+    from spectraplex_spark.operators.repetition import repetition_report
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        repetition_report(docs, top_ns=(2, 3), dup_ns=(5, 6))
+        .select(
+            "doc_id",
+            "top2_gram_frac",
+            "top3_gram_frac",
+            "dup5_gram_frac",
+            "dup6_gram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "gopher_repetition_gate",
+    f"""
+    WITH base AS ({_REP_BASE_SQL}),
+    top2 AS ({_duck_top(2)}),
+    dup5 AS ({_duck_dup(5)}),
+    j AS (
+      SELECT b.source, b.total,
+             COALESCE(t2.cnt * t2.glen, 0) AS top2_chars,
+             COALESCE(d5.dchars, 0) AS dup5_chars
+      FROM base b
+      LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id AND t2.rn = 1
+      LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN total > 0 AND top2_chars * 100 < total * 20
+                          AND dup5_chars * 100 < total * 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+    FROM j
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="E4 Gopher repetition GATE: per-source survivor counts under "
+    "top2<0.20 and dup5<0.30, evaluated as exact BIGINT cross-products "
+    "(chars*den < total*num) so threshold-boundary docs cannot flip "
+    "between engines — the quality-classifier integer-grid discipline.",
+)
+def gopher_repetition_gate(spark, sf_dir):
+    from spectraplex_spark.operators.repetition import repetition_gate
+
+    docs = table(spark, sf_dir, "documents")
+    gated = repetition_gate(docs)
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("repetition_pass").cast("long")).alias("kept_docs"),
+        )
+        .orderBy("source")
+    )

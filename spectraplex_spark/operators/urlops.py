@@ -1,0 +1,145 @@
+"""E4 URL canonicalization + per-domain policy for LLM-data pipelines
+(the RefinedWeb/C4-style web-curation stage; driver-mandated extension,
+SURVEY §2.11 — the reference has no web-curation surface).
+
+Web-scale corpora key almost everything on the URL: exact URL dedup
+needs a canonical form (tracking params, host case, default ports and
+``www.`` all vary across crawls of the same page), and per-domain caps
+stop any single site from dominating the training mix.
+
+``canonicalize_url`` applies, in order:
+
+  1. scheme and host lowercased; ``www.`` prefix dropped
+  2. fragment (``#...``) dropped
+  3. default ports dropped (``:80`` for http, ``:443`` for https;
+     non-default ports kept)
+  4. tracking query params dropped (``utm_*`` prefix and the exact
+     keys in ``TRACKING_PARAMS``), remaining params SORTED so
+     ``?b=2&a=1`` and ``?a=1&b=2`` collide; empty query → no ``?``
+  5. trailing ``/`` dropped from non-root paths; empty path → ``/``
+
+Every step is a deterministic string/array expression with an exact
+DuckDB twin (plans/ext.py registers the twin SQL), so canonical-URL
+dedup bit-grades. ``registered_domain`` is the last-two-labels
+heuristic — a real deployment swaps in the public-suffix list via a
+broadcast lookup table; the heuristic is documented rather than hidden.
+
+100 TB shape: canonicalization is a zero-shuffle projection;
+``cap_per_domain`` is one window shuffle keyed by domain (same shape as
+``textops.cap_per_source``, whose hot-key two-phase variant applies
+here unchanged when a domain holds billions of pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window
+
+# Exact-match tracking keys dropped from query strings (plus any key
+# with the utm_ prefix). Keep this list sorted and mirrored in the
+# DuckDB twin.
+TRACKING_PARAMS = ["fbclid", "gclid", "mc_cid", "mc_eid", "ref"]
+
+
+def _param_key(p: Column) -> Column:
+    """The key part of a ``k=v`` query param (the whole token when
+    there is no ``=``)."""
+    return F.split_part(p, F.lit("="), F.lit(1))
+
+
+def _is_tracking(p: Column) -> Column:
+    k = _param_key(p)
+    return k.startswith("utm_") | k.isin(TRACKING_PARAMS)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL string (see module docstring for the exact steps).
+    Pure expression — no UDF, no shuffle."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # drop fragment
+    hostpath = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+
+    host = F.lower(F.regexp_extract(hostpath, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
+
+    path = F.regexp_replace(hostpath, r"^[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+    )
+
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~_is_tracking(p),
+        )
+    )
+    qcanon = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of the CANONICAL url (www./default-port free)."""
+    return F.regexp_extract(canonicalize_url(url), r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
+
+
+def registered_domain(url: Column) -> Column:
+    """Last two host labels (``a.b.example.com`` → ``example.com``),
+    port stripped. Public-suffix-list-free heuristic: wrong for ccSLDs
+    like ``example.co.uk`` — swap in a broadcast PSL table for
+    production."""
+    h = F.regexp_replace(url_host(url), r":[0-9]+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2))
+    ).otherwise(h)
+
+
+def canonical_url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-URL dedup groups after canonicalization: one row per
+    canonical URL with the copy count and min-id representative (the
+    dedup_exact_docs discipline — only the canonical string shuffles)."""
+    return (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canonical_url"), F.col(id_col)
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 1000,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``cap`` rows per registered domain, keeping the smallest
+    ``order_col`` values (deterministic). One window shuffle keyed by
+    domain; for pathological hot domains apply the two-phase
+    pre-aggregate documented on textops.cap_per_source."""
+    out = df.withColumn("domain", registered_domain(F.col(url_col)))
+    w = Window.partitionBy("domain").orderBy(F.col(order_col))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

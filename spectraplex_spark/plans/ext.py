@@ -3938,3 +3938,165 @@ def gopher_repetition_gate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- URL canonicalization + per-domain policy (r7) -------------------------
+
+# Both engines synthesize the SAME URL variants from documents (the
+# planted-view discipline: the corpus has no URL column, so the
+# canonicalizer must collapse exactly the planted variant classes).
+# doc_id%5 picks the variant, doc_id%25 the page:
+#   0: https://www.<src>.example.com/docs/<p>          (www + plain)
+#   1: HTTPS://<src>.EXAMPLE.COM:443/docs/<p>/         (case+port+slash)
+#   2: https://<src>.example.com/docs/<p>?utm_source=feed&ref=x
+#   3: https://www.<src>.example.com/docs/<p>?b=2&a=1
+#   4: https://<src>.example.com/docs/<p>?a=1&utm_campaign=z&b=2
+# 0/1/2 collapse to one canonical; 3/4 to that canonical + '?a=1&b=2'.
+_URL_VARIANT_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://www.' || source || '.example.com/docs/' || (doc_id % 25)
+      WHEN 1 THEN 'HTTPS://' || source || '.EXAMPLE.COM:443/docs/' || (doc_id % 25) || '/'
+      WHEN 2 THEN 'https://' || source || '.example.com/docs/' || (doc_id % 25) || '?utm_source=feed&ref=x'
+      WHEN 3 THEN 'https://www.' || source || '.example.com/docs/' || (doc_id % 25) || '?b=2&a=1'
+      ELSE 'https://' || source || '.example.com/docs/' || (doc_id % 25) || '?a=1&utm_campaign=z&b=2'
+    END
+"""
+
+# DuckDB twin of urlops.canonicalize_url, step for step, as a CTE chain
+# over (doc_id, u). TRACKING_PARAMS mirrored from operators/urlops.py.
+_DUCK_CANON_CTES = """
+    s1 AS (SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+           FROM u0),
+    s2 AS (SELECT doc_id, scheme,
+             regexp_replace(rest, '\\?.*$', '') AS hostpath,
+             CASE WHEN contains(rest, '?')
+                  THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS query
+           FROM s1),
+    s3 AS (SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
+                  ELSE h END AS host,
+             CASE WHEN p = '' THEN '/'
+                  WHEN p <> '/' THEN regexp_replace(p, '/$', '')
+                  ELSE p END AS path,
+             query
+           FROM (SELECT doc_id, scheme,
+                        regexp_replace(lower(regexp_extract(hostpath, '^([^/]*)', 1)), '^www\\.', '') AS h,
+                        regexp_replace(hostpath, '^[^/]*', '') AS p,
+                        query
+                 FROM s2)),
+    s4 AS (SELECT doc_id,
+             scheme || '://' || host || path ||
+             CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+           FROM (SELECT doc_id, scheme, host, path,
+                        array_to_string(list_sort(list_filter(string_split(query, '&'),
+                          p -> p <> '' AND NOT (
+                            starts_with(split_part(p, '=', 1), 'utm_')
+                            OR split_part(p, '=', 1) IN ('fbclid','gclid','mc_cid','mc_eid','ref')))), '&') AS q
+                 FROM s3))
+"""
+
+
+def _planted_urls(docs):
+    """Spark twin of _URL_VARIANT_SQL."""
+    page = (F.col("doc_id") % 25).cast("string")
+    base = F.concat(F.col("source"), F.lit(".example.com/docs/"), page)
+    ubase = F.concat(F.col("source"), F.lit(".EXAMPLE.COM:443/docs/"), page)
+    url = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://www."), base))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("HTTPS://"), ubase, F.lit("/")))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("https://"), base, F.lit("?utm_source=feed&ref=x")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://www."), base, F.lit("?b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base, F.lit("?a=1&utm_campaign=z&b=2"))
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+@query(
+    "url_canonical_dedup",
+    f"""
+    WITH u0 AS (SELECT doc_id, {_URL_VARIANT_SQL} AS u FROM documents),
+    {_DUCK_CANON_CTES}
+    SELECT canonical_url,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS representative
+    FROM s4
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    doc="E4 canonical-URL dedup (the RefinedWeb/C4 web-curation stage): "
+    "host case, www., default ports, fragments, tracking params "
+    "(utm_*/fbclid/gclid/ref/...) and query-param ORDER are all "
+    "normalized by pure string/array expressions (zero shuffle until "
+    "the canonical-string groupBy — only the canonical URL shuffles, "
+    "the dedup_exact_docs discipline). Both engines synthesize the "
+    "same 5 planted variant classes and the canonicalizer must "
+    "collapse exactly classes {{0,1,2}} and {{3,4}}; every "
+    "canonicalization step has a step-for-step DuckDB twin.",
+)
+def url_canonical_dedup(spark, sf_dir):
+    from spectraplex_spark.operators.urlops import canonical_url_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return canonical_url_dedup(_planted_urls(docs)).orderBy("canonical_url")
+
+
+@query(
+    "domain_cap_sample",
+    f"""
+    WITH u0 AS (SELECT doc_id,
+                  'https://' || CASE doc_id % 3 WHEN 0 THEN 'a.' WHEN 1 THEN 'b.' ELSE '' END
+                  || source || 'site.com/p/' || (doc_id % 50) AS u
+                FROM documents),
+    {_DUCK_CANON_CTES}
+    SELECT domain, doc_id
+    FROM (SELECT regexp_extract(regexp_replace(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1) AS domain,
+                 doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY regexp_extract(regexp_replace(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1)
+                                    ORDER BY doc_id) AS rk
+          FROM s4)
+    WHERE rk <= 5
+    ORDER BY domain, doc_id
+    """,
+    doc="E4 per-domain quota (stops one site dominating the training "
+    "mix): registered-domain extraction (last-two-labels heuristic, "
+    "port-stripped; production swaps in the public-suffix list as a "
+    "broadcast table) + a cap-5 deterministic window keyed by domain "
+    "— one window shuffle, the cap_per_source shape. Subdomain "
+    "variants (a./b./bare) must collapse to one registered domain in "
+    "both engines.",
+)
+def domain_cap_sample(spark, sf_dir):
+    from spectraplex_spark.operators.urlops import cap_per_domain
+
+    docs = table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("b."))
+        .otherwise(F.lit(""))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            sub,
+            F.col("source"),
+            F.lit("site.com/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+    )
+    return (
+        cap_per_domain(urls, cap=5)
+        .select("domain", "doc_id")
+        .orderBy("domain", "doc_id")
+    )

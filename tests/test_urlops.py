@@ -1,0 +1,94 @@
+"""URL canonicalization + per-domain policy (operators/urlops.py)."""
+
+from pyspark.sql import functions as F
+
+from spectraplex_spark.operators.urlops import (
+    canonical_url_dedup,
+    canonicalize_url,
+    cap_per_domain,
+    registered_domain,
+    url_host,
+)
+
+CANON_CASES = [
+    # (input, canonical)
+    ("HTTP://WWW.Example.COM:80/Path/?utm_source=x&b=2&a=1#frag",
+     "http://example.com/Path?a=1&b=2"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com", "https://example.com/"),
+    ("https://sub.Example.com:8080/a/b/?ref=z&fbclid=q",
+     "https://sub.example.com:8080/a/b"),
+    ("http://example.com/?utm_campaign=z", "http://example.com/"),
+    ("https://www.example.com/x?a=1&b=2", "https://example.com/x?a=1&b=2"),
+    ("https://www.example.com/x?b=2&a=1&utm_medium=m",
+     "https://example.com/x?a=1&b=2"),
+    # non-default port on http is KEPT; case-only host variants collapse
+    ("http://Example.com:8080/q", "http://example.com:8080/q"),
+    # fragment-only difference collapses
+    ("https://example.com/x#section-2", "https://example.com/x"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CANON_CASES)], ["i", "url"]
+    )
+    got = {r.i: r.c for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (src, exp) in enumerate(CANON_CASES):
+        assert got[i] == exp, src
+
+
+def test_host_and_registered_domain(spark):
+    cases = [
+        ("https://a.b.Example.com/x", "a.b.example.com", "example.com"),
+        ("http://www.news.site.org:80/", "news.site.org", "site.org"),
+        ("https://single/x", "single", "single"),  # degenerate 1-label host
+        ("https://cdn.shop.io:9000/a", "cdn.shop.io:9000", "shop.io"),  # port stripped from domain
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], ["i", "url"])
+    rows = df.select(
+        "i",
+        url_host(F.col("url")).alias("h"),
+        registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    for r in rows:
+        assert (r.h, r.d) == cases[r.i][1:], cases[r.i][0]
+
+
+def test_canonical_dedup_groups_variants(spark):
+    urls = [
+        (1, "https://www.example.com/p?b=2&a=1"),
+        (2, "https://example.com:443/p/?a=1&b=2&utm_source=s"),
+        (3, "HTTPS://EXAMPLE.COM/p?a=1&b=2#frag"),
+        (4, "https://example.com/q"),
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {r.canonical_url: (r.n_copies, r.representative)
+           for r in canonical_url_dedup(df).collect()}
+    assert got == {
+        "https://example.com/p?a=1&b=2": (3, 1),
+        "https://example.com/q": (1, 4),
+    }
+
+
+def test_cap_per_domain_keeps_smallest_ids(spark):
+    rows = [(i, f"https://{'ab'[i % 2]}.dom{i % 2}.com/x/{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = cap_per_domain(df, cap=3).select("domain", "doc_id").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    assert sorted(by_dom) == ["dom0.com", "dom1.com"]
+    assert sorted(by_dom["dom0.com"]) == [0, 2, 4]
+    assert sorted(by_dom["dom1.com"]) == [1, 3, 5]
+
+
+def test_canonicalization_is_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "https://example.com/x")], ["doc_id", "url"])
+    plan = (
+        df.select(canonicalize_url(F.col("url")).alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

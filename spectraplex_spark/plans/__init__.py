@@ -120,6 +120,12 @@ _GRADED_PRIORITY = [
     # scalar_date_arith, scalar_json_events, scalar_string_parts,
     # sort_limit_offset, sort_topk_orders, user_activity_report,
     # variant_json_events
+    # ALSO deferred to r8: embedding_neardup_pairs and
+    # daily_rollup_events (displaced by the two late r7 additions;
+    # fresher family siblings remain in-window), plus the four
+    # never-graded r7-late families: gopher_repetition_report,
+    # gopher_repetition_gate, url_canonical_dedup, domain_cap_sample
+    # (registered after the window; dual-SF local parity green).
     # (the r5/r6-green remainder rotates r8+ by age, oldest first)
 ]
 

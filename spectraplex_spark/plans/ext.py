@@ -4100,3 +4100,42 @@ def domain_cap_sample(spark, sf_dir):
         .select("domain", "doc_id")
         .orderBy("domain", "doc_id")
     )
+
+
+@query(
+    "orc_roundtrip_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="S3/K3 ORC interchange certified end to end — the binary/columnar "
+    "third leg of the interchange matrix (JSONL text, CSV tabular text, "
+    "ORC Hive-ecosystem columnar): events written through the ORC sink "
+    "and read back through the schema-pinned ORC source, then aggregated "
+    "per event type against the ORIGINAL parquet's oracle. Timestamps "
+    "and doubles are binary-preserved by the format, so a hash mismatch "
+    "here would indicate a reader/writer defect, not a format limit.",
+)
+def orc_roundtrip_events(spark, sf_dir):
+    import shutil
+
+    from spectraplex_spark.sources.io import read_orc, write_orc
+
+    ev = table(spark, sf_dir, "events")
+    path = _scratch_dir(sf_dir, "orc_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    write_orc(ev, path)
+    back = read_orc(spark, path, ev.schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast(T.DecimalType(38, 6))).cast("double").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

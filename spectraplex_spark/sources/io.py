@@ -127,6 +127,24 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib, Spark-native). ORC is binary and columnar, so —
+    unlike the JSONL/CSV text sinks — timestamps, decimals and doubles
+    round-trip without format options; included so the interchange
+    matrix covers the Hive-ecosystem format alongside parquet."""
+    df.write.mode(mode).option("compression", "zlib").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source. The schema is optional (ORC files embed it); passing
+    one pins the reader to the declared contract like the other
+    interchange readers."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def _target_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds a readable Parquet dataset.
 

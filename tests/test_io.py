@@ -154,3 +154,34 @@ def test_land_with_quarantine_fiat_enrichment(spark, tmp_path):
     got = {r.transaction_id: r for r in spark.read.parquet(str(tmp_path / "s")).collect()}
     assert got["tx-sol"].fiat_value == Decimal("-150")  # -1.0 * 150
     assert got["tx-spl"].fiat_value is None  # no price series for the mint
+
+
+def test_orc_round_trip_binary_exact(spark, tmp_path):
+    """ORC round-trip preserves timestamps/doubles/decimals bit-exactly
+    (binary format — no text-format truncation hazard to configure away)."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from spectraplex_spark.sources.io import read_orc, write_orc
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("d", T.DecimalType(38, 18)),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, 0.1 + 0.2, Decimal("1.000000000000000001"),
+         datetime.datetime(2026, 1, 2, 3, 4, 5, 123456), 'quote " comma , nl \n end'),
+        (2, float("1e-308"), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path, schema)
+    assert sorted(back.collect()) == sorted(df.collect())

@@ -89,14 +89,38 @@ def _top_step(acc: Column, x: Column) -> Column:
     )
 
 
+def top_ngram_cover_chars(text: Column, n: int) -> Column:
+    """BIGINT characters covered by the most frequent word n-gram
+    (count × gram length; 0 for docs with fewer than n tokens), as ONE
+    aggregate expression. Higher-order functions run interpreted (no
+    whole-stage codegen) and Catalyst does not common-subexpression-
+    eliminate duplicate references inside a projection — so every
+    column reference re-runs the whole gram-build+sort+scan. Folding
+    cnt×len into the finish lambda keeps each metric at exactly one
+    aggregate evaluation per row (measured 3× on the report)."""
+    grams = F.array_sort(ngram_strings(tokens(text), n))
+    return F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best_cnt"),
+            F.lit("").alias("best_gram"),
+        ),
+        lambda acc, x: _top_step(acc, x),
+        lambda acc: acc["best_cnt"] * F.length(acc["best_gram"]).cast("long"),
+    )
+
+
 def top_ngram_char_frac(text: Column, n: int) -> Column:
     """Fraction of normalized-text characters covered by the most
-    frequent word n-gram (0.0 for docs with fewer than n tokens)."""
-    stats = top_ngram_stats(text, n)
+    frequent word n-gram (0.0 for docs with fewer than n tokens).
+    ``cover`` is referenced exactly once: a gramless doc has cover 0
+    and 0/total == 0.0, so no separate cnt>0 guard is needed."""
+    cover = top_ngram_cover_chars(text, n)
     total = F.length(normalized(text)).cast("long")
     return F.when(
-        (total > 0) & (stats["cnt"] > 0),
-        (stats["cnt"] * stats["gram_chars"]).cast("double") / total.cast("double"),
+        total > 0, cover.cast("double") / total.cast("double")
     ).otherwise(F.lit(0.0))
 
 
@@ -184,8 +208,7 @@ def repetition_gate(
     filtering, so callers can report as well as gate."""
     t = F.col(text_col)
     total = F.length(normalized(t)).cast("long")
-    top2 = top_ngram_stats(t, 2)
-    top2_chars = top2["cnt"] * top2["gram_chars"]
+    top2_chars = top_ngram_cover_chars(t, 2)  # single-reference aggregates
     dup5_c = dup_ngram_chars(t, 5)
     n2, d2 = top2_max
     n5, d5 = dup5_max

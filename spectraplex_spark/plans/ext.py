@@ -3883,7 +3883,12 @@ _REP_BASE_SQL = (
 def gopher_repetition_report(spark, sf_dir):
     from spectraplex_spark.operators.repetition import repetition_report
 
-    docs = table(spark, sf_dir, "documents")
+    # The operator is a narrow per-row map: its parallelism equals the
+    # input split count. The test parquet is one split, which would
+    # serialize the interpreted HOF scans onto one core — spread the
+    # rows first (the same knob a real deployment turns when a few
+    # large files feed a compute-heavy map stage).
+    docs = table(spark, sf_dir, "documents").repartition(32)
     return (
         repetition_report(docs, top_ns=(2, 3), dup_ns=(5, 6))
         .select(
@@ -3928,7 +3933,7 @@ def gopher_repetition_report(spark, sf_dir):
 def gopher_repetition_gate(spark, sf_dir):
     from spectraplex_spark.operators.repetition import repetition_gate
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(32)  # see report
     gated = repetition_gate(docs)
     return (
         gated.groupBy("source")

@@ -4144,3 +4144,57 @@ def orc_roundtrip_events(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "conservation_audit_report",
+    """
+    SELECT 'tx-' || event_id AS id,
+           'sig' || event_id AS tx_hash,
+           CASE WHEN event_id % 41 = 0 THEN NULL
+                ELSE CAST(-5000 + CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           END AS delta_sum,
+           CASE WHEN event_id % 41 = 0 THEN NULL ELSE CAST(5000 AS BIGINT) END AS fee,
+           (event_id % 41 <> 0 AND event_id % 37 <> 0) AS balanced
+    FROM events
+    WHERE event_id % 43 <> 0
+    ORDER BY id
+    """,
+    doc="K-family hardening: the tx-level lamport-conservation audit "
+    "(sum(post)-sum(pre) must equal -fee) a financial pipeline runs "
+    "before trusting silver. Both engines derive the same bronze corpus "
+    "from events (x = event_id-based lamport moves; every 37th tx "
+    "planted 1 lamport out of balance, every 41st meta-less, every "
+    "43rd non-solana) — but the Spark side goes through the REAL path: "
+    "JSON built with to_json, parsed back with from_json against "
+    "SOLANA_TX_SCHEMA, zip_with delta fold in exact BIGINT lamports — "
+    "while the oracle is the closed form. The audit must flag exactly "
+    "the planted violations: meta-less rows report null sums and "
+    "balanced=false (un-auditable is not balanced), non-solana rows "
+    "are dispatched away.",
+)
+def conservation_audit_report(spark, sf_dir):
+    from spectraplex_spark.operators.audit import conservation_report
+
+    eid = F.col("event_id")
+    x = (eid % 1000000 + 1).cast("long")
+    fee = F.lit(5000).cast("long")
+    pre0 = (F.lit(10_000_000_000) + eid % 7).cast("long")
+    pre1 = (F.lit(500) + eid % 11).cast("long")
+    corrupt = F.when(eid % 37 == 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    meta_json = F.to_json(
+        F.struct(
+            F.struct(
+                fee.alias("fee"),
+                F.array(pre0, pre1).alias("preBalances"),
+                F.array(pre0 - x - fee, pre1 + x + corrupt).alias("postBalances"),
+            ).alias("meta")
+        )
+    )
+    bronze = table(spark, sf_dir, "events").select(
+        F.concat(F.lit("tx-"), eid.cast("string")).alias("id"),
+        F.concat(F.lit("sig"), eid.cast("string")).alias("tx_hash"),
+        F.when(eid % 43 == 0, F.lit("ethereum")).otherwise(F.lit("solana")).alias("chain"),
+        F.when(eid % 41 == 0, F.lit("{}")).otherwise(meta_json).alias("raw_metadata"),
+    )
+    return conservation_report(bronze).orderBy("id")

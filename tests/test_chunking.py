@@ -102,3 +102,4 @@ def test_feature_standardize_fit_apply(spark):
     assert np.allclose(mat[:, :3].mean(axis=0), 0.0, atol=1e-9)
     assert np.allclose(mat[:, :3].std(axis=0), 1.0, atol=1e-6)
     assert np.allclose(mat[:, 3], 0.0)  # centered, not scaled
+

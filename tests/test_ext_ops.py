@@ -899,3 +899,19 @@ def test_encoding_report_counts_planted_garbage(spark):
     assert (a["mojibake_docs"], a["control_docs"], a["clean_docs"]) == (1, 1, 1)
     assert (b["docs"], b["replacement_chars"], b["control_chars"]) == (1, 0, 0)
     assert b["clean_docs"] == 1
+
+
+def test_bpe_merge_candidates_reference(spark):
+    """bpe pair counts match a hand computation; 1-char words contribute
+    nothing; ties break lexicographically."""
+    from spectraplex_spark.operators.textops import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab x cd cd")], ["doc_id", "text"]
+    )
+    # vocab: abab freq 3, cd freq 3, x freq 1
+    # abab pairs: ab,ba,ab -> per word {ab:2, ba:1} * 3 = ab:6, ba:3
+    # cd pairs: cd:1 * 3 = 3 ; x: none
+    rows = bpe_merge_candidates(df, k=10).collect()
+    got = [(r.pair, r.pair_freq) for r in rows]
+    assert got == [("ab", 6), ("ba", 3), ("cd", 3)]  # ba < cd tie-break

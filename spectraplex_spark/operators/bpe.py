@@ -1,0 +1,143 @@
+"""Iterative BPE training (Sennrich et al. 2016) as a distributed
+algorithm — the tokenizer-training loop on top of the merge-pair
+statistic in textops.bpe_merge_candidates.
+
+Why this shape scales: the corpus is scanned ONCE to build the
+word-frequency table; every merge iteration after that runs over the
+DISTINCT VOCAB (millions of rows at 100 TB corpus scale, not
+trillions). Per iteration: one vocab-sized pair-count shuffle + a
+ONE-ROW collect (the argmax pair — the driver must know the winner to
+plan the next iteration; this is the bounded-collect contract, k=1).
+The re-segmented vocab is persisted and the previous iteration
+unpersisted so lineage stays flat across iterations (the iterative-
+algorithm discipline: without this, iteration N replays iterations
+1..N-1).
+
+Merging is greedy left-to-right non-overlapping (the reference BPE
+semantics): ``aaa`` with merge (a,a) → ``[aa, a]``. Implemented as a
+higher-order-function fold with a one-symbol carry — no UDF, no
+shuffle for the re-segmentation step.
+
+Determinism: ties on pair frequency break lexicographically, so the
+merge sequence is bit-reproducible across runs and partitionings
+(pair counts are exact integers)."""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, functions as F
+
+from spectraplex_spark.operators.textops import tokens
+
+
+def _adjacent_pairs(symbols: Column) -> Column:
+    """Adjacent symbol pairs as ``struct(a, b)`` (empty for 1-symbol
+    words — F.sequence would otherwise count down)."""
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(symbols) - 2),
+        lambda i: F.struct(
+            F.get(symbols, i).alias("a"), F.get(symbols, i + 1).alias("b")
+        ),
+    )
+    return F.when(F.size(symbols) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+
+
+def merge_pair(symbols: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into ``a||b``: a fold with a one-symbol carry, zero shuffle."""
+    merged = a + b
+    step = F.aggregate(
+        symbols,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        ),
+        lambda st, s: F.when(
+            st["carry"].isNull(),
+            F.struct(st["out"].alias("out"), s.alias("carry")),
+        )
+        .when(
+            (st["carry"] == a) & (s == b),
+            F.struct(
+                F.concat(st["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(st["out"], F.array(st["carry"])).alias("out"),
+                s.alias("carry"),
+            )
+        ),
+        lambda st: F.when(
+            st["carry"].isNotNull(), F.concat(st["out"], F.array(st["carry"]))
+        ).otherwise(st["out"]),
+    )
+    return step
+
+
+def build_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-frequency table with initial char segmentation: the ONE
+    corpus scan of the whole training run."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("symbols", F.split(F.col("w"), ""))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_freq: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges. Returns ``(merges, vocab)`` where
+    ``merges`` is the ordered list of ``(a, b, pair_freq)`` and
+    ``vocab`` the final segmented word table (persisted; caller
+    unpersists). Stops early when the best pair's frequency drops
+    below ``min_freq``."""
+    vocab = build_vocab(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()  # materialize before the loop
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            vocab.select(F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)  # TakeOrderedAndProject; the k=1 bounded collect
+            .collect()
+        )
+        if not best or best[0]["pair_freq"] < min_freq:
+            break
+        a, b, pf = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["pair_freq"]
+        merges.append((a, b, pf))
+        new_vocab = vocab.withColumn(
+            "symbols", merge_pair(F.col("symbols"), a, b)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_vocab.count()  # cut lineage before dropping the old frame
+        vocab.unpersist()
+        vocab = new_vocab
+    return merges, vocab
+
+
+def apply_bpe(
+    df: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
+) -> DataFrame:
+    """Segment a corpus with learned merges: per row, split to chars
+    then replay every merge in order — a chain of zero-shuffle folds
+    (merge lists are small; at hundreds of merges prefer broadcasting
+    a trained-tokenizer pandas UDF, documented trade)."""
+    toks = tokens(F.col(text_col))
+
+    def seg_word(w: Column) -> Column:
+        s = F.split(w, "")
+        for a, b, _ in merges:
+            s = merge_pair(s, a, b)
+        return s
+
+    return df.withColumn("bpe_symbols", F.flatten(F.transform(toks, seg_word)))

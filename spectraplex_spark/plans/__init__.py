@@ -122,10 +122,11 @@ _GRADED_PRIORITY = [
     # variant_json_events
     # ALSO deferred to r8: embedding_neardup_pairs and
     # daily_rollup_events (displaced by the two late r7 additions;
-    # fresher family siblings remain in-window), plus the seven
+    # fresher family siblings remain in-window), plus the eight
     # never-graded r7-late entries: gopher_repetition_report,
     # gopher_repetition_gate, url_canonical_dedup, domain_cap_sample,
-    # orc_roundtrip_events, conservation_audit_report, bpe_merge_pairs
+    # orc_roundtrip_events, conservation_audit_report, bpe_merge_pairs,
+    # bpe_trained_merges (rows-only: iterative algorithm)
     # (registered after the window; dual-SF local parity green).
     # (the r5/r6-green remainder rotates r8+ by age, oldest first)
 ]

@@ -4231,3 +4231,30 @@ def bpe_merge_pairs(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return bpe_merge_candidates(docs, k=30)
+
+
+@query(
+    "bpe_trained_merges",
+    None,  # iterative algorithm: the per-iteration argmax feeds the next
+    # iteration's plan, which no single SQL statement can express — the
+    # driver's designated rows-only category. Hard signal comes from
+    # (1) tests/test_bpe.py: the FULL training run (ordered merges with
+    # exact frequencies AND final vocab segmentation) equals an
+    # independent pure-Python reference implementation, and (2) the
+    # first iteration's statistic is hash-graded via bpe_merge_pairs.
+    doc="E4 iterative BPE training (Sennrich et al. 2016): 10 merge "
+    "iterations over the documents corpus. One corpus scan builds the "
+    "word-frequency table; each iteration is one VOCAB-sized pair-count "
+    "shuffle + a one-row argmax collect + a zero-shuffle HOF "
+    "re-segmentation fold, with per-iteration persist/unpersist so "
+    "lineage stays flat (the iterative-algorithm discipline). "
+    "Deterministic: exact integer counts, lexicographic tie-break.",
+)
+def bpe_trained_merges(spark, sf_dir):
+    from spectraplex_spark.operators.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, n_merges=10, min_freq=2)
+    vocab.unpersist()
+    rows = [(i + 1, a, b, pf) for i, (a, b, pf) in enumerate(merges)]
+    return spark.createDataFrame(rows, "step int, a string, b string, pair_freq long")

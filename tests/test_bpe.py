@@ -1,0 +1,94 @@
+"""Iterative BPE training (operators/bpe.py) vs an independent pure-
+Python reference implementation of Sennrich et al. 2016."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from spectraplex_spark.operators.bpe import apply_bpe, bpe_train, merge_pair
+
+
+# --- pure-Python reference BPE ------------------------------------------
+
+
+def py_vocab(texts):
+    words = Counter()
+    for t in texts:
+        words.update(w for w in t.lower().split() if w)
+    return {w: (list(w), f) for w, f in words.items()}
+
+
+def py_merge_word(symbols, a, b):
+    out, carry = [], None
+    for s in symbols:
+        if carry is None:
+            carry = s
+        elif carry == a and s == b:
+            out.append(a + b)
+            carry = None
+        else:
+            out.append(carry)
+            carry = s
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+def py_bpe_train(texts, n_merges, min_freq=2):
+    vocab = py_vocab(texts)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for symbols, f in vocab.values():
+            for i in range(len(symbols) - 1):
+                pairs[(symbols[i], symbols[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), pf = best
+        if pf < min_freq:
+            break
+        merges.append((a, b, pf))
+        vocab = {w: (py_merge_word(s, a, b), f) for w, (s, f) in vocab.items()}
+    return merges, vocab
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "newer newest new new newer",
+    "wider wide widest wider",
+    "low newer wide low",
+]
+
+
+def test_merge_pair_greedy_nonoverlapping(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],)], ["s"])
+    got = df.select(merge_pair(F.col("s"), "a", "a").alias("m")).first().m
+    assert got == ["aa", "a"]  # leftmost-first, non-overlapping
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], ["i", "text"])
+    merges, vocab = bpe_train(df, n_merges=8, min_freq=2)
+    ref_merges, ref_vocab = py_bpe_train(TEXTS, 8, min_freq=2)
+    assert merges == ref_merges  # ordered, incl. exact pair frequencies
+    got_vocab = {r.w: (list(r.symbols), r.freq) for r in vocab.collect()}
+    assert got_vocab == ref_vocab
+    vocab.unpersist()
+
+
+def test_apply_bpe_segments_with_learned_merges(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], ["i", "text"])
+    merges, vocab = bpe_train(df, n_merges=5, min_freq=2)
+    vocab.unpersist()
+    out = apply_bpe(
+        spark.createDataFrame([(0, "low newest")], ["i", "text"]), merges
+    ).first()
+    # replay the reference segmentation for the same two words
+    ref = []
+    for w in ["low", "newest"]:
+        s = list(w)
+        for a, b, _ in merges:
+            s = py_merge_word(s, a, b)
+        ref.extend(s)
+    assert list(out.bpe_symbols) == ref

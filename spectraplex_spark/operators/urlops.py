@@ -51,6 +51,38 @@ def _is_tracking(p: Column) -> Column:
     return k.startswith("utm_") | k.isin(TRACKING_PARAMS)
 
 
+def percent_decode_unreserved(s: Column) -> Column:
+    """Decode ``%XX`` escapes of RFC 3986 UNRESERVED characters only
+    (ALPHA / DIGIT / ``-._~``) — ``%7Euser`` and ``~user`` must
+    collide, while reserved escapes like ``%2F`` stay encoded (decoding
+    them would change the URL's structure). Malformed escapes (``%G1``,
+    trailing ``%``) pass through verbatim.
+
+    Split on ``%``: every piece after the first was preceded by one
+    ``%``; a piece opening with two hex digits whose value is
+    unreserved gets that prefix replaced by the decoded char, any other
+    piece gets its ``%`` restored — so ``%%41`` correctly yields
+    ``%A``. Pure expression (split + transform + conv/char), exact
+    DuckDB twin via strpos arithmetic."""
+    parts = F.split(s, "%")
+
+    def dec(piece: Column) -> Column:
+        v = F.conv(F.substring(piece, 1, 2), 16, 10).cast("int")
+        unreserved = (
+            ((v >= 48) & (v <= 57))
+            | ((v >= 65) & (v <= 90))
+            | ((v >= 97) & (v <= 122))
+            | v.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        ok = piece.rlike("^[0-9A-Fa-f]{2}") & unreserved
+        return F.when(
+            ok, F.concat(F.char(v), F.substring(piece, 3, 2147483647))
+        ).otherwise(F.concat(F.lit("%"), piece))
+
+    tail = F.transform(F.slice(parts, 2, F.size(parts) - 1), dec)
+    return F.concat(F.get(parts, 0), F.array_join(tail, ""))
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical URL string (see module docstring for the exact steps).
     Pure expression — no UDF, no shuffle."""
@@ -58,6 +90,9 @@ def canonicalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     rest = F.regexp_replace(rest, r"#.*$", "")  # drop fragment
+    # Unreserved chars are never delimiters, so decoding before the
+    # host/path/query split cannot change the parse.
+    rest = percent_decode_unreserved(rest)
     hostpath = F.regexp_replace(rest, r"\?.*$", "")
     query = F.when(
         rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")

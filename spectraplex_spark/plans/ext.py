@@ -3953,7 +3953,8 @@ def gopher_repetition_gate(spark, sf_dir):
 # doc_id%5 picks the variant, doc_id%25 the page:
 #   0: https://www.<src>.example.com/docs/<p>          (www + plain)
 #   1: HTTPS://<src>.EXAMPLE.COM:443/docs/<p>/         (case+port+slash)
-#   2: https://<src>.example.com/docs/<p>?utm_source=feed&ref=x
+#   2: https://<src>.example.com/%64ocs/<p>?utm_source=feed&ref=x
+#      (percent-encoded unreserved 'd' — must decode to /docs/)
 #   3: https://www.<src>.example.com/docs/<p>?b=2&a=1
 #   4: https://<src>.example.com/docs/<p>?a=1&utm_campaign=z&b=2
 # 0/1/2 collapse to one canonical; 3/4 to that canonical + '?a=1&b=2'.
@@ -3961,7 +3962,7 @@ _URL_VARIANT_SQL = """
     CASE doc_id % 5
       WHEN 0 THEN 'https://www.' || source || '.example.com/docs/' || (doc_id % 25)
       WHEN 1 THEN 'HTTPS://' || source || '.EXAMPLE.COM:443/docs/' || (doc_id % 25) || '/'
-      WHEN 2 THEN 'https://' || source || '.example.com/docs/' || (doc_id % 25) || '?utm_source=feed&ref=x'
+      WHEN 2 THEN 'https://' || source || '.example.com/%64ocs/' || (doc_id % 25) || '?utm_source=feed&ref=x'
       WHEN 3 THEN 'https://www.' || source || '.example.com/docs/' || (doc_id % 25) || '?b=2&a=1'
       ELSE 'https://' || source || '.example.com/docs/' || (doc_id % 25) || '?a=1&utm_campaign=z&b=2'
     END
@@ -3969,16 +3970,35 @@ _URL_VARIANT_SQL = """
 
 # DuckDB twin of urlops.canonicalize_url, step for step, as a CTE chain
 # over (doc_id, u). TRACKING_PARAMS mirrored from operators/urlops.py.
-_DUCK_CANON_CTES = """
+# DuckDB twin of urlops.percent_decode_unreserved over a `pieces`
+# column (string_split on '%'): piece 1 verbatim, every later piece
+# was preceded by one '%' — two leading hex digits whose value is
+# RFC 3986 unreserved decode, everything else keeps its '%'.
+_DUCK_HEXVAL = (
+    "((strpos('0123456789abcdef', lower(substr(p, 1, 1))) - 1) * 16"
+    " + (strpos('0123456789abcdef', lower(substr(p, 2, 1))) - 1))"
+)
+_DUCK_DECODE = f"""pieces[1] || COALESCE(array_to_string(list_transform(pieces[2:], p -> CASE
+               WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}')
+                    AND ({_DUCK_HEXVAL} BETWEEN 48 AND 57
+                         OR {_DUCK_HEXVAL} BETWEEN 65 AND 90
+                         OR {_DUCK_HEXVAL} BETWEEN 97 AND 122
+                         OR {_DUCK_HEXVAL} IN (45, 46, 95, 126))
+               THEN chr(CAST({_DUCK_HEXVAL} AS INTEGER)) || substr(p, 3)
+               ELSE '%' || p END), ''), '')"""
+
+_DUCK_CANON_CTES = f"""
     s1 AS (SELECT doc_id,
              lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+             regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS raw_rest
            FROM u0),
+    s1d AS (SELECT doc_id, scheme, {_DUCK_DECODE} AS rest
+            FROM (SELECT doc_id, scheme, string_split(raw_rest, '%') AS pieces FROM s1)),
     s2 AS (SELECT doc_id, scheme,
              regexp_replace(rest, '\\?.*$', '') AS hostpath,
              CASE WHEN contains(rest, '?')
                   THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS query
-           FROM s1),
+           FROM s1d),
     s3 AS (SELECT doc_id, scheme,
              CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
                   WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
@@ -4014,7 +4034,13 @@ def _planted_urls(docs):
         .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("HTTPS://"), ubase, F.lit("/")))
         .when(
             F.col("doc_id") % 5 == 2,
-            F.concat(F.lit("https://"), base, F.lit("?utm_source=feed&ref=x")),
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/%64ocs/"),
+                page,
+                F.lit("?utm_source=feed&ref=x"),
+            ),
         )
         .when(
             F.col("doc_id") % 5 == 3,

@@ -26,6 +26,14 @@ CANON_CASES = [
     ("http://Example.com:8080/q", "http://example.com:8080/q"),
     # fragment-only difference collapses
     ("https://example.com/x#section-2", "https://example.com/x"),
+    # percent-encoded UNRESERVED chars decode (%64='d', %7E='~') so the
+    # encoded and plain spellings collide; reserved %2F stays encoded;
+    # malformed escapes pass through verbatim
+    ("https://example.com/%64ocs/%7Ea?b=2&a=1",
+     "https://example.com/docs/~a?a=1&b=2"),
+    ("https://example.com/a%2Fb", "https://example.com/a%2Fb"),
+    ("https://example.com/x%G1y%", "https://example.com/x%G1y%"),
+    ("https://example.com/a%%41", "https://example.com/a%A"),
 ]
 
 

@@ -130,16 +130,34 @@ def url_host(url: Column) -> Column:
     return F.regexp_extract(canonicalize_url(url), r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
 
 
+# Embedded SUBSET of the Mozilla public-suffix list: the common
+# two-label public suffixes under which registrations happen one label
+# deeper (example.co.uk, not co.uk). A production deployment swaps in
+# the full PSL as a broadcast lookup; the subset keeps the common
+# ccSLD cases correct without shipping the 10k-line list.
+PSL_MULTI_SUFFIXES = [
+    "ac.uk", "co.uk", "gov.uk", "org.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "co.nz", "co.in", "co.kr", "co.za",
+    "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+]
+
+
 def registered_domain(url: Column) -> Column:
-    """Last two host labels (``a.b.example.com`` → ``example.com``),
-    port stripped. Public-suffix-list-free heuristic: wrong for ccSLDs
-    like ``example.co.uk`` — swap in a broadcast PSL table for
-    production."""
+    """Registrable domain of the host, port stripped: last two labels,
+    or last THREE when the host ends in a known two-label public
+    suffix (``a.b.example.co.uk`` → ``example.co.uk``). The suffix set
+    is the embedded ``PSL_MULTI_SUFFIXES`` subset — swap in the full
+    public-suffix list as a broadcast table for production."""
     h = F.regexp_replace(url_host(url), r":[0-9]+$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
+    sfxs = F.array(*[F.lit(s) for s in PSL_MULTI_SUFFIXES])
+    on_public_sfx = F.exists(sfxs, lambda s: h.endswith(F.concat(F.lit("."), s)))
+    take = F.when(on_public_sfx, F.lit(3)).otherwise(F.lit(2))
     return F.when(
-        n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2))
+        n >= take, F.concat_ws(".", F.slice(labels, n - take + 1, take))
     ).otherwise(h)
 
 

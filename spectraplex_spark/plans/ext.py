@@ -4087,25 +4087,35 @@ def url_canonical_dedup(spark, sf_dir):
     f"""
     WITH u0 AS (SELECT doc_id,
                   'https://' || CASE doc_id % 3 WHEN 0 THEN 'a.' WHEN 1 THEN 'b.' ELSE '' END
-                  || source || 'site.com/p/' || (doc_id % 50) AS u
+                  || source
+                  || CASE WHEN doc_id % 7 = 3 THEN 'site.co.uk/p/' ELSE 'site.com/p/' END
+                  || (doc_id % 50) AS u
                 FROM documents),
     {_DUCK_CANON_CTES}
-    SELECT domain, doc_id
-    FROM (SELECT regexp_extract(regexp_replace(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1) AS domain,
-                 doc_id,
-                 ROW_NUMBER() OVER (PARTITION BY regexp_extract(regexp_replace(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1)
-                                    ORDER BY doc_id) AS rk
-          FROM s4)
-    WHERE rk <= 5
+    , h AS (SELECT doc_id,
+              regexp_replace(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', '') AS host
+            FROM s4),
+    d AS (SELECT doc_id,
+            CASE WHEN ends_with(host, '.co.uk')
+                 THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+                 ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+          FROM h),
+    r AS (SELECT domain, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+          FROM d)
+    SELECT domain, doc_id FROM r WHERE rk <= 5
     ORDER BY domain, doc_id
     """,
     doc="E4 per-domain quota (stops one site dominating the training "
-    "mix): registered-domain extraction (last-two-labels heuristic, "
-    "port-stripped; production swaps in the public-suffix list as a "
-    "broadcast table) + a cap-5 deterministic window keyed by domain "
-    "— one window shuffle, the cap_per_source shape. Subdomain "
-    "variants (a./b./bare) must collapse to one registered domain in "
-    "both engines.",
+    "mix): registered-domain extraction (PSL-subset aware — hosts on a "
+    "known two-label public suffix like .co.uk keep THREE labels; the "
+    "full public-suffix list swaps in as a broadcast table for "
+    "production), port-stripped, + a cap-5 deterministic window keyed "
+    "by domain — one window shuffle, the cap_per_source shape. Planted "
+    "classes: subdomain variants (a./b./bare) must collapse to one "
+    "registered domain, and every-7th doc lives under .co.uk where "
+    "last-two-labels would wrongly merge ALL sources into 'co.uk'. The "
+    "oracle mirrors the PSL decision for the one planted suffix.",
 )
 def domain_cap_sample(spark, sf_dir):
     from spectraplex_spark.operators.urlops import cap_per_domain
@@ -4116,13 +4126,16 @@ def domain_cap_sample(spark, sf_dir):
         .when(F.col("doc_id") % 3 == 1, F.lit("b."))
         .otherwise(F.lit(""))
     )
+    site = F.when(F.col("doc_id") % 7 == 3, F.lit("site.co.uk/p/")).otherwise(
+        F.lit("site.com/p/")
+    )
     urls = docs.select(
         "doc_id",
         F.concat(
             F.lit("https://"),
             sub,
             F.col("source"),
-            F.lit("site.com/p/"),
+            site,
             (F.col("doc_id") % 50).cast("string"),
         ).alias("url"),
     )

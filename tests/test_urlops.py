@@ -52,6 +52,10 @@ def test_host_and_registered_domain(spark):
         ("http://www.news.site.org:80/", "news.site.org", "site.org"),
         ("https://single/x", "single", "single"),  # degenerate 1-label host
         ("https://cdn.shop.io:9000/a", "cdn.shop.io:9000", "shop.io"),  # port stripped from domain
+        # PSL-subset suffixes keep three labels
+        ("https://a.b.example.co.uk/x", "a.b.example.co.uk", "example.co.uk"),
+        ("https://shop.com.au/", "shop.com.au", "shop.com.au"),
+        ("https://co.uk/x", "co.uk", "co.uk"),  # bare public suffix: degenerate, kept whole
     ]
     df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], ["i", "url"])
     rows = df.select(

@@ -32,6 +32,7 @@ here unchanged when a domain holds billions of pages).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, Window
 
 # Exact-match tracking keys dropped from query strings (plus any key
@@ -159,6 +160,41 @@ def registered_domain(url: Column) -> Column:
     return F.when(
         n >= take, F.concat_ws(".", F.slice(labels, n - take + 1, take))
     ).otherwise(h)
+
+
+def normalize_idn_host(host: Column) -> Column:
+    """Punycode/IDNA-normalize an internationalized host
+    (``bücher.example`` → ``xn--bcher-kva.example``) so the Unicode and
+    ACE spellings of one host collide. Needs real codec tables, so this
+    is the one urlops step that is a (vectorized Arrow) pandas UDF
+    rather than a JVM expression — apply it AFTER ASCII-host fast-path
+    filtering at scale (the overwhelming majority of crawl hosts are
+    ASCII and skip the Python stage entirely). Uses CPython's built-in
+    ``idna`` codec per label; already-ASCII labels (including existing
+    ``xn--`` ACE forms) pass through unchanged; labels the codec
+    rejects are kept verbatim (canonicalization must never drop a
+    host). NULL-safe."""
+    @F.pandas_udf("string")
+    def _idna(col: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None:
+                return None
+            out = []
+            for label in h.split("."):
+                try:
+                    enc = (
+                        label
+                        if label.isascii()
+                        else label.encode("idna").decode("ascii")
+                    )
+                except UnicodeError:
+                    enc = label
+                out.append(enc)
+            return ".".join(out)
+
+        return col.map(one)
+
+    return _idna(host)
 
 
 def canonical_url_dedup(

@@ -104,3 +104,21 @@ def test_canonicalization_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_normalize_idn_host_known_vectors(spark):
+    from spectraplex_spark.operators.urlops import normalize_idn_host
+
+    cases = [
+        ("bücher.example", "xn--bcher-kva.example"),       # RFC 3492 vector
+        ("münchen.de", "xn--mnchen-3ya.de"),
+        ("ascii.example.com", "ascii.example.com"),        # ASCII fast path
+        ("xn--bcher-kva.example", "xn--bcher-kva.example"),  # already ACE
+        (None, None),                                      # null-safe
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, h string"
+    )
+    got = {r.i: r.n for r in df.select("i", normalize_idn_host(F.col("h")).alias("n")).collect()}
+    for i, (_, exp) in enumerate(cases):
+        assert got[i] == exp, cases[i][0]

@@ -35,15 +35,20 @@ from pyspark.sql import DataFrame, functions as F
 
 @F.pandas_udf("double")
 def median_udaf(v: pd.Series) -> float:
-    """Exact median of a group (GROUPED_AGG shape: Series -> scalar)."""
-    return float(v.median())
+    """Exact median of a group (GROUPED_AGG shape: Series -> scalar).
+    NULL values are skipped (pandas skipna, matching SQL median); an
+    all-null group yields NULL, not NaN."""
+    m = v.median()
+    return None if pd.isna(m) else float(m)
 
 
 @F.pandas_udf("double")
 def iqr_udaf(v: pd.Series) -> float:
     """Interquartile range (q75 - q25, linear interpolation — numpy's
-    default, matching DuckDB's quantile_cont)."""
-    return float(v.quantile(0.75) - v.quantile(0.25))
+    default, matching DuckDB's quantile_cont). NULLs skipped; an
+    all-null group yields NULL."""
+    r = v.quantile(0.75) - v.quantile(0.25)
+    return None if pd.isna(r) else float(r)
 
 
 @F.pandas_udf("long")
@@ -94,22 +99,32 @@ def robust_value_stats_scalable(
     the udaf_value_stats precedent — op order may differ by 1 ulp
     across engines).
 
+    NULL semantics (matches the GROUPED_AGG twin and SQL aggregates):
+    ``n`` counts every row of the group (COUNT(*), the UDAF's len(v));
+    median/IQR are over the NON-NULL values only — nulls are filtered
+    before ranking so they can't shift quantile index positions. An
+    all-null group keeps its count row with NULL median/IQR.
+
     At 100 TB: a skewed group costs a spillable sort, not an OOM — the
     straggler risk the GROUPED_AGG version documents is gone."""
     from pyspark.sql import Window
 
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_total"),
+        F.count(value_col).cast("long").alias("_n"),  # non-null: ranks run over these
+    )
     ranked = (
-        df.select(F.col(group_col), F.col(value_col).cast("double").alias("_v"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), F.col(value_col).cast("double").alias("_v"))
         .withColumn(
             "_i",
             F.row_number().over(Window.partitionBy(group_col).orderBy("_v")) - 1,
         )
-        .join(F.broadcast(counts), group_col)
+        .join(F.broadcast(counts.select(group_col, "_n")), group_col)
     )
 
     quantiles = (("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4))
-    agg_exprs = [F.max("_n").alias("n")]
+    agg_exprs = []
     keep = F.lit(False)
     for name, num, den in quantiles:
         t = (F.col("_n") - F.lit(1)) * F.lit(num)  # numerator of (n-1)*p*den
@@ -141,9 +156,11 @@ def robust_value_stats_scalable(
             F.col(f"_{name}_hiv") - F.col(f"_{name}_lov")
         ) * F.col(f"_{name}_frac")
 
-    return g.select(
+    # left join keeps all-null groups (absent from the ranked frame)
+    # with NULL quantiles, mirroring the UDAF twin
+    return counts.join(g, group_col, "left").select(
         group_col,
-        F.col("n"),
+        F.col("_n_total").alias("n"),
         q("q50").alias("median_value"),
         (q("q75") - q("q25")).alias("iqr_value"),
     )

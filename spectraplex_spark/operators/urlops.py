@@ -117,12 +117,18 @@ def canonicalize_url(url: Column) -> Column:
         )
     )
     qcanon = F.array_join(kept, "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    # scheme-less input has no '://' to anchor the host parse — emit
+    # NULL so malformed rows stay visible instead of all collapsing
+    # into a '://...' pseudo-URL with an empty host/domain
+    return F.when(
+        scheme != "",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+        ),
     )
 
 
@@ -224,11 +230,16 @@ def cap_per_domain(
     """At most ``cap`` rows per registered domain, keeping the smallest
     ``order_col`` values (deterministic). One window shuffle keyed by
     domain; for pathological hot domains apply the two-phase
-    pre-aggregate documented on textops.cap_per_source."""
+    pre-aggregate documented on textops.cap_per_source.
+
+    Malformed URLs (no scheme → NULL domain) are NOT a domain: they
+    pass through uncapped with domain NULL, so unrelated hosts are
+    never lumped into one quota group — filter or repair them
+    upstream."""
     out = df.withColumn("domain", registered_domain(F.col(url_col)))
     w = Window.partitionBy("domain").orderBy(F.col(order_col))
     return (
         out.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= cap)
+        .where((F.col("_rk") <= cap) | F.col("domain").isNull())
         .drop("_rk")
     )

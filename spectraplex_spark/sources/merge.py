@@ -49,6 +49,30 @@ from spectraplex_spark.sources.commit import (
 OP_COL = "_op"
 INTENT_NAME = "_spectraplex_intent.json"
 
+# Spark's partitioned writer names directories via Hive path escaping
+# (ExternalCatalogUtils.escapePathName): control chars and this set are
+# %XX-encoded, and NULL/empty partition values become the Hive default
+# sentinel. The swap must use the SAME names or it silently misses the
+# real directories (rewrites deleted, merge a no-op).
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(1, 32)}
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_path_name(name: str) -> str:
+    return "".join(
+        "%{:02X}".format(ord(ch)) if ch in _ESCAPED_CHARS else ch for ch in name
+    )
+
+
+def _partition_dir(partition_col: str, value) -> str:
+    """The directory name Spark's writer produces for this partition
+    value — Hive path escaping plus the NULL/empty sentinel, booleans
+    lowercased the way Spark stringifies them."""
+    if value is None or value == "":
+        return f"{_escape_path_name(partition_col)}={_HIVE_NULL_PART}"
+    s = ("true" if value else "false") if isinstance(value, bool) else str(value)
+    return f"{_escape_path_name(partition_col)}={_escape_path_name(s)}"
+
 
 def _write_intent(staged_dir: str, intent: dict) -> None:
     """WAL record inside the staged dir (underscore-prefixed: excluded
@@ -123,8 +147,15 @@ def merge_upsert(
         affected = [r[0] for r in parts.collect()]
         # the partition predicate PRUNES the rewrite read: untouched
         # partitions are never rewritten (verified in tests via file
-        # mtimes)
-        scoped_target = target.filter(F.col(partition_col).isin(affected))
+        # mtimes). isin() never matches NULL — a NULL partition value
+        # needs an explicit isNull branch or its rows silently escape
+        # the rewrite scope.
+        non_null = [v for v in affected if v is not None]
+        pred = F.col(partition_col).isin(non_null)
+        if len(non_null) < len(affected):
+            pred = pred | F.col(partition_col).isNull()
+        scoped_target = target.filter(pred)
+        affected_dirs = sorted({_partition_dir(partition_col, v) for v in affected})
         n_parts = len(affected)
     else:
         scoped_target = target
@@ -139,24 +170,38 @@ def merge_upsert(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(staged)
+    if partition_col is not None:
+        # every directory Spark actually wrote must be one we predicted
+        # — an escaping mismatch here would make the swap silently skip
+        # real data, so it fails loudly instead
+        prefix = f"{_escape_path_name(partition_col)}="
+        staged_parts = sorted(
+            d for d in os.listdir(staged) if d.startswith(prefix)
+        )
+        unexpected = [d for d in staged_parts if d not in set(affected_dirs)]
+        if unexpected:
+            shutil.rmtree(staged)
+            raise TableInconsistentError(
+                f"staged partition dirs {unexpected!r} don't match the "
+                f"predicted escaped names {affected_dirs!r} — partition-"
+                "value escaping drift; merge aborted before any swap"
+            )
     # WAL: the intent record makes the staged dir self-describing, so
     # recover_merge can roll an interrupted swap FORWARD — including
-    # pure-deletion partitions that leave no staged subdirectory
+    # pure-deletion partitions that leave no staged subdirectory.
+    # "affected" holds FULL escaped dir names (e.g. "day=2024%2F01")
+    # so recovery never re-derives escaping from raw values.
     _write_intent(
         staged,
         {
             "mode": "whole" if partition_col is None else "partitions",
             "partition_col": partition_col,
-            "affected": [] if partition_col is None else [str(v) for v in affected],
+            "affected": [] if partition_col is None else affected_dirs,
             # partitions WITH staged data are rewrites; affected
             # partitions WITHOUT are pure deletions (recovery must
             # re-delete them, not mistake the old dir for a finished
             # swap)
-            "staged_parts": []
-            if partition_col is None
-            else sorted(
-                d for d in os.listdir(staged) if d.startswith(f"{partition_col}=")
-            ),
+            "staged_parts": [] if partition_col is None else staged_parts,
         },
     )
 
@@ -170,8 +215,7 @@ def merge_upsert(
         # partitions are never read or written (verified in tests via
         # file mtimes)
         old = None
-        for v in affected:
-            part = f"{partition_col}={v}"
+        for part in affected_dirs:
             dst = os.path.join(target_path, part)
             src = os.path.join(staged, part)
             if os.path.exists(dst):
@@ -275,11 +319,10 @@ def recover_merge(target_path: str) -> str:
             for d in old_dirs:
                 shutil.rmtree(d)
             return "whole-forward"
-        # partition mode: re-apply the recorded swap, idempotently
-        pcol = intent["partition_col"]
+        # partition mode: re-apply the recorded swap, idempotently.
+        # intent["affected"] carries full escaped dir names already.
         staged_parts = set(intent["staged_parts"])
-        for v in intent["affected"]:
-            part = f"{pcol}={v}"
+        for part in intent["affected"]:
             dst = os.path.join(target_path, part)
             src = os.path.join(staged, part)
             if part in staged_parts:  # rewrite: move unless already moved

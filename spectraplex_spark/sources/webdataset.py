@@ -50,10 +50,25 @@ def write_webdataset_shards(
     partitioning gives the cross-partition order, a bounded
     per-partition count collect gives rank offsets, and the rank
     window runs partitioned (parallel) — the standard two-pass
-    zipWithIndex recipe as DataFrame ops."""
+    zipWithIndex recipe as DataFrame ops.
+
+    Keys may be integral or string (the tar member stem is the key
+    verbatim); any other type — or a string key tarfile can't name
+    (empty, '/', NUL) — raises up front, not as an opaque executor
+    error mid-export. Read back with the matching ``key_type``."""
     os.makedirs(out_dir, exist_ok=True)
     from pyspark.sql import Window
 
+    ktype = df.schema[key_col].dataType.simpleString()
+    if ktype in ("tinyint", "smallint", "int", "bigint"):
+        string_keys = False
+    elif ktype == "string":
+        string_keys = True
+    else:
+        raise TypeError(
+            f"key_col {key_col!r} has type {ktype}; shard keys must be "
+            "integral or string (the key becomes the tar member stem)"
+        )
     base = df.select(F.col(key_col).alias("_k"), F.col(text_col).alias("_t"))
     n_parts = max(base.rdd.getNumPartitions(), 1)
     # persist BEFORE the counts collect: the rank offsets and the write
@@ -113,7 +128,16 @@ def write_webdataset_shards(
             with tarfile.open(fileobj=buf, mode="w") as tf:
                 for _, row in grp.iterrows():
                     data = str(row["_t"]).encode("utf-8")
-                    info = tarfile.TarInfo(name=f"{int(row['_k'])}.{ext}")
+                    if string_keys:
+                        stem = str(row["_k"])
+                        if not stem or "/" in stem or "\x00" in stem:
+                            raise ValueError(
+                                f"string key {stem!r} cannot name a tar "
+                                "member (empty, '/', or NUL)"
+                            )
+                    else:
+                        stem = str(int(row["_k"]))
+                    info = tarfile.TarInfo(name=f"{stem}.{ext}")
                     info.size = len(data)
                     info.mtime = 0  # deterministic bytes
                     tf.addfile(info, io.BytesIO(data))
@@ -142,15 +166,25 @@ def write_webdataset_shards(
 
 
 def read_webdataset_shards(
-    spark: SparkSession, in_dir: str, key_col: str = "doc_id", text_col: str = "text"
+    spark: SparkSession,
+    in_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    key_type: str = "long",
 ) -> DataFrame:
     """Distributed shard read: binaryFile lists/reads tars in parallel;
     each task untars its shards in an Arrow pass. Returns
-    (shard, key, text)."""
+    (shard, key, text). ``key_type`` must match what the writer
+    sharded on: 'long' (default) or 'string' (stem kept verbatim)."""
+    if key_type not in ("long", "string"):
+        raise ValueError(f"key_type must be 'long' or 'string', got {key_type!r}")
     out_schema = T.StructType(
         [
             T.StructField("shard", T.IntegerType()),
-            T.StructField(key_col, T.LongType()),
+            T.StructField(
+                key_col,
+                T.LongType() if key_type == "long" else T.StringType(),
+            ),
             T.StructField(text_col, T.StringType()),
         ]
     )
@@ -173,8 +207,13 @@ def read_webdataset_shards(
                 out = {"shard": [], key_col: [], text_col: []}
                 with tarfile.open(fileobj=io.BytesIO(row["content"])) as tf:
                     for m in tf.getmembers():
+                        # rsplit: only the extension comes off — string
+                        # keys may themselves contain dots
+                        stem = m.name.rsplit(".", 1)[0]
                         out["shard"].append(shard)
-                        out[key_col].append(int(m.name.split(".")[0]))
+                        out[key_col].append(
+                            int(stem) if key_type == "long" else stem
+                        )
                         out[text_col].append(tf.extractfile(m).read().decode("utf-8"))
                 yield pd.DataFrame(out)
 

@@ -191,7 +191,7 @@ def test_recover_untouched_target_abandons_uncommitted_staged(spark, tmp_path):
     spark.createDataFrame([(2, "v2_new", "a")], SCHEMA).write.partitionBy(
         "part"
     ).parquet(staged)
-    _intent(staged, "partitions", "part", ["a", "b"], ["part=a"])
+    _intent(staged, "partitions", "part", ["part=a", "part=b"], ["part=a"])
     assert recover_merge(path) == "clean"
     assert not os.path.exists(staged)
     assert {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()} == before
@@ -213,7 +213,7 @@ def test_recover_partition_swap_rolls_forward(spark, tmp_path):
     spark.createDataFrame([(2, "v2_new", "a")], SCHEMA).write.partitionBy(
         "part"
     ).parquet(staged)
-    _intent(staged, "partitions", "part", ["a", "b"], ["part=a"])
+    _intent(staged, "partitions", "part", ["part=a", "part=b"], ["part=a"])
     sh.rmtree(os.path.join(path, "part=b"))  # the deletion step ran
     assert recover_merge(path) == "completed-merge"
     validate_commit_manifest(path)
@@ -236,7 +236,7 @@ def test_recover_partition_swap_half_done_is_idempotent(spark, tmp_path):
     spark.createDataFrame([(2, "v2_new", "a")], SCHEMA).write.partitionBy(
         "part"
     ).parquet(staged)
-    _intent(staged, "partitions", "part", ["a", "b"], ["part=a"])
+    _intent(staged, "partitions", "part", ["part=a", "part=b"], ["part=a"])
     # simulate: swap of 'a' already happened
     sh.rmtree(os.path.join(path, "part=a"))
     os.rename(os.path.join(staged, "part=a"), os.path.join(path, "part=a"))

@@ -156,3 +156,27 @@ def test_probe_opt_out_is_the_documented_immutable_contract(spark, tmp_path):
     )
     got = _read(spark, path)
     assert (2, "v2_moved", "b") in got and (2, "v2", "a") in got  # stale dup stays
+
+
+def test_special_character_partition_values_swap_correctly(spark, tmp_path):
+    """Partition values Spark escapes in directory names (':' → %3A)
+    and NULL (→ __HIVE_DEFAULT_PARTITION__) must still be found by the
+    swap — raw str(v) names would silently no-op the whole merge."""
+    path = str(tmp_path / "t")
+    rows = [(1, "v1", "ts:morning"), (2, "v2", "ts:evening"), (3, "v3", None)]
+    spark.createDataFrame(rows, SCHEMA).write.partitionBy("part").parquet(path)
+    assert os.path.isdir(os.path.join(path, "part=ts%3Amorning"))
+    updates = spark.createDataFrame(
+        [
+            (1, "v1_new", "ts:morning", "upsert"),  # rewrite escaped part
+            (3, None, None, "delete"),              # delete in NULL part
+        ],
+        "k long, v string, part string, _op string",
+    )
+    stats = merge_upsert(spark, path, updates, "k", partition_col="part")
+    assert stats["upserted"] == 1 and stats["deleted"] == 1
+    got = _read(spark, path)
+    assert (1, "v1_new", "ts:morning") in got
+    assert (2, "v2", "ts:evening") in got
+    assert not any(k == 3 for k, _, _ in got)
+    assert not os.path.exists(os.path.join(path, "part=__HIVE_DEFAULT_PARTITION__"))

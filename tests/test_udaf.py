@@ -75,3 +75,27 @@ def test_single_and_two_element_groups(spark):
     got = {r["event_type"]: r for r in robust_value_stats_scalable(df).collect()}
     assert got["x"]["median_value"] == 5.0 and got["x"]["iqr_value"] == 0.0
     assert got["y"]["median_value"] == 1.5 and got["y"]["iqr_value"] == 0.5
+
+
+def test_null_values_do_not_shift_quantiles(spark):
+    """NULLs must be excluded from median/IQR (pandas skipna / SQL
+    semantics) while n stays COUNT(*); an all-null group keeps its
+    count row with NULL quantiles — in BOTH twins."""
+    from spectraplex_spark.functions.udaf import (
+        robust_value_stats,
+        robust_value_stats_scalable,
+    )
+
+    df = spark.createDataFrame(
+        [("m", None), ("m", 1.0), ("m", 2.0), ("m", 3.0), ("m", None),
+         ("z", None), ("z", None)],
+        SCHEMA,
+    )
+    for fn in (robust_value_stats, robust_value_stats_scalable):
+        got = {r["event_type"]: r for r in fn(df).collect()}
+        assert got["m"]["n"] == 5  # COUNT(*) counts nulls
+        assert got["m"]["median_value"] == 2.0  # nulls skipped in ranks
+        assert got["m"]["iqr_value"] == 1.0
+        assert got["z"]["n"] == 2
+        assert got["z"]["median_value"] is None
+        assert got["z"]["iqr_value"] is None

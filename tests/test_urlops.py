@@ -122,3 +122,30 @@ def test_normalize_idn_host_known_vectors(spark):
     got = {r.i: r.n for r in df.select("i", normalize_idn_host(F.col("h")).alias("n")).collect()}
     for i, (_, exp) in enumerate(cases):
         assert got[i] == exp, cases[i][0]
+
+
+def test_schemeless_urls_are_null_not_merged(spark):
+    """No '://' → canonical_url/host/domain NULL (visible as malformed)
+    rather than '://host/path' with every such row lumped into one ''
+    domain; cap_per_domain passes NULL-domain rows through uncapped."""
+    df = spark.createDataFrame(
+        [(1, "example.com/x"), (2, "other.org/y"), (3, "https://ok.com/z"),
+         (4, "www.nohost.net")],
+        ["doc_id", "url"],
+    )
+    got = {
+        r["doc_id"]: (r["c"], r["h"], r["d"])
+        for r in df.select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h"),
+            registered_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert got[3] == ("https://ok.com/z", "ok.com", "ok.com")
+    for i in (1, 2, 4):
+        assert got[i] == (None, None, None), got[i]
+    capped = cap_per_domain(df, cap=1).collect()
+    # the one real domain is capped; both malformed rows survive
+    assert {r["doc_id"] for r in capped} == {1, 2, 3, 4}
+    assert all(r["domain"] is None for r in capped if r["doc_id"] != 3)

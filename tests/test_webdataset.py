@@ -115,3 +115,32 @@ def test_multi_arrow_batch_shards_lose_no_samples(spark, tmp_path):
                 assert len(tf.getmembers()) == 60  # full shards on disk
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_string_keys_roundtrip_and_bad_types_raise(spark, tmp_path):
+    """key_col is a generic parameter: string keys must work verbatim
+    (incl. dots in the key) and non-integral/non-string key types must
+    raise up front, not as an opaque executor error mid-export."""
+    import pytest
+
+    out = str(tmp_path / "wds_str")
+    df = spark.createDataFrame(
+        [("doc.alpha", "t1"), ("doc.beta", "t2"), ("zz", "t3")],
+        "doc_id string, text string",
+    )
+    n = write_webdataset_shards(df, out, samples_per_shard=2)
+    assert n == 2
+    back = read_webdataset_shards(spark, out, key_type="string")
+    got = {(r["doc_id"], r["text"]) for r in back.collect()}
+    assert got == {("doc.alpha", "t1"), ("doc.beta", "t2"), ("zz", "t3")}
+
+    with pytest.raises(TypeError, match="integral or string"):
+        write_webdataset_shards(
+            spark.createDataFrame([(1.5, "t")], "doc_id double, text string"),
+            str(tmp_path / "wds_bad"),
+        )
+    with pytest.raises(Exception, match="cannot name a tar member"):
+        write_webdataset_shards(
+            spark.createDataFrame([("a/b", "t")], "doc_id string, text string"),
+            str(tmp_path / "wds_slash"),
+        )

@@ -1,0 +1,117 @@
+"""DSIR-style data selection via importance resampling (Xie et al.
+2023, "Data Selection for Language Models via Importance Resampling")
+— the target-distribution-matching stage of a pretraining pipeline:
+given a small TARGET slice (e.g. wiki-quality or in-language pages),
+re-rank the raw corpus so documents whose hashed n-gram profile looks
+like the target float to the top of each stratum's sample.
+
+Integer-grid variant (the quality_linear_score discipline): the paper
+scores log p_target(d) - log p_raw(d) over hashed n-gram features; the
+exact-gradable re-expression here gives each feature bucket an additive
+weight on the 1e-6 integer grid,
+
+    wq(b) = ((target_count(b) + 1) * 1_000_000) div (raw_count(b) + B)
+
+(add-one smoothing over B buckets — a bucket the target never uses
+still gets a floor weight, so unseen-feature docs don't degenerate),
+and a document's importance score is the pure BIGINT sum of its
+tokens' bucket weights. Ranking and selection are integer compares —
+no float boundary anywhere. Production swaps in trained log-ratio
+weights quantized to the same grid; the OPERATOR (hash → corpus-level
+bucket stats → broadcast weights → in-row scoring → per-stratum top-k)
+is the deliverable.
+
+Scale shape (100 TB): two narrow passes over the corpus. Pass 1
+explodes (bucket) rows but hash-aggregate partial combine caps the
+shuffle at n_buckets rows per task; the bucket table is then a
+BOUNDED collect (n_buckets rows — the k-means-centroid contract) and
+ships back as an array literal, so pass 2 scores fully in-row with
+zero shuffle. The only real exchange is the per-stratum top-k window,
+keyed by the stratum column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from spectraplex_spark.operators.textops import (
+    QSCORE_BUCKETS,
+    hashed_bucket,
+    tokens,
+)
+
+DSIR_SCALE = 1_000_000
+
+
+def dsir_bucket_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = QSCORE_BUCKETS,
+) -> DataFrame:
+    """(bucket, raw_count, target_count, wq): corpus-level hashed-token
+    stats and the smoothed integer importance weight per bucket.
+    ``target_pred`` marks the rows forming the target distribution."""
+    b = df.select(
+        F.explode(
+            F.transform(
+                tokens(F.col(text_col)), lambda t: hashed_bucket(t, n_buckets)
+            )
+        ).alias("bucket"),
+        target_pred.alias("_t"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("raw_count"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias(
+                "target_count"
+            ),
+        )
+        .withColumn(
+            "wq",
+            F.expr(
+                f"((target_count + 1) * {DSIR_SCALE}) div (raw_count + {n_buckets})"
+            ).cast("long"),
+        )
+    )
+
+
+def dsir_importance_sample(
+    df: DataFrame,
+    target_pred: Column,
+    k: int = 10,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = QSCORE_BUCKETS,
+) -> DataFrame:
+    """Top-``k`` docs per stratum by hashed-n-gram importance score
+    (see module docstring). Returns (stratum, id, score_q, rk) —
+    deterministic: score desc, id asc. Token-free documents carry no
+    feature evidence and are excluded (they'd otherwise tie at score 0
+    by accident of smoothing, not by similarity to the target)."""
+    w = {
+        r["bucket"]: r["wq"]
+        for r in dsir_bucket_weights(
+            df, target_pred, text_col, n_buckets
+        ).collect()  # bounded: n_buckets rows (the centroid-collect contract)
+    }
+    wlit = F.array(
+        *[F.lit(int(w.get(b, 0))).cast("long") for b in range(n_buckets)]
+    )
+    toks = tokens(F.col(text_col))
+    per_tok = F.transform(
+        toks, lambda t: F.element_at(wlit, hashed_bucket(t, n_buckets) + 1)
+    )
+    score = F.aggregate(per_tok, F.lit(0).cast("long"), lambda a, v: a + v)
+    scored = df.filter(F.size(toks) > 0).select(
+        F.col(stratum_col), F.col(id_col), score.alias("score_q")
+    )
+    win = Window.partitionBy(stratum_col).orderBy(
+        F.desc("score_q"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= k)
+    )

@@ -4013,8 +4013,10 @@ _DUCK_CANON_CTES = f"""
                         query
                  FROM s2)),
     s4 AS (SELECT doc_id,
-             scheme || '://' || host || path ||
-             CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+             CASE WHEN scheme <> '' THEN
+               scheme || '://' || host || path ||
+               CASE WHEN q <> '' THEN '?' || q ELSE '' END
+             END AS canonical_url
            FROM (SELECT doc_id, scheme, host, path,
                         array_to_string(list_sort(list_filter(string_split(query, '&'),
                           p -> p <> '' AND NOT (
@@ -4272,22 +4274,87 @@ def bpe_merge_pairs(spark, sf_dir):
     return bpe_merge_candidates(docs, k=30)
 
 
+def _bpe_train_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
+    """DuckDB twin of bpe.bpe_train, fully UNROLLED: one (pair-count →
+    one-row argmax → conditional re-segmentation) CTE triple per merge
+    iteration. The greedy left-to-right non-overlapping merge is a
+    list_reduce whose accumulator is the segmented word joined by ' '
+    (tokens never contain spaces); the carry is the accumulator's last
+    token, and a just-merged token can never re-match ``a`` in the same
+    pass (merged = a||b, b non-empty) — exactly merge_pair's struct-
+    carry semantics. Early stop: a sub-threshold best pair makes the
+    re-segmentation a no-op, so the vocab — and therefore every later
+    best — is a fixed point; filtering the unioned winners on
+    pf >= min_freq reproduces the loop break."""
+    ctes = [
+        "v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,"
+        " string_split(w, '') AS symbols"
+        f" FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents) GROUP BY w)"
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"p{i} AS (SELECT a, b, SUM(freq) AS pf FROM ("
+            f"SELECT freq, unnest(symbols[1:len(symbols)-1]) AS a,"
+            f" unnest(symbols[2:len(symbols)]) AS b"
+            f" FROM v{i} WHERE len(symbols) >= 2) GROUP BY a, b)"
+        )
+        ctes.append(
+            f"best{i} AS (SELECT a AS ba, b AS bb, pf FROM p{i}"
+            f" ORDER BY pf DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i + 1} AS (SELECT w, freq,"
+            f" CASE WHEN pf >= {min_freq} THEN"
+            f" string_split(list_reduce(symbols, (acc, s) ->"
+            f" CASE WHEN (acc = ba OR ends_with(acc, ' ' || ba)) AND s = bb"
+            f" THEN acc || s ELSE acc || ' ' || s END), ' ')"
+            f" ELSE symbols END AS symbols"
+            f" FROM v{i} CROSS JOIN best{i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, ba AS a, bb AS b, pf FROM best{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    m AS ({union})
+    SELECT CAST(step AS INT) AS step, a, b, CAST(pf AS BIGINT) AS pair_freq
+    FROM m WHERE pf >= {min_freq} ORDER BY step
+    """
+    )
+
+
+def _bpe_vocab_ctes(n_merges: int = 10, min_freq: int = 2) -> str:
+    """The CTE chain of _bpe_train_oracle_sql up to the FINAL segmented
+    vocab v{n_merges} (shared by the encode twin)."""
+    full = _bpe_train_oracle_sql(n_merges, min_freq)
+    return full[: full.index(",\n    m AS (")]
+
+
 @query(
     "bpe_trained_merges",
-    None,  # iterative algorithm: the per-iteration argmax feeds the next
-    # iteration's plan, which no single SQL statement can express — the
-    # driver's designated rows-only category. Hard signal comes from
-    # (1) tests/test_bpe.py: the FULL training run (ordered merges with
-    # exact frequencies AND final vocab segmentation) equals an
-    # independent pure-Python reference implementation, and (2) the
-    # first iteration's statistic is hash-graded via bpe_merge_pairs.
+    # Round 8 retired this entry's rows-only status: the "iterative
+    # argmax feeds the next plan" objection dissolves once each
+    # iteration is UNROLLED into CTEs — best_i is a one-row CTE and the
+    # re-segmentation is a list_reduce string-accumulator fold whose
+    # carry is the accumulator's last space-separated token (merged
+    # tokens can never re-match `a` in the same pass because merged =
+    # a||b with b non-empty — the same invariant bpe.merge_pair's
+    # struct carry enforces). Early stop (min_freq) maps to a
+    # cumulative window filter over the unioned per-iteration winners.
+    # tests/test_bpe.py additionally pins the full run against an
+    # independent pure-Python reference.
+    _bpe_train_oracle_sql(n_merges=10, min_freq=2),
     doc="E4 iterative BPE training (Sennrich et al. 2016): 10 merge "
     "iterations over the documents corpus. One corpus scan builds the "
     "word-frequency table; each iteration is one VOCAB-sized pair-count "
     "shuffle + a one-row argmax collect + a zero-shuffle HOF "
     "re-segmentation fold, with per-iteration persist/unpersist so "
     "lineage stays flat (the iterative-algorithm discipline). "
-    "Deterministic: exact integer counts, lexicographic tie-break.",
+    "Deterministic: exact integer counts, lexicographic tie-break. "
+    "Hash-graded since r8 via a fully UNROLLED DuckDB twin (10 chained "
+    "best/re-segment CTE pairs — see _bpe_train_oracle_sql), retiring "
+    "the catalog's last designed-rows-only entry.",
 )
 def bpe_trained_merges(spark, sf_dir):
     from spectraplex_spark.operators.bpe import bpe_train
@@ -4297,3 +4364,196 @@ def bpe_trained_merges(spark, sf_dir):
     vocab.unpersist()
     rows = [(i + 1, a, b, pf) for i, (a, b, pf) in enumerate(merges)]
     return spark.createDataFrame(rows, "step int, a string, b string, pair_freq long")
+
+
+# --- round-8 additions: DSIR resampling, estimator error, entropy --------
+
+_DSIR_BUCKET_SQL = (
+    "(ascii(substring(md5(t), 1, 1)) * 256 + ascii(substring(md5(t), 2, 1))) % 64"
+)
+
+
+@query(
+    "dsir_importance_sample",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    tb AS (SELECT doc_id, lang,
+             unnest(list_transform(toks, t -> {_DSIR_BUCKET_SQL})) AS bucket
+           FROM tok),
+    w AS (SELECT bucket,
+            ((COUNT(*) FILTER (WHERE lang = 'en') + 1) * 1000000)
+              // (COUNT(*) + 64) AS wq
+          FROM tb GROUP BY bucket),
+    s AS (SELECT tb.doc_id, any_value(tb.lang) AS lang,
+            CAST(SUM(w.wq) AS BIGINT) AS score_q
+          FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id),
+    r AS (SELECT lang, doc_id, score_q,
+            ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY score_q DESC, doc_id) AS rk
+          FROM s)
+    SELECT lang, doc_id, score_q, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10 ORDER BY lang, rk
+    """,
+    doc="E4 DSIR-style importance resampling (Xie et al. 2023): rank "
+    "each stratum's documents by how much their hashed-token profile "
+    "resembles a TARGET slice (here lang='en'), via per-bucket "
+    "smoothed target/raw ratio weights on the 1e-6 integer grid — "
+    "pure BIGINT scores, zero float boundary. Scale shape: one "
+    "partial-aggregated bucket-stats pass (shuffle capped at "
+    "n_buckets rows per task), a BOUNDED 64-row weights collect "
+    "(centroid-collect contract) broadcast back as an array literal, "
+    "then zero-shuffle in-row scoring + one per-stratum top-k window.",
+)
+def dsir_importance_sample_q(spark, sf_dir):
+    from spectraplex_spark.operators.dsir import dsir_importance_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        dsir_importance_sample(docs, F.col("lang") == "en", k=10)
+        .select("lang", "doc_id", "score_q", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def _minhash_error_oracle_sql(num_hashes: int = 16, sample_mod: int = 5) -> str:
+    from spectraplex_spark.operators.dedup import _P, _POLY_C
+    from spectraplex_spark.operators.estimators import EST_SCALE, perm_constants
+
+    fold = "CAST(0 AS BIGINT)"
+    for i in range(1, 13):
+        fold = f"(({fold}) * 131 + ascii(substring(h, {i}, 1))) % {_P}"
+
+    def sh(arr):  # shingle hashes (n=3) from a hashed-token list
+        tri = (
+            f"((({arr}[i] * {_POLY_C} + {arr}[i+1]) % {_P}) * {_POLY_C}"
+            f" + {arr}[i+2]) % {_P}"
+        )
+        return (
+            f"list_distinct(CASE WHEN len({arr}) >= 3 THEN "
+            f"list_transform(range(1, len({arr}) - 1), i -> {tri}) "
+            f"ELSE [list_reduce({arr}, (a, b) -> (a * {_POLY_C} + b) % {_P})] "
+            f"END)"
+        )
+
+    def smin(arr, a, b):
+        return f"list_min(list_transform({arr}, x -> (x * {a} + {b}) % {_P}))"
+
+    matches = " + ".join(
+        f"CASE WHEN {smin('A', a, b)} = {smin('B', a, b)} THEN 1 ELSE 0 END"
+        for a, b in perm_constants(num_hashes)
+    )
+    per_match = EST_SCALE // num_hashes
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+                 WHERE doc_id % {sample_mod} = 0),
+    hh AS (SELECT doc_id,
+             list_transform(list_transform(toks, t -> md5(t)), h -> {fold}) AS th
+           FROM tok WHERE len(toks) >= 1),
+    mm AS (SELECT doc_id, th, 2 + (doc_id // {sample_mod}) % 5 AS k FROM hh),
+    tt AS (SELECT doc_id, th,
+             th[1:greatest(len(th) - (len(th) - len(th) % k) // k, 1)] AS tm
+           FROM mm),
+    ab AS (SELECT doc_id, {sh('th')} AS A, {sh('tm')} AS B FROM tt),
+    ex AS (SELECT doc_id, len(A) AS n_a, len(B) AS n_b,
+             len(list_intersect(A, B)) AS inter,
+             ({matches}) AS matches
+           FROM ab)
+    SELECT doc_id,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(inter * {EST_SCALE} // (n_a + n_b - inter) AS BIGINT) AS jacc_q,
+           CAST(matches AS BIGINT) AS sig_matches,
+           CAST(matches * {per_match} AS BIGINT) AS est_q,
+           CAST(abs(matches * {per_match}
+                    - inter * {EST_SCALE} // (n_a + n_b - inter)) AS BIGINT)
+             AS err_q
+    FROM ex ORDER BY doc_id
+    """
+
+
+@query(
+    "minhash_estimate_error",
+    _minhash_error_oracle_sql(),
+    doc="E1 estimator-quality measurement: every near-dup threshold "
+    "rides the MinHash estimate of shingle Jaccard, and this report "
+    "GRADES that estimator — each sampled doc is paired with a "
+    "deterministic suffix-truncated mutation of itself (true J sweeps "
+    "~[0.4, 0.85]), then exact Jaccard, 16-perm signature agreement, "
+    "and |error| are emitted on the 1e-6 integer grid (Broder 1997 "
+    "bound sqrt(J(1-J)/m) made observable). Base hash is the "
+    "engine-portable md5 poly-fold so the WHOLE estimator bit-grades "
+    "cross-engine (production keeps xxhash64; estimator statistics "
+    "don't depend on which well-mixing base hash sits under the "
+    "permutation family). Zero shuffle: one narrow in-row pass.",
+)
+def minhash_estimate_error(spark, sf_dir):
+    from spectraplex_spark.operators.estimators import minhash_error_report
+
+    docs = table(spark, sf_dir, "documents")
+    return minhash_error_report(docs).orderBy("doc_id")
+
+
+@query(
+    "entropy_quality_report",
+    f"""
+    WITH c AS (SELECT doc_id, string_split({_NORM_SQL}, '') AS cs FROM documents),
+    m AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS d
+          FROM c WHERE len(cs) >= 1),
+    e AS (SELECT doc_id, len(cs) AS n, len(d) AS nd,
+            list_reduce(list_transform(d, ch ->
+              CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+              * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE))),
+              (a, b) -> a + b) AS sclnc
+          FROM m)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(nd AS BIGINT) AS n_distinct,
+           ROUND(ln(CAST(n AS DOUBLE)) - sclnc / CAST(n AS DOUBLE), 6) AS entropy
+    FROM e ORDER BY doc_id
+    """,
+    doc="E4 Shannon character entropy per document — the "
+    "compression-proxy quality signal (low entropy ⇔ repetitive/"
+    "template/spam text; the Gopher rules' cheap cousin). Cross-engine "
+    "determinism: the distinct-char array is SORTED before an explicit "
+    "left-fold sum, so both engines add the identical term sequence "
+    "and the only wiggle is libm ln's final ulp (6dp precedent). Zero "
+    "shuffle — one narrow projection, O(distinct·len) in-row.",
+)
+def entropy_quality_report(spark, sf_dir):
+    from spectraplex_spark.operators.textops import char_entropy_report
+
+    docs = table(spark, sf_dir, "documents")
+    return char_entropy_report(docs).orderBy("doc_id")
+
+
+@query(
+    "bpe_encode_topk",
+    _bpe_vocab_ctes(10, 2)
+    + """
+    SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT freq, unnest(symbols) AS symbol FROM v10)
+    GROUP BY symbol ORDER BY n_occurrences DESC, symbol ASC LIMIT 20
+    """,
+    doc="E4 tokenizer APPLY: encode the corpus with the 10 trained BPE "
+    "merges (apply_bpe — per-token char split + the merge-fold chain, "
+    "zero shuffle) and report the top-20 emitted symbols. Cross-path "
+    "certification: Spark encodes each document INDEPENDENTLY through "
+    "apply_bpe while the oracle expands the trained vocab's final "
+    "segmentation weighted by word frequency — the two agree only if "
+    "apply-time segmentation is bit-identical to train-time "
+    "segmentation for every word, which is the tokenizer contract "
+    "users actually depend on.",
+)
+def bpe_encode_topk(spark, sf_dir):
+    from spectraplex_spark.operators.bpe import apply_bpe, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, n_merges=10, min_freq=2)
+    vocab.unpersist()
+    enc = apply_bpe(docs, merges)
+    return (
+        enc.select(F.explode("bpe_symbols").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+        .limit(20)
+    )

@@ -1,0 +1,67 @@
+"""DSIR importance resampling (operators/dsir.py): weight direction,
+selection determinism, token-free exclusion. Cross-engine grading is
+in test_oracle_parity.py (dsir_importance_sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spectraplex_spark.operators.dsir import (
+    DSIR_SCALE,
+    dsir_bucket_weights,
+    dsir_importance_sample,
+)
+
+
+def _corpus(spark):
+    # target rows speak "alpha", raw background speaks "omega"
+    rows = [(i, "alpha " * 5, "en") for i in range(10)]
+    rows += [(100 + i, "omega " * 5, "xx") for i in range(40)]
+    rows += [(200, "alpha alpha omega", "xx"), (201, "omega omega omega", "xx")]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_target_feature_buckets_get_heavier_weights(spark):
+    df = _corpus(spark)
+    w = {
+        r["bucket"]: r
+        for r in dsir_bucket_weights(df, F.col("lang") == "en").collect()
+    }
+    alpha_b, omega_b = (
+        df.sparkSession.createDataFrame([("alpha",), ("omega",)], ["t"])
+        .select(
+            F.expr(
+                "(ascii(substring(md5(t), 1, 1)) * 256 "
+                "+ ascii(substring(md5(t), 2, 1))) % 64"
+            ).alias("b")
+        )
+        .rdd.map(lambda r: r["b"])
+        .collect()
+    )
+    assert alpha_b != omega_b
+    # alpha: 52 occurrences, 50 in-target; omega: 123, 0 in-target
+    assert w[alpha_b]["wq"] > w[omega_b]["wq"]
+    # exact smoothed grid arithmetic
+    a = w[alpha_b]
+    assert a["wq"] == ((a["target_count"] + 1) * DSIR_SCALE) // (a["raw_count"] + 64)
+
+
+def test_sample_ranks_target_like_docs_first(spark):
+    df = _corpus(spark)
+    got = dsir_importance_sample(df, F.col("lang") == "en", k=2).collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["lang"], []).append(r["doc_id"])
+    # within the raw 'xx' stratum the alpha-heavy doc outranks pure omega
+    assert by_stratum["xx"][0] == 200
+    assert by_stratum["en"] == [0, 1]  # ties break by id
+
+
+def test_token_free_docs_are_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "   ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = dsir_importance_sample(df, F.col("lang") == "en", k=5).collect()
+    assert [r["doc_id"] for r in got] == [1]

@@ -915,3 +915,24 @@ def test_bpe_merge_candidates_reference(spark):
     rows = bpe_merge_candidates(df, k=10).collect()
     got = [(r.pair, r.pair_freq) for r in rows]
     assert got == [("ab", 6), ("ba", 3), ("cd", 3)]  # ba < cd tie-break
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy pinned on hand-computable docs: single repeated char has
+    H=0; uniform 4-char text has H=ln(4); 'aabb' has H=ln(2)."""
+    import math
+
+    from spectraplex_spark.operators.textops import char_entropy_report
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aabb"), (4, "ab ab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy_report(df).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_distinct"] == 1
+    assert got[2]["entropy"] == round(math.log(4), 6)
+    assert got[3]["entropy"] == round(math.log(2), 6)
+    # normalized text keeps single spaces: 'ab ab' -> chars a,b,' ',a,b
+    assert got[4]["n_chars"] == 5 and got[4]["n_distinct"] == 3
+    h = -(2 / 5) * math.log(2 / 5) * 2 - (1 / 5) * math.log(1 / 5)
+    assert abs(got[4]["entropy"] - h) < 1e-6

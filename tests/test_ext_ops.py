@@ -936,3 +936,31 @@ def test_char_entropy_known_values(spark):
     assert got[4]["n_chars"] == 5 and got[4]["n_distinct"] == 3
     h = -(2 / 5) * math.log(2 / 5) * 2 - (1 / 5) * math.log(1 / 5)
     assert abs(got[4]["entropy"] - h) < 1e-6
+
+
+def test_cap_per_source_scalable_matches_window_form(spark):
+    """The two-phase hot-source cap must pick the EXACT survivors the
+    one-window form picks, hot and cold sources alike, including the
+    provable-fallback path (forced via safety=0 thresholds... safety=1
+    with a tiny hot_factor exercises the prefilter; a degenerate
+    threshold exercises the fallback)."""
+    from spectraplex_spark.operators.textops import (
+        cap_per_source,
+        cap_per_source_scalable,
+    )
+
+    rows = [(i, "hot" if i % 4 else f"s{i % 3}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    want = {(r["source"], r["doc_id"]) for r in cap_per_source(df, 5).collect()}
+    got = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_source_scalable(df, 5, hot_factor=4, safety=8).collect()
+    }
+    assert got == want
+    # fallback path: safety=1 on a small hot source can underfill the
+    # prefilter; survivors must STILL be exact
+    got_fb = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_source_scalable(df, 5, hot_factor=1, safety=1).collect()
+    }
+    assert got_fb == want

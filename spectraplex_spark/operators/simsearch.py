@@ -699,3 +699,133 @@ def standardize_vectors(
         id_col,
         F.zip_with(centered, stds, lambda x, s: x / s).alias("standardized"),
     )
+
+
+def ivf_recall_report(
+    em: DataFrame,
+    q_count: int = 8,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1024,
+) -> DataFrame:
+    """Recall@k of partial-probe IVF vs exact search — the ANN
+    measurement harness (the minhash_estimate_error discipline applied
+    to the similarity-search family): don't just SHIP an approximate
+    index, GRADE how approximate it is.
+
+    The IVF here is built on the integer-exact k-means
+    (clustering.kmeans_fit_predict — bit-reproducible trajectory), so
+    the ENTIRE report is cross-engine replayable: centroid fit,
+    per-query probe selection (integer L2, ties by cid), and both
+    rankings use cosine over the quantized integer grid, where dot and
+    norms are exact BIGINTs and the final score is CAST/sqrt/divide —
+    correctly-rounded single scalar ops (the knn_join_topk_arrow
+    precedent). recall_q = hits · (1e6/k) is an exact integer.
+
+    Scale shape: one bounded q_count×dim query collect (the
+    max_query_batch contract) + the k-means fit; scoring is a narrow
+    corpus pass fanned out ×q_count with literal query vectors (no
+    join, no query-side shuffle); the two rank windows shuffle
+    (query_id, cosine, id) triples only. Returns
+    (query_id, hits, recall_q) — one row per query."""
+    from pyspark.sql import Window
+
+    from spectraplex_spark.operators.clustering import (
+        km_quantize_col,
+        kmeans_fit_predict,
+    )
+
+    corpus = em.filter(F.col(id_col) >= q_count)
+    queries = em.filter(F.col(id_col) < q_count)
+    assignments, cents = kmeans_fit_predict(
+        corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col, scale=scale
+    )
+    qrows = (
+        queries.select(F.col(id_col), km_quantize_col(vec_col, scale).alias("_q"))
+        .orderBy(id_col)
+        .collect()  # bounded: q_count rows (the knn max_query_batch contract)
+    )
+    probes: dict[int, list[int]] = {}
+    qnorm: dict[int, int] = {}
+    for r in qrows:
+        qq = [int(v) for v in r["_q"]]
+        qnorm[r[id_col]] = sum(v * v for v in qq)
+        d = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qq, c)), cid)
+            for cid, c in enumerate(cents)
+        )
+        probes[r[id_col]] = [cid for _, cid in d[:n_probe]]
+    qmap = F.create_map(
+        *[
+            x
+            for r in qrows
+            for x in (
+                F.lit(r[id_col]),
+                F.array(*[F.lit(int(v)).cast("long") for v in r["_q"]]),
+            )
+        ]
+    )
+    nmap = F.create_map(
+        *[x for r in qrows for x in (F.lit(r[id_col]), F.lit(qnorm[r[id_col]]))]
+    )
+    pmap = F.create_map(
+        *[
+            x
+            for r in qrows
+            for x in (F.lit(r[id_col]), F.array(*[F.lit(c) for c in probes[r[id_col]]]))
+        ]
+    )
+
+    base = (
+        corpus.select(
+            F.col(id_col).alias("_vid"), km_quantize_col(vec_col, scale).alias("_vq")
+        )
+        .join(assignments.withColumnRenamed(id_col, "_vid"), "_vid")
+        .withColumn(
+            "query_id", F.explode(F.array(*[F.lit(r[id_col]) for r in qrows]))
+        )
+    )
+    qv = qmap[F.col("query_id")]
+    dot = F.aggregate(
+        F.zip_with(F.col("_vq"), qv, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    vn = F.aggregate(
+        F.transform(F.col("_vq"), lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(vn.cast("double")) * F.sqrt(nmap[F.col("query_id")].cast("double"))
+    )
+    scored = base.select("query_id", "_vid", "cluster_id", cos.alias("_cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("_vid"))
+    exact = (
+        scored.withColumn("_xr", F.row_number().over(w))
+        .filter(F.col("_xr") <= k)
+        .select("query_id", "_vid")
+    )
+    ivf = (
+        scored.filter(
+            F.array_contains(pmap[F.col("query_id")], F.col("cluster_id"))
+        )
+        .withColumn("_ir", F.row_number().over(w))
+        .filter(F.col("_ir") <= k)
+        .select("query_id", "_vid")
+    )
+    hits = exact.join(ivf, ["query_id", "_vid"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    all_q = exact.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+        (F.coalesce(F.col("hits"), F.lit(0).cast("long")) * (1_000_000 // k)).alias(
+            "recall_q"
+        ),
+    )

@@ -33,12 +33,13 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # round's additions and regrades:
 #   (a) the 8 never-driver-graded late-r7 entries (registered after the
 #       r7 window sealed; dual-SF local parity green since);
-#   (b) the 5 queries NEW this round: DSIR importance resampling,
+#   (b) the 7 queries NEW this round: DSIR importance resampling,
 #       the MinHash estimator-error report, the char-entropy quality
 #       signal, and the BPE tokenizer-APPLY certification (whose
 #       unrolled-CTE oracle also retired bpe_trained_merges's
-#       rows-only status in place), and the two-phase hot-source
-#       quota scale twin;
+#       rows-only status in place), the two-phase hot-source quota
+#       scale twin, the partial-probe IVF recall report, and the
+#       planted-hot-key salted aggregation;
 #   (c) 4 regrades whose UNDERLYING CODE changed this round, so their
 #       earlier hash no longer certifies HEAD: merge_upsert (Hive-
 #       escaped partition-dir swap + NULL partitions), the WebDataset
@@ -47,13 +48,13 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 #       covered by the two urlops entries already in (a);
 #   (d) ALL 19 remaining round-4-vintage entries — after this window
 #       nothing in the catalog is older than round 5;
-#   (e) 14 of the 50 round-5-vintage entries, sole-evidence families
+#   (e) 12 of the 50 round-5-vintage entries, sole-evidence families
 #       first (connector/serving/sink/streaming/multimodal/lang/
 #       incremental-embedding). The 34 deferred r5 entries are
 #       bench-covered headliners and TPC-H/scalar/window shapes with
-#       in-family fresher siblings (histogram_order_prices and
-#       map_ops_events joined them when bpe_encode_topk and
-#       source_quota_scalable entered); they are exactly 3 rounds
+#       in-family fresher siblings (histogram_order_prices,
+#       map_ops_events, lang_quality_report and lang_id_distribution
+#       joined them as the r8-new entries displaced the tail); they are exactly 3 rounds
 #       old at r8 and rotate in r9 before crossing the freshness bar.
 # Every (b)/(c) entry passed the local dual-SF parity gate before
 # entering. All 178 catalog entries remain pytest-parity-covered every
@@ -75,6 +76,8 @@ _GRADED_PRIORITY = [
     "entropy_quality_report",
     "bpe_encode_topk",
     "source_quota_scalable",
+    "ivf_recall_report",
+    "salted_hot_key_sum",
     # (c) code changed this round - prior hash no longer certifies HEAD
     "merge_upsert_roundtrip",
     "webdataset_roundtrip",
@@ -110,12 +113,10 @@ _GRADED_PRIORITY = [
     "jsonl_roundtrip_events",
     "streaming_window_rollup",
     "multimodal_binary_meta",
-    "lang_id_distribution",
-    "lang_quality_report",
     "text_token_stats",
     "doc_fingerprints",
     "incremental_neardup_embedding_planted",
-    # r5 entries DEFERRED to r9 (36: bench-covered headliners - q1/q3/
+    # r5 entries DEFERRED to r9 (38: bench-covered headliners - q1/q3/
     # q5/dedup_exact/minhash_pairs/simsearch_cosine/normalize/corpus_
     # prep - plus TPC-H q6-q22, scalar/window/agg/pivot shapes, and
     # jdbc-adjacent entries with r6+-green family siblings; all are

@@ -4611,3 +4611,126 @@ def source_quota_scalable(spark, sf_dir):
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "salted_hot_key_sum",
+    """
+    WITH v AS (SELECT CASE WHEN user_id % 4 != 0 THEN -1 ELSE user_id END
+                 AS user_key,
+               CAST(value AS DECIMAL(38, 6)) AS v
+               FROM events)
+    SELECT user_key,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM v GROUP BY user_key ORDER BY user_key
+    """,
+    doc="§2.6 skew-salted aggregation, graded on a PLANTED hot key "
+    "(three quarters of events collapse onto user_key=-1): "
+    "salted_group_sum spreads each key across salt_n partial "
+    "(key, salt) sums before the merge, so one dominant reducer key "
+    "becomes salt_n parallel tasks — the aggregation-side skew tool "
+    "the layout module pairs with AQE's join-side handling. DECIMAL "
+    "partial sums are exact and order-independent, so the two-phase "
+    "result bit-equals the oracle's one-phase GROUP BY regardless of "
+    "how rows landed in salt buckets (the salt uses partition id + "
+    "monotonic id — deterministic execution artifacts, but the DECIMAL "
+    "grid means the grade never depends on them).",
+)
+def salted_hot_key_sum(spark, sf_dir):
+    from spectraplex_spark.sources.layout import salted_group_sum
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 4 != 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_key"),
+        F.col("value").cast("decimal(38,6)").alias("_v"),
+    )
+    out = salted_group_sum(ev, ["user_key"], F.col("_v"), "total_dec", salt_n=16)
+    n = (
+        ev.groupBy("user_key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        out.join(n, "user_key")
+        .select(
+            "user_key",
+            F.col("total_dec").cast("double").alias("total_value"),
+            "n_events",
+        )
+        .orderBy("user_key")
+    )
+
+
+def _ivf_recall_oracle_sql(
+    q_count: int = 8, k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+    iters: int = 3, dim: int = 64, scale: int = 1024,
+) -> str:
+    """DuckDB twin of simsearch.ivf_recall_report: the integer Lloyd's
+    replay (_kmeans_ctes) over the corpus slice, per-query probe
+    selection by integer L2 (ties cid), both rankings by cosine over
+    the quantized grid (exact BIGINT dot/norms; CAST/sqrt/divide are
+    correctly-rounded single ops — the knn arrow precedent)."""
+    ctes = _kmeans_ctes(
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {q_count}",
+        n_centroids, iters, dim, scale,
+    )
+    quant = (
+        f"list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * CAST({scale} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+    )
+    l2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (q.qq[i] - c.q[i]) * (q.qq[i] - c.q[i])))"
+    )
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> v.q[i] * q.qq[i]))"
+    ctes += [
+        f"qv2 AS (SELECT vec_id AS query_id, {quant} AS qq "
+        f"FROM embeddings WHERE vec_id < {q_count})",
+        f"pc AS (SELECT query_id, cid FROM (SELECT q.query_id, c.cid, "
+        f"row_number() OVER (PARTITION BY q.query_id ORDER BY {l2}, c.cid) AS pr "
+        f"FROM qv2 q CROSS JOIN c{iters} c) WHERE pr <= {n_probe})",
+        f"pairs AS (SELECT q.query_id, v.vec_id, v.cid AS vcid, "
+        f"CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST(list_sum(list_transform(v.q, x -> x * x)) AS DOUBLE)) * "
+        f"sqrt(CAST(list_sum(list_transform(q.qq, x -> x * x)) AS DOUBLE))) AS cos "
+        f"FROM fin v CROSS JOIN qv2 q)",
+        f"ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS xr "
+        f"FROM pairs) WHERE xr <= {k})",
+        f"iv AS (SELECT query_id, vec_id FROM (SELECT p.query_id, p.vec_id, "
+        f"row_number() OVER (PARTITION BY p.query_id ORDER BY p.cos DESC, p.vec_id) AS ir "
+        f"FROM pairs p JOIN pc ON pc.query_id = p.query_id AND pc.cid = p.vcid) "
+        f"WHERE ir <= {k})",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT e.query_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(i.vec_id) * {1_000_000 // k} AS BIGINT) AS recall_q
+    FROM ex e LEFT JOIN iv i
+      ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+    )
+
+
+@query(
+    "ivf_recall_report",
+    _ivf_recall_oracle_sql(),
+    doc="E2 ANN measurement harness (the minhash_estimate_error "
+    "discipline applied to similarity search): recall@10 of a "
+    "PARTIAL-probe IVF (2 of 8 cells) against exact search, one row "
+    "per query, hits and recall on the integer grid. Built on the "
+    "integer-exact k-means so the WHOLE report — centroid trajectory, "
+    "probe selection, both rankings — replays bit-for-bit in SQL; "
+    "cosine over the quantized grid pays only CAST/sqrt/divide "
+    "(correctly-rounded single ops, the knn arrow precedent). This "
+    "grades the approximation quality itself, not just the index "
+    "mechanics: the sibling simsearch_ivf_topk is graded at full "
+    "probe where IVF degenerates to exact.",
+)
+def ivf_recall_report(spark, sf_dir):
+    from spectraplex_spark.operators.simsearch import ivf_recall_report as op
+
+    return op(table(spark, sf_dir, "embeddings")).orderBy("query_id")

@@ -964,3 +964,17 @@ def test_cap_per_source_scalable_matches_window_form(spark):
         for r in cap_per_source_scalable(df, 5, hot_factor=1, safety=1).collect()
     }
     assert got_fb == want
+
+
+def test_ivf_recall_full_probe_is_exact(spark):
+    """At n_probe == n_centroids IVF degenerates to exact search, so
+    recall@k must be exactly 1.0 for every query; at partial probe it
+    may drop but hits stays <= k and recall_q stays on the grid."""
+    from spectraplex_spark.operators.simsearch import ivf_recall_report
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = ivf_recall_report(em, q_count=4, k=5, n_centroids=4, n_probe=4).collect()
+    assert len(full) == 4
+    assert all(r["hits"] == 5 and r["recall_q"] == 1_000_000 for r in full)
+    part = ivf_recall_report(em, q_count=4, k=5, n_centroids=4, n_probe=1).collect()
+    assert all(0 <= r["hits"] <= 5 and r["recall_q"] == r["hits"] * 200_000 for r in part)

@@ -761,3 +761,120 @@ def backfill_wallet_migration(spark, sf_dir):
         "o_orderstatus",
         F.col("c_nationkey").cast("long").alias("backfilled_nationkey"),
     )
+
+
+@query(
+    "stream_left_join_replay",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS error_id,
+           l.user_id AS user_id,
+           CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.event_type = 'error'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+    WHERE l.event_type = 'click'
+    """,
+    doc="S2/§2.9 stream-stream LEFT OUTER interval join — the "
+    "late-accounting mode (clicks that never drew an error within the "
+    "4h horizon emit NULL-padded): Spark's symmetric hash join emits "
+    "an unmatched left row only after the GLOBAL watermark (min of "
+    "both inputs) passes left_ts + upper, and only in a trigger AFTER "
+    "that advance — so the replay feeds time-ordered real batches "
+    "(mtime-pinned files, maxFilesPerTrigger=1) then two sentinel "
+    "batches 12h/13h past the stream's end on BOTH sides (filtered "
+    "from output by negative user ids): sentinel 1 advances the "
+    "watermark beyond every real row's close point, sentinel 2 is the "
+    "flush trigger that emits the closed unmatched set. The oracle is "
+    "the plain batch LEFT JOIN — agreement certifies that every real "
+    "unmatched row closed and emitted exactly once, and no sentinel "
+    "leaked. All-integer/null output grades exactly.",
+)
+def stream_left_join_replay(spark, sf_dir):
+    import os
+    import tempfile
+    import time as _time
+
+    from spectraplex_spark.streaming.joins import stream_interval_join
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_slj_")
+    src_dir = f"{d}/src"
+    bounds = events.selectExpr("min(ts) AS lo", "max(ts) AS hi").head()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / 3
+    base = _time.time() - 1000
+
+    def _pin(mtime):
+        # FileStreamSource orders by modification time: pin each batch's
+        # files so arrival order == event-time order
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                full = os.path.join(src_dir, f)
+                if os.path.getmtime(full) > mtime:
+                    os.utime(full, (mtime, mtime))
+
+    cuts = [lo + span, lo + 2 * span]
+    parts = [
+        events.filter(F.col("ts") <= F.lit(cuts[0])),
+        events.filter((F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))),
+        events.filter(F.col("ts") > F.lit(cuts[1])),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("append").parquet(src_dir)
+        _pin(base + 10 * i)
+    one = events.limit(1)
+    for j, hrs in enumerate((12, 13)):
+        s = one.withColumn("ts", F.lit(hi) + F.expr(f"INTERVAL {hrs} HOURS"))
+        pair = s.withColumn("user_id", F.lit(-1).cast("long")).withColumn(
+            "event_type", F.lit("click")
+        ).unionByName(
+            s.withColumn("user_id", F.lit(-2).cast("long")).withColumn(
+                "event_type", F.lit("error")
+            )
+        )
+        pair.coalesce(1).write.mode("append").parquet(src_dir)
+        _pin(base + 40 + 10 * j)
+
+    schema = events.schema
+    src = lambda: spark.readStream.schema(schema).option(  # noqa: E731
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    clicks = src().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = src().filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        upper="4 hours",
+        right_watermark="5 hours",
+        how="left_outer",
+    )
+    # Do NOT filter sentinels here: a deterministic predicate on the
+    # joined stream pushes below the watermark assignment into the
+    # SCAN, so the sentinel rows would be pruned before ever advancing
+    # the watermark (observed: wm frozen, zero unmatched emissions for
+    # the stream tail). No sentinel can reach the sink anyway — the
+    # click sentinel is the stream's newest row so its own close point
+    # is never passed, and right-side rows don't emit in left-outer —
+    # but the read-back filter below stays as a defensive invariant.
+    out = joined.select(
+        "click_id",
+        "error_id",
+        "user_id",
+        (F.unix_timestamp("ts_right") - F.unix_timestamp("ts")).cast("long").alias("lag_s"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{d}/out").filter(F.col("user_id") >= 0)

@@ -42,8 +42,9 @@ def stream_interval_join(
     upper: str = "10 minutes",
     left_watermark: str = "0 seconds",
     right_watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: rows with equal ``on`` key and
+    """Stream-stream join: rows with equal ``on`` key and
     right_ts in [left_ts + lower, left_ts + upper].
 
     The right watermark must cover the interval width (Spark evicts a
@@ -51,7 +52,18 @@ def stream_interval_join(
     an undersized watermark silently loses matches — the default here
     is upper-plus-slack for the catalog's 10-minute bound). Column
     name collisions: left keeps its names, right's ts is suffixed.
-    """
+
+    ``how``: 'inner' or 'left_outer'. Left-outer adds the
+    late-accounting semantics (clicks that never got an error, orders
+    that never settled): an unmatched left row emits NULL-padded only
+    once the GLOBAL watermark (min across both inputs) passes
+    left_ts + upper — i.e. when no future right row could match — and
+    that emission happens in a trigger AFTER the watermark advance, so
+    a replay must feed at least one batch after the last real data
+    (the catalog replay appends sentinel batches; a single-batch
+    availableNow run would withhold every unmatched row)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     # Event-time columns must be TIMESTAMP (Spark rejects TIMESTAMP_NTZ
     # watermarks; the driver's events.ts ships as NTZ). Session tz is
     # pinned UTC, so the cast is the identity (pipeline.py precedent).
@@ -66,7 +78,7 @@ def stream_interval_join(
         & (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
         & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[on])
+    return lw.join(rw, cond, how).drop(rw[on])
 
 
 def stream_dedup_within_watermark(

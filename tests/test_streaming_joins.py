@@ -105,3 +105,52 @@ def test_dedup_within_single_batch_collapses_duplicates(spark, tmp_path):
     _run(deduped, str(tmp_path / "out"), str(tmp_path / "ckpt"))
     out = sorted(r["event_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert out == [1, 2]
+
+
+def test_left_outer_interval_join_emits_closed_unmatched(spark, tmp_path):
+    """Left-outer mode: an unmatched click emits NULL-padded once the
+    global watermark passes its close point (needs a later batch to
+    flush); a click near the stream's end stays withheld. A matched
+    click emits normally."""
+    src = str(tmp_path / "src")
+    base = time.time() - 1000
+    # batch 1: clicks — user 7 will match, user 8 never will
+    _write_batch(spark, src, [(1, _t(0), 7, "click", 0.0), (2, _t(1), 8, "click", 0.0)], base)
+    # batch 2: error for user 7 within the 10-min bound
+    _write_batch(spark, src, [(3, _t(5), 7, "error", 0.0)], base + 10)
+    # batch 3+4: watermark advancers (user 99 both sides, far future)
+    far1 = _t(0) + datetime.timedelta(minutes=300)
+    far2 = _t(0) + datetime.timedelta(minutes=310)
+    _write_batch(spark, src, [(8, far1, 99, "click", 0.0), (9, far1, 99, "error", 0.0)], base + 20)
+    _write_batch(spark, src, [(10, far2, 99, "click", 0.0), (11, far2, 99, "error", 0.0)], base + 30)
+
+    schema = spark.createDataFrame([], EV_SCHEMA).schema
+    rs = lambda: spark.readStream.schema(schema).option(  # noqa: E731
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    clicks = rs().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = rs().filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        clicks, errors, on="user_id", upper="10 minutes",
+        right_watermark="15 minutes", how="left_outer",
+    )
+    out = str(tmp_path / "out")
+    _run(joined.select("click_id", "error_id", "user_id"), out, str(tmp_path / "ckpt"))
+    got = {
+        (r["click_id"], r["error_id"])
+        for r in spark.read.parquet(out).filter(F.col("user_id") < 99).collect()
+    }
+    # user 7 matched; user 8 closed unmatched (watermark passed _t(1)+10min)
+    assert got == {(1, 3), (2, None)}
+
+
+def test_left_outer_rejects_bad_mode(spark):
+    import pytest
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="left_outer"):
+        stream_interval_join(df, df, on="value", how="full")

@@ -8,6 +8,8 @@ the document scan with zero shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Tokenization regexes. WORD_RE is the whitespace tokenizer; BPE_RE is a
@@ -576,6 +578,27 @@ def encoding_report(df: DataFrame, text_col: str = "text", group_cols=("source",
             "clean_docs"
         ),
     )
+
+
+def nfc_key(text: Column) -> Column:
+    """Unicode-canonical dedup key: NFC-normalize then lowercase, so
+    precomposed and combining-mark spellings of the same text (Å vs
+    A+U+030A), and case variants, collapse to one key. NFC needs real
+    Unicode tables, so this is a vectorized Arrow pandas UDF (the
+    normalize_idn_host precedent) — Spark ships no NFC builtin; the
+    DuckDB twin is lower(nfc_normalize(...)), byte-identical (both
+    implement the Unicode standard; pytest pins known vectors). At
+    scale: apply AFTER an ASCII fast-path filter — ASCII text is
+    NFC-invariant and skips the Python stage entirely."""
+    @F.pandas_udf("string")
+    def _nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return F.lower(_nfc(text))
 
 
 def char_entropy_report(

@@ -33,14 +33,15 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # round's additions and regrades:
 #   (a) the 8 never-driver-graded late-r7 entries (registered after the
 #       r7 window sealed; dual-SF local parity green since);
-#   (b) the 8 queries NEW this round: DSIR importance resampling,
+#   (b) the 9 queries NEW this round: DSIR importance resampling,
 #       the MinHash estimator-error report, the char-entropy quality
 #       signal, and the BPE tokenizer-APPLY certification (whose
 #       unrolled-CTE oracle also retired bpe_trained_merges's
 #       rows-only status in place), the two-phase hot-source quota
 #       scale twin, the partial-probe IVF recall report, the
-#       planted-hot-key salted aggregation, and the LEFT OUTER
-#       stream-stream interval join replay;
+#       planted-hot-key salted aggregation, the LEFT OUTER
+#       stream-stream interval join replay, and Unicode-NFC canonical
+#       dedup;
 #   (c) 4 regrades whose UNDERLYING CODE changed this round, so their
 #       earlier hash no longer certifies HEAD: merge_upsert (Hive-
 #       escaped partition-dir swap + NULL partitions), the WebDataset
@@ -49,14 +50,15 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 #       covered by the two urlops entries already in (a);
 #   (d) ALL 19 remaining round-4-vintage entries — after this window
 #       nothing in the catalog is older than round 5;
-#   (e) 11 of the 50 round-5-vintage entries, sole-evidence families
+#   (e) 10 of the 50 round-5-vintage entries, sole-evidence families
 #       first (connector/serving/sink/streaming/multimodal/lang/
 #       incremental-embedding). The 34 deferred r5 entries are
 #       bench-covered headliners and TPC-H/scalar/window shapes with
 #       in-family fresher siblings (histogram_order_prices,
 #       map_ops_events, lang_quality_report, lang_id_distribution and
-#       multimodal_binary_meta joined them as the r8-new entries
-#       displaced the tail); they are exactly 3 rounds
+#       multimodal_binary_meta and text_token_stats joined them as
+#       the r8-new entries displaced the tail; every displaced entry
+#       keeps an r6+-green family sibling); they are exactly 3 rounds
 #       old at r8 and rotate in r9 before crossing the freshness bar.
 # Every (b)/(c) entry passed the local dual-SF parity gate before
 # entering. All 178 catalog entries remain pytest-parity-covered every
@@ -81,6 +83,7 @@ _GRADED_PRIORITY = [
     "ivf_recall_report",
     "salted_hot_key_sum",
     "stream_left_join_replay",
+    "nfc_dedup_groups",
     # (c) code changed this round - prior hash no longer certifies HEAD
     "merge_upsert_roundtrip",
     "webdataset_roundtrip",
@@ -115,10 +118,9 @@ _GRADED_PRIORITY = [
     "jdbc_roundtrip_nation",
     "jsonl_roundtrip_events",
     "streaming_window_rollup",
-    "text_token_stats",
     "doc_fingerprints",
     "incremental_neardup_embedding_planted",
-    # r5 entries DEFERRED to r9 (39: bench-covered headliners - q1/q3/
+    # r5 entries DEFERRED to r9 (40: bench-covered headliners - q1/q3/
     # q5/dedup_exact/minhash_pairs/simsearch_cosine/normalize/corpus_
     # prep - plus TPC-H q6-q22, scalar/window/agg/pivot shapes, and
     # jdbc-adjacent entries with r6+-green family siblings; all are

@@ -4734,3 +4734,51 @@ def ivf_recall_report(spark, sf_dir):
     from spectraplex_spark.operators.simsearch import ivf_recall_report as op
 
     return op(table(spark, sf_dir, "embeddings")).orderBy("query_id")
+
+
+@query(
+    "nfc_dedup_groups",
+    """
+    WITH v AS (SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0
+                              THEN ' x' || chr(65) || chr(778)
+                              WHEN doc_id % 3 = 1
+                              THEN ' x' || chr(197)
+                              ELSE '' END AS t
+               FROM documents)
+    SELECT md5(lower(nfc_normalize(t))) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS representative
+    FROM v GROUP BY fp ORDER BY fp
+    """,
+    doc="E4/E1 Unicode-canonical dedup (the normalization step exact "
+    "dedup silently needs on real crawls: precomposed vs combining-"
+    "mark spellings — A+U+030A vs U+00C5 — and case variants are the "
+    "same page): NFC via an Arrow pandas UDF (Spark has no builtin; "
+    "the idna-codec precedent), lowercase, md5-group. Planted classes: "
+    "every doc_id%3==0 doc carries the DECOMPOSED marker and %3==1 the "
+    "PRECOMPOSED one — byte-different, NFC-equal — so same-text docs "
+    "across those classes MUST collapse while %3==2 stays apart only "
+    "if its base text differs. The oracle rides DuckDB's "
+    "nfc_normalize; both engines implement the Unicode standard, "
+    "pytest pins known vectors. Only (fp, id) shuffles.",
+)
+def nfc_dedup_groups(spark, sf_dir):
+    from spectraplex_spark.operators.textops import nfc_key
+
+    docs = table(spark, sf_dir, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" x" + chr(0x41) + chr(0x30A)))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" x" + chr(0xC5)))
+        .otherwise(F.lit(""))
+    )
+    v = docs.select("doc_id", F.concat(F.col("text"), marker).alias("t"))
+    return (
+        v.select(F.md5(nfc_key(F.col("t")).cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("representative"),
+        )
+        .orderBy("fp")
+    )

@@ -978,3 +978,21 @@ def test_ivf_recall_full_probe_is_exact(spark):
     assert all(r["hits"] == 5 and r["recall_q"] == 1_000_000 for r in full)
     part = ivf_recall_report(em, q_count=4, k=5, n_centroids=4, n_probe=1).collect()
     assert all(0 <= r["hits"] <= 5 and r["recall_q"] == r["hits"] * 200_000 for r in part)
+
+
+def test_nfc_key_known_vectors(spark):
+    """Decomposed and precomposed spellings collapse; case folds;
+    NULLs pass through; plain ASCII is untouched."""
+    from spectraplex_spark.operators.textops import nfc_key
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "A" + chr(0x30A) + " B"), (2, chr(0xC5) + " b"), (3, "plain"),
+         (4, None)],
+        "i long, t string",
+    )
+    got = {r["i"]: r["k"] for r in df.select("i", nfc_key(F.col("t")).alias("k")).collect()}
+    assert got[1] == got[2] == chr(0xE5) + " b"
+    assert got[3] == "plain"
+    assert got[4] is None

@@ -33,21 +33,25 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # round's additions and regrades:
 #   (a) the 8 never-driver-graded late-r7 entries (registered after the
 #       r7 window sealed; dual-SF local parity green since);
-#   (b) the 9 queries NEW this round: DSIR importance resampling,
+#   (b) the 10 queries NEW this round: DSIR importance resampling,
 #       the MinHash estimator-error report, the char-entropy quality
 #       signal, and the BPE tokenizer-APPLY certification (whose
 #       unrolled-CTE oracle also retired bpe_trained_merges's
 #       rows-only status in place), the two-phase hot-source quota
 #       scale twin, the partial-probe IVF recall report, the
 #       planted-hot-key salted aggregation, the LEFT OUTER
-#       stream-stream interval join replay, and Unicode-NFC canonical
-#       dedup;
-#   (c) 4 regrades whose UNDERLYING CODE changed this round, so their
+#       stream-stream interval join replay, Unicode-NFC canonical
+#       dedup, and the second flagship composition — the full
+#       web-curation pipeline chaining the six web gates end to end;
+#   (c) 3 regrades whose UNDERLYING CODE changed this round, so their
 #       earlier hash no longer certifies HEAD: merge_upsert (Hive-
 #       escaped partition-dir swap + NULL partitions), the WebDataset
-#       writer/reader (string-key support), and both UDAF twins (NULL
-#       value semantics). The urlops change (scheme-less -> NULL) is
-#       covered by the two urlops entries already in (a);
+#       writer/reader (string-key support), and the scalable UDAF
+#       twin (NULL value semantics — the GROUPED_AGG demo's identical
+#       change is certified through that in-window twin plus the
+#       twin-parity and null-semantics pytest, so udaf_value_stats
+#       itself rotates r9). The urlops change (scheme-less -> NULL)
+#       is covered by the two urlops entries already in (a);
 #   (d) ALL 19 remaining round-4-vintage entries — after this window
 #       nothing in the catalog is older than round 5;
 #   (e) 10 of the 50 round-5-vintage entries, sole-evidence families
@@ -84,10 +88,10 @@ _GRADED_PRIORITY = [
     "salted_hot_key_sum",
     "stream_left_join_replay",
     "nfc_dedup_groups",
+    "web_curation_pipeline",
     # (c) code changed this round - prior hash no longer certifies HEAD
     "merge_upsert_roundtrip",
     "webdataset_roundtrip",
-    "udaf_value_stats",
     "udaf_value_stats_scalable",
     # (d) round-4 vintage: the last 19, all rotated
     "agg_count_distinct",

@@ -4782,3 +4782,177 @@ def nfc_dedup_groups(spark, sf_dir):
         )
         .orderBy("fp")
     )
+
+
+def _web_curation_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE web-curation composition — each stage
+    is the already-certified twin of its constituent query
+    (url_canonical_dedup, domain_cap_sample, encoding_quality_report,
+    gopher_repetition_gate, quality_linear_score, nfc_dedup_groups),
+    chained in the exact stage order the Spark builder applies."""
+    from spectraplex_spark.operators.textops import (
+        QSCORE_BUCKETS,
+        seeded_quality_weights,
+    )
+
+    norm_t = _NORM_SQL.replace("lower(text)", "lower(t)")
+    toks_t = f"list_filter(string_split({norm_t}, ' '), x -> x <> '')"
+    ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    wq = seeded_quality_weights()
+    wlit = "[" + ", ".join(str(w) for w in wq) + "]"
+    bucket = (
+        "(ascii(substring(md5(tk), 1, 1)) * 256 + ascii(substring(md5(tk), 2, 1)))"
+        f" % {QSCORE_BUCKETS}"
+    )
+    return f"""
+    WITH u0 AS (SELECT doc_id,
+        'https://'
+        || CASE doc_id % 3 WHEN 0 THEN 'a.' WHEN 1 THEN 'b.' ELSE '' END
+        || source
+        || CASE WHEN doc_id % 7 = 3 THEN 'site.co.uk' ELSE 'site.com' END
+        || '/p/' || (doc_id % 50)
+        || CASE doc_id % 5 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                           WHEN 1 THEN '?b=2&a=1' ELSE '' END AS u
+      FROM documents),
+    {_DUCK_CANON_CTES},
+    k1 AS (SELECT MIN(doc_id) AS doc_id FROM s4 GROUP BY canonical_url),
+    hh AS (SELECT s4.doc_id,
+             regexp_replace(regexp_extract(canonical_url,
+               '^[a-z][a-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', '') AS host
+           FROM s4 JOIN k1 USING (doc_id)),
+    dd AS (SELECT doc_id,
+             CASE WHEN ends_with(host, '.co.uk')
+                  THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+           FROM hh),
+    k2 AS (SELECT domain, doc_id FROM (
+             SELECT domain, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+             FROM dd) WHERE rk <= 5),
+    tx AS (SELECT d.doc_id, k2.domain,
+             d.text
+             || CASE WHEN d.doc_id % 17 = 3 THEN chr(65533) ELSE '' END
+             || CASE WHEN d.doc_id % 3 = 0 THEN ' x' || chr(65) || chr(778)
+                     WHEN d.doc_id % 3 = 1 THEN ' x' || chr(197)
+                     ELSE '' END AS t
+           FROM documents d JOIN k2 ON k2.doc_id = d.doc_id),
+    enc AS (SELECT doc_id, domain, t FROM tx
+            WHERE LENGTH(t) = LENGTH(REPLACE(t, chr(65533), ''))
+              AND LENGTH(t) = LENGTH(regexp_replace(t, '{ctrl}', '', 'g'))),
+    base AS (SELECT doc_id, CAST(length({norm_t}) AS BIGINT) AS total,
+                    {toks_t} AS toks FROM enc),
+    top2 AS ({_duck_top(2)}),
+    dup5 AS ({_duck_dup(5)}),
+    rep AS (SELECT b.doc_id FROM base b
+            LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id AND t2.rn = 1
+            LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+            WHERE b.total > 0
+              AND COALESCE(t2.cnt * t2.glen, 0) * 100 < b.total * 20
+              AND COALESCE(d5.dchars, 0) * 100 < b.total * 30),
+    qual AS (SELECT b.doc_id FROM base b JOIN rep USING (doc_id)
+             CROSS JOIN (SELECT CAST({wlit} AS BIGINT[]) AS wq) w
+             WHERE CAST(COALESCE(list_sum(list_transform(b.toks,
+                     tk -> wq[{bucket} + 1])), 0) AS BIGINT)
+                   + CAST(250000 AS BIGINT) >= 0),
+    nfc AS (SELECT MIN(e.doc_id) AS doc_id
+            FROM enc e JOIN qual USING (doc_id)
+            GROUP BY md5(lower(nfc_normalize(e.t))))
+    SELECT e.domain, e.doc_id
+    FROM enc e JOIN nfc USING (doc_id)
+    ORDER BY e.domain, e.doc_id
+    """
+
+
+@query(
+    "web_curation_pipeline",
+    _web_curation_oracle_sql(),
+    doc="E4 FLAGSHIP COMPOSITION #2 — the WEB-curation path (the "
+    "RefinedWeb/CCNet shape), complementing corpus_prep_pipeline's "
+    "classic gate→dedup path with the r7/r8 web operators chained end "
+    "to end over planted variants: (1) canonical-URL dedup (tracking "
+    "params, host case, www., subdomain classes), (2) per-registered-"
+    "domain cap 5 (PSL-aware), (3) encoding/garbage gate (planted "
+    "U+FFFD docs drop), (4) Gopher repetition gate (integer cross-"
+    "product thresholds), (5) hashed linear quality gate (BIGINT "
+    "margins), (6) Unicode-NFC canonical dedup (planted decomposed/"
+    "precomposed markers collapse). The oracle chains each stage's "
+    "already-certified twin in the same order, so a hash match "
+    "certifies the COMPOSITION — stage order, survivor propagation, "
+    "and every per-stage rule — not just the parts. Scale shape: two "
+    "key-hashed shuffles (canonical_url group, domain window) + one "
+    "(fp,id) dedup shuffle; every gate is a narrow in-row pass.",
+)
+def web_curation_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from spectraplex_spark.operators.repetition import repetition_gate
+    from spectraplex_spark.operators.textops import (
+        control_char_count,
+        linear_quality_margin_q,
+        nfc_key,
+        replacement_char_count,
+        seeded_quality_weights,
+    )
+    from spectraplex_spark.operators.urlops import (
+        canonicalize_url,
+        registered_domain,
+    )
+
+    docs = table(spark, sf_dir, "documents").repartition(32)
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("b."))
+        .otherwise(F.lit(""))
+    )
+    site = F.when(F.col("doc_id") % 7 == 3, F.lit("site.co.uk")).otherwise(
+        F.lit("site.com")
+    )
+    qs = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), site,
+        F.lit("/p/"), (F.col("doc_id") % 50).cast("string"), qs,
+    )
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 17 == 3, F.lit("�")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" x" + chr(0x41) + chr(0x30A)))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" x" + chr(0xC5)))
+        .otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", url.alias("url"), t.alias("t"))
+
+    # stage 1: canonical-URL dedup (min-id survivor per canonical form)
+    c = base.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    w1 = Window.partitionBy("canonical_url")
+    k1 = c.withColumn("_m", F.min("doc_id").over(w1)).filter(
+        F.col("doc_id") == F.col("_m")
+    ).drop("_m")
+    # stage 2: per-registered-domain cap (deterministic by id)
+    k1 = k1.withColumn("domain", registered_domain(F.col("url")))
+    w2 = Window.partitionBy("domain").orderBy("doc_id")
+    k2 = (
+        k1.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= 5)
+        .drop("_rk")
+    )
+    # stage 3: encoding/garbage gate
+    enc = k2.filter(
+        (replacement_char_count(F.col("t")) == 0)
+        & (control_char_count(F.col("t")) == 0)
+    )
+    # stage 4: Gopher repetition gate
+    rep = repetition_gate(enc, text_col="t").filter(F.col("repetition_pass"))
+    # stage 5: hashed linear quality gate (BIGINT margin)
+    qual = rep.filter(
+        linear_quality_margin_q(F.col("t"), seeded_quality_weights(), 250_000) >= 0
+    )
+    # stage 6: Unicode-NFC canonical dedup
+    w3 = Window.partitionBy(F.md5(nfc_key(F.col("t")).cast("binary")))
+    fin = qual.withColumn("_m", F.min("doc_id").over(w3)).filter(
+        F.col("doc_id") == F.col("_m")
+    )
+    return fin.select("domain", "doc_id").orderBy("domain", "doc_id")

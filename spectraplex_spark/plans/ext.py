@@ -4956,3 +4956,76 @@ def web_curation_pipeline(spark, sf_dir):
         F.col("doc_id") == F.col("_m")
     )
     return fin.select("domain", "doc_id").orderBy("domain", "doc_id")
+
+
+@query(
+    "neardup_cluster_sizes",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ), sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.id_a
+      JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.n
+    ),
+    comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n),
+    g AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component),
+    h AS (SELECT CAST(csize AS BIGINT) AS cluster_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM g GROUP BY csize)
+    SELECT cluster_size, n_clusters FROM h
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents)
+                - COALESCE((SELECT SUM(csize) FROM g), 0) AS BIGINT)
+    ORDER BY cluster_size
+    """,
+    doc="E1 duplicate-family size distribution — the curation "
+    "observable behind dedup budgeting ('how big are my dup "
+    "families'): organic MinHash/LSH pairs at the production 0.8 "
+    "threshold feed connected components (iterative min-label + "
+    "pointer jumping), and the histogram counts clusters per size, "
+    "with implicit singletons as the size-1 row. The oracle recomputes "
+    "pairs via the certified inverted-shingle exact-Jaccard twin, "
+    "closes them with a recursive CTE (the corpus_prep_planted "
+    "precedent), and histograms identically — so the grade certifies "
+    "pair mining, transitive closure, AND the accounting in one hash.",
+)
+def neardup_cluster_sizes(spark, sf_dir):
+    from spectraplex_spark.operators.components import neardup_groups
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(docs)
+    groups = neardup_groups(pairs)
+    clus = groups.groupBy(F.col("n_docs").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    total = docs.count()
+    in_clusters = groups.agg(F.sum("n_docs")).head()[0] or 0
+    singles = spark.createDataFrame(
+        [(1, int(total - in_clusters))], "cluster_size long, n_clusters long"
+    )
+    return clus.unionByName(singles).orderBy("cluster_size")

@@ -108,6 +108,72 @@ def probe_interval_join(spark, scale: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_left_outer_join(spark, scale: int) -> dict:
+    """Left-outer variant of the interval-join probe: every 5th key
+    never gets an error, so its clicks must emit NULL-padded once the
+    watermark closes them (two trailing advancer batches flush the
+    tail). State must still track the horizon; unmatched must equal
+    the planted no-error clicks (minus none — the advancers close all
+    real rows)."""
+    from spectraplex_spark.streaming.joins import stream_interval_join
+
+    tmp = tempfile.mkdtemp(prefix=f"loj{scale}x_")
+    try:
+        src = os.path.join(tmp, "src")
+        n_keys = 200 * scale
+        base = time.time() - 10_000
+        total = unmatched_planted = 0
+        eid = 0
+        for b in range(12):
+            rows = []
+            for u in range(n_keys):
+                m = 10 * b + (u % 10)
+                rows.append((eid, _t(m), u, "click", 0.0))
+                eid += 1
+                if u % 5 == 0:
+                    unmatched_planted += 1
+                else:
+                    rows.append((eid, _t(m + 3), u, "error", 0.0))
+                    eid += 1
+            total += len(rows)
+            _write_batch(spark, src, rows, base + b * 10)
+        for j, m in enumerate((600, 660)):  # advance + flush
+            _write_batch(
+                spark, src,
+                [(eid + 2 * j, _t(m), -1, "click", 0.0),
+                 (eid + 2 * j + 1, _t(m), -2, "error", 0.0)],
+                base + 200 + j * 10,
+            )
+        schema = spark.createDataFrame([], EV_SCHEMA).schema
+        rs = lambda: spark.readStream.schema(schema).option(  # noqa: E731
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        clicks = rs().filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        errors = rs().filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"), "user_id", "ts"
+        )
+        joined = stream_interval_join(
+            clicks, errors, on="user_id", upper="10 minutes",
+            right_watermark="30 minutes", how="left_outer",
+        ).select("click_id", "error_id", "user_id")
+        t0 = time.time()
+        state = _run_collect_state(joined, os.path.join(tmp, "out"), os.path.join(tmp, "ck"))
+        wall = time.time() - t0
+        out = spark.read.parquet(os.path.join(tmp, "out")).filter(F.col("user_id") >= 0)
+        unmatched = out.filter(F.col("error_id").isNull()).count()
+        return {
+            "input_rows": total,
+            "unmatched_emitted": unmatched,
+            "unmatched_planted": unmatched_planted,
+            "state_rows": state,
+            "wall_s": round(wall, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_dedup(spark, scale: int) -> dict:
     """12 batches over 120 minutes, every event sent twice (adjacent
     batches), watermark 30 minutes: state is the keys inside the
@@ -224,6 +290,7 @@ def main():
     spark = get_spark("probe_streaming_scale", shuffle_partitions=16)
     probes = [
         ("stream_interval_join", probe_interval_join),
+        ("stream_left_outer_join", probe_left_outer_join),
         ("dedup_within_watermark", probe_dedup),
         ("stateful_balance (10x keys)", probe_stateful_balance),
         ("span gate (10x history)", probe_span_gate),

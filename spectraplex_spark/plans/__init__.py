@@ -129,9 +129,10 @@ _GRADED_PRIORITY = [
     # prep - plus TPC-H q6-q22, scalar/window/agg/pivot shapes, and
     # jdbc-adjacent entries with r6+-green family siblings; all are
     # exactly 3 rounds old at r8 and rotate next round)
-    # LATE r8 addition, registered AFTER the window sealed (the r7-late
-    # precedent; dual-SF parity green locally): neardup_cluster_sizes.
-    # It joins the r9 window with the other deferrals.
+    # LATE r8 additions, registered AFTER the window sealed (the
+    # r7-late precedent; each dual-SF parity green locally):
+    # neardup_cluster_sizes, mixture_share_report. They join the r9
+    # window with the other deferrals.
 ]
 
 

@@ -5029,3 +5029,54 @@ def neardup_cluster_sizes(spark, sf_dir):
         [(1, int(total - in_clusters))], "cluster_size long, n_clusters long"
     )
     return clus.unionByName(singles).orderBy("cluster_size")
+
+
+@query(
+    "mixture_share_report",
+    f"""
+    WITH s AS (SELECT source,
+                 COUNT(*) AS docs,
+                 CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS toks
+               FROM documents GROUP BY source),
+    t AS (SELECT SUM(docs) AS td, SUM(toks) AS tt FROM s)
+    SELECT source,
+           CAST(docs AS BIGINT) AS docs,
+           toks,
+           CAST(docs * 1000000 // t.td AS BIGINT) AS doc_share_q,
+           CAST(toks * 1000000 // t.tt AS BIGINT) AS token_share_q
+    FROM s CROSS JOIN t
+    ORDER BY source
+    """,
+    doc="E4 mixture-health report — the observable the quota/mixture "
+    "samplers steer: per-source document and TOKEN shares on the 1e-6 "
+    "integer grid (token share is what the training mix actually "
+    "consumes; a source can be 5% of docs and 40% of tokens). One "
+    "partial-aggregated scan, |sources| rows, pure BIGINT floor "
+    "division — bit-grades with zero float anywhere.",
+)
+def mixture_share_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from spectraplex_spark.operators.textops import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("toks"),
+    )
+    w = Window.partitionBy()  # |sources| rows — a bounded frame, not a corpus window
+    return s.select(
+        "source",
+        "docs",
+        "toks",
+        F.expr("docs * 1000000").cast("long").alias("_dq"),
+        F.expr("toks * 1000000").cast("long").alias("_tq"),
+        F.sum("docs").over(w).alias("_td"),
+        F.sum("toks").over(w).alias("_tt"),
+    ).select(
+        "source",
+        "docs",
+        "toks",
+        F.expr("_dq div _td").cast("long").alias("doc_share_q"),
+        F.expr("_tq div _tt").cast("long").alias("token_share_q"),
+    ).orderBy("source")

@@ -422,6 +422,14 @@ def cap_per_source_scalable(
     (|sources|-row collect, the mixture_thresholds contract), one
     narrow pre-filter pass, one bounded survivor-count verify, then
     the window over ~safety·n rows per hot source instead of billions.
+
+    NULL sources are a first-class group (a window PARTITION BY puts
+    all NULL-key rows in ONE partition, so a mostly-NULL crawl column
+    is exactly the hot-key case): the NULL group gets its own
+    threshold via an ``isNull`` branch rather than a map entry —
+    ``create_map`` rejects NULL keys (NULL_MAP_KEY) and ``isin`` never
+    matches NULL, so every membership test below goes through
+    ``_member``/the when-branch instead.
     """
     from pyspark.sql import Window
 
@@ -449,13 +457,27 @@ def cap_per_source_scalable(
         s: format(min(space - 1, (space * safety * n_per_source) // c), "08x")
         for s, c in hot.items()
     }
-    thr_map = F.create_map(*[F.lit(x) for s in thr for x in (s, thr[s])])
+    null_thr = thr.pop(None, None)  # create_map rejects NULL keys
     pref = F.substring(key, 1, 8)
-    gate = F.try_element_at(thr_map, F.col(source_col))  # NULL for cold sources
+    if thr:
+        thr_map = F.create_map(*[F.lit(x) for s in thr for x in (s, thr[s])])
+        gate = F.try_element_at(thr_map, F.col(source_col))  # NULL for cold
+    else:
+        gate = F.lit(None).cast("string")
+    if null_thr is not None:
+        gate = F.when(F.col(source_col).isNull(), F.lit(null_thr)).otherwise(gate)
+
+    def _member(sources):
+        vals = [s for s in sources if s is not None]
+        m = F.col(source_col).isin(vals) if vals else F.lit(False)
+        if any(s is None for s in sources):
+            m = m | F.col(source_col).isNull()
+        return m
+
     survivors = df.filter(gate.isNull() | (pref < gate))
     got = {
         r[source_col]: r["_c"]
-        for r in survivors.filter(F.col(source_col).isin(list(hot)))
+        for r in survivors.filter(_member(list(hot)))
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("_c"))
         .collect()  # bounded: one row per hot source
@@ -463,7 +485,7 @@ def cap_per_source_scalable(
     bad = [s for s, c in hot.items() if got.get(s, 0) < min(n_per_source, c)]
     if bad:  # provable fallback, not a retry loop
         survivors = survivors.unionByName(
-            df.filter(F.col(source_col).isin(bad) & ~(pref < gate))
+            df.filter(_member(bad) & ~(pref < gate))
         )
     return _rank(survivors)
 

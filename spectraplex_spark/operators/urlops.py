@@ -243,3 +243,132 @@ def cap_per_domain(
         .where((F.col("_rk") <= cap) | F.col("domain").isNull())
         .drop("_rk")
     )
+
+
+def cap_per_domain_scalable(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 1000,
+    order_col: str = "doc_id",
+    hot_factor: int = 64,
+    safety: int = 8,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """SCALE twin of :func:`cap_per_domain` — IDENTICAL survivors, but
+    pathologically hot domains (a crawl where one site is 10% of all
+    rows — the skewed window partition that stalls a 1000-executor
+    job on one task) are pre-filtered BEFORE the window shuffle.
+
+    The technique differs from ``textops.cap_per_source_scalable``
+    because the ranking key differs: the source quota ranks by
+    md5(id), so a hash-prefix literal is an order-prefix; this cap
+    keeps the smallest RAW ``order_col`` values, so the per-domain
+    prefilter threshold is an APPROXIMATE PERCENTILE of ``order_col``
+    (any value ``<= thr`` is an order-prefix by construction).
+    Exactness never rides on the sketch: a bounded per-domain survivor
+    count PROVES >= min(cap, total) rows made it past the prefilter —
+    then the cap smallest are all among them — and any failing domain
+    falls back to its full complement.
+
+    Pipeline (all sizes bounded, nothing driver-side scales with the
+    corpus):
+      1. per-domain counts (partial-agg); HOT = count > hot_factor*cap
+         — at most N/(hot_factor*cap) domains, broadcastable;
+      2. one percentile pass over ONLY hot-domain rows (broadcast
+         semi-join), at 41 power-of-two fractions (percentile_approx
+         needs foldable fractions, and a per-domain fraction rounded
+         UP to the 2^-e grid keeps >= the targeted safety*cap rows
+         while at most doubling them);
+      3. narrow prefilter via a broadcast threshold join
+         (order_col <= thr; cold/NULL domains pass);
+      4. bounded verify + provable fallback (the cap_per_source
+         discipline);
+      5. the window runs over ~2*safety*cap rows per hot domain
+         instead of billions.
+
+    ``order_col`` must be numeric (percentile_approx's domain) and
+    unique per row (same determinism contract as cap_per_domain).
+    NULL domains (scheme-less URLs) keep cap_per_domain's contract:
+    not a quota group, pass through uncapped."""
+    out = df.withColumn("domain", registered_domain(F.col(url_col)))
+    scope = out.filter(F.col("domain").isNotNull())
+    passthrough = out.filter(F.col("domain").isNull())
+
+    w = Window.partitionBy("domain").orderBy(F.col(order_col))
+
+    def _rank(frame):
+        return (
+            frame.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+
+    counts = scope.groupBy("domain").agg(F.count(F.lit(1)).alias("_cnt"))
+    # bounded by N/(hot_factor*cap): the *driver* only ever sees hot
+    # domains, never the (unbounded) full domain list. Collected ONCE
+    # so the three downstream uses (semi-join, threshold join, verify)
+    # don't each recompute the counts scan.
+    hot_local = counts.filter(F.col("_cnt") > hot_factor * cap).collect()
+    if not hot_local:
+        return _rank(scope).unionByName(passthrough)
+    hot = df.sparkSession.createDataFrame(
+        [(r["domain"], r["_cnt"]) for r in hot_local], "domain string, _cnt long"
+    )
+
+    grid = [float(2.0**-e) for e in range(41)]  # fractions 1 .. 2^-40
+    hot_rows = scope.join(F.broadcast(hot.select("domain")), "domain", "left_semi")
+    pcts = hot_rows.groupBy("domain").agg(
+        F.percentile_approx(
+            F.col(order_col), F.array(*[F.lit(g) for g in grid]), accuracy
+        ).alias("_p")
+    )
+    # e = largest exponent with 2^-e >= safety*cap/cnt (rounded DOWN,
+    # i.e. fraction rounded UP — the safe side), clamped to the grid
+    e_idx = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(40),
+            F.floor(F.log2(F.col("_cnt") / F.lit(float(safety * cap)))),
+        ),
+    ).cast("int")
+    thr = (
+        hot.join(pcts, "domain")
+        .select(
+            "domain",
+            "_cnt",
+            F.get(F.col("_p"), e_idx).alias("_thr"),
+        )
+    )
+
+    pre = scope.join(
+        F.broadcast(thr.select("domain", "_thr")), "domain", "left"
+    )
+    survivors = pre.filter(
+        F.col("_thr").isNull() | (F.col(order_col) <= F.col("_thr"))
+    )
+    got = (
+        survivors.filter(F.col("_thr").isNotNull())
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("_got"))
+    )
+    bad = (
+        thr.join(got, "domain", "left")
+        .filter(
+            F.coalesce(F.col("_got"), F.lit(0))
+            < F.least(F.lit(cap).cast("long"), F.col("_cnt"))
+        )
+        .select("domain", "_thr")
+        .collect()  # bounded: one row per FAILING hot domain (≈ never)
+    )
+    survivors = survivors.drop("_thr")
+    if bad:  # provable fallback, not a retry loop
+        bad_df = df.sparkSession.createDataFrame(
+            [(r["domain"], r["_thr"]) for r in bad], thr.select("domain", "_thr").schema
+        )
+        fb = (
+            scope.join(F.broadcast(bad_df), "domain")
+            .filter(F.col(order_col) > F.col("_thr"))
+            .drop("_thr")
+        )
+        survivors = survivors.unionByName(fb)
+    return _rank(survivors).unionByName(passthrough)

@@ -156,6 +156,14 @@ def merge_upsert(
             pred = pred | F.col(partition_col).isNull()
         scoped_target = target.filter(pred)
         affected_dirs = sorted({_partition_dir(partition_col, v) for v in affected})
+        # partition values actually PRESENT in the target scope —
+        # needed below to verify the escaping prediction for
+        # deletion-only partitions, which Spark never re-writes (so the
+        # staged-dir cross-check can't see them). Partition-pruned +
+        # partition-column-only (values come from directory names).
+        present_vals = {
+            r[0] for r in scoped_target.select(partition_col).distinct().collect()
+        }
         n_parts = len(affected)
     else:
         scoped_target = target
@@ -185,6 +193,28 @@ def merge_upsert(
                 f"staged partition dirs {unexpected!r} don't match the "
                 f"predicted escaped names {affected_dirs!r} — partition-"
                 "value escaping drift; merge aborted before any swap"
+            )
+        # The staged check above only covers partitions Spark re-wrote.
+        # A DELETION-ONLY partition (all rows removed → no staged
+        # subdir) rides entirely on the _partition_dir prediction: if
+        # the predicted name drifted from what Spark's writer produced,
+        # the swap would silently skip removing the old directory and
+        # the deleted rows would survive. Every value PRESENT in the
+        # scope was read from a real directory, so its predicted dir
+        # must exist under target_path — abort loudly on a miss.
+        missing = sorted(
+            d
+            for d in {_partition_dir(partition_col, v) for v in present_vals}
+            if d not in set(staged_parts)
+            and not os.path.isdir(os.path.join(target_path, d))
+        )
+        if missing:
+            shutil.rmtree(staged)
+            raise TableInconsistentError(
+                f"predicted deletion-only partition dirs {missing!r} not "
+                "found under the target — partition-value escaping drift "
+                "on a pure-deletion partition; merge aborted before any "
+                "swap (the old rows would otherwise silently survive)"
             )
     # WAL: the intent record makes the staged dir self-describing, so
     # recover_merge can roll an interrupted swap FORWARD — including

@@ -966,6 +966,44 @@ def test_cap_per_source_scalable_matches_window_form(spark):
     assert got_fb == want
 
 
+def test_cap_per_source_scalable_null_source_hot(spark):
+    """A HOT NULL source must neither crash (create_map rejects NULL
+    keys — the r8 NULL_MAP_KEY failure) nor miscount: NULL is a real
+    window partition, so the two-phase form gives it its own isNull
+    threshold branch and must still pick the one-window survivors —
+    prefilter and provable-fallback paths alike."""
+    from spectraplex_spark.operators.textops import (
+        cap_per_source,
+        cap_per_source_scalable,
+    )
+
+    rows = [(i, None if i % 4 else f"s{i % 3}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    want = {(r["source"], r["doc_id"]) for r in cap_per_source(df, 5).collect()}
+    got = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_source_scalable(df, 5, hot_factor=4, safety=8).collect()
+    }
+    assert got == want
+    got_fb = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_source_scalable(df, 5, hot_factor=1, safety=1).collect()
+    }
+    assert got_fb == want
+    # ONLY NULL hot (no map at all — the gate degenerates to the
+    # isNull branch)
+    df2 = spark.createDataFrame(
+        [(i, None if i < 380 else f"s{i % 3}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    want2 = {(r["source"], r["doc_id"]) for r in cap_per_source(df2, 5).collect()}
+    got2 = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_source_scalable(df2, 5, hot_factor=8, safety=8).collect()
+    }
+    assert got2 == want2
+
+
 def test_ivf_recall_full_probe_is_exact(spark):
     """At n_probe == n_centroids IVF degenerates to exact search, so
     recall@k must be exactly 1.0 for every query; at partial probe it

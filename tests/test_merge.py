@@ -180,3 +180,31 @@ def test_special_character_partition_values_swap_correctly(spark, tmp_path):
     assert (2, "v2", "ts:evening") in got
     assert not any(k == 3 for k, _, _ in got)
     assert not os.path.exists(os.path.join(path, "part=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_deletion_only_escaping_drift_aborts_before_swap(spark, tmp_path, monkeypatch):
+    """The staged-dir cross-check only sees partitions Spark re-wrote;
+    a DELETION-ONLY partition rides on the _partition_dir prediction
+    alone. A drifted prediction must abort loudly BEFORE any swap —
+    the silent alternative leaves the deleted rows alive."""
+    import spectraplex_spark.sources.merge as m
+    from spectraplex_spark.sources.commit import TableInconsistentError
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    real = m._partition_dir
+
+    def drifted(col, value):
+        return f"{col}=DRIFTED" if value == "b" else real(col, value)
+
+    monkeypatch.setattr(m, "_partition_dir", drifted)
+    updates = spark.createDataFrame(
+        [(i, None, "b", "delete") for i in range(5, 10)],
+        "k long, v string, part string, _op string",
+    )
+    before = _read(spark, path)
+    with pytest.raises(TableInconsistentError, match="deletion-only"):
+        merge_upsert(spark, path, updates, "k", partition_col="part")
+    assert _read(spark, path) == before  # nothing swapped
+    leftovers = [d for d in os.listdir(tmp_path) if "__staged" in d]
+    assert leftovers == []  # staged dir cleaned up on abort

@@ -149,3 +149,50 @@ def test_schemeless_urls_are_null_not_merged(spark):
     # the one real domain is capped; both malformed rows survive
     assert {r["doc_id"] for r in capped} == {1, 2, 3, 4}
     assert all(r["domain"] is None for r in capped if r["doc_id"] != 3)
+
+
+def _domain_parity(spark, rows, **kw):
+    from spectraplex_spark.operators.urlops import (
+        cap_per_domain,
+        cap_per_domain_scalable,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    want = {
+        (r["domain"], r["doc_id"]) for r in cap_per_domain(df, cap=kw["cap"]).collect()
+    }
+    got = {
+        (r["domain"], r["doc_id"])
+        for r in cap_per_domain_scalable(df, **kw).collect()
+    }
+    assert got == want
+
+
+def test_cap_per_domain_scalable_matches_window_form(spark):
+    """Two-phase hot-domain cap picks the EXACT one-window survivors:
+    hot domain prefiltered by the percentile threshold, cold domains
+    untouched, NULL-domain (scheme-less) rows passed through uncapped,
+    and the provable-fallback path (safety too small to guarantee the
+    prefilter margin) still exact."""
+    rows = [
+        (
+            i,
+            None
+            if i % 50 == 7
+            else f"https://{'hot.example' if i % 4 else f'cold{i % 5}.org'}/p/{i}",
+        )
+        for i in range(600)
+    ]
+    # scheme-less malformed rows → NULL domain
+    rows = [(i, u if u else "no-scheme/path") for i, u in rows]
+    _domain_parity(spark, rows, cap=5, hot_factor=4, safety=8)
+    # fallback: accuracy=1 makes the percentile sketch nearly useless;
+    # verify must catch the shortfall and restore exactness
+    _domain_parity(spark, rows, cap=5, hot_factor=1, safety=1, accuracy=1)
+
+
+def test_cap_per_domain_scalable_no_hot_short_circuit(spark):
+    """With no domain over the hot threshold the operator degenerates
+    to the plain window (plus the NULL passthrough)."""
+    rows = [(i, f"https://site{i % 20}.com/p/{i}") for i in range(100)]
+    _domain_parity(spark, rows, cap=3, hot_factor=64, safety=8)

@@ -4149,6 +4149,75 @@ def domain_cap_sample(spark, sf_dir):
 
 
 @query(
+    "domain_cap_scalable",
+    f"""
+    WITH u0 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 97 = 5 THEN 'schemeless.example/p'
+                       ELSE 'https://'
+                            || CASE doc_id % 3 WHEN 0 THEN 'a.' WHEN 1 THEN 'b.' ELSE '' END
+                            || CASE WHEN doc_id % 2 = 0 THEN 'megacrawl' ELSE source END
+                            || 'site.com/p/' || doc_id END AS u
+                FROM documents),
+    {_DUCK_CANON_CTES}
+    , h AS (SELECT doc_id,
+              regexp_replace(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', '') AS host
+            FROM s4),
+    d AS (SELECT doc_id,
+            CASE WHEN host IS NULL THEN NULL
+                 ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+          FROM h),
+    r AS (SELECT domain, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+          FROM d WHERE domain IS NOT NULL)
+    SELECT domain, doc_id FROM r WHERE rk <= 5
+    UNION ALL
+    SELECT domain, doc_id FROM d WHERE domain IS NULL
+    ORDER BY domain NULLS FIRST, doc_id
+    """,
+    doc="E4 the domain cap's SCALE twin, graded on a PLANTED hot domain "
+    "(half the corpus collapses onto megacrawlsite.com — the one-site-"
+    "dominates-the-crawl skew that stalls a global domain window on "
+    "one task): cap_per_domain_scalable prefilters hot domains by a "
+    "per-domain APPROXIMATE-PERCENTILE threshold on the order column "
+    "(power-of-two fraction grid; the ranking key here is the raw id, "
+    "so the source quota's md5-prefix trick doesn't apply), proves "
+    ">= min(cap, count) survivors per hot domain with a bounded "
+    "verify, and falls back provably on a shortfall — so survivors "
+    "are IDENTICAL to the one-window form, which IS the oracle. "
+    "Scheme-less rows (every 97th doc) grade the NULL-domain "
+    "passthrough contract; cold srcN-site domains grade the untouched "
+    "path. Driver-side state is bounded by the hot-domain count.",
+)
+def domain_cap_scalable(spark, sf_dir):
+    from spectraplex_spark.operators.urlops import cap_per_domain_scalable
+
+    docs = table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("b."))
+        .otherwise(F.lit(""))
+    )
+    site = F.concat(
+        F.lit("https://"),
+        sub,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("megacrawl")).otherwise(
+            F.col("source")
+        ),
+        F.lit("site.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    url = F.when(F.col("doc_id") % 97 == 5, F.lit("schemeless.example/p")).otherwise(
+        site
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return (
+        cap_per_domain_scalable(urls, cap=5, hot_factor=4)
+        .select("domain", "doc_id")
+        .orderBy(F.asc_nulls_first("domain"), "doc_id")
+    )
+
+
+@query(
     "orc_roundtrip_events",
     """
     SELECT event_type,

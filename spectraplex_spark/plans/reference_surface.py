@@ -763,34 +763,15 @@ def backfill_wallet_migration(spark, sf_dir):
     )
 
 
-@query(
-    "stream_left_join_replay",
-    """
-    SELECT l.event_id AS click_id, r.event_id AS error_id,
-           l.user_id AS user_id,
-           CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
-    FROM events l LEFT JOIN events r
-      ON l.user_id = r.user_id
-     AND r.event_type = 'error'
-     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
-    WHERE l.event_type = 'click'
-    """,
-    doc="S2/§2.9 stream-stream LEFT OUTER interval join — the "
-    "late-accounting mode (clicks that never drew an error within the "
-    "4h horizon emit NULL-padded): Spark's symmetric hash join emits "
-    "an unmatched left row only after the GLOBAL watermark (min of "
-    "both inputs) passes left_ts + upper, and only in a trigger AFTER "
-    "that advance — so the replay feeds time-ordered real batches "
-    "(mtime-pinned files, maxFilesPerTrigger=1) then two sentinel "
-    "batches 12h/13h past the stream's end on BOTH sides (filtered "
-    "from output by negative user ids): sentinel 1 advances the "
-    "watermark beyond every real row's close point, sentinel 2 is the "
-    "flush trigger that emits the closed unmatched set. The oracle is "
-    "the plain batch LEFT JOIN — agreement certifies that every real "
-    "unmatched row closed and emitted exactly once, and no sentinel "
-    "leaked. All-integer/null output grades exactly.",
-)
-def stream_left_join_replay(spark, sf_dir):
+def _outer_join_replay(spark, sf_dir, how):
+    """Shared sentinel-replay scaffolding for the outer stream-stream
+    interval join entries: time-ordered real batches (mtime-pinned
+    files, maxFilesPerTrigger=1), then two sentinel batches 12h/13h
+    past the stream's end on BOTH sides — sentinel 1 advances the
+    global watermark beyond every real row's close point (left rows
+    close at ts+4h, right rows at ts), sentinel 2 is the flush trigger
+    that emits the closed unmatched set. Sentinels carry negative user
+    ids and are filtered at read-back."""
     import os
     import tempfile
     import time as _time
@@ -852,7 +833,7 @@ def stream_left_join_replay(spark, sf_dir):
         on="user_id",
         upper="4 hours",
         right_watermark="5 hours",
-        how="left_outer",
+        how=how,
     )
     # Do NOT filter sentinels here: a deterministic predicate on the
     # joined stream pushes below the watermark assignment into the
@@ -878,3 +859,58 @@ def stream_left_join_replay(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(f"{d}/out").filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_left_join_replay",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS error_id,
+           l.user_id AS user_id,
+           CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.event_type = 'error'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+    WHERE l.event_type = 'click'
+    """,
+    doc="S2/§2.9 stream-stream LEFT OUTER interval join — the "
+    "late-accounting mode (clicks that never drew an error within the "
+    "4h horizon emit NULL-padded): Spark's symmetric hash join emits "
+    "an unmatched left row only after the GLOBAL watermark (min of "
+    "both inputs) passes left_ts + upper, and only in a trigger AFTER "
+    "that advance — the _outer_join_replay sentinel machinery. The "
+    "oracle is the plain batch LEFT JOIN — agreement certifies that "
+    "every real unmatched row closed and emitted exactly once, and no "
+    "sentinel leaked. All-integer/null output grades exactly.",
+)
+def stream_left_join_replay(spark, sf_dir):
+    return _outer_join_replay(spark, sf_dir, "left_outer")
+
+
+@query(
+    "stream_full_join_replay",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS error_id,
+           COALESCE(l.user_id, r.user_id) AS user_id,
+           CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+    """,
+    doc="S2/§2.9 stream-stream FULL OUTER interval join — both "
+    "late-accounting directions at once (clicks that never drew an "
+    "error AND errors no click explains, each NULL-padded): completes "
+    "the four stream-stream modes Spark's symmetric hash join "
+    "supports. Left rows close at ts+4h, right rows at ts; the "
+    "_outer_join_replay sentinels advance the global watermark past "
+    "both close-point families, and the flush trigger emits the "
+    "closed unmatched set from BOTH state stores. The join key of an "
+    "unmatched right row arrives on the right side only, so the "
+    "operator coalesces the two key columns — the oracle's "
+    "COALESCE(l.user_id, r.user_id) certifies that, and the batch "
+    "FULL JOIN certifies exactly-once emission of every unmatched row "
+    "on either side. All-integer/null output grades exactly.",
+)
+def stream_full_join_replay(spark, sf_dir):
+    return _outer_join_replay(spark, sf_dir, "full_outer")

@@ -53,17 +53,25 @@ def stream_interval_join(
     is upper-plus-slack for the catalog's 10-minute bound). Column
     name collisions: left keeps its names, right's ts is suffixed.
 
-    ``how``: 'inner' or 'left_outer'. Left-outer adds the
-    late-accounting semantics (clicks that never got an error, orders
-    that never settled): an unmatched left row emits NULL-padded only
-    once the GLOBAL watermark (min across both inputs) passes
-    left_ts + upper — i.e. when no future right row could match — and
-    that emission happens in a trigger AFTER the watermark advance, so
-    a replay must feed at least one batch after the last real data
-    (the catalog replay appends sentinel batches; a single-batch
-    availableNow run would withhold every unmatched row)."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    ``how``: 'inner', 'left_outer', 'right_outer' or 'full_outer' —
+    the four stream-stream modes Spark's symmetric hash join supports
+    under watermarks + a time bound. The outer modes add the
+    late-accounting semantics (clicks that never got an error, errors
+    no click explains, or both at once): an unmatched row emits
+    NULL-padded only once the GLOBAL watermark (min across both
+    inputs) passes the point where no future partner could match —
+    left rows close at left_ts + upper, right rows close at
+    right_ts - lower — and that emission happens in a trigger AFTER
+    the watermark advance, so a replay must feed at least one batch
+    after the last real data (the catalog replays append sentinel
+    batches; a single-batch availableNow run would withhold every
+    unmatched row). In the right/full modes the join key of an
+    unmatched RIGHT row arrives on the right side only, so the output
+    ``on`` column is the coalesce of the two key columns — never NULL
+    for any emitted row."""
+    modes = ("inner", "left_outer", "right_outer", "full_outer")
+    if how not in modes:
+        raise ValueError(f"how must be one of {modes}, got {how!r}")
     # Event-time columns must be TIMESTAMP (Spark rejects TIMESTAMP_NTZ
     # watermarks; the driver's events.ts ships as NTZ). Session tz is
     # pinned UTC, so the cast is the identity (pipeline.py precedent).
@@ -72,13 +80,17 @@ def stream_interval_join(
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     r_ts = f"{right_ts}_right"
-    rw = rw.withColumnRenamed(right_ts, r_ts)
+    r_on = f"{on}_right"
+    rw = rw.withColumnRenamed(right_ts, r_ts).withColumnRenamed(on, r_on)
     cond = (
-        (lw[on] == rw[on])
+        (F.col(on) == F.col(r_on))
         & (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
         & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, how).drop(rw[on])
+    joined = lw.join(rw, cond, how)
+    if how in ("right_outer", "full_outer"):
+        joined = joined.withColumn(on, F.coalesce(F.col(on), F.col(r_on)))
+    return joined.drop(r_on)
 
 
 def stream_dedup_within_watermark(

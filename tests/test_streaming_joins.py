@@ -154,3 +154,64 @@ def test_left_outer_rejects_bad_mode(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="left_outer"):
         stream_interval_join(df, df, on="value", how="full")
+
+
+def _two_sided_fixture(spark, tmp_path):
+    """clicks: user 7 (matches), user 8 (never matched); errors: user 7
+    (the match), user 9 (no click ever) — plus two far-future
+    watermark-advancer batches on both sides (user 99)."""
+    src = str(tmp_path / "src")
+    base = time.time() - 1000
+    _write_batch(spark, src, [(1, _t(0), 7, "click", 0.0), (2, _t(1), 8, "click", 0.0)], base)
+    _write_batch(spark, src, [(3, _t(5), 7, "error", 0.0), (4, _t(5), 9, "error", 0.0)], base + 10)
+    far1 = _t(0) + datetime.timedelta(minutes=300)
+    far2 = _t(0) + datetime.timedelta(minutes=310)
+    _write_batch(spark, src, [(8, far1, 99, "click", 0.0), (9, far1, 99, "error", 0.0)], base + 20)
+    _write_batch(spark, src, [(10, far2, 99, "click", 0.0), (11, far2, 99, "error", 0.0)], base + 30)
+    schema = spark.createDataFrame([], EV_SCHEMA).schema
+    rs = lambda: spark.readStream.schema(schema).option(  # noqa: E731
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    clicks = rs().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = rs().filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    return clicks, errors
+
+
+def test_full_outer_interval_join_emits_both_unmatched_sides(spark, tmp_path):
+    """Full-outer mode: the matched pair emits; the never-matched click
+    AND the never-matched error both emit NULL-padded once closed —
+    and the join key on an unmatched RIGHT row is the coalesced
+    right-side value, never NULL."""
+    clicks, errors = _two_sided_fixture(spark, tmp_path)
+    joined = stream_interval_join(
+        clicks, errors, on="user_id", upper="10 minutes",
+        right_watermark="15 minutes", how="full_outer",
+    )
+    out = str(tmp_path / "out")
+    _run(joined.select("click_id", "error_id", "user_id"), out, str(tmp_path / "ckpt"))
+    rows = spark.read.parquet(out).filter(F.col("user_id") < 99).collect()
+    got = {(r["click_id"], r["error_id"]) for r in rows}
+    assert got == {(1, 3), (2, None), (None, 4)}
+    by_err = {r["error_id"]: r["user_id"] for r in rows}
+    assert by_err[4] == 9  # coalesced key on the unmatched right row
+    assert all(r["user_id"] is not None for r in rows)
+
+
+def test_right_outer_interval_join_emits_unmatched_errors(spark, tmp_path):
+    """Right-outer mode: matched pair plus the never-matched error;
+    the unmatched click is dropped."""
+    clicks, errors = _two_sided_fixture(spark, tmp_path)
+    joined = stream_interval_join(
+        clicks, errors, on="user_id", upper="10 minutes",
+        right_watermark="15 minutes", how="right_outer",
+    )
+    out = str(tmp_path / "out")
+    _run(joined.select("click_id", "error_id", "user_id"), out, str(tmp_path / "ckpt"))
+    rows = spark.read.parquet(out).filter(F.col("user_id") < 99).collect()
+    got = {(r["click_id"], r["error_id"]) for r in rows}
+    assert got == {(1, 3), (None, 4)}
+    assert all(r["user_id"] is not None for r in rows)

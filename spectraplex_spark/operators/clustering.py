@@ -137,6 +137,76 @@ def kmeans_fit_predict(
     return assignments, cents
 
 
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = KM_SCALE,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid of an ALREADY-FITTED
+    model — the probe-side narrow pass for the fit-once shape (one
+    zero-shuffle expression scan; centroids ride as literal arrays).
+    Identical to the assignment kmeans_fit_predict emits when given
+    that fit's final centroids."""
+    return df.select(
+        F.col(id_col),
+        _argmin_cluster(km_quantize_col(vec_col, scale), cents).alias("cluster_id"),
+    )
+
+
+def write_kmeans_model(
+    spark,
+    path: str,
+    cents: list[list[int]],
+    scale: int = KM_SCALE,
+    extra_config: dict | None = None,
+) -> None:
+    """Persist a fitted integer-grid k-means model so downstream
+    queries probe WITHOUT refitting (a fit is multiple corpus scans;
+    re-running it per report call was the r8 verdict's named waste).
+
+    Layout follows the materialized-index discipline (write_ivf_index /
+    pq codes/): centroid rows live in a ``centroids/`` SUBDIRECTORY —
+    mode('overwrite') clears its target, so data never sits at the
+    root — with the ``_config`` sidecar as a sibling pinning
+    (k, dim, scale, ...); a read under different parameters fails
+    loudly instead of silently mis-probing. k x dim ints, a few KB."""
+    from spectraplex_spark.streaming.index_state import ensure_index_config
+
+    cfg = {
+        "family": "kmeans_integer",
+        "k": len(cents),
+        "dim": len(cents[0]),
+        "scale": scale,
+    }
+    cfg.update(extra_config or {})
+    ensure_index_config(spark, path, cfg)
+    rows = [(cid, [int(v) for v in c]) for cid, c in enumerate(cents)]
+    spark.createDataFrame(rows, "cluster_id int, centroid array<bigint>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_kmeans_model(spark, path: str) -> tuple[list[list[int]], dict[str, str]]:
+    """(centroids, config) of a persisted model — centroids ordered by
+    cluster_id so probe selection and assignment replay the fit's ids
+    exactly. Bounded collect: k x dim ints."""
+    from spectraplex_spark.streaming.index_state import read_index_config
+
+    cfg = read_index_config(spark, path)
+    if cfg is None:
+        raise ValueError(f"no k-means model at {path!r} (missing _config sidecar)")
+    if cfg.get("family") != "kmeans_integer":
+        raise ValueError(
+            f"index at {path!r} is family {cfg.get('family')!r}, not kmeans_integer"
+        )
+    rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cluster_id").collect()
+    )
+    return [list(r["centroid"]) for r in rows], cfg
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     k: int = 8,

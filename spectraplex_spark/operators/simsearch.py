@@ -711,11 +711,22 @@ def ivf_recall_report(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1024,
+    cents: list[list[int]] | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of partial-probe IVF vs exact search — the ANN
     measurement harness (the minhash_estimate_error discipline applied
     to the similarity-search family): don't just SHIP an approximate
     index, GRADE how approximate it is.
+
+    Pass ``cents`` from a persisted fit (clustering.read_kmeans_model)
+    to skip the in-call fit — the production shape: fitting is several
+    corpus scans, so a model fit once and probed many times turns each
+    report into two narrow passes (assignment + scoring). ``n_centroids``
+    and ``iters`` are ignored when ``cents`` is given. Pass
+    ``assignments`` too when the cluster-partitioned layout is already
+    materialized (write_ivf_index); otherwise they are recomputed from
+    ``cents`` in one zero-shuffle expression pass.
 
     The IVF here is built on the integer-exact k-means
     (clustering.kmeans_fit_predict — bit-reproducible trajectory), so
@@ -736,14 +747,23 @@ def ivf_recall_report(
 
     from spectraplex_spark.operators.clustering import (
         km_quantize_col,
+        kmeans_assign,
         kmeans_fit_predict,
     )
 
     corpus = em.filter(F.col(id_col) >= q_count)
     queries = em.filter(F.col(id_col) < q_count)
-    assignments, cents = kmeans_fit_predict(
-        corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col, scale=scale
-    )
+    if cents is None:
+        assignments, cents = kmeans_fit_predict(
+            corpus,
+            k=n_centroids,
+            iters=iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            scale=scale,
+        )
+    elif assignments is None:
+        assignments = kmeans_assign(corpus, cents, vec_col, id_col, scale)
     qrows = (
         queries.select(F.col(id_col), km_quantize_col(vec_col, scale).alias("_q"))
         .orderBy(id_col)

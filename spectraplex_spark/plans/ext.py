@@ -4806,6 +4806,43 @@ def ivf_recall_report(spark, sf_dir):
 
 
 @query(
+    "ivf_persisted_recall",
+    _ivf_recall_oracle_sql(n_probe=4),
+    doc="E2 the FIT-ONCE shape of the recall harness (the r8 verdict's "
+    "named fix: ivf_recall_report refit k-means per call — 3 corpus "
+    "scans for one report): the builder fits once, persists the model "
+    "through clustering.write_kmeans_model (centroids/ subdirectory + "
+    "_config sidecar pinning k/dim/scale — the write_ivf_index layout "
+    "discipline), reads it back with read_kmeans_model, and the report "
+    "runs from the PERSISTED centroids — two narrow passes (expression "
+    "assignment + scoring), no refit. Probing 4 of 8 cells (the graded "
+    "sibling probes 2) so this entry grades a distinct operating "
+    "point. The oracle still replays fit+probe+rank from scratch in "
+    "SQL — agreement certifies the persisted model IS the fit: "
+    "write/read round-trips the integer grid bit-exactly and the "
+    "recomputed assignment equals the fit-time one.",
+)
+def ivf_persisted_recall(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.operators.clustering import (
+        kmeans_fit_predict,
+        read_kmeans_model,
+        write_kmeans_model,
+    )
+    from spectraplex_spark.operators.simsearch import ivf_recall_report as op
+
+    em = table(spark, sf_dir, "embeddings")
+    corpus = em.filter(F.col("vec_id") >= 8)
+    d = tempfile.mkdtemp(prefix="spectraplex_kmm_")
+    _, cents = kmeans_fit_predict(corpus, k=8, iters=3)
+    write_kmeans_model(spark, d, cents, scale=1024, extra_config={"iters": 3})
+    stored, cfg = read_kmeans_model(spark, d)
+    assert cfg["k"] == "8" and cfg["scale"] == "1024"
+    return op(em, n_probe=4, cents=stored).orderBy("query_id")
+
+
+@query(
     "nfc_dedup_groups",
     """
     WITH v AS (SELECT doc_id,

@@ -252,3 +252,60 @@ def test_cluster_profile_totals(spark):
         range(100, 112)
     )
     assert all(r["centroid_l1"] > 0 for r in prof)
+
+
+def test_kmeans_model_roundtrip_and_persisted_report(spark, tmp_path):
+    """write/read round-trips the integer centroid grid bit-exactly;
+    kmeans_assign from the stored model equals the fit's own
+    assignment; and the recall report run from the persisted fit
+    equals the refit-per-call form row for row."""
+    from spectraplex_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_predict,
+        read_kmeans_model,
+        write_kmeans_model,
+    )
+    from spectraplex_spark.operators.simsearch import ivf_recall_report
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = em.filter(F.col("vec_id") >= 4)
+    assignments, cents = kmeans_fit_predict(corpus, k=4, iters=2)
+    path = str(tmp_path / "model")
+    write_kmeans_model(spark, path, cents, scale=1024)
+    stored, cfg = read_kmeans_model(spark, path)
+    assert stored == [list(map(int, c)) for c in cents]
+    assert (cfg["k"], cfg["dim"], cfg["scale"]) == ("4", str(len(cents[0])), "1024")
+    want_assign = {(r["vec_id"], r["cluster_id"]) for r in assignments.collect()}
+    got_assign = {
+        (r["vec_id"], r["cluster_id"]) for r in kmeans_assign(corpus, stored).collect()
+    }
+    assert got_assign == want_assign
+    inline = ivf_recall_report(em, q_count=4, k=5, n_centroids=4, iters=2, n_probe=2)
+    persisted = ivf_recall_report(em, q_count=4, k=5, n_probe=2, cents=stored)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
+def test_kmeans_model_config_guards(spark, tmp_path):
+    """A missing sidecar and a wrong index family both fail loudly."""
+    from spectraplex_spark.operators.clustering import (
+        read_kmeans_model,
+        write_kmeans_model,
+    )
+    from spectraplex_spark.streaming.index_state import ensure_index_config
+
+    with pytest.raises(ValueError, match="_config"):
+        read_kmeans_model(spark, str(tmp_path / "nothing"))
+    other = str(tmp_path / "other")
+    ensure_index_config(spark, other, {"family": "minhash_lsh"})
+    with pytest.raises(ValueError, match="family"):
+        read_kmeans_model(spark, other)
+    # re-writing the SAME config is idempotent, a DIFFERENT one raises
+    path = str(tmp_path / "model")
+    write_kmeans_model(spark, path, [[1, 2], [3, 4]], scale=1024)
+    write_kmeans_model(spark, path, [[5, 6], [7, 8]], scale=1024)  # refit ok
+    stored, _ = read_kmeans_model(spark, path)
+    assert stored == [[5, 6], [7, 8]]
+    with pytest.raises(ValueError):
+        write_kmeans_model(spark, path, [[1, 2, 3], [4, 5, 6]], scale=1024)

@@ -25,12 +25,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def lineage_truncate(frame: DataFrame, reliable: bool = False) -> DataFrame:
+    """Truncate a frame's lineage for iterative / multi-read reuse.
+
+    ``reliable=False`` → ``localCheckpoint``: executor-local blocks,
+    freed by the ContextCleaner, no checkpoint dir needed — but blocks
+    do NOT recompute on executor loss (moot single-JVM; the documented
+    trade everywhere this family runs locally). ``reliable=True`` → a
+    RELIABLE checkpoint to the SparkContext's checkpoint dir (the
+    caller must have pointed ``setCheckpointDir`` at fault-tolerant
+    storage): on a preemptible-node cluster a lost block becomes a
+    storage re-read instead of a failed job. Both are lazy
+    (``eager=False``) so plan construction stays side-effect free and
+    the first action doubles as the materialization."""
+    if reliable:
+        if frame.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable_checkpoint=True needs "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>) first"
+            )
+        return frame.checkpoint(eager=False)
+    return frame.localCheckpoint(eager=False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     edges_deduped: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component =
     min node id in the connected component.
@@ -75,9 +99,12 @@ def connected_components(
     # label chain, so for star/clique near-dup graphs (converged at
     # round 0) the whole components pass is exactly ONE job.
     labels = (
-        sym.groupBy(F.col("u").alias("node"))
-        .agg(F.least(F.min("u"), F.min("v")).alias("component"))
-        .localCheckpoint(eager=False)
+        lineage_truncate(
+            sym.groupBy(F.col("u").alias("node")).agg(
+                F.least(F.min("u"), F.min("v")).alias("component")
+            ),
+            reliable_checkpoint,
+        )
     )
     if max_iter == 1:
         # Cannot verify convergence without a second round; converged
@@ -116,9 +143,12 @@ def connected_components(
             # eager=False: the convergence probe below is the FIRST
             # action over this frame, so it doubles as the checkpoint
             # materialization — one job per round instead of two.
-            new_labels = propagated.withColumn(
-                "_changed", F.col("component") != F.col("_old")
-            ).drop("_old").localCheckpoint(eager=False)
+            new_labels = lineage_truncate(
+                propagated.withColumn(
+                    "_changed", F.col("component") != F.col("_old")
+                ).drop("_old"),
+                reliable_checkpoint,
+            )
             propagated = None
         else:
             # Still unconverged after 2 rounds → a long-path component
@@ -144,8 +174,8 @@ def connected_components(
                 )
                 .withColumn("_changed", F.col("component") != F.col("_old"))
                 .drop("_old")
-                .localCheckpoint(eager=False)
             )
+            new_labels = lineage_truncate(new_labels, reliable_checkpoint)
         # This probe is the round's ONE action (it materializes the lazy
         # checkpoint chain, round 0's fused groupBy included on the
         # first pass); round 1 probing zero changes is how round-0

@@ -171,6 +171,7 @@ def minhash_neardup_pairs(
     max_band_bucket: int = 256,
     verify_on_text: bool = False,
     hashes_df: DataFrame | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact shingle Jaccard ≥
     threshold, found via LSH banding (no all-pairs compare).
@@ -216,18 +217,26 @@ def minhash_neardup_pairs(
     # when the frame is garbage collected; eager=False keeps plan
     # construction side-effect free (materialization happens on the
     # first action, exactly like persist).
-    # Known trade: checkpoint blocks do NOT recompute from lineage on
-    # executor loss (persist blocks do) — in local mode that's moot; on
-    # a preemptible-node cluster, prefer a reliable checkpoint dir or
-    # write the hashed-shingle table to storage (the documented 100 TB
-    # shape above) so a lost block is a re-read, not a failed job.
+    # Known trade: localCheckpoint blocks do NOT recompute from lineage
+    # on executor loss (persist blocks do) — in local mode that's moot;
+    # on a preemptible-node cluster pass ``reliable_checkpoint=True``
+    # (with setCheckpointDir on fault-tolerant storage) or hand in a
+    # storage-backed ``hashes_df`` via write_shingle_hashes — either
+    # way a lost block is a re-read, not a failed job.
+    from spectraplex_spark.operators.components import lineage_truncate
+
     if hashes_df is not None:
-        hashed = hashes_df.select("_id", "_h").localCheckpoint(eager=False)
+        hashed = lineage_truncate(
+            hashes_df.select("_id", "_h"), reliable_checkpoint
+        )
     else:
-        hashed = df.select(
-            F.col(id_col).alias("_id"),
-            shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
-        ).localCheckpoint(eager=False)
+        hashed = lineage_truncate(
+            df.select(
+                F.col(id_col).alias("_id"),
+                shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
+            ),
+            reliable_checkpoint,
+        )
     banded = hashed.select(
         "_id",
         minhash_signature(F.col("_h"), num_hashes).alias("_sig"),
@@ -254,10 +263,11 @@ def minhash_neardup_pairs(
     # puts an O(bucket-size) array in a single row for over-cap buckets
     # — a driver-row memory hazard the window+filter form doesn't have,
     # so the window form stays.
-    sized = (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-        .withColumn("_head", F.min("_id").over(wb))
-        .localCheckpoint(eager=False)
+    sized = lineage_truncate(
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb)).withColumn(
+            "_head", F.min("_id").over(wb)
+        ),
+        reliable_checkpoint,
     )
     small = sized.filter(F.col("_bsz") <= max_band_bucket).select(
         "_id", "_band", "_bandhash"
@@ -292,6 +302,29 @@ def minhash_neardup_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def write_shingle_hashes(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the hashed-shingle table ``(_id, _h)`` to storage —
+    the documented 100 TB shape for the whole LSH family: the text
+    pass (shingle + hash, the expensive narrow scan) runs ONCE; every
+    signature/band/verify consumer re-reads the table (recompute on
+    executor loss is a storage re-read, never a failed job); and
+    repeated near-dup runs — parameter sweeps over bands/num_hashes/
+    thresholds, which all reuse the same shingle hashes — skip the
+    text pass entirely. Feed back via
+    ``minhash_neardup_pairs(df, hashes_df=spark.read.parquet(path))``
+    (parity with the inline path is pytest-pinned)."""
+    df.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("_h"),
+    ).write.mode("overwrite").parquet(path)
 
 
 def ngram_jaccard_pairs(

@@ -602,6 +602,32 @@ def encoding_report(df: DataFrame, text_col: str = "text", group_cols=("source",
     )
 
 
+# The Unicode version nfc_key's cross-engine equality was certified
+# against: CPython 3.11's unicodedata (UCD 14.0.0) vs DuckDB 1.0.0's
+# utf8proc (UCD 15.1). NFC composition tables are stable for the
+# planted/pinned vectors across those UCDs, but a future interpreter
+# bump COULD shift a mapping — the check below turns that silent
+# cross-engine hash mismatch into a loudly named cause.
+NFC_CERTIFIED_UNIDATA = "14.0.0"
+
+
+def assert_nfc_unicode_version() -> None:
+    """Fail with a NAMED cause if the interpreter's Unicode tables
+    drifted from the version the NFC oracle vectors were certified
+    with (re-certify tests/test_ext_ops.py's known vectors and bump
+    NFC_CERTIFIED_UNIDATA to accept a new UCD)."""
+    import unicodedata
+
+    if unicodedata.unidata_version != NFC_CERTIFIED_UNIDATA:
+        raise RuntimeError(
+            f"nfc_key certified against Unicode {NFC_CERTIFIED_UNIDATA} "
+            f"(DuckDB 1.0.0 utf8proc on the oracle side); this Python "
+            f"ships UCD {unicodedata.unidata_version} — re-run the "
+            "pinned NFC vectors and bump NFC_CERTIFIED_UNIDATA before "
+            "trusting cross-engine NFC hashes"
+        )
+
+
 def nfc_key(text: Column) -> Column:
     """Unicode-canonical dedup key: NFC-normalize then lowercase, so
     precomposed and combining-mark spellings of the same text (Å vs
@@ -609,9 +635,14 @@ def nfc_key(text: Column) -> Column:
     Unicode tables, so this is a vectorized Arrow pandas UDF (the
     normalize_idn_host precedent) — Spark ships no NFC builtin; the
     DuckDB twin is lower(nfc_normalize(...)), byte-identical (both
-    implement the Unicode standard; pytest pins known vectors). At
-    scale: apply AFTER an ASCII fast-path filter — ASCII text is
+    implement the Unicode standard; pytest pins known vectors, and
+    the UCD version assumption is pinned explicitly —
+    assert_nfc_unicode_version runs driver-side at plan-build time so
+    a UCD drift fails with a named cause, not a bare hash mismatch).
+    At scale: apply AFTER an ASCII fast-path filter — ASCII text is
     NFC-invariant and skips the Python stage entirely."""
+    assert_nfc_unicode_version()
+
     @F.pandas_udf("string")
     def _nfc(col: pd.Series) -> pd.Series:
         import unicodedata

@@ -1034,3 +1034,78 @@ def test_nfc_key_known_vectors(spark):
     assert got[1] == got[2] == chr(0xE5) + " b"
     assert got[3] == "plain"
     assert got[4] is None
+
+
+def test_nfc_unicode_version_pin(monkeypatch):
+    """The UCD assumption is explicit: current interpreter passes the
+    pin; a drifted unicodedata build fails with the NAMED cause (not a
+    bare cross-engine hash mismatch)."""
+    import unicodedata
+
+    from spectraplex_spark.operators import textops
+
+    textops.assert_nfc_unicode_version()  # current build must match the pin
+    monkeypatch.setattr(unicodedata, "unidata_version", "99.0.0")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="UCD 99.0.0"):
+        textops.assert_nfc_unicode_version()
+
+
+def test_minhash_reliable_and_storage_paths_match_inline(spark, tmp_path):
+    """The two fault-tolerant shapes — a storage-backed hashed-shingle
+    table and a reliable checkpoint dir — must emit EXACTLY the inline
+    localCheckpoint path's pairs; and reliable mode without a
+    checkpoint dir fails loudly."""
+    from spectraplex_spark.operators.components import connected_components
+    from spectraplex_spark.operators.dedup import write_shingle_hashes
+
+    docs = table(spark, SF_DIR, "documents").limit(200)
+    kw = dict(shingle_n=3, jaccard_threshold=0.6, num_hashes=32, bands=8)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_pairs(docs, **kw).collect()
+    }
+
+    # storage-backed hashed-shingle table (write once, sweep many)
+    hpath = str(tmp_path / "shingle_hashes")
+    write_shingle_hashes(docs, hpath, shingle_n=3)
+    got_store = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_pairs(
+            docs, hashes_df=spark.read.parquet(hpath), **kw
+        ).collect()
+    }
+    assert got_store == want
+
+    # reliable checkpoint: loud failure without a dir, parity with one
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            D.minhash_neardup_pairs(docs, reliable_checkpoint=True, **kw)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got_rel = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_pairs(
+            docs, reliable_checkpoint=True, **kw
+        ).collect()
+    }
+    assert got_rel == want
+
+    # connected components over a path graph (exercises the pointer-
+    # jump rounds) — reliable labels equal default labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 1)] + [(100, 101), (101, 102)],
+        "id_a long, id_b long",
+    )
+    want_cc = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, edges_deduped=True).collect()
+    }
+    got_cc = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, edges_deduped=True, reliable_checkpoint=True
+        ).collect()
+    }
+    assert got_cc == want_cc

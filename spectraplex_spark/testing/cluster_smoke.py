@@ -1,0 +1,86 @@
+"""Multi-executor smoke: run flagship catalog queries on a REAL
+multi-process cluster (``local-cluster[2,2,…]`` — separate executor
+JVMs + separate Python workers) and digest the results, so the suite
+catches single-process assumptions the local[n] tests can't see:
+broadcast values crossing process boundaries, localCheckpoint block
+visibility, Python-worker env/serialization propagation, Arrow batch
+transfer to remote pythons.
+
+A JVM hosts one SparkContext, so tests/test_cluster_smoke.py runs this
+module as a SUBPROCESS (``python -m spectraplex_spark.testing.
+cluster_smoke <sf_dir> <master>``) and compares its digests against
+the in-process local-mode session's — execution-mode parity, not just
+"it didn't crash".
+
+Query battery (one per risk class):
+  - q3_shipping_priority: broadcast dim + shuffle join + TakeOrdered
+  - q1_pricing_summary: decimal hash aggregation (partial-agg merge
+    across executor processes)
+  - dedup_exact_docs: fingerprint shuffle + min-id survivor
+  - nfc_dedup_groups: Arrow pandas UDF on remote Python workers
+  - minhash_estimate_error: expression HOF pipeline, zero shuffle
+  - minhash_neardup_pairs: lazy localCheckpoint blocks read back from
+    MULTIPLE downstream stages — the block-visibility risk class
+  - simsearch_cosine_topk: literal-vector scoring + global top-k
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+
+QUERIES = [
+    "q3_shipping_priority",
+    "q1_pricing_summary",
+    "dedup_exact_docs",
+    "nfc_dedup_groups",
+    "minhash_estimate_error",
+    "minhash_neardup_pairs",
+    "simsearch_cosine_topk",
+]
+
+DEFAULT_MASTER = "local-cluster[2,2,2048]"
+
+
+def collect_digests(spark, sf_dir: str) -> dict[str, dict]:
+    """Row count + order-independent md5 of every battery query's
+    result (repr round-trips floats exactly, so identical values
+    digest identically across processes)."""
+    from spectraplex_spark.plans import CATALOG
+
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        rows = CATALOG[name].builder(spark, sf_dir).collect()
+        h = hashlib.md5(
+            "\n".join(sorted(repr(tuple(r)) for r in rows)).encode()
+        ).hexdigest()
+        out[name] = {"rows": len(rows), "md5": h}
+    return out
+
+
+def run(sf_dir: str, master: str = DEFAULT_MASTER) -> dict[str, dict]:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(master)
+        .appName("spectraplex_cluster_smoke")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.executor.memory", "1536m")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        return collect_digests(spark, sf_dir)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    master = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_MASTER
+    print("SMOKE_RESULT " + json.dumps(run(sf_dir, master), sort_keys=True))

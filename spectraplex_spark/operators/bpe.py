@@ -8,10 +8,11 @@ DISTINCT VOCAB (millions of rows at 100 TB corpus scale, not
 trillions). Per iteration: one vocab-sized pair-count shuffle + a
 ONE-ROW collect (the argmax pair — the driver must know the winner to
 plan the next iteration; this is the bounded-collect contract, k=1).
-The re-segmented vocab is persisted and the previous iteration
-unpersisted so lineage stays flat across iterations (the iterative-
-algorithm discipline: without this, iteration N replays iterations
-1..N-1).
+The re-segmented vocab is eagerly localCheckpoint-ed each iteration so
+both DATA and LINEAGE stay flat (the iterative-algorithm discipline:
+persist alone keeps the logical plan, and one stacked fold expression
+per merge made Catalyst planning time grow per iteration — invisible
+at 10 merges, dominant at the BASELINE.md 1k-merge probe).
 
 Merging is greedy left-to-right non-overlapping (the reference BPE
 semantics): ``aaa`` with merge (a,a) → ``[aa, a]``. Implemented as a
@@ -24,7 +25,6 @@ merge sequence is bit-reproducible across runs and partitionings
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from spectraplex_spark.operators.textops import tokens
@@ -90,20 +90,41 @@ def build_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     n_merges: int = 10,
     min_freq: int = 2,
+    vocab_df: DataFrame | None = None,
+    on_iteration=None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns ``(merges, vocab)`` where
     ``merges`` is the ordered list of ``(a, b, pair_freq)`` and
-    ``vocab`` the final segmented word table (persisted; caller
-    unpersists). Stops early when the best pair's frequency drops
-    below ``min_freq``."""
-    vocab = build_vocab(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    vocab.count()  # materialize before the loop
+    ``vocab`` the final segmented word table (checkpoint-materialized;
+    blocks are freed once the frame is garbage collected). Stops early
+    when the best pair's frequency drops below ``min_freq``.
+
+    ``vocab_df`` skips the corpus scan when the word-frequency table
+    ``(w, freq, symbols)`` is already materialized (a production run
+    builds it once and sweeps tokenizer parameters against it; the
+    scale probe constructs it synthetically). ``on_iteration`` is an
+    optional ``f(i, a, b, pair_freq, seconds)`` observer — the
+    BASELINE.md 1k-merge probe records the per-iteration cost curve
+    through it."""
+    import time as _time
+
+    base = vocab_df if vocab_df is not None else build_vocab(df, text_col)
+    # localCheckpoint (eager), NOT persist: persist caches the DATA but
+    # keeps the logical plan, so each iteration's withColumn stacked
+    # one more fold expression onto the plan and Catalyst planning time
+    # grew linearly per iteration — at n_merges=10 invisible, at the
+    # BASELINE.md 1k-merge probe it dominated (the iterative-algorithm
+    # lineage discipline, same as connected_components). Checkpointing
+    # flattens the plan to a scan of the materialized blocks, making
+    # per-iteration cost genuinely flat.
+    vocab = base.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for _it in range(n_merges):
+        _t0 = _time.monotonic()
         best = (
             vocab.select(F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "freq")
             .groupBy("p")
@@ -116,12 +137,28 @@ def bpe_train(
             break
         a, b, pf = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["pair_freq"]
         merges.append((a, b, pf))
-        new_vocab = vocab.withColumn(
-            "symbols", merge_pair(F.col("symbols"), a, b)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        new_vocab.count()  # cut lineage before dropping the old frame
-        vocab.unpersist()
-        vocab = new_vocab
+        # Only words that CONTAIN the winning adjacent pair pay the
+        # re-segmentation fold — after the first few merges the winner
+        # touches a shrinking vocab slice, so the guard turns the
+        # per-iteration cost from |vocab| folds into |touched| folds
+        # plus a cheap exists() scan (measured in the BASELINE.md
+        # 1k-merge probe; the fold is interpreted HOF code, the scan is
+        # a short-circuiting array probe).
+        touched = F.exists(
+            _adjacent_pairs(F.col("symbols")),
+            lambda p: (p["a"] == a) & (p["b"] == b),
+        )
+        # eager checkpoint = materialize + CUT LINEAGE (see above);
+        # the superseded frame's blocks are freed by the ContextCleaner
+        # once the old DataFrame is garbage collected.
+        vocab = vocab.withColumn(
+            "symbols",
+            F.when(touched, merge_pair(F.col("symbols"), a, b)).otherwise(
+                F.col("symbols")
+            ),
+        ).localCheckpoint(eager=True)
+        if on_iteration is not None:
+            on_iteration(_it, a, b, pf, _time.monotonic() - _t0)
     return merges, vocab
 
 

@@ -28,9 +28,49 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # --------------------------------------------------------------------------
 # Graded-window curation. The external correctness gate grades the FIRST
 # 50 registered queries, so registration order is part of the contract.
-# Round-8 composition — freshness rotation (the standing top ask: no
-# catalog entry's latest driver green older than 3 rounds) plus this
-# round's additions and regrades:
+#
+# Round-9 composition (replaces the r8 block below) — closes the grading
+# loop per the r8 verdict: after this window every one of the 190
+# catalog entries carries a driver verdict and none is older than r6.
+#   (a) the 2 never-driver-graded late-r8 entries: neardup_cluster_sizes,
+#       mixture_share_report (dual-SF local parity green since r8);
+#   (b) 3 queries NEW this round: the two-phase hot-domain cap scale
+#       twin (percentile-prefix prefilter), the FULL OUTER stream-stream
+#       interval join replay, and the fit-once persisted-k-means IVF
+#       recall report;
+#   (c) 5 regrades whose UNDERLYING CODE changed since their last hash:
+#       udaf_value_stats (r8 null-semantics change, rotated out then —
+#       the verdict's named third deferral), source_quota_scalable
+#       (NULL-hot-source fix in cap_per_source_scalable),
+#       merge_upsert_roundtrip (deletion-only partition-dir
+#       verification), stream_left_join_replay (the outer-join key
+#       rename/coalesce refactor in streaming/joins.py), and
+#       bpe_trained_merges (trainer lineage-checkpoint + touched-words
+#       guard);
+#   (d) ALL 40 remaining round-5-vintage entries — exactly 4 rounds old
+#       now, the freshness bar's hard edge.
+# Changed-code entries NOT regraded, each certified through an in-window
+# twin plus pytest (the window is exactly full at 50):
+#   - stream_interval_join_replay: joins.py's refactor is exercised by
+#     BOTH in-window outer replays (left = the non-coalesced key branch
+#     the inner mode shares, full = the coalesced branch); inner-mode
+#     dispatch itself is a passthrough string.
+#   - bpe_encode_topk: depends on the changed trainer only through
+#     (merges, vocab), which bpe_trained_merges grades in-window and
+#     tests/test_bpe.py pins bit-equal to a pure-Python reference.
+#   - ivf_recall_report: the refit branch's lines are unchanged (the
+#     change ADDED the persisted-fit branch, graded in-window via
+#     ivf_persisted_recall); tests pin persisted == inline.
+#   - nfc_dedup_groups: nfc_key gained only the UCD version assertion —
+#     a guard that raises or no-ops, provably non-semantic.
+#   - minhash/components lineage_truncate refactor: default path is the
+#     same localCheckpoint call; minhash_neardup_pairs, corpus_prep_*
+#     and neardup_cluster_sizes are all in-window regardless.
+# Every (b)/(c) entry passed the local dual-SF parity gate before
+# entering. All 190 catalog entries remain pytest-parity-covered every
+# round regardless of window membership.
+#
+# Round-8 composition (history — superseded):
 #   (a) the 8 never-driver-graded late-r7 entries (registered after the
 #       r7 window sealed; dual-SF local parity green since);
 #   (b) the 10 queries NEW this round: DSIR importance resampling,
@@ -69,7 +109,63 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # round regardless of window membership.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # (a) never driver-graded (late r7)
+    # ---- round 9 window (exactly 50) ----
+    # (a) never driver-graded (late r8)
+    "neardup_cluster_sizes",
+    "mixture_share_report",
+    # (b) new this round
+    "domain_cap_scalable",
+    "stream_full_join_replay",
+    "ivf_persisted_recall",
+    # (c) code changed since last hash
+    "udaf_value_stats",
+    "source_quota_scalable",
+    "merge_upsert_roundtrip",
+    "stream_left_join_replay",
+    "bpe_trained_merges",
+    # (d) round-5 vintage, all 40 — freshness rotation
+    "q1_pricing_summary",
+    "agg_rollup_lineitem",
+    "agg_cube_orders",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_order_counts",
+    "join_broadcast_brand_revenue",
+    "window_running_revenue",
+    "scalar_date_orders",
+    "scalar_math_lineitem",
+    "case_when_value_tiers",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "pivot_status_by_priority",
+    "window_moving_sum",
+    "agg_collect_sorted",
+    "map_ops_events",
+    "q7_nation_trade_flows",
+    "q9_product_profit",
+    "unpivot_lineitem_metrics",
+    "histogram_order_prices",
+    "agg_string_concat",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "q12_priority_shipping_buckets",
+    "q17_small_quantity_revenue",
+    "q8_market_share",
+    "normalize_throughput",
+    "dedup_exact_docs",
+    "text_token_stats",
+    "lang_quality_report",
+    "lang_id_distribution",
+    "multimodal_binary_meta",
+    "simsearch_cosine_topk",
+    "minhash_neardup_pairs",
+    "corpus_prep_pipeline",
+    "corpus_prep_planted",
+    # ---- r8 window follows (history; entries 51+ keep registration
+    # order and are not graded this round) ----
     "gopher_repetition_report",
     "gopher_repetition_gate",
     "url_canonical_dedup",

@@ -290,7 +290,19 @@ def cap_per_domain_scalable(
     unique per row (same determinism contract as cap_per_domain).
     NULL domains (scheme-less URLs) keep cap_per_domain's contract:
     not a quota group, pass through uncapped."""
-    out = df.withColumn("domain", registered_domain(F.col(url_col)))
+    from spectraplex_spark.operators.components import lineage_truncate
+
+    # Canonicalize ONCE (the hash-shingles-once discipline): the
+    # counts, percentile, prefilter, verify and fallback passes below
+    # each reference `domain`, and Catalyst re-inlines the whole
+    # interpreted URL-canonicalization chain (regex + HOF decode, no
+    # CSE across projection collapse) into every consumer — measured
+    # 43s -> ~3s at sf0.01 with the truncation. At 100 TB this is the
+    # materialized (url, domain) table every pass re-reads; write it
+    # to storage for the executor-loss-proof variant.
+    out = lineage_truncate(
+        df.withColumn("domain", registered_domain(F.col(url_col)))
+    )
     scope = out.filter(F.col("domain").isNotNull())
     passthrough = out.filter(F.col("domain").isNull())
 

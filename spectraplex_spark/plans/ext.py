@@ -5190,3 +5190,90 @@ def mixture_share_report(spark, sf_dir):
         F.expr("_dq div _td").cast("long").alias("doc_share_q"),
         F.expr("_tq div _tt").cast("long").alias("token_share_q"),
     ).orderBy("source")
+
+
+@query(
+    "group_split_report",
+    """
+    WITH v AS (SELECT doc_id,
+                 CASE WHEN doc_id % 97 = 5 THEN NULL ELSE source END AS source
+               FROM documents),
+    s AS (SELECT CASE WHEN substr(md5(COALESCE(source, CAST(doc_id AS VARCHAR))), 1, 4) < '0ccc' THEN 'test'
+                      WHEN substr(md5(COALESCE(source, CAST(doc_id AS VARCHAR))), 1, 4) < '1998' THEN 'val'
+                      ELSE 'train' END AS split,
+                 source
+          FROM v)
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY split ORDER BY split
+    """,
+    doc="E4 LEAKAGE-SAFE dataset split (GroupShuffleSplit semantics): "
+    "the consistent hash keys on the GROUP (here: source), so every "
+    "document of a group lands in ONE split — doc-keyed splits let "
+    "near-duplicate pages of one site straddle train/test and score "
+    "the model on memorized boilerplate. Planted NULL sources (every "
+    "97th doc) grade the documented fallback: a NULL group has no "
+    "identity to key on, so those docs fall back to the doc-keyed "
+    "hash. The oracle replays the md5 grid; agreement certifies both "
+    "the group keying and the fallback exactly.",
+)
+def group_split_report(spark, sf_dir):
+    from spectraplex_spark.operators.packing import assign_split_grouped
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 97 == 5, F.lit(None).cast("string")).otherwise(
+            F.col("source")
+        ),
+    )
+    out = assign_split_grouped(docs, "source")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count_distinct(F.col("source")).cast("long").alias("n_sources"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "temperature_mixture_shares",
+    f"""
+    WITH v AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE source END AS domain,
+                      len({_TOKENS_SQL}) AS ntok
+               FROM documents),
+    s AS (SELECT domain, COUNT(*) AS n_docs,
+                 CAST(SUM(ntok) AS BIGINT) AS n_tokens
+          FROM v GROUP BY domain),
+    w AS (SELECT domain, n_docs, n_tokens,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt
+          FROM s),
+    t AS (SELECT SUM(n_docs) AS nd, SUM(wt) AS sw FROM w)
+    SELECT domain,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens,
+           CAST(n_docs * 1000000 // t.nd AS BIGINT) AS raw_share_q,
+           CAST(wt * 1000000 // t.sw AS BIGINT) AS temp_share_q
+    FROM w CROSS JOIN t ORDER BY domain
+    """,
+    doc="E4 temperature-scaled mixture planning (the mT5/XLM-R "
+    "upsampling rule: sample domain i with probability proportional to "
+    "n_i^(1/T) so tail domains aren't drowned by the head), computed "
+    "BIT-EXACTLY at T=2 via integer sqrt — floor(sqrt(BIGINT)) is a "
+    "correctly-rounded-then-exact op in every IEEE engine, where a "
+    "float POW would not grade. A planted head domain (half the "
+    "corpus) makes the effect observable: its temp share drops well "
+    "below its raw share while every tail domain's rises. raw vs "
+    "temperature columns side by side on the 1e-6 grid; one "
+    "partial-aggregated scan, |domains| rows.",
+)
+def temperature_mixture_shares(spark, sf_dir):
+    from spectraplex_spark.operators.packing import temperature_shares
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "dom",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("head")).otherwise(F.col("source")),
+    )
+    return temperature_shares(docs, "dom").orderBy("domain")

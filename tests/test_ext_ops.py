@@ -1109,3 +1109,57 @@ def test_minhash_reliable_and_storage_paths_match_inline(spark, tmp_path):
         ).collect()
     }
     assert got_cc == want_cc
+
+
+def test_group_split_is_leakage_safe_and_consistent(spark):
+    """Every document of a group lands in ONE split; the assignment is
+    stable under corpus growth; NULL groups fall back to the doc hash
+    (and can therefore straddle splits)."""
+    from spectraplex_spark.operators.packing import assign_split_grouped
+
+    rows = [(i, f"site{i % 37}" if i % 11 else None) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = assign_split_grouped(df, "source").collect()
+    by_group = {}
+    for r in out:
+        if r["source"] is not None:
+            by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # no straddling
+    # consistent under growth: half the corpus assigns identically
+    small = assign_split_grouped(
+        df.filter(F.col("doc_id") < 300), "source"
+    ).collect()
+    big = {r["doc_id"]: r["split"] for r in out}
+    assert all(big[r["doc_id"]] == r["split"] for r in small)
+    # all three splits exist over 37 groups + null fallbacks is not
+    # guaranteed — but the fallback must equal the doc-keyed split
+    from spectraplex_spark.operators.packing import assign_split
+
+    nulls = {r["doc_id"]: r["split"] for r in out if r["source"] is None}
+    doc_keyed = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.filter(F.col("source").isNull())).collect()
+    }
+    assert nulls == doc_keyed
+
+
+def test_temperature_shares_flatten_the_head(spark):
+    """T=2 scaling: the head domain's temperature share is strictly
+    below its raw share, tail domains' strictly above; shares are on
+    the exact integer grid (sum <= 1e6, floor division)."""
+    from spectraplex_spark.operators.packing import temperature_shares
+
+    rows = [(i, "head" if i < 900 else f"tail{i % 4}", "a b c") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    got = {r["domain"]: r for r in temperature_shares(df, "dom").collect()}
+    assert got["head"]["temp_share_q"] < got["head"]["raw_share_q"]
+    for d, r in got.items():
+        if d != "head":
+            assert r["temp_share_q"] > r["raw_share_q"]
+    assert sum(r["temp_share_q"] for r in got.values()) <= 1_000_000
+    import math
+
+    w = {d: math.isqrt(r["n_docs"]) for d, r in got.items()}
+    sw = sum(w.values())
+    for d, r in got.items():
+        assert r["temp_share_q"] == (w[d] * 1_000_000) // sw

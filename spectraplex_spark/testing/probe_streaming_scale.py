@@ -174,6 +174,87 @@ def probe_left_outer_join(spark, scale: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_full_outer_join(spark, scale: int) -> dict:
+    """Full-outer variant: every 5th key's clicks never get an error
+    (unmatched LEFT) and every 7th key gets errors with no click
+    (unmatched RIGHT). Both unmatched families must emit NULL-padded
+    exactly once after the advancers close them — with the join key
+    COALESCED on the right-unmatched rows — and state must still track
+    the watermark horizon, not the stream."""
+    from spectraplex_spark.streaming.joins import stream_interval_join
+
+    tmp = tempfile.mkdtemp(prefix=f"foj{scale}x_")
+    try:
+        src = os.path.join(tmp, "src")
+        n_keys = 200 * scale
+        base = time.time() - 10_000
+        total = planted_left = planted_right = 0
+        eid = 0
+        for b in range(12):
+            rows = []
+            for u in range(n_keys):
+                m = 10 * b + (u % 10)
+                if u % 7 == 3:
+                    rows.append((eid, _t(m + 3), u, "error", 0.0))
+                    eid += 1
+                    planted_right += 1
+                    continue
+                rows.append((eid, _t(m), u, "click", 0.0))
+                eid += 1
+                if u % 5 == 0:
+                    planted_left += 1
+                else:
+                    rows.append((eid, _t(m + 3), u, "error", 0.0))
+                    eid += 1
+            total += len(rows)
+            _write_batch(spark, src, rows, base + b * 10)
+        for j, m in enumerate((600, 660)):  # advance + flush
+            _write_batch(
+                spark, src,
+                [(eid + 2 * j, _t(m), -1, "click", 0.0),
+                 (eid + 2 * j + 1, _t(m), -2, "error", 0.0)],
+                base + 200 + j * 10,
+            )
+        schema = spark.createDataFrame([], EV_SCHEMA).schema
+        rs = lambda: spark.readStream.schema(schema).option(  # noqa: E731
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        clicks = rs().filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        errors = rs().filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"), "user_id", "ts"
+        )
+        joined = stream_interval_join(
+            clicks, errors, on="user_id", upper="10 minutes",
+            right_watermark="30 minutes", how="full_outer",
+        ).select("click_id", "error_id", "user_id")
+        t0 = time.time()
+        state = _run_collect_state(joined, os.path.join(tmp, "out"), os.path.join(tmp, "ck"))
+        wall = time.time() - t0
+        raw = spark.read.parquet(os.path.join(tmp, "out"))
+        # BEFORE the sentinel filter (NULL >= 0 would hide them): the
+        # coalesced key contract says no emitted row has a NULL key
+        null_keys = raw.filter(F.col("user_id").isNull()).count()
+        out = raw.filter(F.col("user_id") >= 0)
+        return {
+            "input_rows": total,
+            "unmatched_left": out.filter(
+                F.col("error_id").isNull() & F.col("click_id").isNotNull()
+            ).count(),
+            "planted_left": planted_left,
+            "unmatched_right": out.filter(
+                F.col("click_id").isNull() & F.col("error_id").isNotNull()
+            ).count(),
+            "planted_right": planted_right,
+            "null_keys": null_keys,  # must be 0: coalesced join key
+            "state_rows": state,
+            "wall_s": round(wall, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_dedup(spark, scale: int) -> dict:
     """12 batches over 120 minutes, every event sent twice (adjacent
     batches), watermark 30 minutes: state is the keys inside the
@@ -291,6 +372,7 @@ def main():
     probes = [
         ("stream_interval_join", probe_interval_join),
         ("stream_left_outer_join", probe_left_outer_join),
+        ("stream_full_outer_join", probe_full_outer_join),
         ("dedup_within_watermark", probe_dedup),
         ("stateful_balance (10x keys)", probe_stateful_balance),
         ("span gate (10x history)", probe_span_gate),

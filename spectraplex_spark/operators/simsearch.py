@@ -262,17 +262,60 @@ def write_ivf_index(
     — the 100 TB shape the docstrings above promise: one assignment pass
     at build time, then every query's probe filter PARTITION-PRUNES the
     scan (only n_probe/n_centroids of the corpus is read from storage,
-    verified against the plan's PartitionFilters in tests)."""
-    ivf_assign(df, centroids, vec_col, cluster_col).write.mode("overwrite").partitionBy(
+    verified against the plan's PartitionFilters in tests).
+
+    The fitted CENTROIDS are persisted alongside (``_centroids/`` rows
+    + ``_config`` sidecar pinning family/k/dim), so a later session can
+    probe the index from storage alone via :func:`read_ivf_index` —
+    without this, the float fit only lived in the building process's
+    memory (the r9 fit-once discipline, float-family edition)."""
+    from spectraplex_spark.streaming.index_state import ensure_index_config
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    ivf_assign(df, cent, vec_col, cluster_col).write.mode("overwrite").partitionBy(
         cluster_col
-    ).parquet(path)
+    ).parquet(f"{path}/rows")
+    ensure_index_config(
+        df.sparkSession,
+        path,
+        {
+            "family": "ivf_float",
+            "k": int(cent.shape[0]),
+            "dim": int(cent.shape[1]),
+            "vec_col": vec_col,
+            "cluster_col": cluster_col,
+        },
+    )
+    spark = df.sparkSession
+    rows = [(cid, [float(v) for v in c]) for cid, c in enumerate(cent)]
+    spark.createDataFrame(rows, "cluster_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple[np.ndarray, dict[str, str]]:
+    """(centroids, config) of a materialized IVF index — enough to
+    probe it from storage alone (ivf_topk_indexed). Bounded collect:
+    k x dim floats. float64 round-trips parquet bit-exactly, so probe
+    selection in a fresh session equals the building session's."""
+    from spectraplex_spark.streaming.index_state import read_index_config
+
+    cfg = read_index_config(spark, path)
+    if cfg is None:
+        raise ValueError(f"no IVF index at {path!r} (missing _config sidecar)")
+    if cfg.get("family") != "ivf_float":
+        raise ValueError(
+            f"index at {path!r} is family {cfg.get('family')!r}, not ivf_float"
+        )
+    rows = spark.read.parquet(f"{path}/_centroids").orderBy("cluster_id").collect()
+    return np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64), cfg
 
 
 def ivf_topk_indexed(
     spark,
     path: str,
     query_vec: list[float],
-    centroids: np.ndarray,
+    centroids: np.ndarray | None = None,
     k: int = 10,
     n_probe: int = 8,
     vec_col: str = "embedding",
@@ -282,11 +325,15 @@ def ivf_topk_indexed(
     """Query the materialized IVF index: same probe selection and exact
     scoring as :func:`ivf_topk`, but the cluster predicate hits the
     partition column, so the scan never touches unprobed clusters'
-    files. This is the query-time half of write_ivf_index."""
+    files. This is the query-time half of write_ivf_index. Pass
+    ``centroids=None`` to load the persisted fit from the index itself
+    (read_ivf_index) — a fresh session needs no in-memory state."""
+    if centroids is None:
+        centroids, _ = read_ivf_index(spark, path)
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     probes = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
-    scan = spark.read.parquet(path).filter(F.col(cluster_col).isin(probes))
+    scan = spark.read.parquet(f"{path}/rows").filter(F.col(cluster_col).isin(probes))
     return cosine_topk(scan, query_vec, k, vec_col, id_col)
 
 

@@ -414,3 +414,47 @@ def test_zorder_value_n_matches_python_interleave(spark):
 
     with _pytest.raises(ValueError, match="63"):
         zorder_value_n([F.col("x")] * 9, 8)
+
+
+def test_ivf_index_probes_from_storage_alone(spark, tmp_path):
+    """A FRESH consumer with no in-memory state probes the materialized
+    index: centroids round-trip float64-bit-exact through the
+    _centroids table, so probe selection (and therefore results) equal
+    the building session's; wrong-family and missing indexes fail
+    loudly."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.simsearch import (
+        fit_ivf_centroids,
+        ivf_topk_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from spectraplex_spark.plans import table
+
+    em = table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    qvec = [
+        float(x)
+        for x in table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    cent = fit_ivf_centroids(em, n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(em, path, cent)
+
+    stored, cfg = read_ivf_index(spark, path)
+    assert np.array_equal(stored, np.asarray(cent, dtype=np.float64))
+    assert (cfg["family"], cfg["k"]) == ("ivf_float", "8")
+    with_mem = ivf_topk_indexed(spark, path, qvec, cent, k=10, n_probe=3)
+    from_storage = ivf_topk_indexed(spark, path, qvec, k=10, n_probe=3)
+    assert [tuple(r) for r in from_storage.collect()] == [
+        tuple(r) for r in with_mem.collect()
+    ]
+    with pytest.raises(ValueError, match="_config"):
+        read_ivf_index(spark, str(tmp_path / "nope"))

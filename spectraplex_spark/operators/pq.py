@@ -294,14 +294,61 @@ def write_ivfpq_index(
     coded.select(id_col, "ivf_cluster", "pq_code").write.mode("overwrite").partitionBy(
         "ivf_cluster"
     ).parquet(f"{path}/codes")
+    # Persist the MODEL too (centroids + codebooks), not just its SHAs:
+    # without this the fit only lived in the building process's memory
+    # and a fresh session could never probe the index (the r9 fit-once
+    # discipline). float64 round-trips parquet bit-exactly, so the
+    # sidecar SHA check still passes on read-back.
+    spark = df.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(cent)],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    spark.createDataFrame(
+        [
+            (mi, ki, [float(v) for v in cb[mi, ki]])
+            for mi in range(cb.shape[0])
+            for ki in range(cb.shape[1])
+        ],
+        "m int, k int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+
+
+def read_ivfpq_model(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) of a materialized IVFPQ index — enough to
+    probe it from storage alone. The _config SHAs are re-verified
+    against the loaded matrices, so a corrupted or hand-swapped model
+    table fails loudly instead of silently mis-scoring. Bounded
+    collects: n_centroids x dim + m x k x dsub floats."""
+    from spectraplex_spark.streaming.index_state import read_index_config
+
+    cfg = read_index_config(spark, path)
+    if cfg is None:
+        raise ValueError(f"no IVFPQ index at {path!r} (missing _config sidecar)")
+    if cfg.get("kind") != "ivfpq":
+        raise ValueError(f"index at {path!r} is kind {cfg.get('kind')!r}, not ivfpq")
+    crows = spark.read.parquet(f"{path}/_centroids").orderBy("cluster_id").collect()
+    cent = np.asarray([list(r["centroid"]) for r in crows], dtype=np.float64)
+    m, k, dsub = int(cfg["m"]), int(cfg["k"]), int(cfg["dsub"])
+    cb = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in spark.read.parquet(f"{path}/_codebooks").collect():
+        cb[r["m"], r["k"]] = list(r["codeword"])
+    if _array_sha(cent) != cfg["centroid_sha"] or _array_sha(cb) != cfg["codebook_sha"]:
+        raise ValueError(
+            f"model tables at {path!r} do not match the _config SHAs — "
+            "corrupted or replaced model; rebuild the index"
+        )
+    return cent, cb
 
 
 def ivfpq_topk(
     spark,
     path: str,
     query_vec: list[float],
-    centroids: np.ndarray,
-    codebooks: np.ndarray,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
     k: int = 10,
     n_probe: int = 8,
     id_col: str = "vec_id",
@@ -311,9 +358,16 @@ def ivfpq_topk(
     PARTITION-PRUNES the scan (only n_probe/n_centroids of the index's
     files are read), and scoring is the same literal-LUT ADC expression
     as pq_topk over the m-byte codes — the whole query reads a few
-    bytes per candidate row and shuffles nothing."""
+    bytes per candidate row and shuffles nothing. Pass
+    ``centroids=codebooks=None`` to load the persisted fit from the
+    index itself (read_ivfpq_model) — a fresh session needs no
+    in-memory state."""
     from spectraplex_spark.streaming.index_state import ensure_index_config
 
+    if centroids is None or codebooks is None:
+        if centroids is not None or codebooks is not None:
+            raise ValueError("pass both centroids and codebooks, or neither")
+        centroids, codebooks = read_ivfpq_model(spark, path)
     ensure_index_config(spark, path, _ivfpq_config(centroids, codebooks))
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)

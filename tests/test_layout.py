@@ -458,3 +458,54 @@ def test_ivf_index_probes_from_storage_alone(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="_config"):
         read_ivf_index(spark, str(tmp_path / "nope"))
+
+
+def test_ivfpq_index_probes_from_storage_alone(spark, tmp_path):
+    """Fresh-session IVFPQ probe: the persisted model tables load back
+    SHA-verified and the storage-alone query equals the in-memory one;
+    a tampered model table fails loudly."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.pq import (
+        fit_pq_codebooks,
+        ivfpq_topk,
+        read_ivfpq_model,
+        write_ivfpq_index,
+    )
+    from spectraplex_spark.operators.simsearch import fit_ivf_centroids
+    from spectraplex_spark.plans import table
+
+    em = table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    qvec = [
+        float(x)
+        for x in table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    cent = fit_ivf_centroids(em, n_centroids=4, seed=42)
+    cb = fit_pq_codebooks(em, m=8, k=16)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(em, path, cent, cb)
+
+    rc, rcb = read_ivfpq_model(spark, path)
+    assert np.array_equal(rc, np.asarray(cent, dtype=np.float64))
+    assert np.array_equal(rcb, np.asarray(cb, dtype=np.float64))
+    with_mem = ivfpq_topk(spark, path, qvec, cent, cb, k=10, n_probe=2)
+    from_storage = ivfpq_topk(spark, path, qvec, k=10, n_probe=2)
+    assert [tuple(r) for r in from_storage.collect()] == [
+        tuple(r) for r in with_mem.collect()
+    ]
+    with pytest.raises(ValueError, match="both"):
+        ivfpq_topk(spark, path, qvec, centroids=cent)
+    # tampered model table -> SHA mismatch, loud failure
+    spark.createDataFrame(
+        [(int(i), [float(v) + 1.0 for v in c]) for i, c in enumerate(cent)],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    with pytest.raises(ValueError, match="SHA"):
+        read_ivfpq_model(spark, path)

@@ -232,6 +232,13 @@ def _epoch_paths(table_dir: str) -> list[str]:
     )
 
 
+def _next_epoch_number(table_dir: str) -> int:
+    paths = _epoch_paths(table_dir)
+    if not paths:
+        return 0
+    return max(int(os.path.basename(p)[6:12]) for p in paths) + 1
+
+
 def committed_epoch_files(
     table_dir: str, as_of_epoch: int | None = None
 ) -> dict[str, int]:
@@ -262,7 +269,11 @@ def commit_append_epoch(table_dir: str) -> dict | None:
     }
     if not new:
         return None
-    n = len(_epoch_paths(table_dir))
+    # max+1, NOT len(): after squash_epochs the manifest COUNT is
+    # smaller than the highest epoch number, and len() would eventually
+    # renumber a new epoch onto an existing file — clobbering committed
+    # history. Without a squash the two are equal.
+    n = _next_epoch_number(table_dir)
     manifest = {
         "version": 1,
         "epoch": n,
@@ -346,6 +357,57 @@ def adopt_uncommitted(table_dir: str) -> dict | None:
     writer is dead. Returns the new epoch manifest or None if nothing
     was orphaned."""
     return commit_append_epoch(table_dir)
+
+
+def squash_epochs(table_dir: str, keep_last: int = 16) -> dict | None:
+    """Manifest retention: merge all but the last ``keep_last`` epoch
+    manifests into one base manifest. A table appended every few
+    minutes accrues unbounded manifest files, and every validate/read
+    opens ALL of them — squashing bounds that metadata cost. DATA files
+    are never touched (every old epoch's files are still part of the
+    current table; appends never delete), only manifests merge, so the
+    CURRENT table and every snapshot at-or-after the squash boundary
+    read identically. Time travel OLDER than the boundary is retired —
+    the retention trade, same as Delta/Iceberg snapshot expiration.
+
+    Crash-safe and idempotent: the squashed manifest atomically
+    REPLACES the boundary epoch's file (its union includes that
+    epoch), then the older manifests are deleted; a crash between the
+    two leaves the union unchanged (epoch file lists are disjoint), and
+    a re-run finishes the cleanup. Returns the squashed manifest, or
+    None if there was nothing to squash."""
+    paths = _epoch_paths(table_dir)
+    if len(paths) <= max(keep_last, 1):
+        return None
+    validate_epochs(table_dir)  # prove history intact before rewriting it
+    to_squash = paths[: len(paths) - keep_last]
+    union: dict[str, int] = {}
+    first = last = None
+    for p in to_squash:
+        with open(p) as fh:
+            m = json.load(fh)
+        if first is None:
+            first = m.get("squashed_from", m["epoch"])
+        last = m["epoch"]
+        union.update(m["files"])
+    manifest = {
+        "version": 1,
+        "epoch": last,
+        "squashed_from": first,
+        "n_files": len(union),
+        "n_bytes": sum(union.values()),
+        "files": union,
+        "digest": _digest(union),
+    }
+    tmp = to_squash[-1] + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, to_squash[-1])  # atomic replace of the boundary epoch
+    for p in to_squash[:-1]:
+        os.remove(p)
+    return manifest
 
 
 def vacuum_uncommitted(table_dir: str) -> list[str]:

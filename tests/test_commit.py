@@ -471,3 +471,48 @@ def test_vacuum_abandons_torn_batch_and_reopens_replay(spark, tmp_path):
     st = validate_epochs(path)
     assert st["epochs"] == 2 and st["uncommitted"] == []
     assert read_committed_epochs(spark, path).count() == 15
+
+
+def test_squash_epochs_bounds_manifests_without_touching_data(spark, tmp_path):
+    """Squashing merges old manifests into one base: the current table
+    and post-boundary snapshots read identically, pre-boundary time
+    travel is retired loudly, and the NEXT append numbers past the
+    squash (max+1, not len — len would clobber committed history)."""
+    import pytest
+
+    from spectraplex_spark.sources.commit import (
+        TableInconsistentError,
+        _epoch_paths,
+        squash_epochs,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in range(0, 50, 10):  # 5 epochs of 10 rows
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+    assert validate_epochs(path)["epochs"] == 5
+    before = {tuple(r) for r in read_committed_epochs(spark, path).collect()}
+    at3 = {tuple(r) for r in read_committed_epochs(spark, path, as_of_epoch=3).collect()}
+
+    m = squash_epochs(path, keep_last=2)
+    assert m is not None and m["epoch"] == 2 and m["squashed_from"] == 0
+    assert len(_epoch_paths(path)) == 3  # squashed base + 2 kept
+    st = validate_epochs(path)
+    assert st["epochs"] == 3 and st["uncommitted"] == []
+    assert {tuple(r) for r in read_committed_epochs(spark, path).collect()} == before
+    # post-boundary snapshot still exact
+    assert {
+        tuple(r) for r in read_committed_epochs(spark, path, as_of_epoch=3).collect()
+    } == at3
+    # pre-boundary history retired loudly
+    with pytest.raises(TableInconsistentError):
+        read_committed_epochs(spark, path, as_of_epoch=1)
+    # nothing more to squash at this retention
+    assert squash_epochs(path, keep_last=3) is None
+    # next append must number PAST the existing epoch files
+    idempotent_append(_batch(spark, 50, 60), path, partition_by=("part",))
+    names = [p.split("epoch-")[-1] for p in _epoch_paths(path)]
+    assert names == ["000002.json", "000003.json", "000004.json", "000005.json"]
+    assert read_committed_epochs(spark, path).count() == 60
+    # double squash is idempotent on content
+    squash_epochs(path, keep_last=1)
+    assert read_committed_epochs(spark, path).count() == 60

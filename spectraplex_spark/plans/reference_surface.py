@@ -914,3 +914,26 @@ def stream_left_join_replay(spark, sf_dir):
 )
 def stream_full_join_replay(spark, sf_dir):
     return _outer_join_replay(spark, sf_dir, "full_outer")
+
+
+@query(
+    "stream_right_join_replay",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS error_id,
+           COALESCE(l.user_id, r.user_id) AS user_id,
+           CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+    """,
+    doc="S2/§2.9 stream-stream RIGHT OUTER interval join — the mirror "
+    "late-accounting direction (errors no click explains, NULL-padded; "
+    "matched clicks emit normally, unmatched clicks drop): with this "
+    "entry all four Spark stream-stream modes are driver-graded. "
+    "Right rows close at their own ts (lower bound 0), so the "
+    "_outer_join_replay sentinels flush them; the coalesced key "
+    "contract is certified by the oracle's COALESCE.",
+)
+def stream_right_join_replay(spark, sf_dir):
+    return _outer_join_replay(spark, sf_dir, "right_outer")

@@ -350,6 +350,55 @@ def read_committed_epochs(spark, table_dir: str, as_of_epoch: int | None = None)
     return spark.read.option("basePath", table_dir).parquet(*paths)
 
 
+def read_epoch_changes(
+    spark, table_dir: str, from_epoch: int, to_epoch: int | None = None
+) -> "object":
+    """CHANGE FEED for the append-only protocol: exactly the rows
+    committed by epochs in (from_epoch, to_epoch] — the incremental
+    consumer's contract (a downstream job remembers the last epoch it
+    processed and reads only what landed since; Delta's
+    readChangeFeed for a table whose only change type is insert).
+
+    Implemented as a file-list diff of the epoch manifests, so the scan
+    reads ONLY the new files — cost tracks the delta, never the table.
+    Raises if the requested range reaches behind a squash boundary
+    (those per-epoch file lists are gone — the documented retention
+    trade) or past the newest epoch."""
+    paths = _epoch_paths(table_dir)
+    if not paths:
+        raise TableInconsistentError(f"{table_dir}: no epoch manifests")
+    files: dict[str, int] = {}
+    seen: list[int] = []
+    for p in paths:
+        with open(p) as fh:
+            m = json.load(fh)
+        lo = m.get("squashed_from", m["epoch"])
+        if lo <= from_epoch < m["epoch"]:
+            raise TableInconsistentError(
+                f"{table_dir}: epochs ({from_epoch}, {m['epoch']}] were "
+                "squashed into one manifest — per-epoch deltas before the "
+                "squash boundary are retired; re-baseline the consumer "
+                f"from epoch {m['epoch']}"
+            )
+        seen.append(m["epoch"])
+        if m["epoch"] <= from_epoch:
+            continue
+        if to_epoch is not None and m["epoch"] > to_epoch:
+            break
+        files.update(m["files"])
+    hi = max(seen)
+    if from_epoch > hi or (to_epoch is not None and to_epoch > hi):
+        raise TableInconsistentError(
+            f"{table_dir}: requested epochs ({from_epoch}, {to_epoch}] but "
+            f"newest committed epoch is {hi}"
+        )
+    if not files:
+        return spark.read.option("basePath", table_dir).parquet(table_dir).limit(0)
+    return spark.read.option("basePath", table_dir).parquet(
+        *[os.path.join(table_dir, rel) for rel in sorted(files)]
+    )
+
+
 def adopt_uncommitted(table_dir: str) -> dict | None:
     """Roll a torn append forward: commit every data file no epoch
     covers as a new epoch. Sound because files only become visible at

@@ -516,3 +516,36 @@ def test_squash_epochs_bounds_manifests_without_touching_data(spark, tmp_path):
     # double squash is idempotent on content
     squash_epochs(path, keep_last=1)
     assert read_committed_epochs(spark, path).count() == 60
+
+
+def test_epoch_change_feed_reads_only_the_delta(spark, tmp_path):
+    """(from, to] change feed equals exactly the rows those epochs
+    committed; ranges behind a squash boundary or past the newest
+    epoch fail loudly; an empty range is an empty frame with the
+    table's schema."""
+    import pytest
+
+    from spectraplex_spark.sources.commit import (
+        TableInconsistentError,
+        read_epoch_changes,
+        squash_epochs,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in range(0, 30, 10):  # epochs 0,1,2
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+    feed = read_epoch_changes(spark, path, from_epoch=0)
+    assert {r["id"] for r in feed.collect()} == set(range(10, 30))
+    assert "part" in feed.columns
+    one = read_epoch_changes(spark, path, from_epoch=0, to_epoch=1)
+    assert {r["id"] for r in one.collect()} == set(range(10, 20))
+    assert read_epoch_changes(spark, path, from_epoch=2).count() == 0
+    with pytest.raises(TableInconsistentError, match="newest committed"):
+        read_epoch_changes(spark, path, from_epoch=5)
+    squash_epochs(path, keep_last=1)
+    with pytest.raises(TableInconsistentError, match="re-baseline"):
+        read_epoch_changes(spark, path, from_epoch=0)
+    # post-boundary deltas still served
+    assert {
+        r["id"] for r in read_epoch_changes(spark, path, from_epoch=1).collect()
+    } == set(range(20, 30))

@@ -104,6 +104,14 @@ def temperature_shares(
     totals = weighted.agg(
         F.sum("n_docs").alias("_nd"), F.sum("_w").alias("_sw")
     ).collect()[0]
+    if totals["_nd"] is None:  # empty corpus: no domains, no shares
+        return weighted.select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.lit(None).cast("long").alias("raw_share_q"),
+            F.lit(None).cast("long").alias("temp_share_q"),
+        ).limit(0)
     nd, sw = int(totals["_nd"]), int(totals["_sw"])
     return weighted.select(
         "domain",

@@ -355,8 +355,15 @@ def cap_per_domain_scalable(
     pre = scope.join(
         F.broadcast(thr.select("domain", "_thr")), "domain", "left"
     )
+    # NULL order values sort FIRST under the window's ascending order
+    # (Spark nulls-first), so the one-window form keeps them among the
+    # cap smallest — the prefilter must pass them through too (a bare
+    # `order <= thr` is NULL for them and would silently drop rows the
+    # twin keeps).
     survivors = pre.filter(
-        F.col("_thr").isNull() | (F.col(order_col) <= F.col("_thr"))
+        F.col("_thr").isNull()
+        | (F.col(order_col) <= F.col("_thr"))
+        | F.col(order_col).isNull()
     )
     got = (
         survivors.filter(F.col("_thr").isNotNull())

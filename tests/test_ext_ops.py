@@ -1163,3 +1163,12 @@ def test_temperature_shares_flatten_the_head(spark):
     sw = sum(w.values())
     for d, r in got.items():
         assert r["temp_share_q"] == (w[d] * 1_000_000) // sw
+
+
+def test_temperature_shares_empty_corpus_is_empty_not_crash(spark):
+    from spectraplex_spark.operators.packing import temperature_shares
+
+    df = spark.createDataFrame([], "doc_id long, dom string, text string")
+    out = temperature_shares(df, "dom")
+    assert out.count() == 0
+    assert out.columns == ["domain", "n_docs", "n_tokens", "raw_share_q", "temp_share_q"]

@@ -196,3 +196,32 @@ def test_cap_per_domain_scalable_no_hot_short_circuit(spark):
     to the plain window (plus the NULL passthrough)."""
     rows = [(i, f"https://site{i % 20}.com/p/{i}") for i in range(100)]
     _domain_parity(spark, rows, cap=3, hot_factor=64, safety=8)
+
+
+def test_cap_per_domain_scalable_null_order_rows_survive(spark):
+    """NULL order values sort first in the window (Spark nulls-first),
+    so the one-window form keeps them — the prefilter must not drop
+    them. Planted: two NULL-order rows inside the hot domain."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.urlops import (
+        cap_per_domain,
+        cap_per_domain_scalable,
+    )
+
+    rows = [(i, f"https://{'hot.example' if i % 4 else f'c{i % 5}.org'}/p") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, url string").withColumn(
+        "doc_id",
+        F.when(F.col("doc_id").isin(1, 5), F.lit(None).cast("long")).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    want = {
+        (r["domain"], r["doc_id"]) for r in cap_per_domain(df, cap=5).collect()
+    }
+    got = {
+        (r["domain"], r["doc_id"])
+        for r in cap_per_domain_scalable(df, cap=5, hot_factor=4, safety=8).collect()
+    }
+    assert got == want
+    assert ("hot.example", None) in got  # the planted NULL-order survivors

@@ -241,6 +241,81 @@ def mixture_thresholds(
     }
 
 
+def mixture_repeat_plan(
+    df: DataFrame,
+    domain_col: str,
+    parts: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+) -> dict[str, tuple[int, int, int, int]]:
+    """Per-domain REPEAT plan to hit a token-budget mixture — the
+    upweighting half mixture_thresholds explicitly leaves out (tail
+    domains in a curated mix are repeated for multiple epochs, the
+    standard LLM-mix practice; head domains are downsampled). For
+    domain d with corpus tokens T_d and target tokens
+    tgt_d = budget·w_d: every doc gets ``tgt_d // T_d`` full copies,
+    plus ONE extra copy iff its md5 16-bit prefix falls under
+    ``65536·(tgt_d mod T_d) // T_d`` — so expected tokens hit the
+    target while up- and downsampling are the same rule (full=0 +
+    tail ≡ mixture_sample's downsample; full≥1 + tail ≡ fractional
+    epochs). All arithmetic BIGINT floor division — bit-reproducible.
+
+    Returns {domain: (corpus_tokens, target_tokens, full_repeats,
+    tail_threshold)} — one aggregation pass, |parts| driver entries
+    (the mixture_thresholds contract)."""
+    totals = {
+        r[0]: int(r[1])
+        for r in df.filter(F.col(domain_col).isin(*parts))
+        .groupBy(domain_col)
+        .agg(F.sum(token_count(F.col(text_col)).cast("long")))
+        .collect()
+        if r[1] is not None
+    }
+    s = sum(parts.values())
+    plan = {}
+    for d in parts:
+        t = totals.get(d)
+        if not t:
+            continue
+        tgt = (token_budget * parts[d]) // s
+        plan[d] = (t, tgt, tgt // t, (65536 * (tgt % t)) // t)
+    return plan
+
+
+def mixture_upsample(
+    df: DataFrame,
+    domain_col: str,
+    parts: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the repeat plan: each kept doc appears
+    ``full_repeats (+1 if its hash falls under the tail threshold)``
+    times, tagged with ``repeat_idx`` (0-based — downstream shuffles/
+    packers must treat copies as distinct rows; dedup stages run
+    BEFORE upsampling, obviously). Docs outside the weighted domains
+    drop. One narrow explode pass; plan state is |parts| literals."""
+    plan = mixture_repeat_plan(df, domain_col, parts, token_budget, text_col)
+    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    copies = F.lit(0)
+    for d, (_t, _tgt, reps, thr) in plan.items():
+        extra = (
+            (h4 < format(min(thr, 65535), "04x")).cast("int")
+            if thr > 0
+            else F.lit(0)
+        )
+        copies = F.when(F.col(domain_col) == d, F.lit(reps) + extra).otherwise(
+            copies
+        )
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("repeat_idx", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_copies")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,

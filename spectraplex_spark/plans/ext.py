@@ -5277,3 +5277,108 @@ def temperature_mixture_shares(spark, sf_dir):
         F.when(F.col("doc_id") % 2 == 0, F.lit("head")).otherwise(F.col("source")),
     )
     return temperature_shares(docs, "dom").orderBy("domain")
+
+
+_REPEAT_PARTS_SQL = "CASE source WHEN 'src0' THEN 8 ELSE 1 END"
+
+
+@query(
+    "mixture_repeat_plan_report",
+    f"""
+    WITH d AS (SELECT source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS ntok
+               FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    t AS (SELECT source, SUM(ntok) AS tk FROM d GROUP BY source),
+    b AS (SELECT 4 * tk AS budget FROM t WHERE source = 'src1'),
+    p AS (SELECT source, tk,
+            CAST(b.budget * ({_REPEAT_PARTS_SQL}) // 10 AS BIGINT) AS tgt
+          FROM t CROSS JOIN b)
+    SELECT source AS domain,
+           CAST(tk AS BIGINT) AS corpus_tokens,
+           tgt AS target_tokens,
+           CAST(tgt // tk AS BIGINT) AS full_repeats,
+           CAST((65536 * (tgt % tk)) // tk AS BIGINT) AS tail_threshold
+    FROM p ORDER BY domain
+    """,
+    doc="E4 repeat-upweighting plan — the half mixture_thresholds "
+    "explicitly leaves out (tail domains in an LLM mix are repeated "
+    "for multiple epochs): per domain, full integer repeats plus a "
+    "16-bit consistent-hash tail threshold for the fractional epoch, "
+    "all BIGINT floor division. The budget is DATA-DERIVED (4x src1's "
+    "tokens) so at every SF the planted 8/1/1 weighting grades both "
+    "regimes: src0 lands full_repeats >= 1 (upsample), src1/src2 land "
+    "full_repeats = 0 with a fractional tail (downsample) — up- and "
+    "downsampling as one rule.",
+)
+def mixture_repeat_plan_report(spark, sf_dir):
+    from spectraplex_spark.operators.packing import mixture_repeat_plan
+    from spectraplex_spark.operators.textops import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    t1 = docs.filter(F.col("source") == "src1").agg(
+        F.sum(token_count(F.col("text")).cast("long"))
+    ).collect()[0][0]
+    plan = mixture_repeat_plan(
+        docs, "source", {"src0": 8, "src1": 1, "src2": 1}, token_budget=4 * int(t1)
+    )
+    rows = [
+        (d, t, tgt, reps, thr) for d, (t, tgt, reps, thr) in sorted(plan.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "domain string, corpus_tokens long, target_tokens long, "
+        "full_repeats long, tail_threshold long",
+    ).orderBy("domain")
+
+
+@query(
+    "mixture_upsample_counts",
+    f"""
+    WITH dd AS (SELECT doc_id, source,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+                  CAST(len({_TOKENS_SQL}) AS BIGINT) AS ntok
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    t AS (SELECT source, SUM(ntok) AS tk FROM dd GROUP BY source),
+    b AS (SELECT 4 * tk AS budget FROM t WHERE source = 'src1'),
+    q AS (SELECT source, tk,
+            CAST(b.budget * ({_REPEAT_PARTS_SQL}) // 10 AS BIGINT) AS tgt
+          FROM t CROSS JOIN b),
+    r AS (SELECT source, CAST(tgt // tk AS BIGINT) AS reps,
+            CAST((65536 * (tgt % tk)) // tk AS BIGINT) AS thr
+          FROM q),
+    c AS (SELECT dd.doc_id, dd.source,
+            r.reps + CASE WHEN r.thr > 0
+                           AND dd.h4 < printf('%04x', least(r.thr, 65535))
+                     THEN 1 ELSE 0 END AS copies
+          FROM dd JOIN r USING (source))
+    SELECT source AS domain,
+           CAST(SUM(copies) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN copies > 0 THEN 1 END) AS BIGINT) AS n_docs
+    FROM c GROUP BY source ORDER BY domain
+    """,
+    doc="E4 the materialized repeat-upsample, count-graded: every kept "
+    "doc explodes into full_repeats (+1 under the hash tail) copies "
+    "tagged repeat_idx; per-domain exploded row and surviving doc "
+    "counts must equal the oracle's pure-arithmetic replay of the "
+    "plan. Same data-derived budget as mixture_repeat_plan_report, so "
+    "src0's multiple epochs and src1/src2's fractional downsample are "
+    "both exercised through the actual explode path.",
+)
+def mixture_upsample_counts(spark, sf_dir):
+    from spectraplex_spark.operators.packing import mixture_upsample
+    from spectraplex_spark.operators.textops import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    t1 = docs.filter(F.col("source") == "src1").agg(
+        F.sum(token_count(F.col("text")).cast("long"))
+    ).collect()[0][0]
+    up = mixture_upsample(
+        docs, "source", {"src0": 8, "src1": 1, "src2": 1}, token_budget=4 * int(t1)
+    )
+    return (
+        up.groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )

@@ -1172,3 +1172,36 @@ def test_temperature_shares_empty_corpus_is_empty_not_crash(spark):
     out = temperature_shares(df, "dom")
     assert out.count() == 0
     assert out.columns == ["domain", "n_docs", "n_tokens", "raw_share_q", "temp_share_q"]
+
+
+def test_mixture_upsample_repeat_semantics(spark):
+    """Copies = full_repeats (+1 under the tail hash); repeat_idx is a
+    dense 0..copies-1 tag per doc; unweighted domains drop; expected
+    token mass lands near each target."""
+    from spectraplex_spark.operators.packing import (
+        mixture_repeat_plan,
+        mixture_upsample,
+    )
+
+    rows = [
+        (i, "tail" if i < 100 else ("head" if i < 900 else "other"), "w1 w2 w3 w4")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    parts = {"head": 1, "tail": 8}
+    budget = 8000  # tail target 6400 tokens over 400 corpus tokens -> 16 epochs
+    plan = mixture_repeat_plan(df, "source", parts, budget)
+    assert set(plan) == {"head", "tail"}
+    assert plan["tail"][2] >= 2  # genuine multi-epoch repeats
+    up = mixture_upsample(df, "source", parts, budget).collect()
+    assert all(r["source"] != "other" for r in up)
+    per_doc = {}
+    for r in up:
+        per_doc.setdefault(r["doc_id"], []).append(r["repeat_idx"])
+    for doc, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense 0..copies-1
+    t, tgt, reps, thr = plan["tail"]
+    tail_copies = [len(v) for d, v in per_doc.items() if d < 100]
+    assert set(tail_copies) <= {reps, reps + 1}
+    got_tokens = sum(tail_copies) * 4
+    assert abs(got_tokens - tgt) / tgt < 0.25  # expected-value landing

@@ -22,6 +22,9 @@ Query battery (one per risk class):
   - minhash_neardup_pairs: lazy localCheckpoint blocks read back from
     MULTIPLE downstream stages — the block-visibility risk class
   - simsearch_cosine_topk: literal-vector scoring + global top-k
+  - stream_interval_join_replay: Structured Streaming symmetric-hash
+    join — state-store providers living in separate executor
+    processes, checkpoint dir shared across them
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ QUERIES = [
     "minhash_estimate_error",
     "minhash_neardup_pairs",
     "simsearch_cosine_topk",
+    "stream_interval_join_replay",
 ]
 
 DEFAULT_MASTER = "local-cluster[2,2,2048]"

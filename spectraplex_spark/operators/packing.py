@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from spectraplex_spark.operators.textops import token_count
+from spectraplex_spark.operators.textops import token_count, tokens
 
 # md5-prefix thresholds: [0000, 0ccc) ≈ 5% test, [0ccc, 1998) ≈ 5% val.
 TEST_MAX_HEX = "0ccc"
@@ -239,6 +239,64 @@ def mixture_thresholds(
         for d in parts
         if totals.get(d)
     }
+
+
+def slice_token_examples(
+    df: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The OTHER standard pre-training layout (pack_documents keeps
+    docs whole; this one doesn't): concatenate the corpus token stream
+    and cut EXACT ``seq_len`` windows, examples crossing document
+    boundaries — the GPT-style "concat with EOS, slice fixed blocks"
+    pipeline. Deterministic and shard-local: docs land on
+    ``id % n_shards`` shards, each shard's stream is ordered by id,
+    per-shard prefix sums give every token a global position, and
+    example k is positions [k·L, (k+1)·L). The trailing partial
+    example of each shard is dropped (the standard waste; bounded by
+    n_shards·(L-1) tokens — at 100 TB, noise).
+
+    Cost shape: one doc-level window for the prefix sums (shard-keyed
+    shuffle of (id, n_tokens) only), then ONE token-level exchange
+    keyed (shard, example_idx) to assemble examples — the honest
+    minimum, since boundary-crossing examples by definition mix tokens
+    of different docs. Returns (shard, example_idx, tokens) with
+    ``size(tokens) == seq_len`` on every row."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        toks.alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    w = (
+        W.partitionBy("shard")
+        .orderBy("_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = base.withColumn("_start", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    tok = offs.select(
+        "shard",
+        F.posexplode("_toks").alias("_p", "_tok"),
+        (F.col("_start") + F.col("_p")).alias("_gpos"),
+    ).select(
+        "shard",
+        (F.col("_gpos") / seq_len).cast("long").alias("example_idx"),
+        (F.col("_gpos") % seq_len).cast("int").alias("_slot"),
+        "_tok",
+    )
+    return (
+        tok.groupBy("shard", "example_idx")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_slot", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("tokens")
+        )
+        .filter(F.size("tokens") == seq_len)
+    )
 
 
 def mixture_repeat_plan(

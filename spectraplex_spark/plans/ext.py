@@ -5382,3 +5382,50 @@ def mixture_upsample_counts(spark, sf_dir):
         )
         .orderBy("domain")
     )
+
+
+@query(
+    "sliced_examples_report",
+    f"""
+    WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+                 {_TOKENS_SQL} AS toks
+               FROM documents),
+    o AS (SELECT doc_id, shard, toks,
+            COALESCE(SUM(len(toks)) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+          FROM d),
+    t AS (SELECT shard,
+            strt + UNNEST(range(len(toks))) AS gpos,
+            UNNEST(toks) AS tok
+          FROM o),
+    e AS (SELECT shard, CAST(gpos // 64 AS BIGINT) AS example_idx,
+                 gpos % 64 AS slot, tok FROM t),
+    g AS (SELECT shard, example_idx, COUNT(*) AS n,
+                 md5(string_agg(tok, ' ' ORDER BY slot)) AS example_md5
+          FROM e GROUP BY shard, example_idx)
+    SELECT shard, example_idx, example_md5
+    FROM g WHERE n = 64 ORDER BY shard, example_idx
+    """,
+    doc="E4 boundary-crossing example slicing — the OTHER standard "
+    "pre-training layout (pack_documents keeps docs whole; GPT-style "
+    "pipelines concatenate the shard's token stream and cut EXACT "
+    "seq_len windows, examples crossing doc boundaries): shard-local "
+    "prefix sums give every token a global position, example k = "
+    "positions [64k, 64k+64), trailing partials dropped. The md5 of "
+    "each example's space-joined tokens bit-grades CONTENT and ORDER "
+    "of every slice, not just counts — the oracle replays the slicing "
+    "with zipped UNNEST + ordered string_agg. Cost shape: one "
+    "doc-level window (shard-keyed (id, n) shuffle) + the one honest "
+    "token-level exchange keyed (shard, example) that boundary-"
+    "crossing examples require by definition.",
+)
+def sliced_examples_report(spark, sf_dir):
+    from spectraplex_spark.operators.packing import slice_token_examples
+
+    docs = table(spark, sf_dir, "documents")
+    ex = slice_token_examples(docs, seq_len=64, n_shards=8)
+    return ex.select(
+        "shard",
+        "example_idx",
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("example_md5"),
+    ).orderBy("shard", "example_idx")

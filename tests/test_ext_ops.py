@@ -1205,3 +1205,29 @@ def test_mixture_upsample_repeat_semantics(spark):
     assert set(tail_copies) <= {reps, reps + 1}
     got_tokens = sum(tail_copies) * 4
     assert abs(got_tokens - tgt) / tgt < 0.25  # expected-value landing
+
+
+def test_slice_token_examples_reconstructs_the_stream(spark):
+    """Concatenating a shard's examples in example_idx order must
+    reproduce the shard's document token stream exactly (minus the
+    dropped trailing partial); every example is exactly seq_len."""
+    from spectraplex_spark.operators.packing import slice_token_examples
+    from spectraplex_spark.operators.textops import tokens as _tokens
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(3 + i % 5))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = slice_token_examples(df, seq_len=7, n_shards=2).collect()
+    assert all(len(r["tokens"]) == 7 for r in ex)
+    got = {}
+    for r in sorted(ex, key=lambda r: (r["shard"], r["example_idx"])):
+        got.setdefault(r["shard"], []).extend(r["tokens"])
+    want = {}
+    for r in (
+        df.select("doc_id", (F.col("doc_id") % 2).alias("s"), _tokens(F.col("text")).alias("t"))
+        .orderBy("doc_id")
+        .collect()
+    ):
+        want.setdefault(r["s"], []).extend(r["t"])
+    for s in want:
+        n_full = len(want[s]) // 7 * 7
+        assert got[s] == want[s][:n_full]

@@ -247,12 +247,16 @@ def slice_token_examples(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eos: str | None = None,
 ) -> DataFrame:
     """The OTHER standard pre-training layout (pack_documents keeps
     docs whole; this one doesn't): concatenate the corpus token stream
     and cut EXACT ``seq_len`` windows, examples crossing document
     boundaries — the GPT-style "concat with EOS, slice fixed blocks"
-    pipeline. Deterministic and shard-local: docs land on
+    pipeline. ``eos`` (e.g. ``"<|eos|>"``) appends a separator token to
+    every document's stream before slicing, so the model can learn
+    document boundaries — the standard practice; None slices the bare
+    concatenation. Deterministic and shard-local: docs land on
     ``id % n_shards`` shards, each shard's stream is ordered by id,
     per-shard prefix sums give every token a global position, and
     example k is positions [k·L, (k+1)·L). The trailing partial
@@ -266,6 +270,8 @@ def slice_token_examples(
     of different docs. Returns (shard, example_idx, tokens) with
     ``size(tokens) == seq_len`` on every row."""
     toks = tokens(F.col(text_col))
+    if eos is not None:
+        toks = F.concat(toks, F.array(F.lit(eos)))
     base = df.select(
         F.col(id_col).alias("_id"),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),

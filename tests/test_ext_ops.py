@@ -1231,3 +1231,21 @@ def test_slice_token_examples_reconstructs_the_stream(spark):
     for s in want:
         n_full = len(want[s]) // 7 * 7
         assert got[s] == want[s][:n_full]
+
+
+def test_slice_token_examples_eos_separators(spark):
+    """With eos set, each document contributes its tokens plus one
+    separator; the reconstructed stream interleaves them exactly."""
+    from spectraplex_spark.operators.packing import slice_token_examples
+
+    rows = [(i, f"a{i} b{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = slice_token_examples(df, seq_len=5, n_shards=1, eos="<eos>").collect()
+    stream = []
+    for r in sorted(ex, key=lambda r: r["example_idx"]):
+        stream.extend(r["tokens"])
+    want = []
+    for i in range(10):
+        want.extend([f"a{i}", f"b{i}", "<eos>"])
+    assert stream == want[: len(want) // 5 * 5]
+    assert stream.count("<eos>") >= 9  # separators survived the slicing

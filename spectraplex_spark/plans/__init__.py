@@ -30,8 +30,12 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # 50 registered queries, so registration order is part of the contract.
 #
 # Round-9 composition (replaces the r8 block below) — closes the grading
-# loop per the r8 verdict: after this window every one of the 190
-# catalog entries carries a driver verdict and none is older than r6.
+# loop per the r8 verdict: after this window every pre-r9 catalog entry
+# carries a driver verdict and none is older than r6. (Entries
+# registered late IN r9 — right-outer replay, repeat-upweighting,
+# example slicing, group split, temperature shares — follow the
+# standing late-registration precedent and grade in r10; each is
+# dual-SF parity green locally.)
 #   (a) the 2 never-driver-graded late-r8 entries: neardup_cluster_sizes,
 #       mixture_share_report (dual-SF local parity green since r8);
 #   (b) 3 queries NEW this round: the two-phase hot-domain cap scale

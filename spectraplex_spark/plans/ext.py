@@ -5429,3 +5429,53 @@ def sliced_examples_report(spark, sf_dir):
         "example_idx",
         F.md5(F.concat_ws(" ", F.col("tokens"))).alias("example_md5"),
     ).orderBy("shard", "example_idx")
+
+
+@query(
+    "epoch_change_feed_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id % 4 IN (2, 3)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="K1 the append-epoch protocol driven end to end through the "
+    "driver gate (the merge_upsert_roundtrip discipline for the epoch "
+    "side): four idempotent_append batches land as four epochs, the "
+    "oldest two are SQUASHED into one base manifest (snapshot "
+    "retention — metadata bounded, data untouched), and the CHANGE "
+    "FEED (from_epoch=1] is read back and aggregated. The oracle is "
+    "the equivalent slice of the source table — agreement certifies "
+    "epoch-delta isolation (batches 0-1 invisible to the feed), "
+    "squash correctness (the boundary manifest still serves "
+    "post-boundary deltas), and the manifest file-list read path, all "
+    "with exact DECIMAL sums.",
+)
+def epoch_change_feed_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.sources.commit import read_epoch_changes, squash_epochs
+    from spectraplex_spark.sources.io import idempotent_append
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_ecf_")
+    path = f"{d}/t"
+    for k in range(4):
+        idempotent_append(
+            events.filter(F.col("event_id") % 4 == k), path, id_col="event_id"
+        )
+    squash_epochs(path, keep_last=2)
+    feed = read_epoch_changes(spark, path, from_epoch=1)
+    return (
+        feed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -5479,3 +5479,60 @@ def epoch_change_feed_roundtrip(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping_pct: int = 85, scale: int = 10**12) -> str:
+    """DuckDB twin of graph.pagerank_integer, iterations UNROLLED (the
+    bpe_trained_merges discipline): per round one contribution join +
+    groupBy, all BIGINT floor division, so the trajectory replays
+    bit-for-bit."""
+    base = (((100 - damping_pct) * scale) // 100)
+    ctes = [
+        "e0 AS (SELECT DISTINCT doc_id % 97 AS u, (doc_id * 7 + 3) % 97 AS v FROM documents)",
+        "deg AS (SELECT u, COUNT(*) AS outd FROM e0 GROUP BY u)",
+        "nodes AS (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM e0 UNION SELECT v FROM e0))",
+        "c AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // c.n AS BIGINT) AS r FROM nodes CROSS JOIN c)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e0.v AS node, "
+            f"SUM((({damping_pct} * r{i - 1}.r) // 100) // deg.outd) AS s "
+            f"FROM e0 JOIN r{i - 1} ON r{i - 1}.node = e0.u "
+            f"JOIN deg ON deg.u = e0.u GROUP BY e0.v)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node, "
+            f"CAST(({base} // c.n) + COALESCE(s{i}.s, 0) AS BIGINT) AS r "
+            f"FROM nodes CROSS JOIN c LEFT JOIN s{i} ON s{i}.node = nodes.node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r AS rank_q FROM r{iters} ORDER BY node"
+    )
+
+
+@query(
+    "pagerank_ranks",
+    _pagerank_oracle_sql(),
+    doc="E4/§2.11 link-graph centrality prior (CommonCrawl-style host "
+    "ranking decides which sites a curated corpus keeps) as the "
+    "fourth iterative-algorithm class (after k-means, label "
+    "propagation, BPE): integer-exact PageRank — per round every node "
+    "redistributes a damped share along its out-edges, contributions "
+    "and the teleport base all BIGINT floor division on the 1e-12 "
+    "grid, dangling mass dropped (a documented ranking-prior "
+    "simplification). Edges planted deterministically from doc ids "
+    "(u = id%97 -> v = (7id+3)%97, a dense functional graph). The "
+    "oracle unrolls all 3 rounds as chained CTEs, so the whole "
+    "trajectory — not just the final ordering — bit-grades.",
+)
+def pagerank_ranks(spark, sf_dir):
+    from spectraplex_spark.operators.graph import pagerank_integer
+
+    docs = table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+    )
+    return pagerank_integer(edges, iters=3).orderBy("node")

@@ -112,6 +112,8 @@ def bpe_train(
     through it."""
     import time as _time
 
+    if df is None and vocab_df is None:
+        raise ValueError("bpe_train: pass df (corpus) or vocab_df (materialized word table)")
     base = vocab_df if vocab_df is not None else build_vocab(df, text_col)
     # localCheckpoint (eager), NOT persist: persist caches the DATA but
     # keeps the logical plan, so each iteration's withColumn stacked

@@ -85,11 +85,15 @@ def temperature_shares(
     """Temperature-scaled mixture shares (the multilingual/multi-domain
     upsampling rule from mT5/XLM-R: sample domain i with probability
     ∝ n_i^(1/T) so tail domains aren't drowned by the head), computed
-    BIT-EXACTLY at T=2 via integer sqrt: weight_i = floor(sqrt(n_i)),
-    temp_share_q = 1e6 · weight_i // Σ weight — pure BIGINT end to end
-    (sqrt of a BIGINT-sized count is correctly rounded in every IEEE
-    engine and floor is exact, so the grid never drifts cross-engine;
-    a float POW(n, 1/T) would not grade).
+    BIT-EXACTLY at T=2 via integer sqrt: weight_i = isqrt(n_i),
+    temp_share_q = 1e6 · weight_i // Σ weight — pure BIGINT end to end.
+    isqrt is a TRUE integer sqrt: the float floor(sqrt(double(n))) seed
+    is corrected by one BIGINT adjust step in each direction
+    (w -= (w·w > n); w += ((w+1)² ≤ n)), so a count near/above 2^52 —
+    where the double cast loses ulps and sqrt rounding can cross an
+    integer boundary — still lands on the exact floor. Exact for all
+    n < 2^62 ((w+1)² stays in BIGINT); a float POW(n, 1/T) would not
+    grade. The oracle replays the identical seed+adjust.
 
     Returns one row per domain: (domain, n_docs, n_tokens, raw_share_q,
     temp_share_q) on the 1e-6 grid — raw vs temperature columns side by
@@ -99,7 +103,10 @@ def temperature_shares(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_count(F.col(text_col)).cast("long")).cast("long").alias("n_tokens"),
     )
-    w = F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    n = F.col("n_docs")
+    w0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    w1 = F.when(w0 * w0 > n, w0 - F.lit(1).cast("long")).otherwise(w0)
+    w = F.when((w1 + 1) * (w1 + 1) <= n, w1 + F.lit(1).cast("long")).otherwise(w1)
     weighted = per.withColumn("_w", w)
     totals = weighted.agg(
         F.sum("n_docs").alias("_nd"), F.sum("_w").alias("_sw")

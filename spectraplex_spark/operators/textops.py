@@ -418,10 +418,12 @@ def cap_per_source_scalable(
     safety=8 the binomial tail is astronomically small) falls back to
     its unfiltered rows — exactness never rides on luck.
 
-    Cost at 100 TB: one partial-aggregated per-source count
-    (|sources|-row collect, the mixture_thresholds contract), one
-    narrow pre-filter pass, one bounded survivor-count verify, then
-    the window over ~safety·n rows per hot source instead of billions.
+    Cost at 100 TB: one partial-aggregated per-source count whose
+    collect is filtered to HOT sources in Spark first (≤ corpus_size /
+    (hot_factor·n) rows reach the driver — independent of distinct-
+    source cardinality), one narrow pre-filter pass, one bounded
+    survivor-count verify, then the window over ~safety·n rows per hot
+    source instead of billions.
 
     NULL sources are a first-class group (a window PARTITION BY puts
     all NULL-key rows in ONE partition, so a mostly-NULL crawl column
@@ -434,11 +436,16 @@ def cap_per_source_scalable(
     from pyspark.sql import Window
 
     key = F.md5(F.col(id_col).cast("string"))
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    # Filter to HOT sources in Spark before collecting (the urlops
+    # cap_per_domain_scalable discipline): the driver sees one row per
+    # hot source — bounded by corpus_size/(hot_factor·n), never by the
+    # distinct-source cardinality (r9 verdict task #4).
     hot = {
         r[source_col]: r["_cnt"]
-        for r in counts
-        if r["_cnt"] > hot_factor * n_per_source
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > hot_factor * n_per_source)
+        .collect()
     }
     w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
 

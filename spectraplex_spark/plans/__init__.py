@@ -29,214 +29,111 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # Graded-window curation. The external correctness gate grades the FIRST
 # 50 registered queries, so registration order is part of the contract.
 #
-# Round-9 composition (replaces the r8 block below) — closes the grading
-# loop per the r8 verdict: after this window every pre-r9 catalog entry
-# carries a driver verdict and none is older than r6. (Entries
-# registered late IN r9 — right-outer replay, repeat-upweighting,
-# example slicing, group split, temperature shares — follow the
-# standing late-registration precedent and grade in r10; each is
-# dual-SF parity green locally.)
-#   (a) the 2 never-driver-graded late-r8 entries: neardup_cluster_sizes,
-#       mixture_share_report (dual-SF local parity green since r8);
-#   (b) 3 queries NEW this round: the two-phase hot-domain cap scale
-#       twin (percentile-prefix prefilter), the FULL OUTER stream-stream
-#       interval join replay, and the fit-once persisted-k-means IVF
-#       recall report;
-#   (c) 5 regrades whose UNDERLYING CODE changed since their last hash:
-#       udaf_value_stats (r8 null-semantics change, rotated out then —
-#       the verdict's named third deferral), source_quota_scalable
-#       (NULL-hot-source fix in cap_per_source_scalable),
-#       merge_upsert_roundtrip (deletion-only partition-dir
-#       verification), stream_left_join_replay (the outer-join key
-#       rename/coalesce refactor in streaming/joins.py), and
-#       bpe_trained_merges (trainer lineage-checkpoint + touched-words
-#       guard);
-#   (d) ALL 40 remaining round-5-vintage entries — exactly 4 rounds old
-#       now, the freshness bar's hard edge.
-# Changed-code entries NOT regraded, each certified through an in-window
-# twin plus pytest (the window is exactly full at 50):
-#   - stream_interval_join_replay: joins.py's refactor is exercised by
-#     BOTH in-window outer replays (left = the non-coalesced key branch
-#     the inner mode shares, full = the coalesced branch); inner-mode
-#     dispatch itself is a passthrough string.
-#   - bpe_encode_topk: depends on the changed trainer only through
-#     (merges, vocab), which bpe_trained_merges grades in-window and
-#     tests/test_bpe.py pins bit-equal to a pure-Python reference.
-#   - ivf_recall_report: the refit branch's lines are unchanged (the
-#     change ADDED the persisted-fit branch, graded in-window via
-#     ivf_persisted_recall); tests pin persisted == inline.
-#   - nfc_dedup_groups: nfc_key gained only the UCD version assertion —
-#     a guard that raises or no-ops, provably non-semantic.
-#   - minhash/components lineage_truncate refactor: default path is the
-#     same localCheckpoint call; minhash_neardup_pairs, corpus_prep_*
-#     and neardup_cluster_sizes are all in-window regardless.
-# Every (b)/(c) entry passed the local dual-SF parity gate before
-# entering. All 190 catalog entries remain pytest-parity-covered every
-# round regardless of window membership.
+# The composition rules (freshness bar, deferral justifications, late-
+# registration precedent) are MACHINE-CHECKED by
+# spectraplex_spark/testing/freshness.py + tests/test_freshness.py — the
+# r9 verdict's task #2.  That module parses CORRECTNESS_r*.json, computes
+# per-entry latest-green, and asserts this window's legality; the prose
+# history blocks that used to live here (r8/r9 compositions) are in git
+# history, and the list below now holds ONLY the live window (the r9
+# ADVICE duplicate-name fragility is gone: _curate asserts uniqueness).
 #
-# Round-8 composition (history — superseded):
-#   (a) the 8 never-driver-graded late-r7 entries (registered after the
-#       r7 window sealed; dual-SF local parity green since);
-#   (b) the 10 queries NEW this round: DSIR importance resampling,
-#       the MinHash estimator-error report, the char-entropy quality
-#       signal, and the BPE tokenizer-APPLY certification (whose
-#       unrolled-CTE oracle also retired bpe_trained_merges's
-#       rows-only status in place), the two-phase hot-source quota
-#       scale twin, the partial-probe IVF recall report, the
-#       planted-hot-key salted aggregation, the LEFT OUTER
-#       stream-stream interval join replay, Unicode-NFC canonical
-#       dedup, and the second flagship composition — the full
-#       web-curation pipeline chaining the six web gates end to end;
-#   (c) 3 regrades whose UNDERLYING CODE changed this round, so their
-#       earlier hash no longer certifies HEAD: merge_upsert (Hive-
-#       escaped partition-dir swap + NULL partitions), the WebDataset
-#       writer/reader (string-key support), and the scalable UDAF
-#       twin (NULL value semantics — the GROUPED_AGG demo's identical
-#       change is certified through that in-window twin plus the
-#       twin-parity and null-semantics pytest, so udaf_value_stats
-#       itself rotates r9). The urlops change (scheme-less -> NULL)
-#       is covered by the two urlops entries already in (a);
-#   (d) ALL 19 remaining round-4-vintage entries — after this window
-#       nothing in the catalog is older than round 5;
-#   (e) 10 of the 50 round-5-vintage entries, sole-evidence families
-#       first (connector/serving/sink/streaming/multimodal/lang/
-#       incremental-embedding). The 34 deferred r5 entries are
-#       bench-covered headliners and TPC-H/scalar/window shapes with
-#       in-family fresher siblings (histogram_order_prices,
-#       map_ops_events, lang_quality_report, lang_id_distribution and
-#       multimodal_binary_meta and text_token_stats joined them as
-#       the r8-new entries displaced the tail; every displaced entry
-#       keeps an r6+-green family sibling); they are exactly 3 rounds
-#       old at r8 and rotate in r9 before crossing the freshness bar.
-# Every (b)/(c) entry passed the local dual-SF parity gate before
-# entering. All 178 catalog entries remain pytest-parity-covered every
-# round regardless of window membership.
+# Round-10 composition (per the r9 verdict's task #1 — 53 mandatory
+# candidates for 50 slots):
+#   (a) ALL 8 never-driver-graded late-r9 registrations (each dual-SF
+#       parity green locally since r9 and pytest-covered);
+#   (b) 1 changed-code regrade: source_quota_scalable —
+#       cap_per_source_scalable's hot-set collect now filters to hot
+#       sources in Spark before collecting (r9 verdict task #4), so the
+#       r9 hash no longer certifies HEAD;
+#   (c) 41 of the 45 round-6-vintage entries — exactly at the freshness
+#       bar's hard edge.  The 4 DEFERRED (named, with r7+-green in-family
+#       siblings and pytest parity, listed in freshness.DEFERRALS):
+#       setop_union_segments + setop_intersect_segments (sibling
+#       setop_except_segments r7), window_topn_orders_per_customer
+#       (sibling window_rank_suite r7), and csv_roundtrip_events
+#       (siblings jsonl/orc roundtrips, both r8) — the 4th deferral pays
+#       for (b)'s slot, the verdict's stated "spend a window slot"
+#       option for task #4.
+# Changed-code entries NOT regraded this round, certified through
+# in-window twins plus pytest (window exactly full at 50):
+#   - ivf_persisted_recall: plans/ext.py swapped a bare `assert` on the
+#     persisted-model config for an explicit if/raise (r9 ADVICE #4) —
+#     a validation guard that raises or no-ops, provably non-semantic
+#     (the nfc_dedup_groups r9 precedent).
+#   - epoch readers/writers touched by r9 verdict task #5 (concurrent-
+#     writer collision detection) and ADVICE #3 (committed-schema empty
+#     feed) are graded in-window via epoch_change_feed_roundtrip, which
+#     drives the changed append + read_epoch_changes paths end-to-end.
+#   - temperature_mixture_shares' isqrt became a true integer sqrt on
+#     BOTH engines (ADVICE #1); it has never been hashed and grades
+#     in-window this round.
+# New r10 queries register late-only (tail of the catalog; they grade
+# r11 per the standing precedent) and are declared in
+# freshness.LATE_REGISTRATIONS.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # ---- round 9 window (exactly 50) ----
-    # (a) never driver-graded (late r8)
-    "neardup_cluster_sizes",
-    "mixture_share_report",
-    # (b) new this round
-    "domain_cap_scalable",
-    "stream_full_join_replay",
-    "ivf_persisted_recall",
-    # (c) code changed since last hash
-    "udaf_value_stats",
+    # ---- round 10 window (exactly 50) ----
+    # (a) never driver-graded (late r9)
+    "stream_right_join_replay",
+    "epoch_change_feed_roundtrip",
+    "pagerank_ranks",
+    "sliced_examples_report",
+    "group_split_report",
+    "temperature_mixture_shares",
+    "mixture_repeat_plan_report",
+    "mixture_upsample_counts",
+    # (b) code changed since last hash (task #4 collect alignment)
     "source_quota_scalable",
-    "merge_upsert_roundtrip",
-    "stream_left_join_replay",
-    "bpe_trained_merges",
-    # (d) round-5 vintage, all 40 — freshness rotation
-    "q1_pricing_summary",
-    "agg_rollup_lineitem",
-    "agg_cube_orders",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_left_order_counts",
-    "join_broadcast_brand_revenue",
-    "window_running_revenue",
-    "scalar_date_orders",
-    "scalar_math_lineitem",
-    "case_when_value_tiers",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "pivot_status_by_priority",
-    "window_moving_sum",
-    "agg_collect_sorted",
-    "map_ops_events",
-    "q7_nation_trade_flows",
-    "q9_product_profit",
-    "unpivot_lineitem_metrics",
-    "histogram_order_prices",
-    "agg_string_concat",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "q12_priority_shipping_buckets",
-    "q17_small_quantity_revenue",
-    "q8_market_share",
-    "normalize_throughput",
-    "dedup_exact_docs",
-    "text_token_stats",
-    "lang_quality_report",
-    "lang_id_distribution",
-    "multimodal_binary_meta",
-    "simsearch_cosine_topk",
-    "minhash_neardup_pairs",
-    "corpus_prep_pipeline",
-    "corpus_prep_planted",
-    # ---- r8 window follows (history; entries 51+ keep registration
-    # order and are not graded this round) ----
-    "gopher_repetition_report",
-    "gopher_repetition_gate",
-    "url_canonical_dedup",
-    "domain_cap_sample",
-    "orc_roundtrip_events",
-    "conservation_audit_report",
-    "bpe_merge_pairs",
-    "bpe_trained_merges",
-    # (b) new this round
-    "dsir_importance_sample",
-    "minhash_estimate_error",
-    "entropy_quality_report",
-    "bpe_encode_topk",
-    "source_quota_scalable",
-    "ivf_recall_report",
-    "salted_hot_key_sum",
-    "stream_left_join_replay",
-    "nfc_dedup_groups",
-    "web_curation_pipeline",
-    # (c) code changed this round - prior hash no longer certifies HEAD
-    "merge_upsert_roundtrip",
-    "webdataset_roundtrip",
-    "udaf_value_stats_scalable",
-    # (d) round-4 vintage: the last 19, all rotated
-    "agg_count_distinct",
-    "array_posexplode_embeddings",
-    "daily_rollup_events",
-    "distinct_pairs",
-    "embedding_neardup_pairs",
-    "frequent_users_exact",
-    "grouping_sets_orders",
-    "join_in_subquery",
-    "join_semi_customers_with_orders",
-    "q14_promo_revenue_ratio",
-    "q16_part_supplier_variety",
-    "scalar_conditional_funcs",
-    "scalar_date_arith",
-    "scalar_json_events",
-    "scalar_string_parts",
-    "sort_limit_offset",
-    "sort_topk_orders",
-    "user_activity_report",
-    "variant_json_events",
-    # (e) round-5 vintage, sole-evidence families first
-    "account_state_latest",
-    "block_continuity_report",
-    "rpc_ingest_golden",
-    "http_serving_roundtrip",
-    "idempotent_sink_replay",
-    "jdbc_roundtrip_nation",
-    "jsonl_roundtrip_events",
-    "streaming_window_rollup",
-    "doc_fingerprints",
-    "incremental_neardup_embedding_planted",
-    # r5 entries DEFERRED to r9 (40: bench-covered headliners - q1/q3/
-    # q5/dedup_exact/minhash_pairs/simsearch_cosine/normalize/corpus_
-    # prep - plus TPC-H q6-q22, scalar/window/agg/pivot shapes, and
-    # jdbc-adjacent entries with r6+-green family siblings; all are
-    # exactly 3 rounds old at r8 and rotate next round)
-    # LATE r8 additions, registered AFTER the window sealed (the
-    # r7-late precedent; each dual-SF parity green locally):
-    # neardup_cluster_sizes, mixture_share_report. They join the r9
-    # window with the other deferrals.
+    # (c) round-6 vintage, 41 of 45 — freshness rotation
+    "agg_percentiles",
+    "bigram_surprise_report",
+    "bm25_ranked_topk",
+    "compaction_roundtrip",
+    "corpus_mixture_sample",
+    "corpus_top_ngrams",
+    "corpus_vocab_report",
+    "correlated_above_avg_orders",
+    "data_quality_report",
+    "decontam_ngram_overlap",
+    "doc_chunks_report",
+    "embedding_covariance_report",
+    "embedding_jl_projection",
+    "embedding_kmeans_clusters",
+    "feature_stats_report",
+    "fuzzy_decontam_planted",
+    "grpc_replay_ingest_golden",
+    "incremental_spans_planted",
+    "index_conjunctive_topk",
+    "index_phrase_search",
+    "join_anti_customers_without_orders",
+    "lang_confusion_matrix",
+    "media_phash_planted",
+    "q11_important_stock",
+    "q2_min_cost_supplier",
+    "quality_linear_score",
+    "repeated_spans_report",
+    "rpc_ingest_datasource",
+    "semantic_dedup_planted",
+    "simhash_planted_twins",
+    "simsearch_bq_topk",
+    "simsearch_pq_rerank",
+    "simsearch_pq_topk",
+    "simsearch_sq_topk",
+    "source_overlap_matrix",
+    "source_quota_sample",
+    "span_dedup_clean",
+    "stateful_balance_replay",
+    "stream_dedup_replay",
+    "stream_interval_join_replay",
+    "zorder_curve_events",
 ]
 
 
 def _curate(order: list[str]) -> None:
+    if len(order) != len(set(order)):  # r9 ADVICE #5: no silent dedup
+        dupes = sorted({n for n in order if order.count(n) > 1})
+        raise RuntimeError(f"graded-priority contains duplicates: {dupes}")
     missing = [n for n in order if n not in CATALOG]
     if missing:  # fail loudly: a typo here silently un-grades an operator
         raise RuntimeError(f"graded-priority names not in CATALOG: {missing}")

@@ -4842,7 +4842,10 @@ def ivf_persisted_recall(spark, sf_dir):
     _, cents = kmeans_fit_predict(corpus, k=8, iters=3)
     write_kmeans_model(spark, d, cents, scale=1024, extra_config={"iters": 3})
     stored, cfg = read_kmeans_model(spark, d)
-    assert cfg["k"] == "8" and cfg["scale"] == "1024"
+    # explicit raise, not assert: asserts vanish under python -O and this
+    # k/scale round-trip IS the persisted-model certification (r9 ADVICE)
+    if cfg.get("k") != "8" or cfg.get("scale") != "1024":
+        raise ValueError(f"persisted k-means config round-trip mismatch: {cfg}")
     return op(em, n_probe=4, cents=stored).orderBy("query_id")
 
 
@@ -5247,9 +5250,14 @@ def group_split_report(spark, sf_dir):
     s AS (SELECT domain, COUNT(*) AS n_docs,
                  CAST(SUM(ntok) AS BIGINT) AS n_tokens
           FROM v GROUP BY domain),
+    w0 AS (SELECT domain, n_docs, n_tokens,
+                  CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt0
+           FROM s),
+    w1 AS (SELECT *, CASE WHEN wt0 * wt0 > n_docs THEN wt0 - 1 ELSE wt0 END AS wt1
+           FROM w0),
     w AS (SELECT domain, n_docs, n_tokens,
-                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt
-          FROM s),
+                 CASE WHEN (wt1 + 1) * (wt1 + 1) <= n_docs THEN wt1 + 1 ELSE wt1 END AS wt
+          FROM w1),
     t AS (SELECT SUM(n_docs) AS nd, SUM(wt) AS sw FROM w)
     SELECT domain,
            CAST(n_docs AS BIGINT) AS n_docs,
@@ -5261,9 +5269,11 @@ def group_split_report(spark, sf_dir):
     doc="E4 temperature-scaled mixture planning (the mT5/XLM-R "
     "upsampling rule: sample domain i with probability proportional to "
     "n_i^(1/T) so tail domains aren't drowned by the head), computed "
-    "BIT-EXACTLY at T=2 via integer sqrt — floor(sqrt(BIGINT)) is a "
-    "correctly-rounded-then-exact op in every IEEE engine, where a "
-    "float POW would not grade. A planted head domain (half the "
+    "BIT-EXACTLY at T=2 via a TRUE integer sqrt — a float "
+    "floor(sqrt(double)) seed corrected by one BIGINT adjust in each "
+    "direction, replayed identically in the oracle, exact for counts "
+    "< 2^62 where a float POW (or a raw double sqrt near 2^52) would "
+    "not grade. A planted head domain (half the "
     "corpus) makes the effect observable: its temp share drops well "
     "below its raw share while every tail domain's rises. raw vs "
     "temperature columns side by side on the 1e-6 grid; one "

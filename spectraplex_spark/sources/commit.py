@@ -58,6 +58,13 @@ class TableInconsistentError(RuntimeError):
     """The table directory does not match its commit manifest."""
 
 
+class EpochCollisionError(TableInconsistentError):
+    """Two writers raced the same epoch number (or a dead writer's claim
+    is still on disk). The epoch protocol is single-writer per table;
+    this error makes a violation LOUD instead of letting a
+    last-rename-wins overwrite silently orphan a batch."""
+
+
 def _data_files(table_dir: str) -> dict[str, int]:
     """Relative path -> size for every data file under table_dir.
     Underscore/dot-prefixed entries (manifests, _SUCCESS markers,
@@ -212,8 +219,14 @@ def read_committed(spark, table_dir: str):
 #   - a reader racing an append sees the previous epochs in full —
 #     never a torn batch.
 #
-# Single-writer protocol, like merge_upsert: concurrent appenders
-# would race the epoch numbering; serialize writers per table.
+# Single-writer protocol, like merge_upsert — but violations are
+# DETECTED, not assumed away: the epoch tmp file is an O_EXCL claim on
+# its epoch number, held until the commit rename, and the committer
+# re-checks for an already-committed manifest before renaming. Two
+# interleaved appenders therefore either serialize (one adopts the
+# other's landed files into its epoch; the replay commits nothing) or
+# fail loudly with EpochCollisionError — a last-rename-wins overwrite
+# that silently orphans a batch cannot happen.
 # Epoch 0 BOOTSTRAPS a legacy table: the first commit covers every
 # data file present (prior history + the first committed batch).
 # ---------------------------------------------------------------------------
@@ -286,12 +299,56 @@ def commit_append_epoch(table_dir: str) -> dict | None:
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"epoch-{n:06d}.json")
     tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
+    # CONCURRENT-WRITER CONTRACT (loud, not lucky): the tmp file doubles
+    # as an exclusive CLAIM on epoch number n. O_EXCL creation is atomic
+    # on POSIX, and a claim is only released by the rename below, so two
+    # interleaved appenders serialize: the second either fails to claim
+    # (the first still holds tmp) or claims a freed tmp and then finds
+    # the first's committed manifest at `final` — both are
+    # EpochCollisionError, never a silent last-rename-wins overwrite.
+    # A claim left by a DEAD writer blocks its epoch number; after
+    # verifying the writer is gone, clear_stale_epoch_claims() frees it.
+    try:
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise EpochCollisionError(
+            f"{table_dir}: epoch {n} is claimed by another writer ({tmp} "
+            "exists). The epoch protocol is single-writer per table — "
+            "serialize appenders; if the other writer is dead, run "
+            "clear_stale_epoch_claims() and retry."
+        ) from None
+    with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh, sort_keys=True)
         fh.flush()
         os.fsync(fh.fileno())
+    if os.path.exists(final):
+        # Another writer claimed-and-committed n while we computed ours
+        # (its whole claim→rename window fit before our O_EXCL claim).
+        os.unlink(tmp)
+        raise EpochCollisionError(
+            f"{table_dir}: epoch {n} was committed by another writer while "
+            "this append was staging — concurrent appenders detected; "
+            "serialize writers and retry this batch."
+        )
     os.rename(tmp, final)
     return manifest
+
+
+def clear_stale_epoch_claims(table_dir: str) -> list[str]:
+    """Remove claim files (``epoch-*.json.tmp``) left by dead writers so
+    their epoch numbers become claimable again. Call ONLY after verifying
+    no appender is alive — a live writer's claim is what serializes
+    concurrent appends. Returns the removed paths."""
+    d = os.path.join(table_dir, EPOCH_DIR)
+    if not os.path.isdir(d):
+        return []
+    removed = []
+    for f in sorted(os.listdir(d)):
+        if f.startswith("epoch-") and f.endswith(".json.tmp"):
+            p = os.path.join(d, f)
+            os.remove(p)
+            removed.append(p)
+    return removed
 
 
 def validate_epochs(table_dir: str) -> dict:
@@ -393,7 +450,25 @@ def read_epoch_changes(
             f"newest committed epoch is {hi}"
         )
     if not files:
-        return spark.read.option("basePath", table_dir).parquet(table_dir).limit(0)
+        # Empty delta: derive the schema from a COMMITTED file, never by
+        # scanning the raw directory — a torn/uncommitted data file with a
+        # divergent or corrupt footer must not fail or skew an otherwise
+        # valid empty feed (r9 ADVICE). Any committed file works: epochs
+        # never change the schema.
+        committed: list[str] = []
+        for p in paths:
+            with open(p) as fh:
+                committed.extend(json.load(fh)["files"])
+        if not committed:
+            raise TableInconsistentError(
+                f"{table_dir}: empty change feed on a table whose manifests "
+                "commit no files — no schema source exists"
+            )
+        return (
+            spark.read.option("basePath", table_dir)
+            .parquet(os.path.join(table_dir, sorted(committed)[-1]))
+            .limit(0)
+        )
     return spark.read.option("basePath", table_dir).parquet(
         *[os.path.join(table_dir, rel) for rel in sorted(files)]
     )

@@ -1,0 +1,221 @@
+"""Machine-checked graded-window freshness ledger (r9 verdict task #2).
+
+The external driver grades the FIRST ``WINDOW_SIZE`` entries of the query
+catalog each round and records per-query verdicts in
+``CORRECTNESS_r{NN}.json`` at the repo root.  The judge reconstructs, per
+catalog entry, the latest round with a green driver verdict and flags any
+entry whose latest green is older than ``FRESHNESS_BAR`` rounds — unless a
+named deferral justifies it through a fresher in-family sibling.
+
+Until round 9 that composition logic lived in a hand-maintained comment in
+``plans/__init__.py`` and was re-derived by hand each round; one typo could
+silently un-grade an operator.  This module is the executable version: it
+parses every CORRECTNESS file, computes per-entry latest-green, and checks
+the window's legality.  ``tests/test_freshness.py`` wires it as a pytest so
+the window composition is a green test, not a comment.
+
+Green means: ``hash_match is True`` (full value parity vs the DuckDB
+oracle), or the driver's weaker rows-only record (``err == 'no_oracle'``)
+for the two entries proven non-oracle-able, each certified through hashed
+planted twins (``ROWS_ONLY_PROVEN``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+# --- round-10 composition constants ---------------------------------------
+
+#: The round the CURRENT window (plans/__init__.py `_GRADED_PRIORITY`) is
+#: composed for.  Bump together with the window rewrite each round.
+CURRENT_ROUND = 10
+
+#: The driver grades exactly this many catalog entries per round.
+WINDOW_SIZE = 50
+
+#: Max allowed age, in rounds, of an entry's latest green verdict after the
+#: current round's grading (the judge's bar: at round N nothing may be
+#: older than round N-3 without a named deferral).
+FRESHNESS_BAR = 3
+
+#: Entries whose regrade is DEFERRED past the bar this round, each justified
+#: by an in-family sibling exercising the same code path with a green
+#: verdict inside the bar (and pytest parity coverage, which the full suite
+#: re-certifies every round).  value = (sibling, why).
+DEFERRALS: dict[str, tuple[str, str]] = {
+    "setop_union_segments": (
+        "setop_except_segments",
+        "same set-op builder family; sibling green r7, pytest parity",
+    ),
+    "setop_intersect_segments": (
+        "setop_except_segments",
+        "same set-op builder family; sibling green r7, pytest parity",
+    ),
+    "window_topn_orders_per_customer": (
+        "window_rank_suite",
+        "same rank-window family; sibling green r7, pytest parity",
+    ),
+    # Deferred to make room for source_quota_scalable's changed-code regrade
+    # (r9 verdict task #4 — the 'spend a window slot' option, stated there).
+    "csv_roundtrip_events": (
+        "jsonl_roundtrip_events",
+        "same sources/io.py interchange family; jsonl AND orc siblings green "
+        "r8, pytest roundtrip coverage",
+    ),
+}
+
+#: Entries registered AFTER the current round's window sealed; they grade
+#: next round per the standing late-registration precedent (since r7).
+#: Populated as round-10 work registers new queries.
+LATE_REGISTRATIONS: set[str] = set()
+
+#: Proven non-SQL-expressible entries the driver can only rows-only check.
+#: Each is certified through hashed planted twins; value = the twin whose
+#: hash verdict carries the family's freshness.
+ROWS_ONLY_PROVEN: dict[str, str] = {
+    "simhash_dup_groups": "simhash_planted_twins",
+    "simhash_neighbor_pairs": "simhash_planted_twins",
+}
+
+#: Entries whose underlying code changed this round, so their prior hash no
+#: longer certifies HEAD — each MUST sit in the current window.
+CHANGED_CODE_REGRADES: set[str] = {
+    "source_quota_scalable",  # cap_per_source hot-set collect alignment (task #4)
+}
+
+
+# --- history parsing --------------------------------------------------------
+
+def load_history(repo_root: str | Path) -> dict[str, list[tuple[int, dict]]]:
+    """Parse every CORRECTNESS_r*.json into {entry: [(round, record), ...]}."""
+    hist: dict[str, list[tuple[int, dict]]] = {}
+    for f in sorted(Path(repo_root).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name, rec in json.loads(f.read_text()).items():
+            hist.setdefault(name, []).append((rnd, rec))
+    return hist
+
+
+def _is_green(rec: dict) -> bool:
+    if rec.get("hash_match") is True:
+        return True
+    # The driver's weaker rows-only record for oracle-less entries.
+    return rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+
+
+def latest_green(hist: dict[str, list[tuple[int, dict]]]) -> dict[str, int]:
+    """Per entry, the newest round with a green driver verdict."""
+    out: dict[str, int] = {}
+    for name, recs in hist.items():
+        greens = [rnd for rnd, rec in recs if _is_green(rec)]
+        if greens:
+            out[name] = max(greens)
+    return out
+
+
+# --- the legality check -----------------------------------------------------
+
+def check_window(
+    catalog_names: list[str],
+    hist: dict[str, list[tuple[int, dict]]] | None = None,
+    repo_root: str | Path = Path(__file__).resolve().parents[2],
+) -> list[str]:
+    """Return a list of legality problems (empty == the window is legal).
+
+    Rules (the judge's reconstruction, made executable):
+      1. catalog must hold at least WINDOW_SIZE entries; the window is the
+         first WINDOW_SIZE, which must be unique names (they are dict keys,
+         so uniqueness is structural — we assert size instead).
+      2. every never-graded entry is in the window or declared late.
+      3. post-grading, no out-of-window entry's latest green is older than
+         CURRENT_ROUND - FRESHNESS_BAR, unless it carries a named deferral
+         whose sibling is fresh (in-window now, or green within the bar),
+         or it is a proven rows-only entry whose planted twin is fresh.
+      4. every changed-code regrade is in the window.
+      5. config hygiene: deferral/late/rows-only names must exist in the
+         catalog; deferrals must actually be stale (else the config rotted).
+    """
+    problems: list[str] = []
+    if hist is None:
+        hist = load_history(repo_root)
+    fresh_floor = CURRENT_ROUND - FRESHNESS_BAR
+
+    if len(catalog_names) < WINDOW_SIZE:
+        return [f"catalog has {len(catalog_names)} entries < window {WINDOW_SIZE}"]
+    window = set(catalog_names[:WINDOW_SIZE])
+    green = latest_green(hist)
+
+    def sibling_fresh(sib: str) -> bool:
+        return sib in window or green.get(sib, -(10 ** 9)) >= fresh_floor
+
+    # rule 5: config hygiene
+    cat = set(catalog_names)
+    for name in [*DEFERRALS, *LATE_REGISTRATIONS, *ROWS_ONLY_PROVEN,
+                 *(sib for sib, _ in DEFERRALS.values()),
+                 *ROWS_ONLY_PROVEN.values(), *CHANGED_CODE_REGRADES]:
+        if name not in cat:
+            problems.append(f"config names unknown catalog entry: {name}")
+    for name in DEFERRALS:
+        if name in window:
+            problems.append(f"deferral {name} is in-window — stale DEFERRALS config")
+        elif green.get(name, -(10 ** 9)) >= fresh_floor:
+            problems.append(f"deferral {name} is already fresh — stale DEFERRALS config")
+    for name in LATE_REGISTRATIONS:
+        if name in hist:
+            problems.append(f"late registration {name} already has a driver record")
+        if name in window:
+            problems.append(f"late registration {name} is in-window — it grades next round")
+
+    # rule 2: never-graded entries must be graded now or declared late
+    for name in catalog_names:
+        if name not in hist and name not in window and name not in LATE_REGISTRATIONS:
+            problems.append(f"never-graded entry {name} is neither in-window nor declared late")
+
+    # rule 3: freshness bar for everything outside the window
+    for name in catalog_names:
+        if name in window or name in LATE_REGISTRATIONS or name not in hist:
+            continue
+        if green.get(name, -(10 ** 9)) >= fresh_floor:
+            continue
+        if name in DEFERRALS and sibling_fresh(DEFERRALS[name][0]):
+            continue
+        if name in ROWS_ONLY_PROVEN and sibling_fresh(ROWS_ONLY_PROVEN[name]):
+            continue
+        problems.append(
+            f"{name}: latest green r{green.get(name, '—')} < bar r{fresh_floor}, "
+            "no fresh deferral sibling"
+        )
+
+    # rule 4: changed-code regrades sit in the window
+    for name in CHANGED_CODE_REGRADES:
+        if name in cat and name not in window:
+            problems.append(f"changed-code entry {name} is not in the graded window")
+
+    return problems
+
+
+def main() -> None:  # pragma: no cover - CLI convenience
+    from spectraplex_spark.plans import CATALOG
+
+    problems = check_window(list(CATALOG))
+    if problems:
+        for p in problems:
+            print("PROBLEM:", p)
+        raise SystemExit(1)
+    hist = load_history(Path(__file__).resolve().parents[2])
+    green = latest_green(hist)
+    names = list(CATALOG)
+    print(f"window legal: {WINDOW_SIZE} graded of {len(names)} catalog entries, "
+          f"round {CURRENT_ROUND}, bar r{CURRENT_ROUND - FRESHNESS_BAR}")
+    from collections import Counter
+
+    print("vintage histogram (latest green):", dict(Counter(sorted(green.values()))))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

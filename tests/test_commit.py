@@ -549,3 +549,63 @@ def test_epoch_change_feed_reads_only_the_delta(spark, tmp_path):
     assert {
         r["id"] for r in read_epoch_changes(spark, path, from_epoch=1).collect()
     } == set(range(20, 30))
+
+
+def test_empty_change_feed_schema_ignores_torn_raw_files(spark, tmp_path):
+    """The empty-delta fallback derives its schema from a COMMITTED file,
+    so a torn (uncommitted) data file with a corrupt or divergent footer
+    in the raw directory can neither fail nor skew the feed (r9 ADVICE)."""
+    from spectraplex_spark.sources.commit import read_epoch_changes
+
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",))
+    # a torn write: garbage bytes with a .parquet name, committed by no epoch
+    with open(f"{path}/part=a/torn-not-parquet.parquet", "wb") as fh:
+        fh.write(b"\x00garbage, no parquet footer\x00")
+    feed = read_epoch_changes(spark, path, from_epoch=0)  # empty range
+    assert feed.count() == 0
+    assert set(feed.columns) >= {"id", "part"}
+
+
+def test_contended_append_serializes_or_fails_loudly(spark, tmp_path, monkeypatch):
+    """The r9 verdict's concurrent-writer contract: two appenders racing
+    an epoch number must serialize or raise EpochCollisionError — never
+    a silent last-rename-wins overwrite. Both collision branches are
+    driven deterministically: (1) a HELD claim (the other writer is
+    between O_EXCL and rename) blocks the number; (2) a stale epoch-
+    number read (the other writer committed our number after we computed
+    it) is caught by the pre-rename committed-manifest check."""
+    import pytest
+
+    from spectraplex_spark.sources import commit as C
+
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 10), path, partition_by=("part",))
+
+    # land a second batch's data files WITHOUT committing an epoch, so
+    # commit_append_epoch has a real delta to publish
+    _batch(spark, 10, 20).write.mode("append").partitionBy("part").parquet(path)
+
+    # branch 1: another writer holds the claim for the next epoch
+    claim = os.path.join(path, C.EPOCH_DIR, "epoch-000001.json.tmp")
+    with open(claim, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(C.EpochCollisionError, match="claimed by another writer"):
+        C.commit_append_epoch(path)
+    assert C.clear_stale_epoch_claims(path) == [claim]
+
+    # branch 2: our epoch number was committed by the other writer after
+    # we computed it (stale max+1 read)
+    monkeypatch.setattr(C, "_next_epoch_number", lambda d: 0)
+    with pytest.raises(C.EpochCollisionError, match="committed by another writer"):
+        C.commit_append_epoch(path)
+    assert not glob.glob(os.path.join(path, C.EPOCH_DIR, "*.tmp"))  # claim released
+    monkeypatch.undo()
+
+    # with the contention gone the same batch commits cleanly and the
+    # committed view serializes to all 20 rows
+    m = C.commit_append_epoch(path)
+    assert m["epoch"] == 1
+    from spectraplex_spark.sources.commit import read_committed_epochs
+
+    assert read_committed_epochs(spark, path).count() == 20

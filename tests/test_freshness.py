@@ -1,0 +1,40 @@
+"""The graded-window legality check as a test (r9 verdict task #2).
+
+The driver grades the first 50 catalog entries each round; the judge
+reconstructs per-entry freshness across CORRECTNESS_r*.json and flags
+stale greens.  This test makes that reconstruction executable so a typo
+in plans/__init__.py's window can't silently un-grade an operator.
+"""
+
+from pathlib import Path
+
+from spectraplex_spark.plans import CATALOG
+from spectraplex_spark.testing import freshness
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_window_is_legal():
+    problems = freshness.check_window(list(CATALOG), repo_root=REPO)
+    assert not problems, "\n".join(problems)
+
+
+def test_window_constants_sane():
+    assert freshness.WINDOW_SIZE == 50
+    assert len(CATALOG) >= freshness.WINDOW_SIZE
+    # every declared late registration must exist in the catalog tail
+    names = list(CATALOG)
+    window = set(names[: freshness.WINDOW_SIZE])
+    for late in freshness.LATE_REGISTRATIONS:
+        assert late in CATALOG and late not in window
+
+
+def test_history_parser_reads_all_rounds():
+    hist = freshness.load_history(REPO)
+    assert hist, "no CORRECTNESS_r*.json parsed"
+    green = freshness.latest_green(hist)
+    # sanity: the r9 window headliners are green at r9
+    assert green["neardup_cluster_sizes"] == 9
+    assert green["q1_pricing_summary"] == 9
+    # the proven rows-only entries carry their weaker record
+    assert green["simhash_neighbor_pairs"] >= 2

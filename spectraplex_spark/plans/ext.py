@@ -4646,6 +4646,43 @@ def bpe_encode_topk(spark, sf_dir):
 
 
 @query(
+    "bpe_encode_pandas_topk",
+    _bpe_vocab_ctes(10, 2)
+    + """
+    SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT freq, unnest(symbols) AS symbol FROM v10)
+    GROUP BY symbol ORDER BY n_occurrences DESC, symbol ASC LIMIT 20
+    """,
+    doc="E4 tokenizer APPLY at REALISTIC merge counts: the same top-20 "
+    "emitted-symbol report as bpe_encode_topk, but encoded through "
+    "apply_bpe_pandas — the broadcast-trained-tokenizer Arrow path the "
+    "r10 BASELINE.md probe certified for 1000+ merges, where apply_bpe's "
+    "n_merges-deep expression tree makes Catalyst analysis the "
+    "bottleneck (the r9 trainer probe's plan-growth class, on the "
+    "encode side). Per-batch word->segmentation cache makes Python "
+    "cost distinct-words-sized; zero shuffle before the count. "
+    "tests/test_bpe.py pins the pandas segmentation bit-equal to the "
+    "expression fold (incl. NULL text and unicode-whitespace "
+    "tokenization); the oracle independently re-trains and expands its "
+    "own segmentation, so the certification chain is end-to-end.",
+)
+def bpe_encode_pandas_topk(spark, sf_dir):
+    from spectraplex_spark.operators.bpe import apply_bpe_pandas, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, n_merges=10, min_freq=2)
+    vocab.unpersist()
+    return (
+        apply_bpe_pandas(docs, merges)
+        .select(F.explode("bpe_symbols").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+        .limit(20)
+    )
+
+
+@query(
     "source_quota_scalable",
     """
     WITH v AS (SELECT doc_id,

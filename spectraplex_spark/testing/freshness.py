@@ -69,7 +69,9 @@ DEFERRALS: dict[str, tuple[str, str]] = {
 #: Entries registered AFTER the current round's window sealed; they grade
 #: next round per the standing late-registration precedent (since r7).
 #: Populated as round-10 work registers new queries.
-LATE_REGISTRATIONS: set[str] = set()
+LATE_REGISTRATIONS: set[str] = {
+    "bpe_encode_pandas_topk",  # r10 verdict task #3: realistic-merge encode
+}
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.
 #: Each is certified through hashed planted twins; value = the twin whose

@@ -122,3 +122,39 @@ def test_apply_bpe_equals_vocab_join_expansion(spark):
     )
     vocab.unpersist()
     assert fold == joined
+
+
+def test_apply_bpe_pandas_bit_equal_to_expression_fold(spark):
+    """The realistic-merge-count pandas encode path must emit EXACTLY the
+    per-row segmentation of apply_bpe's expression fold — same greedy
+    left-to-right non-overlapping in-order replay, same tokenization
+    (incl. unicode whitespace, where Java's ASCII-only \\s could diverge
+    from Python's unicode-aware one if not pinned)."""
+    from spectraplex_spark.operators.bpe import apply_bpe, apply_bpe_pandas, bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, vocab = bpe_train(docs, n_merges=10, min_freq=2)
+    vocab.unpersist()
+    extra = spark.createDataFrame(
+        [
+            (90001, "s", "AAa aaa aab  \t MiXeD\ncase", 0.0),
+            (90002, "s", "", 0.0),
+            (90003, "s", None, 0.0),
+            (90004, "s", "  leading trailing  ", 0.0),
+        ],
+        "doc_id long, source string, text string, quality double",
+    )
+    both = docs.select("doc_id", "source", "text").unionByName(
+        extra.select("doc_id", "source", "text")
+    )
+    expr = {
+        r["doc_id"]: r["bpe_symbols"]
+        for r in apply_bpe(both, merges).select("doc_id", "bpe_symbols").collect()
+    }
+    pand = {
+        r["doc_id"]: r["bpe_symbols"]
+        for r in apply_bpe_pandas(both, merges)
+        .select("doc_id", "bpe_symbols")
+        .collect()
+    }
+    assert expr == pand

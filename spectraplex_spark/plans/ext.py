@@ -5583,3 +5583,99 @@ def pagerank_ranks(spark, sf_dir):
         ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
     )
     return pagerank_integer(edges, iters=3).orderBy("node")
+
+
+def _perceptron_oracle_sql(epochs: int = 3) -> str:
+    """DuckDB twin of linear.perceptron_trajectory, epochs UNROLLED (the
+    bpe/pagerank trajectory discipline): per epoch one CROSS JOIN of the
+    one-row weight CTE onto the feature CTE, a misclassified-sum update,
+    and the next one-row weight CTE — all BIGINT, so every weight in the
+    trajectory bit-grades."""
+    the = "len(list_filter(" + _TOKENS_SQL + ", t -> t = 'the'))"
+    ctes = [
+        f"""f AS (SELECT CAST(1 AS BIGINT) AS x0,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS x1,
+               n_chars AS x2,
+               CAST({the} AS BIGINT) AS x3,
+               CASE WHEN CAST(len({_TOKENS_SQL}) AS BIGINT) * 4
+                         + CAST({the} AS BIGINT) * 10 > n_chars
+                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+        FROM documents)""",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1, "
+        "CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3)",
+    ]
+    for e in range(1, epochs + 1):
+        m = f"y * (b0*x0 + b1*x1 + b2*x2 + b3*x3)"
+        ctes.append(
+            f"u{e} AS (SELECT "
+            + ", ".join(
+                # DuckDB SUM(BIGINT) widens to HUGEINT (pandas float64);
+                # pin every sum and running weight back to BIGINT
+                f"CAST(COALESCE(SUM(CASE WHEN {m} <= 0 THEN y*x{j} END), 0) AS BIGINT) AS d{j}"
+                for j in range(4)
+            )
+            + f", COUNT(CASE WHEN {m} <= 0 THEN 1 END) AS nm"
+            f" FROM f CROSS JOIN w{e - 1})"
+        )
+        ctes.append(
+            f"w{e} AS (SELECT "
+            + ", ".join(f"CAST(b{j} + d{j} AS BIGINT) AS b{j}" for j in range(4))
+            + f" FROM w{e - 1} CROSS JOIN u{e})"
+        )
+    selects = [
+        f"SELECT {e} AS epoch, CAST(u{e}.nm AS BIGINT) AS n_mis, "
+        f"b0 AS w_bias, b1 AS w_ntok, b2 AS w_nchars, b3 AS w_the "
+        f"FROM w{e} CROSS JOIN u{e}"
+        for e in range(1, epochs + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY epoch"
+    )
+
+
+@query(
+    "perceptron_quality_trajectory",
+    _perceptron_oracle_sql(3),
+    doc="E4 distributed integer-exact linear-classifier TRAINING (the "
+    "fifth iterative-algorithm class after k-means, label propagation, "
+    "BPE, PageRank): a 3-epoch batch perceptron learning a planted "
+    "linear quality rule (y = sign(4*n_tokens + 10*n_'the' - n_chars)) "
+    "over integer text features (bias, token count, n_chars, 'the' "
+    "count). The BATCH update (w += sum of y*x over misclassified rows) "
+    "is commutative, so the trajectory is partition-order-independent "
+    "and bit-grades; per epoch: one partial-aggregated scan of the "
+    "checkpointed feature frame with the weights inlined as literals "
+    "(flat lineage), one k+1-scalar collect (the bounded-collect "
+    "contract). The oracle unrolls all 3 epochs as chained one-row "
+    "weight CTEs, so every weight in the trajectory — not just the "
+    "final classifier — is certified.",
+)
+def perceptron_quality_trajectory(spark, sf_dir):
+    from spectraplex_spark.operators.linear import perceptron_trajectory
+    from spectraplex_spark.operators.textops import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_the = F.size(F.filter(toks, lambda t: t == F.lit("the"))).cast("long")
+    feats = docs.select(
+        F.lit(1).cast("long").alias("x0"),
+        n_tok.alias("x1"),
+        F.col("n_chars").alias("x2"),
+        n_the.alias("x3"),
+        F.when(n_tok * 4 + n_the * 10 > F.col("n_chars"), 1)
+        .otherwise(-1)
+        .cast("long")
+        .alias("y"),
+    )
+    out = perceptron_trajectory(feats, ["x0", "x1", "x2", "x3"], "y", epochs=3)
+    return out.select(
+        "epoch",
+        "n_mis",
+        F.col("w0").alias("w_bias"),
+        F.col("w1").alias("w_ntok"),
+        F.col("w2").alias("w_nchars"),
+        F.col("w3").alias("w_the"),
+    ).orderBy("epoch")

@@ -71,6 +71,7 @@ DEFERRALS: dict[str, tuple[str, str]] = {
 #: Populated as round-10 work registers new queries.
 LATE_REGISTRATIONS: set[str] = {
     "bpe_encode_pandas_topk",  # r10 verdict task #3: realistic-merge encode
+    "perceptron_quality_trajectory",  # r10 new: 5th iterative-algorithm class
 }
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.

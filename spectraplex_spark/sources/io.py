@@ -195,6 +195,30 @@ def idempotent_append(
     batch = df.dropDuplicates([id_col])
     if _target_exists(spark, path):
         existing = spark.read.parquet(path)
+        # SCHEMA GUARD: parquet append has no engine-side contract — a
+        # batch with a renamed/retyped column would land and silently fork
+        # the table's schema (readers then null-fill or fail file-by-file).
+        # Compare by name+type, order-insensitive (parquet matches columns
+        # by name). Partition columns are compared by NAME only: their
+        # read-back type comes from partition-value inference, which can
+        # legitimately differ from the written type (e.g. numeric-looking
+        # strings).
+        from spectraplex_spark.sources.commit import TableInconsistentError
+
+        strict = lambda schema: {  # noqa: E731
+            f.name: f.dataType.simpleString()
+            for f in schema.fields
+            if f.name not in partition_by
+        }
+        if strict(batch.schema) != strict(existing.schema) or {
+            f.name for f in batch.schema.fields
+        } != {f.name for f in existing.schema.fields}:
+            raise TableInconsistentError(
+                f"{path}: append batch schema does not match the table — "
+                f"batch {batch.schema.simpleString()} vs table "
+                f"{existing.schema.simpleString()}; appending would fork "
+                "the parquet schema silently"
+            )
         if scope is not None:
             existing = existing.filter(scope)
         # Only id_col is read from the target: column pruning keeps this

@@ -185,3 +185,39 @@ def test_orc_round_trip_binary_exact(spark, tmp_path):
     write_orc(df, path)
     back = read_orc(spark, path, schema)
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_append_schema_guard_rejects_forks_allows_reorder(spark, tmp_path):
+    """A batch whose column set or non-partition types diverge from the
+    table must be refused LOUDLY (parquet append would otherwise fork the
+    schema silently); column ORDER differences are legal (parquet matches
+    by name), and partition columns are name-checked only (their read-back
+    type rides partition-value inference)."""
+    import pytest
+
+    from spectraplex_spark.sources.commit import TableInconsistentError
+    from spectraplex_spark.sources.io import idempotent_append
+
+    path = str(tmp_path / "t")
+    ok = spark.createDataFrame([(1, "v1", "a")], "id long, v string, part string")
+    assert idempotent_append(ok, path, partition_by=("part",)) == 1
+
+    # reordered columns: legal, appends
+    reordered = spark.createDataFrame([("b", "v2", 2)], "part string, v string, id long")
+    assert idempotent_append(reordered, path, partition_by=("part",)) == 1
+
+    # retyped non-partition column: refused
+    retyped = spark.createDataFrame([(3, 7, "a")], "id long, v int, part string")
+    with pytest.raises(TableInconsistentError, match="schema"):
+        idempotent_append(retyped, path, partition_by=("part",))
+
+    # missing / extra column: refused
+    extra = spark.createDataFrame(
+        [(4, "v4", "a", "x")], "id long, v string, part string, surprise string"
+    )
+    with pytest.raises(TableInconsistentError, match="schema"):
+        idempotent_append(extra, path, partition_by=("part",))
+
+    from spectraplex_spark.sources.commit import read_committed_epochs
+
+    assert read_committed_epochs(spark, path).count() == 2

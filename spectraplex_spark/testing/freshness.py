@@ -219,6 +219,33 @@ def main() -> None:  # pragma: no cover - CLI convenience
 
     print("vintage histogram (latest green):", dict(Counter(sorted(green.values()))))
 
+    # ---- next-round planning (assumes the current window greens) ----
+    nxt = CURRENT_ROUND + 1
+    window = set(names[:WINDOW_SIZE])
+    projected = {n: (CURRENT_ROUND if n in window else green.get(n)) for n in names}
+    def rows_only_relieved(n: str) -> bool:
+        twin = ROWS_ONLY_PROVEN.get(n)
+        return twin is not None and (projected.get(twin) or -(10 ** 9)) >= nxt - FRESHNESS_BAR
+
+    mandatory = sorted(
+        n for n, g in projected.items()
+        if ((g is None and n not in window) or (g is not None and g < nxt - FRESHNESS_BAR))
+        and not rows_only_relieved(n)
+    )
+    print(
+        f"\nround-{nxt} planning (assuming the r{CURRENT_ROUND} window greens):\n"
+        f"  mandatory regrades: {len(mandatory)} for {WINDOW_SIZE} slots\n"
+        f"  = {len(LATE_REGISTRATIONS)} late registrations "
+        f"+ {len(mandatory) - len(LATE_REGISTRATIONS)} aging entries"
+    )
+    over = len(mandatory) - WINDOW_SIZE
+    if over > 0:
+        print(f"  OVERSUBSCRIBED by {over}: name ≥{over} deferrals with fresh "
+              "in-family siblings when composing the window")
+    for n in mandatory:
+        tag = "never-graded(late)" if projected[n] is None else f"latest r{projected[n]}"
+        print(f"    {n}  [{tag}]")
+
 
 if __name__ == "__main__":  # pragma: no cover
     main()

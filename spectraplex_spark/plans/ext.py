@@ -5679,3 +5679,69 @@ def perceptron_quality_trajectory(spark, sf_dir):
         F.col("w2").alias("w_nchars"),
         F.col("w3").alias("w_the"),
     ).orderBy("epoch")
+
+
+@query(
+    "epoch_tail_stream_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id % 4 IN (2, 3)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="K1/§2.9 the append-epoch protocol as a STREAMING SOURCE "
+    "(streaming/epoch_tail.py — Delta's readStream-on-a-change-feed "
+    "rebuilt on the engine's own commit protocol): four "
+    "idempotent_append batches land as four epochs; a registered "
+    "PySpark 4 streaming Data Source tails the table with EPOCH "
+    "NUMBERS as the offsets (from_epoch=1, so epochs 0-1 are invisible "
+    "— the change-feed contract), one InputPartition per committed "
+    "data file read executor-side via pyarrow, drained availableNow "
+    "into a parquet sink and aggregated with exact DECIMAL sums. The "
+    "oracle is the equivalent slice of the source table; agreement "
+    "certifies offset semantics, the manifest file-list expansion, and "
+    "the executor-side read path. tests/test_epoch_tail.py additionally "
+    "pins checkpoint resume (exactly-once across restarts), squash-"
+    "boundary re-baseline failure, and max_epochs_per_batch "
+    "backpressure.",
+)
+def epoch_tail_stream_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.sources.io import idempotent_append
+    from spectraplex_spark.streaming.epoch_tail import EpochTailDataSource
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_etail_")
+    path, sink, ckpt = f"{d}/t", f"{d}/sink", f"{d}/ckpt"
+    for k in range(4):
+        idempotent_append(
+            events.filter(F.col("event_id") % 4 == k), path, id_col="event_id"
+        )
+    spark.dataSource.register(EpochTailDataSource)
+    q = (
+        spark.readStream.format("epoch_tail")
+        .option("path", path)
+        .option("from_epoch", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -72,6 +72,7 @@ DEFERRALS: dict[str, tuple[str, str]] = {
 LATE_REGISTRATIONS: set[str] = {
     "bpe_encode_pandas_topk",  # r10 verdict task #3: realistic-merge encode
     "perceptron_quality_trajectory",  # r10 new: 5th iterative-algorithm class
+    "epoch_tail_stream_roundtrip",  # r10 new: epoch protocol as a stream source
 }
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.

@@ -1,0 +1,113 @@
+"""The epoch-tail streaming source (streaming/epoch_tail.py): epoch
+numbers as Spark stream offsets over the append-epoch protocol."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from spectraplex_spark.sources.io import idempotent_append
+from spectraplex_spark.streaming.epoch_tail import (
+    EpochTailDataSource,
+    _EpochTailStreamReader,
+)
+
+SCHEMA = "id long, v string, part string"
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"v{i}", "a" if i % 2 == 0 else "b") for i in range(lo, hi)], SCHEMA
+    )
+
+
+def _drain(spark, path, checkpoint, sink_dir):
+    q = (
+        spark.readStream.format("epoch_tail")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r["id"], r["v"], r["part"])
+        for r in spark.read.parquet(sink_dir).collect()
+    }
+
+
+def test_tail_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """A restarted query resumes after its committed epoch: the second
+    drain appends ONLY the epochs committed since — no duplicates, no
+    gaps (the parquet sink accumulates, so a replayed epoch would show up
+    as a duplicate id). Partition-directory values surface as string
+    columns."""
+    spark.dataSource.register(EpochTailDataSource)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    for lo in range(0, 30, 10):  # epochs 0,1,2
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+
+    got1 = _drain(spark, path, ckpt, sink)
+    assert {g[0] for g in got1} == set(range(30))
+    assert len(got1) == 30
+    assert {g[2] for g in got1} == {"a", "b"}  # partition col round-trips
+
+    for lo in (30, 40):  # epochs 3,4
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+    got2 = _drain(spark, path, ckpt, sink)
+    assert {g[0] for g in got2} == set(range(50))  # old + delta
+    assert len(got2) == 50  # and NOTHING replayed twice
+
+
+def test_stale_checkpoint_behind_squash_boundary_fails_loudly(spark, tmp_path):
+    from spectraplex_spark.sources.commit import squash_epochs
+
+    path = str(tmp_path / "t")
+    for lo in range(0, 40, 10):  # epochs 0..3
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+    squash_epochs(path, keep_last=1)
+    reader = _EpochTailStreamReader({"path": path})
+    with pytest.raises(RuntimeError, match="re-baseline"):
+        reader.partitions({"epoch": 0}, {"epoch": 3})
+    # post-boundary deltas still served: one partition per committed file
+    parts = reader.partitions({"epoch": 2}, {"epoch": 3})
+    assert len(parts) >= 1
+    rows = [r for p in parts for r in reader.read(p)]
+    assert {r[0] for r in rows} == set(range(30, 40))
+
+
+def test_backpressure_caps_epochs_per_batch(spark, tmp_path):
+    """max_epochs_per_batch bounds how far latestOffset advances per
+    trigger — a backlog drains over several micro-batches instead of one
+    giant one."""
+    path = str(tmp_path / "t")
+    for lo in range(0, 40, 10):  # epochs 0..3
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+    reader = _EpochTailStreamReader({"path": path, "max_epochs_per_batch": 2})
+    assert reader.latestOffset() == {"epoch": 1}
+    assert reader.latestOffset() == {"epoch": 3}
+    assert reader.latestOffset() == {"epoch": 3}  # caught up: no advance
+
+
+def test_schema_derived_from_committed_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    idempotent_append(_batch(spark, 0, 5), path, partition_by=("part",))
+    # a torn raw file must not influence the schema
+    with open(f"{path}/part=a/torn.parquet", "wb") as fh:
+        fh.write(b"\x00garbage\x00")
+    ds = EpochTailDataSource(options={"path": path})
+    assert ds.schema() == "id long, v string, part string"
+
+
+def _wait(cond, timeout=60):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(0.5)
+    return False

@@ -25,6 +25,15 @@ Query battery (one per risk class):
   - stream_interval_join_replay: Structured Streaming symmetric-hash
     join — state-store providers living in separate executor
     processes, checkpoint dir shared across them
+  - epoch_tail_stream_roundtrip (r10): a PYTHON streaming Data Source
+    on a real multi-process cluster — InputPartitions deserialized and
+    read (pyarrow) by REMOTE Python workers, offsets planned on the
+    driver
+  - perceptron_quality_trajectory (r10): iterative literal-weight
+    aggregation — per-epoch partial-agg merges across executor
+    processes feeding driver-held weights
+  - bpe_encode_pandas_topk (r10): mapInPandas with a closure-broadcast
+    trained tokenizer on remote Python workers
 """
 
 from __future__ import annotations
@@ -42,6 +51,9 @@ QUERIES = [
     "minhash_neardup_pairs",
     "simsearch_cosine_topk",
     "stream_interval_join_replay",
+    "epoch_tail_stream_roundtrip",
+    "perceptron_quality_trajectory",
+    "bpe_encode_pandas_topk",
 ]
 
 DEFAULT_MASTER = "local-cluster[2,2,2048]"

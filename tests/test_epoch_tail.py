@@ -111,3 +111,42 @@ def _wait(cond, timeout=60):
             return True
         time.sleep(0.5)
     return False
+
+
+def test_epoch_to_epoch_replication_exactly_once(spark, tmp_path):
+    """The composition the source exists for: tail table A as a stream
+    and land each micro-batch into table B with idempotent_append —
+    epoch-to-epoch replication. Across a restart (with new epochs in
+    between) B must equal A exactly once: Spark's checkpoint dedupes at
+    the source (epoch offsets) AND the sink's anti-join dedupes any
+    replayed uncommitted batch — the two halves of exactly-once."""
+    from spectraplex_spark.sources.commit import read_committed_epochs
+
+    spark.dataSource.register(EpochTailDataSource)
+    src, dst = str(tmp_path / "a"), str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+    for lo in range(0, 20, 10):
+        idempotent_append(_batch(spark, lo, lo + 10), src, partition_by=("part",))
+
+    def land(batch_df, _epoch_id):
+        idempotent_append(batch_df, dst)
+
+    def replicate():
+        q = (
+            spark.readStream.format("epoch_tail")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    replicate()
+    assert read_committed_epochs(spark, dst).count() == 20
+    idempotent_append(_batch(spark, 20, 30), src, partition_by=("part",))
+    replicate()
+    got = read_committed_epochs(spark, dst)
+    assert got.count() == 30  # delta landed once, nothing twice
+    assert {r["id"] for r in got.collect()} == set(range(30))

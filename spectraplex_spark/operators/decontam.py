@@ -100,3 +100,96 @@ def decontaminate(
         docs, eval_docs, n, text_col, id_col, hashed=hashed
     ).select(id_col)
     return docs.join(F.broadcast(dirty), id_col, "left_anti")
+
+
+def semantic_contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold_q: int = 900_000,
+    quantize: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_vec_col: str | None = None,
+) -> DataFrame:
+    """The EMBEDDING member of the decontamination family (n-gram
+    collision catches verbatim leakage; paraphrased leakage needs the
+    semantic test — the SemDeDup/semantic-dedup idea pointed across
+    corpora): per corpus row, how many benchmark embeddings sit at or
+    above a cosine threshold. Returns ``(id_col, n_hits)`` for rows
+    with at least one hit; ``decontaminate_semantic`` anti-joins it.
+
+    Integer-exact grading without a float argmax: embeddings quantize
+    to the 1/`quantize` grid (the knn_join_topk_arrow discipline) and
+    the cosine test runs on SQUARES —
+
+        hit  ⟺  dot > 0  AND  dot² · 10¹² ≥ t_q² · |a|² · |e|²
+
+    with dot/|a|²/|e|² BIGINT and the comparison in DECIMAL(38,0)
+    (HUGEINT on the DuckDB side): no sqrt, no division, no float
+    ordering anywhere — bit-identical cross-engine by construction.
+    t_q is the threshold on the 1e-6 grid (900000 = cosine 0.9).
+
+    Scale shape (the decontam asymmetry again): the benchmark side is
+    collected ONCE (bounded, eval-suite-sized — the DSIR 64-row-collect
+    contract) and rides into tasks as constant-folded literal arrays;
+    the corpus pass is one narrow zero-shuffle projection — corpus
+    embeddings never cross the network.
+    """
+    from pyspark.sql import types as T
+
+    evc = eval_vec_col or vec_col
+    evals = [list(r[0]) for r in eval_df.select(evc).collect()]
+    if not evals:
+        raise ValueError("semantic_contamination_report: empty eval set")
+    dec = T.DecimalType(38, 0)
+
+    def q(col):
+        return F.transform(
+            col, lambda x: F.floor(x.cast("double") * quantize + F.lit(0.5)).cast("long")
+        )
+
+    def sq_norm(qcol):
+        return F.aggregate(
+            qcol, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        )
+
+    qa = q(F.col(vec_col))
+    na2 = sq_norm(qa).cast(dec)
+    tq2 = F.lit(int(threshold_q) ** 2).cast(dec)
+    grid = F.lit(10**12).cast(dec)
+    hits = []
+    for vec in evals:
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        qe = q(lit)  # constant-folded once by Catalyst
+        ne2 = sq_norm(qe).cast(dec)
+        dot = F.aggregate(
+            F.zip_with(qa, qe, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        d = dot.cast(dec)
+        hits.append(((dot > 0) & (d * d * grid >= tq2 * na2 * ne2)).cast("int"))
+    n_hits = sum(hits[1:], hits[0])
+    return (
+        corpus.select(F.col(id_col), n_hits.alias("_nh"))
+        .filter(F.col("_nh") > 0)
+        .select(id_col, F.col("_nh").cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold_q: int = 900_000,
+    quantize: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_vec_col: str | None = None,
+) -> DataFrame:
+    """The corpus with semantically contaminated rows REMOVED (the
+    composing form, like ``decontaminate``): anti-join against the
+    broadcast-sized report."""
+    dirty = semantic_contamination_report(
+        corpus, eval_df, threshold_q, quantize, vec_col, id_col, eval_vec_col
+    ).select(id_col)
+    return corpus.join(F.broadcast(dirty), id_col, "left_anti")

@@ -5745,3 +5745,61 @@ def epoch_tail_stream_roundtrip(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "semantic_decontam_report",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    ev AS (SELECT list_transform(e, x -> x + 0.05) AS ee
+           FROM v WHERE vec_id IN (9, 22, 35, 48, 61, 74, 87, 100)),
+    qv AS (SELECT vec_id,
+                  list_transform(e, x -> CAST(FLOOR(x * 1024 + 0.5) AS BIGINT)) AS qa
+           FROM v),
+    qe AS (SELECT list_transform(ee, x -> CAST(FLOOR(x * 1024 + 0.5) AS BIGINT)) AS qb
+           FROM ev),
+    cn AS (SELECT vec_id, qa,
+                  CAST(list_sum(list_transform(qa, x -> x * x)) AS HUGEINT) AS na2
+           FROM qv),
+    en AS (SELECT qb,
+                  CAST(list_sum(list_transform(qb, x -> x * x)) AS HUGEINT) AS ne2
+           FROM qe),
+    s AS (SELECT cn.vec_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                                              i -> qa[i] * qb[i])) AS HUGEINT) AS d,
+                 na2, ne2
+          FROM cn CROSS JOIN en)
+    SELECT vec_id,
+           CAST(COUNT(*) FILTER (d > 0 AND
+                  d * d * CAST(1000000000000 AS HUGEINT)
+                  >= CAST(810000000000 AS HUGEINT) * na2 * ne2) AS BIGINT) AS n_hits
+    FROM s GROUP BY vec_id HAVING n_hits > 0
+    ORDER BY vec_id
+    """,
+    doc="E1/E4 the EMBEDDING member of the decontamination family "
+    "(verbatim n-gram collision catches copy-paste leakage; "
+    "paraphrased leakage needs the semantic test): per corpus vector, "
+    "how many of 8 planted benchmark embeddings (corpus rows "
+    "9+13k shifted by +0.05 per component — SQL-replayable "
+    "contamination) sit at cosine >= 0.9. Integer-exact without a "
+    "float argmax: the test runs on SQUARES — dot > 0 AND dot^2*1e12 "
+    ">= t_q^2*|a|^2*|e|^2 — in DECIMAL(38,0) (HUGEINT in the oracle), "
+    "on the 1/1024 quantization grid; no sqrt, division, or float "
+    "ordering anywhere. The benchmark side is one bounded collect "
+    "riding into tasks as constant-folded literals; the corpus pass "
+    "is a narrow zero-shuffle projection (the decontam asymmetry: "
+    "the corpus never crosses the network).",
+)
+def semantic_decontam_report(spark, sf_dir):
+    from spectraplex_spark.operators.decontam import semantic_contamination_report
+
+    em = table(spark, sf_dir, "embeddings")
+    seeds = [9 + 13 * k for k in range(8)]
+    eval_df = em.filter(F.col("vec_id").isin(seeds)).select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") + F.lit(0.05)).alias(
+            "embedding"
+        )
+    )
+    return semantic_contamination_report(
+        em, eval_df, threshold_q=900_000
+    ).orderBy("vec_id")

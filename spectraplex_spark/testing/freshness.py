@@ -73,6 +73,7 @@ LATE_REGISTRATIONS: set[str] = {
     "bpe_encode_pandas_topk",  # r10 verdict task #3: realistic-merge encode
     "perceptron_quality_trajectory",  # r10 new: 5th iterative-algorithm class
     "epoch_tail_stream_roundtrip",  # r10 new: epoch protocol as a stream source
+    "semantic_decontam_report",  # r10 new: embedding-level decontamination
 }
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.

@@ -1249,3 +1249,39 @@ def test_slice_token_examples_eos_separators(spark):
         want.extend([f"a{i}", f"b{i}", "<eos>"])
     assert stream == want[: len(want) // 5 * 5]
     assert stream.count("<eos>") >= 9  # separators survived the slicing
+
+
+def test_semantic_decontam_plants_and_composes(spark):
+    """Planted semantic contamination is flagged (and ONLY it at a high
+    threshold); decontaminate_semantic removes exactly the flagged rows;
+    a lower threshold is monotonically more aggressive; empty eval set
+    fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.decontam import (
+        decontaminate_semantic,
+        semantic_contamination_report,
+    )
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [3, 17]
+    eval_df = em.filter(F.col("vec_id").isin(seeds)).select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") + F.lit(0.05)).alias(
+            "embedding"
+        )
+    )
+    rep = semantic_contamination_report(em, eval_df, threshold_q=900_000)
+    got = {r["vec_id"]: r["n_hits"] for r in rep.collect()}
+    assert set(seeds) <= set(got)
+    clean = decontaminate_semantic(em, eval_df, threshold_q=900_000)
+    kept = {r["vec_id"] for r in clean.select("vec_id").collect()}
+    assert kept == {r["vec_id"] for r in em.collect()} - set(got)
+    # monotonicity: lowering the threshold can only add hits
+    low = {
+        r["vec_id"]
+        for r in semantic_contamination_report(em, eval_df, threshold_q=500_000).collect()
+    }
+    assert set(got) <= low
+    with pytest.raises(ValueError, match="empty eval"):
+        semantic_contamination_report(em, em.filter(F.lit(False)), 900_000)

@@ -182,6 +182,19 @@ def apply_bpe(
     return df.withColumn("bpe_symbols", F.flatten(F.transform(toks, seg_word)))
 
 
+def _check_root_locale_contract(jvm_lang: str | None) -> None:
+    """Refuse JVM default locales whose case mappings diverge from
+    Python's locale-independent ``str.lower()`` (r10 ADVICE #4)."""
+    if jvm_lang in {"tr", "az", "lt"}:
+        raise ValueError(
+            f"apply_bpe_pandas: JVM default locale language {jvm_lang!r} has "
+            "locale-sensitive case mappings; Spark's lower() and Python's "
+            "str.lower() would disagree on non-ASCII text. Run the JVM with "
+            "-Duser.language=en (root-locale contract) or lower the text "
+            "column with Spark's lower() before encoding."
+        )
+
+
 def apply_bpe_pandas(
     df: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
 ) -> DataFrame:
@@ -205,8 +218,29 @@ def apply_bpe_pandas(
     Scale shape at 100 TB: embarrassingly parallel, zero shuffle, Arrow
     batch transfer; the Python-side work is O(n_merges · word_len) per
     DISTINCT word per batch, amortized across each word's occurrences.
+
+    Locale contract (r10 ADVICE #4): the documented bit-equality to
+    :func:`apply_bpe` assumes a ROOT/English-family JVM default locale.
+    Spark's ``lower()`` fast-paths ASCII but falls back to Java
+    ``String.toLowerCase()`` under the JVM DEFAULT locale for non-ASCII
+    input, while this path uses Python's locale-independent
+    ``str.lower()`` — under a Turkish/Azerbaijani/Lithuanian default
+    locale the JVM lowers ``'I'`` to dotless ``'ı'`` and the two paths
+    diverge on non-ASCII text. Rather than silently drift, this function
+    checks the JVM default locale at plan time and refuses the known
+    divergent locales (set ``-Duser.language=en`` on driver+executors,
+    or pre-lower the text with Spark's own ``lower()`` and pass merges
+    over that column).
     """
     from pyspark.sql import types as T
+
+    try:  # driver-side, once per call — plan-time metadata, not per row
+        jvm_lang = (
+            df.sparkSession._jvm.java.util.Locale.getDefault().getLanguage()
+        )
+    except Exception:  # pragma: no cover - no JVM gateway (e.g. Spark Connect)
+        jvm_lang = None
+    _check_root_locale_contract(jvm_lang)
 
     order = [(a, b) for a, b, _ in merges]
     out_schema = T.StructType(

@@ -28,6 +28,8 @@ Scale design (the asymmetry IS the design):
 
 from __future__ import annotations
 
+from math import floor as math_floor
+
 from pyspark.sql import DataFrame, functions as F
 
 from spectraplex_spark.operators.dedup import shingle_hashes, shingles
@@ -143,6 +145,30 @@ def semantic_contamination_report(
         raise ValueError("semantic_contamination_report: empty eval set")
     dec = T.DecimalType(38, 0)
 
+    # Overflow is a SAFETY failure mode here: under non-ANSI sessions a
+    # DECIMAL(38,0) overflow yields NULL, NULL makes the hit predicate
+    # NULL, and a contaminated row would silently read as CLEAN (fails
+    # open — the wrong direction for a decontamination filter). Two
+    # layers: (1) up-front, bound the eval side exactly (it is in hand)
+    # and derive the corpus-norm headroom DECIMAL(38,0) leaves — both
+    # compared products are ≤ na2·ne2·max(grid, tq2) by Cauchy–Schwarz —
+    # and (2) at runtime, coalesce a NULL hit count into raise_error so
+    # overflow (or a NULL embedding element) can never read as "clean".
+    ne2_max = max(
+        sum(int(math_floor(float(x) * quantize + 0.5)) ** 2 for x in vec)
+        for vec in evals
+    )
+    if ne2_max <= 0:
+        raise ValueError("semantic_contamination_report: all-zero eval embedding")
+    worst_factor = max(10**12, int(threshold_q) ** 2)
+    na2_headroom = (10**38 - 1) // (ne2_max * worst_factor)
+    if na2_headroom < 1:
+        raise ValueError(
+            "semantic_contamination_report: eval embedding norms too large "
+            f"for DECIMAL(38,0) at quantize={quantize} (|qe|² max {ne2_max}); "
+            "reduce quantize or normalize the eval embeddings"
+        )
+
     def q(col):
         return F.transform(
             col, lambda x: F.floor(x.cast("double") * quantize + F.lit(0.5)).cast("long")
@@ -170,8 +196,27 @@ def semantic_contamination_report(
         d = dot.cast(dec)
         hits.append(((dot > 0) & (d * d * grid >= tq2 * na2 * ne2)).cast("int"))
     n_hits = sum(hits[1:], hits[0])
+    # Layer (2): one guard on the summed count — any NULL hit (decimal
+    # overflow from an oversized corpus norm, or a NULL element inside a
+    # non-NULL embedding) poisons the sum to NULL, and coalesce's lazy
+    # second arm turns that into a loud failure instead of "clean".
+    # A row whose WHOLE embedding is NULL stays unreportable-but-passing,
+    # matching the pre-guard behavior (nothing to compare against).
+    checked = F.when(F.col(vec_col).isNull(), F.lit(0)).otherwise(
+        F.coalesce(
+            n_hits,
+            F.raise_error(
+                F.lit(
+                    "semantic_contamination_report: NULL hit count — "
+                    "DECIMAL(38,0) overflow (corpus |qa|² exceeds headroom "
+                    f"{na2_headroom}) or NULL embedding element; a silent "
+                    "NULL here would pass contaminated rows as clean"
+                )
+            ).cast("int"),
+        )
+    )
     return (
-        corpus.select(F.col(id_col), n_hits.alias("_nh"))
+        corpus.select(F.col(id_col), checked.alias("_nh"))
         .filter(F.col("_nh") > 0)
         .select(id_col, F.col("_nh").cast("long").alias("n_hits"))
     )

@@ -38,95 +38,82 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # history, and the list below now holds ONLY the live window (the r9
 # ADVICE duplicate-name fragility is gone: _curate asserts uniqueness).
 #
-# Round-10 composition (per the r9 verdict's task #1 — 53 mandatory
-# candidates for 50 slots):
-#   (a) ALL 8 never-driver-graded late-r9 registrations (each dual-SF
-#       parity green locally since r9 and pytest-covered);
-#   (b) 1 changed-code regrade: source_quota_scalable —
-#       cap_per_source_scalable's hot-set collect now filters to hot
-#       sources in Spark before collecting (r9 verdict task #4), so the
-#       r9 hash no longer certifies HEAD;
-#   (c) 41 of the 45 round-6-vintage entries — exactly at the freshness
-#       bar's hard edge.  The 4 DEFERRED (named, with r7+-green in-family
-#       siblings and pytest parity, listed in freshness.DEFERRALS):
-#       setop_union_segments + setop_intersect_segments (sibling
-#       setop_except_segments r7), window_topn_orders_per_customer
-#       (sibling window_rank_suite r7), and csv_roundtrip_events
-#       (siblings jsonl/orc roundtrips, both r8) — the 4th deferral pays
-#       for (b)'s slot, the verdict's stated "spend a window slot"
-#       option for task #4.
-# Changed-code entries NOT regraded this round, certified through
-# in-window twins plus pytest (window exactly full at 50):
-#   - ivf_persisted_recall: plans/ext.py swapped a bare `assert` on the
-#     persisted-model config for an explicit if/raise (r9 ADVICE #4) —
-#     a validation guard that raises or no-ops, provably non-semantic
-#     (the nfc_dedup_groups r9 precedent).
-#   - epoch readers/writers touched by r9 verdict task #5 (concurrent-
-#     writer collision detection) and ADVICE #3 (committed-schema empty
-#     feed) are graded in-window via epoch_change_feed_roundtrip, which
-#     drives the changed append + read_epoch_changes paths end-to-end.
-#   - temperature_mixture_shares' isqrt became a true integer sqrt on
-#     BOTH engines (ADVICE #1); it has never been hashed and grades
-#     in-window this round.
-# New r10 queries register late-only (tail of the catalog; they grade
-# r11 per the standing precedent) and are declared in
+# Round-11 composition (the r10 verdict's pre-planned window, adopted):
+#   55 mandatory candidates for 50 slots =
+#   (a) ALL 4 never-driver-graded late-r10 registrations (each dual-SF
+#       parity green locally since r10 and pytest-covered); three of them
+#       are ALSO changed-code regrades this round (the r10 ADVICE fixes:
+#       epoch_tail offset-regression + column-order, semantic decontam
+#       overflow fail-closed, bpe pandas locale contract — recorded in
+#       freshness.CHANGED_CODE_REGRADES);
+#   (b) the 4 round-6-vintage r10 deferrals (csv_roundtrip_events,
+#       setop_union/intersect_segments, window_topn_orders_per_customer)
+#       — they cross the bar otherwise;
+#   (c) 42 of the 47 round-7-vintage entries — exactly at the freshness
+#       bar's hard edge.  The 5 DEFERRED (named, each with an in-window
+#       in-family sibling plus pytest parity, listed in
+#       freshness.DEFERRALS): knn_join_topk_arrow, multimodal_resize,
+#       solana_normalize_udtf_golden, simhash_dup_groups_planted,
+#       session_window_builtin.
+# New r11 queries register late-only (tail of the catalog; they grade
+# r12 per the standing precedent) and are declared in
 # freshness.LATE_REGISTRATIONS.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # ---- round 10 window (exactly 50) ----
-    # (a) never driver-graded (late r9)
-    "stream_right_join_replay",
-    "epoch_change_feed_roundtrip",
-    "pagerank_ranks",
-    "sliced_examples_report",
-    "group_split_report",
-    "temperature_mixture_shares",
-    "mixture_repeat_plan_report",
-    "mixture_upsample_counts",
-    # (b) code changed since last hash (task #4 collect alignment)
-    "source_quota_scalable",
-    # (c) round-6 vintage, 41 of 45 — freshness rotation
-    "agg_percentiles",
-    "bigram_surprise_report",
-    "bm25_ranked_topk",
-    "compaction_roundtrip",
-    "corpus_mixture_sample",
-    "corpus_top_ngrams",
-    "corpus_vocab_report",
-    "correlated_above_avg_orders",
-    "data_quality_report",
-    "decontam_ngram_overlap",
-    "doc_chunks_report",
-    "embedding_covariance_report",
-    "embedding_jl_projection",
-    "embedding_kmeans_clusters",
-    "feature_stats_report",
-    "fuzzy_decontam_planted",
-    "grpc_replay_ingest_golden",
-    "incremental_spans_planted",
-    "index_conjunctive_topk",
-    "index_phrase_search",
-    "join_anti_customers_without_orders",
-    "lang_confusion_matrix",
-    "media_phash_planted",
-    "q11_important_stock",
-    "q2_min_cost_supplier",
-    "quality_linear_score",
-    "repeated_spans_report",
-    "rpc_ingest_datasource",
-    "semantic_dedup_planted",
-    "simhash_planted_twins",
-    "simsearch_bq_topk",
-    "simsearch_pq_rerank",
-    "simsearch_pq_topk",
-    "simsearch_sq_topk",
-    "source_overlap_matrix",
-    "source_quota_sample",
-    "span_dedup_clean",
-    "stateful_balance_replay",
-    "stream_dedup_replay",
-    "stream_interval_join_replay",
-    "zorder_curve_events",
+    # ---- round 11 window (exactly 50) ----
+    # (a) never driver-graded (late r10; three also changed-code this round)
+    "bpe_encode_pandas_topk",
+    "epoch_tail_stream_roundtrip",
+    "perceptron_quality_trajectory",
+    "semantic_decontam_report",
+    # (b) round-6 vintage (the named r10 deferrals — hard mandatory)
+    "csv_roundtrip_events",
+    "setop_intersect_segments",
+    "setop_union_segments",
+    "window_topn_orders_per_customer",
+    # (c) round-7 vintage, 42 of 47 — freshness rotation
+    "array_ops_embeddings",
+    "asof_price_enrichment",
+    "backfill_wallet_migration",
+    "corpus_pack_assignment",
+    "corpus_split_assignment",
+    "dedup_union_events",
+    "embedding_neardup_bucketed",
+    "embedding_neardup_multiprobe",
+    "encoding_quality_report",
+    "epoch_append_roundtrip",
+    "events_by_user",
+    "incremental_neardup_planted",
+    "incremental_rollup_merge",
+    "knn_join_topk",
+    "minhash_neardup_planted",
+    "multimodal_frame_sample",
+    "ngram_jaccard_sample",
+    "q20_excess_stock_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q4_order_priority_check",
+    "range_join_close_pairs",
+    "recent_events_topk",
+    "running_balance_events",
+    "scalar_string_advanced",
+    "scalar_try_functions",
+    "scd2_user_event_history",
+    "session_stats",
+    "setop_except_segments",
+    "simhash_neighbor_pairs_planted",
+    "simsearch_ann_lsh",
+    "simsearch_ivf_topk",
+    "sketch_event_profile",
+    "sliding_window_rollup",
+    "snapshot_table_diff",
+    "solana_normalize_golden",
+    "stratified_embedding_sample",
+    "text_markup_strip",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "text_sentence_split",
+    "window_lag_order_gap",
+    "window_rank_suite",
 ]
 
 

@@ -5803,3 +5803,84 @@ def semantic_decontam_report(spark, sf_dir):
     return semantic_contamination_report(
         em, eval_df, threshold_q=900_000
     ).orderBy("vec_id")
+
+
+def _pagerank_conserving_oracle_sql(
+    iters: int = 3, damping_pct: int = 85, scale: int = 10**12
+) -> str:
+    """DuckDB twin of graph.pagerank_integer(conserve_dangling=True),
+    iterations UNROLLED: per round the contribution join + dst groupBy of
+    the lossy variant PLUS the two conservation legs — a 1-row dangling-
+    mass CTE shared uniformly, and a 1-row residual CTE returned
+    largest-remainder style by node order (ROW_NUMBER, portable SQL) —
+    so Σ rank == scale bit-replays after every round."""
+    base = ((100 - damping_pct) * scale) // 100
+    d = damping_pct
+    ctes = [
+        "e0 AS (SELECT DISTINCT doc_id % 89 AS u, (doc_id * 13 + 5) % 97 AS v FROM documents)",
+        "deg AS (SELECT u, COUNT(*) AS outd FROM e0 GROUP BY u)",
+        "nodes AS (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM e0 UNION SELECT v FROM e0))",
+        "c AS (SELECT COUNT(*) AS n FROM nodes)",
+        "nr AS (SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS rn FROM nodes)",
+        f"r0 AS (SELECT nr.node, CAST({scale} // c.n"
+        f" + CASE WHEN nr.rn <= {scale} % c.n THEN 1 ELSE 0 END AS BIGINT) AS r"
+        " FROM nr CROSS JOIN c)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"s{i} AS (SELECT e0.v AS node, "
+            f"CAST(SUM((({d} * r{p}.r) // 100) // deg.outd) AS BIGINT) AS s "
+            f"FROM e0 JOIN r{p} ON r{p}.node = e0.u "
+            f"JOIN deg ON deg.u = e0.u GROUP BY e0.v)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT CAST(COALESCE(SUM(r{p}.r), 0) AS BIGINT) AS dm "
+            f"FROM r{p} WHERE r{p}.node NOT IN (SELECT u FROM deg))"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT nodes.node, "
+            f"CAST(({base} // c.n) + COALESCE(s{i}.s, 0) "
+            f"+ (({d} * d{i}.dm) // 100) // c.n AS BIGINT) AS p "
+            f"FROM nodes CROSS JOIN c CROSS JOIN d{i} "
+            f"LEFT JOIN s{i} ON s{i}.node = nodes.node)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT CAST({scale} - SUM(p) AS BIGINT) AS res FROM p{i})"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT p{i}.node, "
+            f"CAST(p + t{i}.res // c.n "
+            f"+ CASE WHEN nr.rn <= t{i}.res % c.n THEN 1 ELSE 0 END AS BIGINT) AS r "
+            f"FROM p{i} JOIN nr ON nr.node = p{i}.node CROSS JOIN t{i} CROSS JOIN c)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r AS rank_q FROM r{iters} ORDER BY node"
+    )
+
+
+@query(
+    "pagerank_conserving_ranks",
+    _pagerank_conserving_oracle_sql(),
+    doc="E4/§2.11 MASS-CONSERVING PageRank (r10 verdict task #4): the "
+    "pagerank_ranks trajectory with all three mass leaks plugged — "
+    "dangling-node mass redistributed uniformly (one extra 1-row "
+    "aggregate per round), per-round floor losses returned largest-"
+    "remainder style by node order, and the initial vector topped up — "
+    "so Σ rank_q == 10^12 EXACTLY after every round: a true "
+    "probability on the grid, not just a ranking prior. The planted "
+    "graph (u = doc_id%89 → v = (13·doc_id+5)%97) deliberately has "
+    "DANGLING nodes (residues 89..96 appear only as destinations), so "
+    "the dangling leg carries real mass. The oracle unrolls all 3 "
+    "rounds as chained CTEs — trajectory-certified like pagerank_ranks.",
+)
+def pagerank_conserving_ranks(spark, sf_dir):
+    from spectraplex_spark.operators.graph import pagerank_integer
+
+    docs = table(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 89).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % 97).alias("dst"),
+    )
+    return pagerank_integer(edges, iters=3, conserve_dangling=True).orderBy("node")

@@ -114,7 +114,7 @@ class _EpochFilePartition(InputPartition):
 
 
 class _EpochTailStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, declared_names: list[str] | None = None):
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("epoch_tail: required option 'path' is missing")
@@ -125,7 +125,32 @@ class _EpochTailStreamReader(DataSourceStreamReader):
         if not _epoch_paths(self.table_dir):
             raise ValueError(f"epoch_tail: {self.table_dir} has no committed epochs")
         self.part_cols = _partition_cols(sorted(self._committed_files()))
+        # The stream's declared column order. The append schema guard
+        # (io.py) allows later epochs to write the SAME columns in a
+        # DIFFERENT parquet physical order; read() must therefore yield by
+        # the declared names, never by a file's physical order, or two
+        # same-typed columns would silently transpose between epochs.
+        if declared_names is None:
+            declared_names = [n for n, _ in self._newest_file_ddl()] + self.part_cols
+        part_set = set(self.part_cols)
+        self.file_cols = [n for n in declared_names if n not in part_set]
         self._last_served = self.from_epoch
+        # Backpressure cap arming: on a FRESH start Spark calls
+        # initialOffset() first (committed == from_epoch, capping is safe);
+        # on a RESTART it does not, and the checkpointed offset is unknown
+        # here — a capped latestOffset based on from_epoch could then
+        # return an offset BEHIND the checkpoint, regressing the offset log
+        # and replanning epochs already written to the sink. So the cap
+        # stays unarmed until initialOffset/partitions/commit reveals a
+        # floor: the first post-restart latestOffset is uncapped (one
+        # bounded over-wide batch), after which backpressure resumes.
+        self._cap_armed = False
+
+    def _newest_file_ddl(self) -> list[tuple[str, str]]:
+        import pyarrow.parquet as pq
+
+        rels = sorted(self._committed_files())
+        return _arrow_ddl(pq.read_schema(os.path.join(self.table_dir, rels[-1])))
 
     # -- manifest helpers (driver-side, metadata-sized) -------------------
 
@@ -147,25 +172,32 @@ class _EpochTailStreamReader(DataSourceStreamReader):
     # -- offsets -----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        self._cap_armed = True  # fresh start: committed == from_epoch
         return {"epoch": self.from_epoch}
 
     def latestOffset(self) -> dict:
         epochs = sorted(m["epoch"] for m in self._manifests())
         newest = epochs[-1] if epochs else self.from_epoch
-        if self.max_epochs > 0:
+        if self.max_epochs > 0 and self._cap_armed:
             # Backpressure: advance at most max_epochs committed epochs per
             # micro-batch (bounds a batch's file count after a backlog).
-            # The cap is tracked per reader instance, so after a query
-            # restart the first few triggers may plan empty batches until
-            # the cap catches the checkpointed offset — bounded, documented.
+            # _last_served is clamped up by every observed offset
+            # (initialOffset/partitions/commit), so the capped value can
+            # never be behind the checkpointed start — the offset log is
+            # monotone by construction.
             base = max(self._last_served, self.from_epoch)
             newer = [e for e in epochs if e > base]
             newest = newer[: self.max_epochs][-1] if newer else base
+        self._cap_armed = True
         self._last_served = max(self._last_served, newest)
         return {"epoch": newest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["epoch"]), int(end["epoch"])
+        # A (re)planned batch reveals the checkpointed floor: never let a
+        # later capped latestOffset return anything behind it.
+        self._last_served = max(self._last_served, lo, hi)
+        self._cap_armed = True
         files: dict[str, int] = {}
         seen: list[int] = []
         for m in self._manifests():
@@ -200,13 +232,24 @@ class _EpochTailStreamReader(DataSourceStreamReader):
     def read(self, partition: _EpochFilePartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
+        # Read + yield in the DECLARED stream column order (also prunes the
+        # scan to exactly those columns); a file written with reordered
+        # columns — legal under the append schema guard — lands correctly.
         tbl = pq.read_table(partition.abs_path)
-        names = tbl.schema.names
-        for row in tbl.to_pylist():
-            yield tuple(row[n] for n in names) + tuple(partition.part_values)
+        missing = [n for n in self.file_cols if n not in tbl.schema.names]
+        if missing:
+            raise RuntimeError(
+                f"epoch_tail: committed file {partition.abs_path} lacks "
+                f"declared stream columns {missing}"
+            )
+        for row in tbl.select(self.file_cols).to_pylist():
+            yield tuple(row[n] for n in self.file_cols) + tuple(partition.part_values)
 
     def commit(self, end: dict) -> None:
-        pass  # Spark's checkpoint owns the committed offset
+        # Spark's checkpoint owns the committed offset; remember it so the
+        # backpressure cap can never plan backwards after this point.
+        self._last_served = max(self._last_served, int(end["epoch"]))
+        self._cap_armed = True
 
 
 class EpochTailDataSource(DataSource):
@@ -233,4 +276,4 @@ class EpochTailDataSource(DataSource):
         return ", ".join(f"{n} {t}" for n, t in cols)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _EpochTailStreamReader(self.options)
+        return _EpochTailStreamReader(self.options, [f.name for f in schema.fields])

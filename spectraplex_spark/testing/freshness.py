@@ -26,11 +26,11 @@ import json
 import re
 from pathlib import Path
 
-# --- round-10 composition constants ---------------------------------------
+# --- round-11 composition constants ---------------------------------------
 
 #: The round the CURRENT window (plans/__init__.py `_GRADED_PRIORITY`) is
 #: composed for.  Bump together with the window rewrite each round.
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 #: The driver grades exactly this many catalog entries per round.
 WINDOW_SIZE = 50
@@ -45,59 +45,42 @@ FRESHNESS_BAR = 3
 #: verdict inside the bar (and pytest parity coverage, which the full suite
 #: re-certifies every round).  value = (sibling, why).
 DEFERRALS: dict[str, tuple[str, str]] = {
-    "setop_union_segments": (
-        "setop_except_segments",
-        "same set-op builder family; sibling green r7, pytest parity",
+    # The r11 oversubscription (55 mandatory for 50 slots — the r10 verdict's
+    # pre-planned shortlist, adopted verbatim): 5 deferrals, each with an
+    # in-window or r8+-green in-family sibling plus pytest parity coverage.
+    "knn_join_topk_arrow": (
+        "knn_join_topk",
+        "same kNN-join harness (Arrow int-matmul twin of the expression "
+        "path, pinned bit-equal by pytest); sibling in-window r11",
     ),
-    "setop_intersect_segments": (
-        "setop_except_segments",
-        "same set-op builder family; sibling green r7, pytest parity",
+    "multimodal_resize": (
+        "multimodal_frame_sample",
+        "same mapInPandas multimodal family; frame-sample sibling in-window "
+        "r11, binary+meta sibling green r9, webdataset r8",
     ),
-    "window_topn_orders_per_customer": (
-        "window_rank_suite",
-        "same rank-window family; sibling green r7, pytest parity",
+    "solana_normalize_udtf_golden": (
+        "solana_normalize_golden",
+        "literal @udtf re-expression of the same normalize pipeline, pinned "
+        "equal by pytest; sibling in-window r11",
     ),
-    # Deferred to make room for source_quota_scalable's changed-code regrade
-    # (r9 verdict task #4 — the 'spend a window slot' option, stated there).
-    "csv_roundtrip_events": (
-        "jsonl_roundtrip_events",
-        "same sources/io.py interchange family; jsonl AND orc siblings green "
-        "r8, pytest roundtrip coverage",
+    "simhash_dup_groups_planted": (
+        "simhash_neighbor_pairs_planted",
+        "same SimHash planted-twin family; neighbor-pairs sibling in-window "
+        "r11, simhash_planted_twins green r10",
+    ),
+    "session_window_builtin": (
+        "session_stats",
+        "same session-window family (builtin session_window vs the manual "
+        "gap-split build, pinned equal by pytest); sibling in-window r11",
     ),
 }
 
 #: Entries registered AFTER the current round's window sealed; they grade
 #: next round per the standing late-registration precedent (since r7).
-#: Populated as round-10 work registers new queries.
+#: Populated as round-11 work registers new queries.
 LATE_REGISTRATIONS: set[str] = {
-    "bpe_encode_pandas_topk",  # r10 verdict task #3: realistic-merge encode
-    "perceptron_quality_trajectory",  # r10 new: 5th iterative-algorithm class
-    "epoch_tail_stream_roundtrip",  # r10 new: epoch protocol as a stream source
-    "semantic_decontam_report",  # r10 new: embedding-level decontamination
+    "pagerank_conserving_ranks",  # r10 verdict task #4: mass-conserving variant
 }
-
-# ---- ROUND-11 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
-# for the live numbers; this block is the suggested composition, written at
-# r10 close so r11 starts instantly):
-#   mandatory = 55 for 50 slots (4 late-r10 + 4 r6 deferrals + 47 r7-vintage)
-#   → defer 5 with fresh siblings. Suggested deferral shortlist (each has an
-#   r8+/r9/r10-green or in-window family sibling plus pytest coverage):
-#     - knn_join_topk_arrow (sibling knn_join_topk, SAME harness, keep ONE of
-#       the pair in-window and defer the other)
-#     - multimodal_resize (siblings multimodal_binary_meta r9,
-#       webdataset_roundtrip r8; multimodal_frame_sample kept in-window)
-#     - solana_normalize_udtf_golden (sibling solana_normalize_golden kept
-#       in-window — the UDTF twin is a literal re-expression pinned by pytest)
-#     - simhash_dup_groups_planted (siblings simhash_planted_twins r10,
-#       simhash_neighbor_pairs_planted kept in-window)
-#     - session_window_builtin (sibling session_stats kept in-window; both
-#       ride streaming_sessions pytests)
-#   The r6-vintage four (csv_roundtrip_events, setop_union/intersect,
-#   window_topn) MUST grade in r11 — they are the named r10 deferrals and
-#   cross 4 rounds otherwise. Late-r10 (bpe_encode_pandas_topk,
-#   perceptron_quality_trajectory, epoch_tail_stream_roundtrip,
-#   semantic_decontam_report) must all enter per the late precedent.
-# ---------------------------------------------------------------------------
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.
 #: Each is certified through hashed planted twins; value = the twin whose
@@ -110,7 +93,12 @@ ROWS_ONLY_PROVEN: dict[str, str] = {
 #: Entries whose underlying code changed this round, so their prior hash no
 #: longer certifies HEAD — each MUST sit in the current window.
 CHANGED_CODE_REGRADES: set[str] = {
-    "source_quota_scalable",  # cap_per_source hot-set collect alignment (task #4)
+    # r10 ADVICE fixes land in r11; each touched entry grades in-window
+    # (all three are also never-graded late-r10 registrations, so they sit
+    # in the window regardless — this records WHY they cannot defer):
+    "epoch_tail_stream_roundtrip",  # offset-regression + column-order fixes
+    "semantic_decontam_report",  # decimal-overflow fail-closed guard
+    "bpe_encode_pandas_topk",  # root-locale contract guard
 }
 
 
@@ -227,6 +215,30 @@ def check_window(
     return problems
 
 
+def split_histogram(
+    green: dict[str, int],
+) -> tuple[dict[int, int], dict[str, str]]:
+    """Vintage histogram with the ROWS_ONLY_PROVEN entries split out.
+
+    Returns (hashed-green histogram {round: count}, rows-only label map
+    {entry: "r<latest> via twin <twin> r<twin latest>"}).  The rows-only
+    entries' own records are old by design (their twin carries the
+    freshness), so counting them in the main histogram reads like a
+    stale-green alarm.
+    """
+    from collections import Counter
+
+    hashed = dict(
+        Counter(sorted(g for n, g in green.items() if n not in ROWS_ONLY_PROVEN))
+    )
+    rows_only = {
+        n: f"r{green[n]} via twin {twin} r{green.get(twin, '—')}"
+        for n, twin in sorted(ROWS_ONLY_PROVEN.items())
+        if n in green
+    }
+    return hashed, rows_only
+
+
 def main() -> None:  # pragma: no cover - CLI convenience
     from spectraplex_spark.plans import CATALOG
 
@@ -240,9 +252,14 @@ def main() -> None:  # pragma: no cover - CLI convenience
     names = list(CATALOG)
     print(f"window legal: {WINDOW_SIZE} graded of {len(names)} catalog entries, "
           f"round {CURRENT_ROUND}, bar r{CURRENT_ROUND - FRESHNESS_BAR}")
-    from collections import Counter
-
-    print("vintage histogram (latest green):", dict(Counter(sorted(green.values()))))
+    # The proven rows-only entries carry their freshness through a hashed
+    # planted twin, not their own (old) rows-only record — histogram them
+    # separately so an old bucket can't misread as a stale-green alarm
+    # (r10 verdict task #3).
+    hashed, rows_only = split_histogram(green)
+    print("vintage histogram (latest hashed green):", hashed)
+    if rows_only:
+        print("rows-only(proven) entries — freshness via planted twin:", rows_only)
 
     # ---- next-round planning (assumes the current window greens) ----
     nxt = CURRENT_ROUND + 1

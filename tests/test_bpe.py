@@ -158,3 +158,26 @@ def test_apply_bpe_pandas_bit_equal_to_expression_fold(spark):
         .collect()
     }
     assert expr == pand
+
+
+def test_apply_bpe_pandas_locale_contract(spark):
+    """The bit-equality contract assumes a root-family JVM locale: the
+    known divergent locales (tr/az/lt special-case dotted/dotless I) are
+    refused loudly at plan time; root-family locales (incl. the running
+    session's) pass (r10 ADVICE #4)."""
+    import pytest
+
+    from spectraplex_spark.operators.bpe import (
+        _check_root_locale_contract,
+        apply_bpe_pandas,
+    )
+
+    for bad in ("tr", "az", "lt"):
+        with pytest.raises(ValueError, match="locale-sensitive case mappings"):
+            _check_root_locale_contract(bad)
+    for ok in ("en", "", None, "de"):
+        _check_root_locale_contract(ok)
+    # the running session's JVM locale is root-family: the guard is silent
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = apply_bpe_pandas(df, [("a", "b", 2)]).collect()
+    assert got[0]["bpe_symbols"] == ["ab", "ab"]

@@ -84,14 +84,73 @@ def test_stale_checkpoint_behind_squash_boundary_fails_loudly(spark, tmp_path):
 def test_backpressure_caps_epochs_per_batch(spark, tmp_path):
     """max_epochs_per_batch bounds how far latestOffset advances per
     trigger — a backlog drains over several micro-batches instead of one
-    giant one."""
+    giant one. A fresh query's Spark call sequence starts with
+    initialOffset (that arms the cap: committed == from_epoch)."""
     path = str(tmp_path / "t")
     for lo in range(0, 40, 10):  # epochs 0..3
         idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
     reader = _EpochTailStreamReader({"path": path, "max_epochs_per_batch": 2})
+    assert reader.initialOffset() == {"epoch": -1}
     assert reader.latestOffset() == {"epoch": 1}
     assert reader.latestOffset() == {"epoch": 3}
     assert reader.latestOffset() == {"epoch": 3}  # caught up: no advance
+
+
+def test_backpressure_never_regresses_after_restart(spark, tmp_path):
+    """Restart + cap: a restarted query does NOT call initialOffset — the
+    checkpointed offset is invisible to the reader — so a capped
+    latestOffset based on from_epoch could return an offset BEHIND the
+    checkpoint (checkpoint at 3, cap 2 → epoch 1), regressing the offset
+    log and replanning epochs already written to a sink. The first
+    post-restart latestOffset must be uncapped; afterwards every observed
+    offset (partitions/commit) clamps the cap's floor up."""
+    path = str(tmp_path / "t")
+    for lo in range(0, 60, 10):  # epochs 0..5
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+
+    # restart flavor A: all batches committed → latestOffset is called first
+    reader = _EpochTailStreamReader({"path": path, "max_epochs_per_batch": 2})
+    off = reader.latestOffset()
+    assert off == {"epoch": 5}  # uncapped: never behind any possible checkpoint
+    assert reader.latestOffset() == {"epoch": 5}  # cap re-armed, no regression
+
+    # restart flavor B: a pending batch is replayed first via partitions()
+    reader = _EpochTailStreamReader({"path": path, "max_epochs_per_batch": 2})
+    reader.partitions({"epoch": 2}, {"epoch": 3})  # replayed pending batch
+    assert reader.latestOffset() == {"epoch": 5}  # capped from 3, not from -1
+
+    # restart flavor C: commit() reveals the floor
+    reader = _EpochTailStreamReader({"path": path, "max_epochs_per_batch": 2})
+    reader.commit({"epoch": 4})
+    assert reader.latestOffset() == {"epoch": 5}
+
+    # monotonicity invariant under every interleaving: offsets never shrink
+    reader = _EpochTailStreamReader({"path": path, "max_epochs_per_batch": 1})
+    seen = [reader.latestOffset()["epoch"]]
+    for _ in range(3):
+        seen.append(reader.latestOffset()["epoch"])
+    assert seen == sorted(seen)
+
+
+def test_tail_yields_declared_order_across_reordered_epochs(spark, tmp_path):
+    """The append schema guard allows a later epoch to write the SAME
+    columns in a DIFFERENT parquet physical order; tailing such a table
+    must yield every epoch in the declared stream order, not the file's
+    physical order (else same-typed columns silently transpose)."""
+    spark.dataSource.register(EpochTailDataSource)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    idempotent_append(_batch(spark, 0, 5), path, partition_by=("part",))
+    # epoch 1: same columns, reordered (v before id) — legal per io.py guard
+    reordered = spark.createDataFrame(
+        [(f"v{i}", i, "a" if i % 2 == 0 else "b") for i in range(5, 10)],
+        "v string, id long, part string",
+    )
+    assert idempotent_append(reordered, path, partition_by=("part",)) == 5
+    got = _drain(spark, path, ckpt, sink)
+    assert got == {
+        (i, f"v{i}", "a" if i % 2 == 0 else "b") for i in range(10)
+    }
 
 
 def test_schema_derived_from_committed_files(spark, tmp_path):

@@ -1285,3 +1285,43 @@ def test_semantic_decontam_plants_and_composes(spark):
     assert set(got) <= low
     with pytest.raises(ValueError, match="empty eval"):
         semantic_contamination_report(em, em.filter(F.lit(False)), 900_000)
+
+
+def test_semantic_decontam_overflow_fails_closed(spark):
+    """DECIMAL(38,0) overflow must never read as 'clean' (r10 ADVICE #3):
+    (1) an eval side whose quantized norm leaves zero corpus headroom is
+    rejected up front; (2) a NULL in the hit arithmetic (here: a NULL
+    element inside a non-NULL corpus embedding) raises loudly instead of
+    silently passing the row; (3) a whole-NULL embedding still passes
+    (nothing to compare), matching the pre-guard contract."""
+    import pytest
+    from pyspark.sql import functions as F, types as T
+
+    from spectraplex_spark.operators.decontam import semantic_contamination_report
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    eval_df = spark.createDataFrame([(0, [0.6, 0.8])], schema)
+
+    # (1) oversized eval norms: |qe|² · max(grid, tq²) has no DECIMAL(38,0)
+    # headroom left for any corpus norm → loud up-front ValueError
+    huge_eval = spark.createDataFrame([(0, [1.0e13, 1.0e13])], schema)
+    corpus = spark.createDataFrame([(1, [0.6, 0.8])], schema)
+    with pytest.raises(ValueError, match="norms too large"):
+        semantic_contamination_report(corpus, huge_eval).collect()
+    with pytest.raises(ValueError, match="all-zero eval"):
+        semantic_contamination_report(corpus, spark.createDataFrame([(0, [0.0])], schema))
+
+    # (2) NULL element poisons the hit count → raise_error, not "clean"
+    poisoned = spark.createDataFrame([(1, [0.6, None])], schema)
+    with pytest.raises(Exception, match="NULL hit count"):
+        semantic_contamination_report(poisoned, eval_df).collect()
+
+    # (3) whole-NULL embedding: unreportable but passing, no error
+    nulled = spark.createDataFrame([(1, None), (2, [0.6, 0.8])], schema)
+    rep = semantic_contamination_report(nulled, eval_df, threshold_q=900_000)
+    assert {r["vec_id"] for r in rep.collect()} == {2}

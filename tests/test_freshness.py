@@ -29,6 +29,26 @@ def test_window_constants_sane():
         assert late in CATALOG and late not in window
 
 
+def test_histogram_splits_rows_only_entries():
+    """The vintage histogram must not count ROWS_ONLY_PROVEN entries in
+    the hashed buckets (their own record is old BY DESIGN — the planted
+    twin carries the freshness); they print as a separate labeled map
+    (r10 verdict task #3)."""
+    hist = freshness.load_history(REPO)
+    green = freshness.latest_green(hist)
+    hashed, rows_only = freshness.split_histogram(green)
+    for name in freshness.ROWS_ONLY_PROVEN:
+        assert name in rows_only, f"{name} missing from rows-only bucket"
+        assert "via twin" in rows_only[name]
+    # no hashed bucket may be older than the rows-only entries' vintage
+    # floor once they are split out — the alarm the split exists to avoid
+    rows_only_rounds = {green[n] for n in freshness.ROWS_ONLY_PROVEN if n in green}
+    if rows_only_rounds:
+        assert min(hashed) > min(rows_only_rounds)
+    # and the split is a partition: counts add back up
+    assert sum(hashed.values()) + len(rows_only) == len(green)
+
+
 def test_history_parser_reads_all_rounds():
     hist = freshness.load_history(REPO)
     assert hist, "no CORRECTNESS_r*.json parsed"

@@ -1,0 +1,267 @@
+"""Unigram-LM (SentencePiece-style) tokenizer TRAINER — the sixth
+iterative-algorithm class (after Lloyd's k-means, label propagation,
+BPE, PageRank, the batch perceptron): hard-EM over a substring vocab.
+
+What Llama-class models actually ship is a unigram tokenizer (Kudo
+2018): each piece carries a probability, a word's segmentation is the
+Viterbi-best product of piece probabilities, and training alternates
+(E) re-segment the corpus under current piece scores with (M)
+re-estimate scores from segmentation counts.  This module implements
+the hard-EM variant under the repo's bit-grading discipline:
+
+  - **Integer-grid log-probs.** Piece cost = ilog2q(total) − ilog2q(n)
+    on a 2^-16 grid, where ``ilog2q`` is a PURE-INTEGER fixed-point
+    log2 (exponent from the bit length, 16 fraction bits by repeated
+    mantissa squaring — the classical shift-and-square algorithm).  No
+    float log anywhere, so Spark, Python, and the DuckDB oracle agree
+    bit-for-bit (the verify-ledger rule: cross-engine float transcend-
+    entals may differ in the last ulp and a floor() amplifies that to
+    a full grid step).
+  - **Viterbi E-step** over pieces of length 1–2 with a deterministic
+    tie-break (bigram only when STRICTLY cheaper), run per DISTINCT
+    word (corpora repeat words heavily — cost is vocabulary-sized).
+    The per-word DP is genuinely inexpressible as a fixed Catalyst
+    expression (variable-length recurrence), so it rides the
+    apply_bpe_pandas precedent: an Arrow-batched mapInPandas with the
+    cost table broadcast in the closure.
+  - **M-step in Spark**: explode chosen pieces, partial-aggregated
+    groupBy, one VOCAB-SIZED collect per iteration (the bpe_train /
+    perceptron bounded-collect contract — counts are |alphabet| +
+    |alphabet|² at most, never corpus-sized).
+  - **Flat lineage**: the distinct-word frame is computed once and
+    checkpointed; each E-step re-reads it (the r9 iterative-loop rule).
+
+Simplifications vs full SentencePiece, documented: pieces are capped
+at length 2 and words at ``max_word_len`` chars (the oracle unrolls
+the DP positionally; raise the caps together), the seed vocab is all
+observed chars + adjacent bigrams (substring-frequency seeding), and
+there is no prune schedule — the vocab shrinks only by pieces falling
+out of use.  Fixed iteration count, like every trainer here.
+
+Scale shape at 100 TB: the corpus is touched once (token explode →
+word-count shuffle); every EM iteration runs on the distinct-word
+frame (≪ corpus) with zero additional corpus scans; driver state is
+vocab-sized per iteration.
+
+Reference surface: the reference repo has no tokenizer trainer — this
+is part of the [EXT] LLM-data-pipeline mandate (SURVEY.md §2 E4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spectraplex_spark.operators.components import lineage_truncate
+from spectraplex_spark.operators.textops import tokens
+
+#: Sentinel cost for pieces absent from the current vocab — large enough
+#: to dominate any real path (word caps × real costs stay far below it)
+#: while keeping every DP sum well inside BIGINT.
+BIG_COST = 1 << 40
+
+FRAC_BITS = 16
+_Q = 30  # mantissa fixed-point for the squaring iteration
+
+
+def ilog2q(x: int, frac_bits: int = FRAC_BITS) -> int:
+    """floor-ish log2(x) on the 2^-frac_bits grid, pure integer.
+
+    exponent = bit_length − 1; fraction by ``frac_bits`` rounds of
+    mantissa squaring in Q30 (y ∈ [1,2): square; if ≥2 emit 1 and
+    halve, else emit 0).  Every operation is exact BIGINT arithmetic —
+    the DuckDB oracle unrolls the same 16 steps as chained CTEs and
+    reproduces every bit.  x must be ≥ 1.
+    """
+    if x < 1:
+        raise ValueError(f"ilog2q: x must be >= 1, got {x}")
+    e = x.bit_length() - 1
+    y = (x << _Q) >> e  # Q30 mantissa in [1, 2)
+    f = 0
+    for _ in range(frac_bits):
+        ysq = (y * y) >> _Q
+        if ysq >= (2 << _Q):
+            y = ysq >> 1
+            f = f * 2 + 1
+        else:
+            y = ysq
+            f = f * 2
+    return (e << frac_bits) + f
+
+
+def piece_costs(counts: dict[str, int]) -> dict[str, int]:
+    """M-step finish: counts → integer-grid costs
+    cost(p) = ilog2q(Σ counts) − ilog2q(count_p)  (≈ −log2 p on the grid)."""
+    total = sum(counts.values())
+    it = ilog2q(total)
+    return {p: it - ilog2q(c) for p, c in counts.items()}
+
+
+def viterbi_segment(word: str, cost: dict[str, int], big: int = BIG_COST) -> list[str]:
+    """Min-cost segmentation into pieces of length 1–2; bigram wins only
+    when STRICTLY cheaper (the tie-break the SQL oracle replays)."""
+    n = len(word)
+    b = [0] * (n + 1)
+    path: list[list[str]] = [[] for _ in range(n + 1)]
+    for k in range(1, n + 1):
+        best = b[k - 1] + cost.get(word[k - 1], big)
+        pieces = path[k - 1] + [word[k - 1]]
+        if k >= 2:
+            alt = b[k - 2] + cost.get(word[k - 2 : k], big)
+            if alt < best:
+                best = alt
+                pieces = path[k - 2] + [word[k - 2 : k]]
+        b[k] = best
+        path[k] = pieces
+    return path[n]
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", max_word_len: int = 12
+) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-sized pass.  Words
+    longer than ``max_word_len`` are excluded from TRAINING (documented:
+    the oracle's DP unrolls positionally; at real scale raise the cap —
+    the Spark side is length-agnostic)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word").between(1, max_word_len))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _seed_counts(words: DataFrame) -> DataFrame:
+    """Substring-frequency seeding: every char position and every
+    adjacent bigram of every word, weighted by word frequency.
+    NB: Spark's sequence(1, 0) DESCENDS ([1, 0]) — the single-char word
+    case needs the explicit empty-array guard."""
+    chars = words.select(
+        F.explode(F.expr("sequence(1, length(word))")).alias("k"), "word", "freq"
+    ).select(F.expr("substring(word, k, 1)").alias("piece"), "freq")
+    bigrams = (
+        words.select(
+            F.explode(
+                F.when(
+                    F.length("word") >= 2, F.expr("sequence(1, length(word) - 1)")
+                ).otherwise(F.expr("array()"))
+            ).alias("k"),
+            "word",
+            "freq",
+        )
+        .select(F.expr("substring(word, k, 2)").alias("piece"), "freq")
+    )
+    return (
+        chars.unionByName(bigrams)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    max_word_len: int = 12,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Hard-EM unigram trainer.  Returns the full TRAJECTORY — one row
+    per (iteration, piece used in that iteration's Viterbi output):
+
+      iter INT, piece STRING, cost_q BIGINT (the cost the E-step used,
+      derived from the PREVIOUS counts; BIG_COST if out-of-vocab),
+      n_uses BIGINT (freq-weighted uses in the new segmentation)
+
+    so the whole EM trajectory — not just the final vocab — bit-grades
+    against the unrolled-CTE oracle.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    words = lineage_truncate(
+        word_frequencies(df, text_col, max_word_len), reliable_checkpoint
+    )
+    counts = {
+        r["piece"]: r["cnt"] for r in _seed_counts(words).collect()
+    }  # vocab-sized (≤ |alphabet| + |alphabet|²)
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("freq", T.LongType()),
+            T.StructField("pieces", T.ArrayType(T.StringType())),
+        ]
+    )
+    out_rows: list[tuple[int, str, int, int]] = []
+    for i in range(1, iters + 1):
+        cost = piece_costs(counts)
+
+        def seg_batches(batches, cost=cost):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["pieces"] = [
+                    viterbi_segment(w, cost) for w in pdf["word"]
+                ]
+                yield pdf
+
+        seg = words.mapInPandas(seg_batches, schema=seg_schema)
+        counts = {
+            r["piece"]: r["n_uses"]
+            for r in (
+                seg.select(F.explode("pieces").alias("piece"), "freq")
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("long").alias("n_uses"))
+                .collect()  # vocab-sized, the bounded-collect contract
+            )
+        }
+        out_rows.extend(
+            (i, p, cost.get(p, BIG_COST), n) for p, n in sorted(counts.items())
+        )
+    return spark.createDataFrame(
+        out_rows, "iter int, piece string, cost_q long, n_uses long"
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    cost: dict[str, int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained unigram tokenizer: per row, Viterbi-segment every
+    token under the (broadcast) cost table — the apply_bpe_pandas shape:
+    zero shuffle, Arrow batches, per-batch word→pieces cache."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("unigram_pieces", T.ArrayType(T.StringType()))]
+    )
+
+    def encode_batches(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, pinned (bpe.py)
+        cache: dict[str, list[str]] = {}
+
+        def seg(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = viterbi_segment(w, cost)
+                cache[w] = got
+            return got
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["unigram_pieces"] = [
+                None
+                if t is None
+                else [
+                    p
+                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
+                    if w
+                    for p in seg(w)
+                ]
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=out_schema)

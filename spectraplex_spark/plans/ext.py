@@ -5884,3 +5884,159 @@ def pagerank_conserving_ranks(spark, sf_dir):
         ((F.col("doc_id") * 13 + 5) % 97).alias("dst"),
     )
     return pagerank_integer(edges, iters=3, conserve_dangling=True).orderBy("node")
+
+
+def _ilog_ctes(tag: str, src_sql: str, frac_bits: int = 16) -> tuple[list[str], str]:
+    """CTE chain computing unigram.ilog2q over (piece?, x BIGINT) rows:
+    exponent from length(bin(x)), then ``frac_bits`` unrolled mantissa-
+    squaring steps in Q30 — bit-identical to the Python integer
+    implementation (the shift is CASE-guarded: DuckDB's << overflows
+    loudly past 63 bits, so large x down-shifts instead — the same
+    floor((x*2^30)/2^e) value). Returns (ctes, final_cte_name); final
+    exposes ilog = e*2^frac_bits + f alongside the source columns."""
+    ctes = [
+        f"{tag}0 AS MATERIALIZED (SELECT *, CASE WHEN e <= 30 THEN x << (30 - e) "
+        f"ELSE x >> (e - 30) END AS y, CAST(0 AS BIGINT) AS f FROM "
+        f"(SELECT *, CAST(length(bin(x)) - 1 AS BIGINT) AS e FROM ({src_sql})))"
+    ]
+    for k in range(1, frac_bits + 1):
+        ctes.append(
+            f"{tag}{k} AS MATERIALIZED (SELECT * REPLACE ("
+            f"CASE WHEN ((y*y) >> 30) >= (CAST(2 AS BIGINT) << 30) "
+            f"THEN ((y*y) >> 30) >> 1 ELSE ((y*y) >> 30) END AS y, "
+            f"(f*2) + CASE WHEN ((y*y) >> 30) >= (CAST(2 AS BIGINT) << 30) "
+            f"THEN 1 ELSE 0 END AS f) FROM {tag}{k-1})"
+        )
+    fin = f"{tag}F"
+    ctes.append(
+        f"{fin} AS MATERIALIZED (SELECT *, (e * {1 << frac_bits}) + f AS ilog "
+        f"FROM {tag}{frac_bits})"
+    )
+    return ctes, fin
+
+
+def _unigram_oracle_sql(
+    iters: int = 3, max_word_len: int = 12, big: int = 1 << 40
+) -> str:
+    """DuckDB twin of unigram.unigram_train, EM iterations UNROLLED (the
+    bpe/pagerank/perceptron trajectory discipline): per iteration two
+    integer-log2 CTE chains (piece counts + total), a cost MAP, a
+    positionally-unrolled Viterbi DP (lateral column aliases, bigram
+    only when STRICTLY cheaper), and the freq-weighted re-count — every
+    (iter, piece, cost_q, n_uses) row of the trajectory bit-grades."""
+    W = max_word_len
+    ctes = [
+        "w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        f"(SELECT unnest({_TOKENS_SQL}) AS word FROM documents) "
+        f"WHERE length(word) BETWEEN 1 AND {W} GROUP BY word)",
+        "cnt0 AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+        "SELECT substr(word, CAST(k AS INT), 1) AS piece, freq "
+        "FROM w, unnest(generate_series(1, length(word))) AS t(k) "
+        "UNION ALL "
+        "SELECT substr(word, CAST(k AS INT), 2) AS piece, freq "
+        "FROM w, unnest(generate_series(1, length(word) - 1)) AS t(k)"
+        ") GROUP BY piece)",
+    ]
+    outs = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        a_ctes, a_fin = _ilog_ctes(
+            f"a{i}_", f"SELECT piece, cnt AS x FROM cnt{p}"
+        )
+        t_ctes, t_fin = _ilog_ctes(
+            f"t{i}_", f"SELECT CAST(SUM(cnt) AS BIGINT) AS x FROM cnt{p}"
+        )
+        ctes.extend(a_ctes)
+        ctes.extend(t_ctes)
+        ctes.append(
+            f"sc{i} AS MATERIALIZED (SELECT a.piece, CAST(t.ilog - a.ilog AS BIGINT) AS cost_q "
+            f"FROM {a_fin} a CROSS JOIN {t_fin} t)"
+        )
+        # Per-position cost lookup as HASH JOINS (a one-row MAP value is
+        # O(vocab) per extraction in DuckDB — measured pathological), then
+        # the Viterbi DP unrolled over positions 1..W with lateral aliases
+        # against O(1) list indexing.
+        ctes.append(
+            f"pos{i} AS MATERIALIZED (SELECT q.word, q.k, "
+            f"COALESCE(s1.cost_q, {big}) AS ck, "
+            f"COALESCE(s2.cost_q, {big}) AS dk FROM "
+            "(SELECT word, CAST(k AS INT) AS k, "
+            "substr(word, CAST(k AS INT), 1) AS u1, "
+            "CASE WHEN k >= 2 THEN substr(word, CAST(k AS INT) - 1, 2) END AS u2 "
+            "FROM w, unnest(generate_series(1, length(word))) AS t(k)) q "
+            f"LEFT JOIN sc{i} s1 ON s1.piece = q.u1 "
+            f"LEFT JOIN sc{i} s2 ON s2.piece = q.u2)"
+        )
+        ctes.append(
+            f"arr{i} AS MATERIALIZED (SELECT word, list(ck ORDER BY k) AS cs, "
+            f"list(dk ORDER BY k) AS ds FROM pos{i} GROUP BY word)"
+        )
+        # Viterbi DP as CHAINED MATERIALIZED steps, one per position: each
+        # step references the previous step's b/p columns twice, so the
+        # same inlining blowup applies without the barrier.
+        ctes.append(
+            f"dp{i}_1 AS MATERIALIZED (SELECT word, cs, ds, "
+            "length(word) AS L, CAST(0 AS BIGINT) AS b0, "
+            "CAST([] AS VARCHAR[]) AS p0, cs[1] AS b1, "
+            f"[substr(word, 1, 1)] AS p1 FROM arr{i})"
+        )
+        for k in range(2, W + 1):
+            bi = f"b{k-2} + ds[{k}]"
+            un = f"b{k-1} + cs[{k}]"
+            ctes.append(
+                f"dp{i}_{k} AS MATERIALIZED (SELECT *, "
+                f"CASE WHEN L < {k} THEN CAST(0 AS BIGINT) "
+                f"WHEN {bi} < {un} THEN {bi} ELSE {un} END AS b{k}, "
+                f"CASE WHEN L < {k} THEN p0 "
+                f"WHEN {bi} < {un} THEN list_append(p{k-2}, "
+                f"substr(word, {k - 1}, 2)) ELSE list_append(p{k-1}, "
+                f"substr(word, {k}, 1)) END AS p{k} FROM dp{i}_{k-1})"
+            )
+        case = (
+            "CASE L "
+            + " ".join(f"WHEN {k} THEN p{k}" for k in range(1, W + 1))
+            + " END"
+        )
+        ctes.append(
+            f"seg{i} AS MATERIALIZED (SELECT word, freq, {case} AS pieces "
+            f"FROM dp{i}_{W} JOIN w USING (word))"
+        )
+        ctes.append(
+            f"cnt{i} AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM "
+            f"(SELECT unnest(pieces) AS piece, freq FROM seg{i}) GROUP BY piece)"
+        )
+        outs.append(
+            f"SELECT CAST({i} AS INT) AS iter, c.piece, "
+            f"CAST(COALESCE(s.cost_q, {big}) AS BIGINT) AS cost_q, "
+            f"c.cnt AS n_uses FROM cnt{i} c LEFT JOIN sc{i} s USING (piece)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(outs)
+        + "\n    ORDER BY iter, piece"
+    )
+
+
+@query(
+    "unigram_trained_vocab",
+    _unigram_oracle_sql(),
+    doc="E4 unigram-LM (SentencePiece-style) tokenizer TRAINING — the "
+    "sixth iterative-algorithm class (after k-means, label propagation, "
+    "BPE, PageRank, perceptron) and the tokenizer family's missing half "
+    "(BPE train/encode are graded; unigram is what Llama-class models "
+    "ship). Hard-EM over a char+bigram substring-seeded vocab: E-step "
+    "Viterbi-segments every DISTINCT word (pieces len 1-2, bigram only "
+    "when STRICTLY cheaper) under integer-grid costs; M-step recounts "
+    "freq-weighted piece uses (one vocab-sized collect per iteration — "
+    "the bounded-collect contract). Costs are ilog2q(total)-ilog2q(n) "
+    "where ilog2q is a PURE-INTEGER fixed-point log2 (exponent from bit "
+    "length + 16 mantissa-squaring fraction bits) — no float log "
+    "anywhere, so the whole 3-iteration trajectory (iter, piece, "
+    "cost_q, n_uses) bit-grades. The oracle unrolls the EM loop, the "
+    "two log chains AND the per-position Viterbi DP as chained CTEs.",
+)
+def unigram_trained_vocab(spark, sf_dir):
+    from spectraplex_spark.operators.unigram import unigram_train
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_train(docs, iters=3).orderBy("iter", "piece")

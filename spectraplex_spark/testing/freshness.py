@@ -80,6 +80,7 @@ DEFERRALS: dict[str, tuple[str, str]] = {
 #: Populated as round-11 work registers new queries.
 LATE_REGISTRATIONS: set[str] = {
     "pagerank_conserving_ranks",  # r10 verdict task #4: mass-conserving variant
+    "unigram_trained_vocab",  # r10 verdict task #5: 6th iterative class
 }
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.

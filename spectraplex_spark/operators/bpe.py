@@ -219,6 +219,15 @@ def apply_bpe_pandas(
     batch transfer; the Python-side work is O(n_merges · word_len) per
     DISTINCT word per batch, amortized across each word's occurrences.
 
+    Measured recommendation (BASELINE.md r11 probe, 1000 merges at 10×):
+    for BULK corpus encode, prefer segmenting the DISTINCT-WORD table
+    with this function and broadcast-joining the symbols onto the
+    exploded corpus (the bpe_encode_topk shape) — 13× faster (0.45s vs
+    5.95s at 40k docs), because this path's word cache is Arrow-batch-
+    local while the vocab join segments each distinct word exactly once
+    globally. Use this function directly on documents only for one-pass
+    ad-hoc or streaming encodes.
+
     Locale contract (r10 ADVICE #4): the documented bit-equality to
     :func:`apply_bpe` assumes a ROOT/English-family JVM default locale.
     Spark's ``lower()`` fast-paths ASCII but falls back to Java

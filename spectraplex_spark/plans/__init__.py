@@ -55,6 +55,15 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 #       freshness.DEFERRALS): knn_join_topk_arrow, multimodal_resize,
 #       solana_normalize_udtf_golden, simhash_dup_groups_planted,
 #       session_window_builtin.
+# Changed-code entries NOT regraded this round, certified through the
+# non-semantic precedent (nfc_dedup_groups r9, ivf_persisted_recall r10)
+# plus pytest:
+#   - rpc_ingest_golden / rpc_ingest_datasource: connector.py's transient
+#     net widened to catch http.client exceptions + OSError (fault-
+#     injection finding — a mid-stream disconnect previously CRASHED
+#     instead of retrying). Error-path only: the happy path the hashes
+#     certify is byte-identical, and tests/test_connector.py's new
+#     timeout/disconnect/mixed-fault suite pins the retry semantics.
 # New r11 queries register late-only (tail of the catalog; they grade
 # r12 per the standing precedent) and are declared in
 # freshness.LATE_REGISTRATIONS.

@@ -35,6 +35,7 @@ than defaulting to a public endpoint.
 
 from __future__ import annotations
 
+import http.client
 import json
 import time
 import urllib.error
@@ -130,8 +131,14 @@ class SolanaRpcClient:
                     raise RpcError(f"{method}: HTTP {e.code}", code=e.code) from e
                 retry_after = e.headers.get("Retry-After") if e.headers else None
                 last_err = e
-            except urllib.error.URLError as e:
-                last_err = e  # connection refused/reset/timeout: transient
+            except (urllib.error.URLError, http.client.HTTPException, OSError) as e:
+                # Transient transport failures, all retryable: connection
+                # refused/reset, read timeout (TimeoutError ⊂ OSError), and
+                # a mid-stream disconnect — which surfaces as an
+                # http.client.IncompleteRead / RemoteDisconnected, NOT a
+                # URLError (fault-injection finding, r11): a node dying
+                # mid-response must retry, not crash the fetch task.
+                last_err = e
             else:
                 err = body.get("error")
                 if err is None:

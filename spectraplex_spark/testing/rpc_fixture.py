@@ -59,6 +59,9 @@ class FixtureNode:
         self.retry_after: str | None = None
         self.broken_sigs: set[str] = set()  # always fail getTransaction
         self.flaky_sigs: dict[str, int] = {}  # sig -> remaining failures
+        self.slow_budget: int = 0  # requests to stall by slow_s before reply
+        self.slow_s: float = 0.0
+        self.disconnect_budget: int = 0  # requests to cut mid-response-body
         self.log: list[str] = []  # method names in arrival order
         self.lock = threading.Lock()
         self.url: str | None = None
@@ -104,15 +107,40 @@ def serve_node(n_sigs: int = 7):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             body = self.rfile.read(int(self.headers["Content-Length"]))
+            with state.lock:
+                stall = state.slow_budget > 0
+                if stall:
+                    state.slow_budget -= 1
+                cut = (not stall) and state.disconnect_budget > 0
+                if cut:
+                    state.disconnect_budget -= 1
+            if stall:
+                import time as _time
+
+                _time.sleep(state.slow_s)  # client-side read timeout path
+            if cut:
+                # Mid-stream disconnect: advertise a body, send half, drop
+                # the connection — the client sees an IncompleteRead.
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", "1000")
+                self.end_headers()
+                self.wfile.write(b'{"partial')
+                self.wfile.flush()
+                self.connection.close()
+                return
             status, payload, hdrs = state.handle(json.loads(body))
             data = json.dumps(payload).encode() if payload is not None else b""
-            self.send_response(status)
-            for k, v in hdrs.items():
-                self.send_header(k, v)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+            try:
+                self.send_response(status)
+                for k, v in hdrs.items():
+                    self.send_header(k, v)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except OSError:
+                pass  # client gave up (timeout test) — nothing to report
 
         def log_message(self, *a):  # quiet
             pass

@@ -85,6 +85,74 @@ def test_broken_sig_becomes_null_row_and_skip_policy(spark, node):
     assert got[_sig(3)] == 1700000003
 
 
+def test_read_timeout_retried_then_succeeds(node):
+    """A node that stalls past the client timeout is a TRANSIENT fault:
+    the call retries and lands (r10 verdict task #7 — slow-node leg)."""
+    node.slow_budget, node.slow_s = 2, 2.0
+    c = _client(node, timeout=0.25, max_retries=3)
+    rows = fetch_history(c, WALLET, limit=1)
+    assert len(rows) == 1 and rows[0]["response_json"] is not None
+    # 2 stalled attempts + 1 good signature call, then the tx fetch
+    assert c.requests_sent == 4
+
+
+def test_mid_stream_disconnect_retried(node):
+    """A node dying MID-RESPONSE (headers sent, body truncated) surfaces
+    as http.client.IncompleteRead — not a URLError. The client must treat
+    it as transient and retry, not crash the fetch task (the fault
+    injection that motivated widening the transient net)."""
+    node.disconnect_budget = 1
+    c = _client(node, max_retries=2)
+    sigs = c.get_signatures_for_address(WALLET, limit=2)
+    assert [s["signature"] for s in sigs] == [_sig(0), _sig(1)]
+    assert c.requests_sent == 2  # the cut attempt + the retry
+
+
+def test_backoff_schedule_exponential_and_retry_after(node):
+    """The retry schedule is exact: exponential doubling from backoff_s,
+    except a Retry-After header overrides the computed delay."""
+    sleeps: list[float] = []
+    node.http_faults = [500, 500, 500]
+    c = SolanaRpcClient(node.url, backoff_s=0.5, max_retries=3, _sleep=sleeps.append)
+    c.call("getSignaturesForAddress", [WALLET, {}])
+    assert sleeps == [0.5, 1.0, 2.0]
+
+    sleeps.clear()
+    node.http_faults = [429]
+    node.retry_after = "3"
+    c = SolanaRpcClient(node.url, backoff_s=0.5, max_retries=2, _sleep=sleeps.append)
+    c.call("getSignaturesForAddress", [WALLET, {}])
+    assert sleeps == [3.0]  # header wins over 0.5 * 2^0
+
+
+def test_partial_failure_accounting_under_mixed_faults(spark, node):
+    """The kitchen-sink run: a stalled request, a mid-stream disconnect,
+    an HTTP 503, a permanently broken signature, and a twice-flaky one —
+    the fetch still returns one row PER signature with exactly the
+    broken one null, and the error rate is queryable in bronze (the
+    'error rate lands as data' contract)."""
+    node.slow_budget, node.slow_s = 1, 2.0
+    node.disconnect_budget = 1
+    node.http_faults = [503]
+    node.broken_sigs = {_sig(2)}
+    node.flaky_sigs = {_sig(4): 2}
+    c = _client(node, timeout=0.25, max_retries=4)
+    rows = fetch_history(c, WALLET, limit=6)
+    assert [r["signature"] for r in rows] == [_sig(i) for i in range(6)]
+    assert [r["response_json"] is None for r in rows] == [
+        False, False, True, False, False, False,
+    ]
+    raw = spark.createDataFrame(rows, schema=RAW_FETCH_SCHEMA)
+    kept = conform_to_bronze(raw, drop_fetch_errors=True)
+    errs = conform_to_bronze(raw, drop_fetch_errors=False).filter(
+        "raw_metadata IS NULL"
+    )
+    assert kept.count() == 5 and errs.count() == 1
+    # accounting: every fault consumed extra attempts beyond the 7 calls
+    # (1 sig list + 6 tx) a clean run would need
+    assert c.requests_sent >= 7 + 1 + 1 + 1 + 2
+
+
 def test_rate_limit_spaces_requests():
     sleeps: list[float] = []
     clock = [0.0]

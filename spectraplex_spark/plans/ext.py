@@ -5915,15 +5915,15 @@ def _ilog_ctes(tag: str, src_sql: str, frac_bits: int = 16) -> tuple[list[str], 
     return ctes, fin
 
 
-def _unigram_oracle_sql(
-    iters: int = 3, max_word_len: int = 12, big: int = 1 << 40
-) -> str:
-    """DuckDB twin of unigram.unigram_train, EM iterations UNROLLED (the
-    bpe/pagerank/perceptron trajectory discipline): per iteration two
-    integer-log2 CTE chains (piece counts + total), a cost MAP, a
-    positionally-unrolled Viterbi DP (lateral column aliases, bigram
-    only when STRICTLY cheaper), and the freq-weighted re-count — every
-    (iter, piece, cost_q, n_uses) row of the trajectory bit-grades."""
+def _unigram_em_ctes(
+    iters: int, max_word_len: int, big: int
+) -> tuple[list[str], list[str]]:
+    """Shared generator for the unigram oracles: the word-freq base, the
+    substring seed counts, and ``iters`` EM rounds (two integer-log2
+    chains, hash-join cost lookup, position-unrolled Viterbi DP, the
+    freq-weighted re-count). Returns (ctes, per-iteration trajectory
+    SELECTs). Every chain step is AS MATERIALIZED — DuckDB inlines plain
+    CTEs, giving k^depth expression growth otherwise."""
     W = max_word_len
     ctes = [
         "w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
@@ -6010,10 +6010,38 @@ def _unigram_oracle_sql(
             f"CAST(COALESCE(s.cost_q, {big}) AS BIGINT) AS cost_q, "
             f"c.cnt AS n_uses FROM cnt{i} c LEFT JOIN sc{i} s USING (piece)"
         )
+    return ctes, outs
+
+
+def _unigram_oracle_sql(
+    iters: int = 3, max_word_len: int = 12, big: int = 1 << 40
+) -> str:
+    """DuckDB twin of unigram.unigram_train, EM iterations UNROLLED (the
+    bpe/pagerank/perceptron trajectory discipline) — every (iter, piece,
+    cost_q, n_uses) row of the trajectory bit-grades."""
+    ctes, outs = _unigram_em_ctes(iters, max_word_len, big)
     return (
         "WITH " + ",\n    ".join(ctes) + "\n    "
         + "\n    UNION ALL ".join(outs)
         + "\n    ORDER BY iter, piece"
+    )
+
+
+def _unigram_encode_oracle_sql(
+    train_iters: int = 3, max_word_len: int = 12, big: int = 1 << 40
+) -> str:
+    """DuckDB twin of the unigram ENCODE entry: run train_iters EM
+    rounds, derive the FINAL model's costs from the last counts (one
+    more log chain + Viterbi round = the encode pass over the distinct-
+    word frame), and report the top-20 emitted symbols freq-weighted —
+    the bpe_encode_topk report shape for the unigram family."""
+    ctes, _ = _unigram_em_ctes(train_iters + 1, max_word_len, big)
+    last = train_iters + 1
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences FROM "
+        f"(SELECT unnest(pieces) AS symbol, freq FROM seg{last}) "
+        + "GROUP BY symbol ORDER BY n_occurrences DESC, symbol ASC LIMIT 20"
     )
 
 
@@ -6040,3 +6068,40 @@ def unigram_trained_vocab(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return unigram_train(docs, iters=3).orderBy("iter", "piece")
+
+
+@query(
+    "unigram_encode_topk",
+    _unigram_encode_oracle_sql(),
+    doc="E4 unigram tokenizer APPLY (the encode half of "
+    "unigram_trained_vocab, completing the train+encode pair the BPE "
+    "family already has): train 3 hard-EM rounds, derive the FINAL "
+    "model's integer-grid costs from the last counts, Viterbi-encode "
+    "the corpus (broadcast cost table, Arrow batches, per-batch word "
+    "cache — the apply_bpe_pandas shape) and report the top-20 emitted "
+    "symbols. The oracle replays training as one extra EM round's "
+    "Viterbi over the freq-weighted distinct-word frame — equivalent "
+    "to the per-document encode because segmentation is a pure "
+    "function of the word (certified by the train entry's trajectory "
+    "parity plus this report).",
+)
+def unigram_encode_topk(spark, sf_dir):
+    from spectraplex_spark.operators.unigram import (
+        piece_costs,
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    traj = unigram_train(docs, iters=3)
+    counts = {
+        r["piece"]: r["n_uses"] for r in traj.filter(F.col("iter") == 3).collect()
+    }
+    return (
+        unigram_encode(docs, piece_costs(counts))
+        .select(F.explode("unigram_pieces").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+        .limit(20)
+    )

@@ -81,6 +81,7 @@ DEFERRALS: dict[str, tuple[str, str]] = {
 LATE_REGISTRATIONS: set[str] = {
     "pagerank_conserving_ranks",  # r10 verdict task #4: mass-conserving variant
     "unigram_trained_vocab",  # r10 verdict task #5: 6th iterative class
+    "unigram_encode_topk",  # its encode half (the BPE train+encode pairing)
 }
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.

@@ -172,6 +172,57 @@ def _wait(cond, timeout=60):
     return False
 
 
+def test_capped_stream_restart_no_duplicates_end_to_end(spark, tmp_path):
+    """The r10 ADVICE #1 scenario through REAL Spark offset-log machinery
+    (not reader-level calls): a stream with max_epochs_per_batch drains a
+    backlog over several micro-batches, is STOPPED mid-history with its
+    checkpoint at some epoch, more epochs land, and the restarted query
+    must produce every row EXACTLY once into an accumulate-only parquet
+    sink — the pre-fix capped latestOffset could return an offset behind
+    the checkpoint after restart, re-planning already-written epochs as
+    duplicates."""
+    spark.dataSource.register(EpochTailDataSource)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    for lo in range(0, 40, 10):  # epochs 0..3
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+
+    def run_stream(expect_ids):
+        q = (
+            spark.readStream.format("epoch_tail")
+            .option("path", path)
+            .option("max_epochs_per_batch", "1")  # cap binds per trigger
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        def sink_ids():
+            try:
+                return {r["id"] for r in spark.read.parquet(sink).collect()}
+            except Exception:  # sink not readable until the first batch
+                return set()
+
+        try:
+            assert _wait(lambda: sink_ids() == expect_ids, timeout=90), sorted(
+                sink_ids()
+            )
+        finally:
+            q.stop()
+
+    # first run drains the 4-epoch backlog one epoch per micro-batch
+    run_stream(set(range(40)))
+    # new epochs while the query is down; the checkpoint sits at epoch 3
+    for lo in (40, 50):
+        idempotent_append(_batch(spark, lo, lo + 10), path, partition_by=("part",))
+    # restart: the capped source must move FORWARD only
+    run_stream(set(range(60)))
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 60, f"duplicates written: {len(rows)} rows for 60 ids"
+
+
 def test_epoch_to_epoch_replication_exactly_once(spark, tmp_path):
     """The composition the source exists for: tail table A as a stream
     and land each micro-batch into table B with idempotent_append —

@@ -87,14 +87,23 @@ def pagerank_integer(
     init = scale // n
     base = (((100 - damping_pct) * scale) // 100) // n
 
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(Window.orderBy("node"))
-
     if conserve_dangling:
-        ranks = nodes.select(
+        # Node order is loop-invariant: pay the global row_number sort
+        # ONCE (over the narrow 2-column node frame), checkpoint it, and
+        # hash-join it per round — not one single-partition sort per
+        # iteration. (The per-round exchanges on "node" co-partition with
+        # the dst aggregation's key, so the join adds no extra shuffle.)
+        from pyspark.sql.window import Window
+
+        nr = lineage_truncate(
+            nodes.select(
+                "node", F.row_number().over(Window.orderBy("node")).alias("_rn")
+            ),
+            reliable_checkpoint,
+        )
+        ranks = nr.select(
             "node",
-            (F.lit(init) + F.when(rn <= scale % n, 1).otherwise(0))
+            (F.lit(init) + F.when(F.col("_rn") <= scale % n, 1).otherwise(0))
             .cast("long")
             .alias("rank_q"),
         )
@@ -115,10 +124,11 @@ def pagerank_integer(
                 .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("_dm"))
             )
             pre = (
-                nodes.join(agg, "node", "left")
+                nr.join(agg, "node", "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
+                    "_rn",
                     (
                         F.lit(base)
                         + F.coalesce(F.col("_s"), F.lit(0))
@@ -138,7 +148,9 @@ def pagerank_integer(
                     (
                         F.col("_pre")
                         + F.expr(f"({scale} - _tot) div {n}")
-                        + F.when(rn <= F.expr(f"({scale} - _tot) % {n}"), 1).otherwise(0)
+                        + F.when(
+                            F.col("_rn") <= F.expr(f"({scale} - _tot) % {n}"), 1
+                        ).otherwise(0)
                     )
                     .cast("long")
                     .alias("rank_q"),

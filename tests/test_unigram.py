@@ -48,6 +48,55 @@ def test_viterbi_properties():
     assert viterbi_segment("aab", cost) == ["a", "ab"]
 
 
+def test_ilog2q_properties_hypothesis():
+    """Monotone, grid-accurate, and width-safe across the full BIGINT
+    range the oracle's CASE-guarded shift must also handle."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=(1 << 62) - 1))
+    def check(x):
+        v = ilog2q(x)
+        assert abs(v / (1 << 16) - math.log2(x)) < 2 / (1 << 16)
+        if x > 1:
+            assert ilog2q(x - 1) <= v  # monotone non-decreasing
+
+    check()
+
+
+def test_viterbi_optimal_vs_bruteforce_hypothesis():
+    """The DP's cost equals the true minimum over ALL 1/2-piece
+    segmentations (enumerated), and the pieces always reassemble the
+    word — on random words and random cost tables."""
+    from hypothesis import given, settings, strategies as st
+
+    def brute_min(word, cost, big=BIG_COST):
+        if not word:
+            return 0
+        best = cost.get(word[0], big) + brute_min(word[1:], cost, big)
+        if len(word) >= 2:
+            alt = cost.get(word[:2], big) + brute_min(word[2:], cost, big)
+            best = min(best, alt)
+        return best
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="abc", min_size=0, max_size=9),
+        st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=2),
+            st.integers(min_value=0, max_value=1000),
+            max_size=12,
+        ),
+    )
+    def check(word, cost):
+        pieces = viterbi_segment(word, cost)
+        assert "".join(pieces) == word
+        got = sum(cost.get(p, BIG_COST) for p in pieces)
+        assert got == brute_min(word, cost)
+
+    check()
+
+
 def _py_unigram_train(word_freqs, iters=3):
     """Pure-Python hard-EM replica of unigram_train's trajectory."""
     counts: dict[str, int] = {}

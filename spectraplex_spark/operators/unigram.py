@@ -157,12 +157,26 @@ def _seed_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def prune_vocab(counts: dict[str, int], vocab_size: int) -> dict[str, int]:
+    """SentencePiece-style prune schedule step: keep the ``vocab_size``
+    highest-count pieces (count DESC, piece ASC — deterministic) plus
+    ALL single characters (the standard always-keep set, so every word
+    stays segmentable without sentinel costs)."""
+    if len(counts) <= vocab_size:
+        return counts
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = {p for p, _ in ranked[:vocab_size]}
+    keep |= {p for p in counts if len(p) == 1}
+    return {p: c for p, c in counts.items() if p in keep}
+
+
 def unigram_train(
     df: DataFrame,
     text_col: str = "text",
     iters: int = 3,
     max_word_len: int = 12,
     reliable_checkpoint: bool = False,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Hard-EM unigram trainer.  Returns the full TRAJECTORY — one row
     per (iteration, piece used in that iteration's Viterbi output):
@@ -173,6 +187,12 @@ def unigram_train(
 
     so the whole EM trajectory — not just the final vocab — bit-grades
     against the unrolled-CTE oracle.
+
+    ``vocab_size`` enables the SentencePiece prune schedule: after every
+    M-step (and on the seed), the vocab is cut to the highest-count
+    ``vocab_size`` pieces plus all single chars (:func:`prune_vocab`) —
+    lower-probability pieces stop competing in the next Viterbi round.
+    The graded catalog entry trains unpruned (None).
     """
     from pyspark.sql import types as T
 
@@ -183,6 +203,8 @@ def unigram_train(
     counts = {
         r["piece"]: r["cnt"] for r in _seed_counts(words).collect()
     }  # vocab-sized (≤ |alphabet| + |alphabet|²)
+    if vocab_size is not None:
+        counts = prune_vocab(counts, vocab_size)
 
     seg_schema = T.StructType(
         [
@@ -213,6 +235,8 @@ def unigram_train(
                 .collect()  # vocab-sized, the bounded-collect contract
             )
         }
+        if vocab_size is not None:
+            counts = prune_vocab(counts, vocab_size)
         out_rows.extend(
             (i, p, cost.get(p, BIG_COST), n) for p, n in sorted(counts.items())
         )

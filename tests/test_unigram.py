@@ -147,6 +147,58 @@ def test_unigram_train_matches_python_replica(spark):
         ), i
 
 
+def test_prune_vocab_rules():
+    from spectraplex_spark.operators.unigram import prune_vocab
+
+    counts = {"a": 5, "b": 1, "ab": 10, "ba": 10, "bb": 2}
+    got = prune_vocab(counts, 3)
+    # top-3 by (count desc, piece asc) = ab, ba, a — plus ALL chars
+    assert got == {"a": 5, "b": 1, "ab": 10, "ba": 10}
+    assert prune_vocab(counts, 10) == counts  # no-op when under budget
+
+
+def test_unigram_train_prune_schedule(spark):
+    """vocab_size caps the competing pieces each round (single chars
+    always survive), and the pruned trajectory matches a pure-Python
+    replica with the same schedule."""
+    from spectraplex_spark.operators.unigram import prune_vocab
+
+    rows = [(1, "the theme the them"), (2, "a ab abb the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {"the": 3, "theme": 1, "them": 1, "a": 1, "ab": 1, "abb": 1}
+    K = 12
+
+    counts: dict[str, int] = {}
+    for w, f in wf.items():
+        for k in range(len(w)):
+            counts[w[k]] = counts.get(w[k], 0) + f
+            if k + 1 < len(w):
+                counts[w[k : k + 2]] = counts.get(w[k : k + 2], 0) + f
+    counts = prune_vocab(counts, K)
+    expect = []
+    for i in (1, 2):
+        cost = piece_costs(counts)
+        new: dict[str, int] = {}
+        for w, f in wf.items():
+            for p in viterbi_segment(w, cost):
+                new[p] = new.get(p, 0) + f
+        counts = prune_vocab(new, K)
+        expect.extend(
+            (i, p, cost.get(p, BIG_COST), n) for p, n in sorted(counts.items())
+        )
+
+    got = [
+        (r["iter"], r["piece"], r["cost_q"], r["n_uses"])
+        for r in unigram_train(df, iters=2, vocab_size=K).collect()
+    ]
+    assert got == expect
+    # the schedule binds: never more than K + (surviving chars) pieces
+    for i in (1, 2):
+        n_i = sum(1 for it, *_ in got if it == i)
+        n_chars_i = sum(1 for it, p, _, _ in got if it == i and len(p) == 1)
+        assert n_i <= K + n_chars_i
+
+
 def test_unigram_train_long_words_excluded(spark):
     """Words over max_word_len never reach the trainer (documented cap:
     the oracle's DP unrolls positionally)."""

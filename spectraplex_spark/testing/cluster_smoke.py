@@ -34,6 +34,12 @@ Query battery (one per risk class):
     processes feeding driver-held weights
   - bpe_encode_pandas_topk (r10): mapInPandas with a closure-broadcast
     trained tokenizer on remote Python workers
+  - unigram_trained_vocab (r11): hard-EM loop — per-iteration Arrow
+    Viterbi on remote Python workers feeding vocab-sized driver
+    collects, trajectory must be partition/process-order independent
+  - pagerank_conserving_ranks (r11): per-round broadcast of 1-row
+    aggregates (dangling mass, total) across executor processes plus
+    the checkpointed node-order frame re-read by every round
 """
 
 from __future__ import annotations
@@ -54,6 +60,8 @@ QUERIES = [
     "epoch_tail_stream_roundtrip",
     "perceptron_quality_trajectory",
     "bpe_encode_pandas_topk",
+    "unigram_trained_vocab",
+    "pagerank_conserving_ranks",
 ]
 
 DEFAULT_MASTER = "local-cluster[2,2,2048]"

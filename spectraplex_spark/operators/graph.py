@@ -65,11 +65,12 @@ def pagerank_integer(
       - the initial vector gets the same ``scale mod N`` top-up, so the
         invariant holds from round 0.
 
-    The remainder pass is one narrow window over the N-row rank frame
-    (nodes ≪ edges; the edge join and the dst aggregation — the actual
-    data-volume work — stay fully distributed).  Cost per round vs the
-    default: one 1-row anti-join aggregate + one 1-row total + one
-    row_number over the rank frame.
+    Node order is loop-invariant, so the global row_number sort runs
+    ONCE over the narrow node frame (checkpointed) and is hash-joined
+    per round (nodes ≪ edges; the edge join and the dst aggregation —
+    the actual data-volume work — stay fully distributed).  Cost per
+    round vs the default: one 1-row anti-join aggregate, one 1-row
+    total, one node-keyed join against the precomputed order.
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")

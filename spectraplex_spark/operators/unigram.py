@@ -35,8 +35,9 @@ Simplifications vs full SentencePiece, documented: pieces are capped
 at length 2 and words at ``max_word_len`` chars (the oracle unrolls
 the DP positionally; raise the caps together), the seed vocab is all
 observed chars + adjacent bigrams (substring-frequency seeding), and
-there is no prune schedule — the vocab shrinks only by pieces falling
-out of use.  Fixed iteration count, like every trainer here.
+the prune schedule (:func:`prune_vocab`, opt-in via ``vocab_size``) is
+a hard top-K cut rather than SentencePiece's likelihood-loss ranking.
+Fixed iteration count, like every trainer here.
 
 Scale shape at 100 TB: the corpus is touched once (token explode →
 word-count shuffle); every EM iteration runs on the distinct-word

@@ -204,6 +204,11 @@ def unigram_train(
     counts = {
         r["piece"]: r["cnt"] for r in _seed_counts(words).collect()
     }  # vocab-sized (≤ |alphabet| + |alphabet|²)
+    if not counts:  # loud seam, not an ilog2q(0) ValueError three calls deep
+        raise ValueError(
+            "unigram_train: empty training corpus — no words of length "
+            f"1..{max_word_len} in column {text_col!r}"
+        )
     if vocab_size is not None:
         counts = prune_vocab(counts, vocab_size)
 

@@ -197,6 +197,31 @@ def test_fetch_wallet_batch_distributed(spark, node):
     assert all(r["response_json"] for r in rows)
 
 
+def test_fetch_wallet_batch_under_faults(spark, node):
+    """The DISTRIBUTED fetch path with executor-side clients retrying
+    through injected faults: HTTP 503s, transient RPC codes, and one
+    permanently broken signature — every wallet still yields one row per
+    signature, with exactly the broken signature's rows null across ALL
+    wallets (the fixture serves a shared history)."""
+    node.http_faults = [503, 429]
+    node.retry_after = "0"
+    node.flaky_sigs = {_sig(0): 1}
+    node.broken_sigs = {_sig(2)}
+    other = "OtherWallet2222222222222222222222222222222222"
+    wallets = spark.createDataFrame(
+        [(WALLET,), (other,)], "wallet_address string"
+    )
+    raw = fetch_wallet_batch(
+        wallets, node.url, limit_per_wallet=4, fetch_partitions=2,
+        max_rps_per_task=None, backoff_s=0.001,
+    )
+    rows = raw.collect()
+    assert len(rows) == 8
+    nulls = {(r["wallet_address"], r["signature"])
+             for r in rows if r["response_json"] is None}
+    assert nulls == {(WALLET, _sig(2)), (other, _sig(2))}
+
+
 def test_datasource_api_partitions_per_wallet(spark):
     """The Python Data Source plans one InputPartition per wallet —
     partition count IS the concurrency/rate-policy knob."""

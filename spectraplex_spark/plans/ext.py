@@ -6105,3 +6105,271 @@ def unigram_encode_topk(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("symbol"))
         .limit(20)
     )
+
+
+# --- round-11 (continuation) additions: WordPiece — the tokenizer trio ----
+
+
+def _wordpiece_train_ctes(n_merges: int, min_pf: int) -> list[str]:
+    """Shared CTE chain for the WordPiece oracles: decorated v0, then one
+    (candidate pair-counts → symbol-counts → one-row scored argmax →
+    conditional re-segmentation) quadruple per merge iteration — the
+    _bpe_train_oracle_sql unroll with three deltas: (1) v0 decorates
+    every non-initial char with '##' (BERT continuation forms); (2) the
+    argmax key is the integer-grid likelihood score floor(pf·10^12 /
+    (cnt(a)·cnt(b))) in HUGEINT — bit-equal to the Spark side's
+    DECIMAL-range `div`; (3) best{i} can be EMPTY (the candidate floor
+    is applied before the argmax), so re-segmentation rides a LEFT JOIN
+    ON TRUE and a NULL winner leaves the vocab unchanged — a fixed
+    point, reproducing the trainer's early stop."""
+    scale = 10**12
+    ctes = [
+        "v0 AS MATERIALIZED (SELECT w, freq, list_transform("
+        "generate_series(1, len(cs)), i -> CASE WHEN i = 1 THEN cs[i] "
+        "ELSE '##' || cs[i] END) AS symbols FROM ("
+        "SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS cs"
+        f" FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents) GROUP BY w))"
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT a, b, SUM(freq) AS pf FROM ("
+            f"SELECT freq, unnest(symbols[1:len(symbols)-1]) AS a,"
+            f" unnest(symbols[2:len(symbols)]) AS b"
+            f" FROM v{i} WHERE len(symbols) >= 2) GROUP BY a, b"
+            f" HAVING SUM(freq) >= {min_pf})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s, SUM(freq) AS cnt FROM ("
+            f"SELECT unnest(symbols) AS s, freq FROM v{i}) GROUP BY s)"
+        )
+        ctes.append(
+            f"best{i} AS MATERIALIZED (SELECT a AS ba, b AS bb, pf,"
+            f" CAST((CAST(pf AS HUGEINT) * {scale}) //"
+            f" (CAST(ca.cnt AS HUGEINT) * CAST(cb.cnt AS HUGEINT)) AS BIGINT) AS sq,"
+            f" CASE WHEN starts_with(b, '##') THEN b[3:] ELSE b END AS bs"
+            f" FROM p{i} JOIN s{i} ca ON ca.s = p{i}.a"
+            f" JOIN s{i} cb ON cb.s = p{i}.b"
+            f" ORDER BY sq DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i + 1} AS MATERIALIZED (SELECT w, freq,"
+            f" CASE WHEN ba IS NULL THEN symbols ELSE"
+            f" string_split(list_reduce(symbols, (acc, s) ->"
+            f" CASE WHEN (acc = ba OR ends_with(acc, ' ' || ba)) AND s = bb"
+            f" THEN acc || bs ELSE acc || ' ' || s END), ' ')"
+            f" END AS symbols"
+            f" FROM v{i} LEFT JOIN best{i} ON TRUE)"
+        )
+    return ctes
+
+
+def _wordpiece_train_oracle_sql(n_merges: int = 8, min_pf: int = 2) -> str:
+    """DuckDB twin of wordpiece.wordpiece_train: the full merge
+    trajectory (step, a, b, pair_freq, score_q), iterations unrolled."""
+    ctes = _wordpiece_train_ctes(n_merges, min_pf)
+    union = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, ba AS a, bb AS b, pf, sq FROM best{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    m AS ({union})
+    SELECT CAST(step AS INT) AS step, a, b, CAST(pf AS BIGINT) AS pair_freq,
+           sq AS score_q
+    FROM m ORDER BY step
+    """
+    )
+
+
+def _wordpiece_encode_oracle_sql(
+    n_merges: int = 8, min_pf: int = 2, max_word_len: int = 16
+) -> str:
+    """DuckDB twin of the WordPiece ENCODE entry: train n_merges rounds
+    (shared CTE chain), export the vocab (decorated alphabet ∪ merge
+    outputs), then GREEDY LONGEST-MATCH-FIRST segmentation of every
+    DISTINCT word, unrolled over ``max_word_len`` cursor steps (each
+    step consumes ≥1 char, so the unroll is exhaustive; longer words
+    are [UNK] outright, the HF max_input_chars_per_word rule).  The
+    longest match at a cursor is a pure list expression —
+    list_max(list_filter(candidate lengths, vocab membership)) — no
+    joins in the hot per-step CTEs beyond the one-row vocab-list/maxlen
+    frames.  Equivalent to the per-document Spark encode because
+    segmentation is a pure function of the word (the unigram_encode
+    precedent); the report freq-weights the distinct-word pieces."""
+    W = max_word_len
+    ctes = _wordpiece_train_ctes(n_merges, min_pf)
+    merged_union = " UNION ".join(
+        f"SELECT ba || bs AS s FROM best{i}" for i in range(n_merges)
+    )
+    ctes.append(
+        "vv AS MATERIALIZED (SELECT DISTINCT s FROM ("
+        f"SELECT unnest(symbols) AS s FROM v0 UNION {merged_union}))"
+    )
+    ctes.append("vl AS MATERIALIZED (SELECT list(s ORDER BY s) AS vs FROM vv)")
+    ctes.append(
+        "mp AS MATERIALIZED (SELECT MAX(length("
+        "CASE WHEN starts_with(s, '##') THEN s[3:] ELSE s END)) AS mx FROM vv)"
+    )
+    ctes.append(
+        "g0 AS MATERIALIZED (SELECT w AS word, freq, length(w) AS L,"
+        " CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc,"
+        f" length(w) > {W} AS failed FROM v0)"
+    )
+    for k in range(1, W + 1):
+        piece = (
+            "CASE WHEN pos = 1 THEN substr(word, pos, bl)"
+            " ELSE '##' || substr(word, pos, bl) END"
+        )
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT word, freq, L,"
+            " CASE WHEN failed OR pos > L OR bl IS NULL THEN pos"
+            " ELSE pos + bl END AS pos,"
+            " CASE WHEN failed OR pos > L OR bl IS NULL THEN acc"
+            f" WHEN acc = '' THEN {piece}"
+            f" ELSE acc || ' ' || {piece} END AS acc,"
+            " failed OR (pos <= L AND bl IS NULL) AS failed"
+            " FROM (SELECT g.*, list_max(list_filter("
+            " generate_series(1, least(mp.mx, L - pos + 1)),"
+            " q -> list_contains(vl.vs, CASE WHEN pos = 1"
+            " THEN substr(word, pos, q)"
+            " ELSE '##' || substr(word, pos, q) END))) AS bl"
+            f" FROM g{k - 1} g, vl, mp))"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    enc AS (SELECT word, freq,
+              CASE WHEN failed THEN ['[UNK]']
+                   ELSE string_split(acc, ' ') END AS pieces
+            FROM g{W})
+    SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(pieces) AS symbol, freq FROM enc)
+    GROUP BY symbol ORDER BY n_occurrences DESC, symbol ASC LIMIT 20
+    """
+    )
+
+
+@query(
+    "wordpiece_trained_merges",
+    _wordpiece_train_oracle_sql(n_merges=8, min_pf=2),
+    doc="E4 WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the "
+    "BERT-family tokenizer), completing the tokenizer trio beside BPE "
+    "(bpe_trained_merges) and unigram-LM (unigram_trained_vocab): the "
+    "BPE merge loop with the likelihood objective — merge the adjacent "
+    "pair maximizing count(ab)/(count(a)·count(b)) over the CURRENT "
+    "segmentation, computed as an exact integer floor on the 10^-12 "
+    "grid (DECIMAL-range div on the Spark side, HUGEINT // in the "
+    "oracle — no floats, bit-reproducible argmax). Initial segmentation "
+    "decorates non-initial chars with '##' (BERT continuation forms); "
+    "merges strip the marker off the right piece. One corpus scan "
+    "builds the word table; per iteration: two vocab-sized shuffles "
+    "(pair + symbol counts, symbol frame broadcast onto the pairs), a "
+    "k=1 argmax collect, a zero-shuffle HOF re-segment fold over the "
+    "touched slice, eager localCheckpoint (flat lineage). The candidate "
+    "floor (pair_freq >= 2) applies BEFORE the argmax — the ratio score "
+    "otherwise crowns one-off noise pairs. Oracle: 8 unrolled "
+    "(pairs→symbols→scored argmax→re-segment) CTE quadruples; the whole "
+    "(step, a, b, pair_freq, score_q) trajectory bit-grades.",
+)
+def wordpiece_trained_merges(spark, sf_dir):
+    from spectraplex_spark.operators.wordpiece import wordpiece_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges, vocab = wordpiece_train(docs, n_merges=8, min_pair_freq=2)
+    vocab.unpersist()
+    rows = [(i + 1, a, b, pf, sq) for i, (a, b, pf, sq) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step int, a string, b string, pair_freq long, score_q long"
+    )
+
+
+@query(
+    "wordpiece_encode_topk",
+    _wordpiece_encode_oracle_sql(n_merges=8, min_pf=2, max_word_len=16),
+    doc="E4 WordPiece tokenizer APPLY (the encode half of "
+    "wordpiece_trained_merges — all three tokenizer families now carry "
+    "a graded train+encode pair): train 8 merges, export the vocab "
+    "(decorated alphabet ∪ merge outputs — what a released BERT vocab "
+    "file holds), then GREEDY LONGEST-MATCH-FIRST segmentation per "
+    "token with '##' continuation prefixes; any dead-end cursor or a "
+    "token over 16 chars makes the whole token [UNK] (the HF "
+    "WordpieceTokenizer semantics, max_input_chars_per_word). Spark "
+    "side: broadcast-vocab Arrow mapInPandas with a per-batch word "
+    "cache (the apply_bpe_pandas shape — zero shuffle); report = "
+    "top-20 emitted symbols. Oracle: the train CTE chain + the greedy "
+    "cursor loop unrolled over 16 steps, longest match as "
+    "list_max(list_filter(...)) against the one-row vocab list — "
+    "equivalent per distinct word because segmentation is a pure "
+    "function of the word (the unigram_encode_topk precedent).",
+)
+def wordpiece_encode_topk(spark, sf_dir):
+    from spectraplex_spark.operators.wordpiece import (
+        build_wp_vocab,
+        wordpiece_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges, vocab = wordpiece_train(docs, n_merges=8, min_pair_freq=2)
+    vocab.unpersist()
+    vset = wordpiece_vocab(build_wp_vocab(docs), merges)
+    return (
+        wordpiece_encode(docs, vset, max_word_len=16)
+        .select(F.explode("wordpiece_pieces").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+        .limit(20)
+    )
+
+
+def _shuffle_oracle_sql(n_shards: int, seed: int) -> str:
+    """DuckDB twin of shuffling.shuffle_shards(_scalable): the affine
+    permutation in plain BIGINT (products < 2^62), exact-balance shard
+    cut and in-shard position via two window passes."""
+    from spectraplex_spark.operators.shuffling import PERM_P, perm_params
+
+    a, b = perm_params(seed)
+    return f"""
+    WITH p AS (SELECT doc_id,
+                 CAST(({a} * doc_id + {b}) % {PERM_P} AS BIGINT) AS perm_q
+               FROM documents),
+    r AS (SELECT doc_id, perm_q,
+            ROW_NUMBER() OVER (ORDER BY perm_q, doc_id) AS rn,
+            COUNT(*) OVER () AS total
+          FROM p),
+    s AS (SELECT doc_id, perm_q,
+            CAST(((rn - 1) * {n_shards}) // total AS BIGINT) AS shard_ranked,
+            CAST(perm_q % {n_shards} AS BIGINT) AS shard_mod,
+            rn
+          FROM r)
+    SELECT doc_id, perm_q, shard_ranked, shard_mod,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_ranked ORDER BY rn) - 1
+                AS BIGINT) AS shard_pos
+    FROM s ORDER BY doc_id
+    """
+
+
+@query(
+    "training_shuffle_shards",
+    _shuffle_oracle_sql(n_shards=16, seed=7),
+    doc="E4/§2.11 deterministic global shuffle + balanced shard "
+    "assignment (operators/shuffling.py) — the last step of a "
+    "pretraining-data pipeline: a SEEDED bijective affine permutation "
+    "perm_q = (A·doc_id + B) mod (2^31−1) gives a total order that is "
+    "a function of (id, seed) only — bit-identical across "
+    "partitionings, file layouts and cluster sizes (rand(seed) is "
+    "per-partition-seeded and is NOT). Ranked shards cut the global "
+    "rank into 16 exactly-balanced slices; shard_mod = perm_q mod 16 "
+    "is the zero-rank writer key; shard_pos is the resume offset. This "
+    "entry grades the SCALABLE two-phase ranking (range exchange + "
+    "stamped-pid checkpoint + bounded per-partition-count collect + "
+    "broadcast offsets — no single-task global window); the simple "
+    "window path is pytest-pinned bit-equal. All arithmetic < 2^62: "
+    "ANSI-safe, BIGINT-exact on both engines.",
+)
+def training_shuffle_shards(spark, sf_dir):
+    from spectraplex_spark.operators.shuffling import shuffle_shards_scalable
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards_scalable(docs, n_shards=16, seed=7).orderBy("doc_id")

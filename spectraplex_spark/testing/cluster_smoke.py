@@ -40,6 +40,14 @@ Query battery (one per risk class):
   - pagerank_conserving_ranks (r11): per-round broadcast of 1-row
     aggregates (dangling mass, total) across executor processes plus
     the checkpointed node-order frame re-read by every round
+  - wordpiece_trained_merges (r11 cont.): likelihood-scored argmax —
+    per-iteration broadcast hash joins of the symbol-count frame onto
+    the pair frame across executor processes, DECIMAL div exactness
+    under partial-agg merge order
+  - training_shuffle_shards (r11 cont.): two-phase distributed ranking
+    — range-exchange boundary sampling, stamped-pid localCheckpoint
+    blocks read back by two consumers, broadcast offset map; the rank
+    must be identical to single-process execution BY CONSTRUCTION
 """
 
 from __future__ import annotations
@@ -62,6 +70,8 @@ QUERIES = [
     "bpe_encode_pandas_topk",
     "unigram_trained_vocab",
     "pagerank_conserving_ranks",
+    "wordpiece_trained_merges",
+    "training_shuffle_shards",
 ]
 
 DEFAULT_MASTER = "local-cluster[2,2,2048]"

@@ -82,23 +82,32 @@ LATE_REGISTRATIONS: set[str] = {
     "pagerank_conserving_ranks",  # r10 verdict task #4: mass-conserving variant
     "unigram_trained_vocab",  # r10 verdict task #5: 6th iterative class
     "unigram_encode_topk",  # its encode half (the BPE train+encode pairing)
+    "wordpiece_trained_merges",  # tokenizer trio complete: BERT-family trainer
+    "wordpiece_encode_topk",  # its greedy longest-match encode half
+    "training_shuffle_shards",  # seeded deterministic shuffle + balanced shards
 }
 
 # ---- ROUND-12 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
 # for the live numbers; written at r11 close so r12 starts instantly):
-#   mandatory = 54 for 50 slots, assuming the r11 window greens:
-#   3 late-r11 registrations (pagerank_conserving_ranks,
-#   unigram_trained_vocab, unigram_encode_topk — all dual-SF green
-#   locally at registration) + the 5 r11 deferrals (now r7-vintage,
-#   HARD mandatory: knn_join_topk_arrow, multimodal_resize,
-#   solana_normalize_udtf_golden, simhash_dup_groups_planted,
-#   session_window_builtin) + 46 r8-vintage entries.
-#   → defer 4 of the r8s with fresh siblings. Shortlist (verify with the
+#   mandatory = 57 for 50 slots, assuming the r11 window greens:
+#   6 late-r11 registrations (pagerank_conserving_ranks,
+#   unigram_trained_vocab, unigram_encode_topk, wordpiece_trained_merges,
+#   wordpiece_encode_topk, training_shuffle_shards — all dual-SF green
+#   locally at registration)
+#   + the 5 r11 deferrals (now r7-vintage, HARD mandatory:
+#   knn_join_topk_arrow, multimodal_resize, solana_normalize_udtf_golden,
+#   simhash_dup_groups_planted, session_window_builtin)
+#   + 46 r8-vintage entries.
+#   → defer 7 of the r8s with fresh siblings. Shortlist (verify with the
 #   CLI before adopting — siblings must land in-window or carry r9+):
 #     - array_posexplode_embeddings (sibling array_ops_embeddings,
 #       in-window r11)
 #     - bpe_merge_pairs (siblings bpe_trained_merges r9,
 #       bpe_encode_pandas_topk r11)
+#     - bpe_encode_topk (sibling bpe_encode_pandas_topk, in-window r11 —
+#       same merge-replay segmentation, pinned bit-equal by pytest)
+#     - embedding_neardup_pairs (sibling embedding_neardup_bucketed,
+#       in-window r11 — same hyperplane-LSH family)
 #     - domain_cap_sample (sibling domain_cap_scalable r9)
 #     - source_quota_sample (sibling source_quota_scalable r10)
 #     - daily_rollup_events (sibling incremental_rollup_merge, in-window

@@ -1,0 +1,94 @@
+"""Deterministic shuffle + shard assignment (operators/shuffling.py):
+exact-vs-scalable bit-equality, partitioning independence, balance,
+bijectivity, and the loud id-range contract.  Cross-engine grading is
+in test_oracle_parity.py (training_shuffle_shards)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from spectraplex_spark.operators.shuffling import (
+    PERM_P,
+    perm_params,
+    shard_manifest,
+    shuffle_shards,
+    shuffle_shards_scalable,
+)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("doc_id").collect()]
+
+
+def test_scalable_bit_equal_and_partitioning_independent(spark):
+    """The two-phase distributed ranking returns byte-identical rows to
+    the single-window reference — and neither changes when the input
+    arrives under a different partitioning (the rand(seed) failure
+    mode this operator exists to rule out)."""
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = _rows(shuffle_shards(df, 7, seed=42))
+    assert a == _rows(shuffle_shards_scalable(df, 7, seed=42))
+    assert a == _rows(shuffle_shards_scalable(df.repartition(13), 7, seed=42))
+    assert a == _rows(shuffle_shards_scalable(df.coalesce(1), 7, seed=42))
+    assert a == _rows(shuffle_shards(df.repartition(3), 7, seed=42))
+
+
+def test_permutation_is_bijective_and_seeded(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, 4, seed=1).select("doc_id", "perm_q").collect()
+    assert len({r["perm_q"] for r in a}) == 1000  # collision-free
+    b = shuffle_shards(df, 4, seed=2).select("doc_id", "perm_q").collect()
+    assert {r["perm_q"] for r in a} != {r["perm_q"] for r in b}
+    # the python-side params replay the column expression
+    A, B = perm_params(1)
+    got = {r["doc_id"]: r["perm_q"] for r in a}
+    for i in (0, 1, 999):
+        assert got[i] == (A * i + B) % PERM_P
+
+
+def test_ranked_shards_exactly_balanced(spark):
+    df = spark.range(0, 1003).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, 8, seed=0).collect()
+    sizes = Counter(r["shard_ranked"] for r in out)
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # shard_pos is a dense 0..size-1 enumeration per shard
+    for s, n in sizes.items():
+        pos = sorted(r["shard_pos"] for r in out if r["shard_ranked"] == s)
+        assert pos == list(range(n))
+    # shard_mod stays within range and is perm-derived
+    assert all(0 <= r["shard_mod"] < 8 for r in out)
+    assert all(r["shard_mod"] == r["perm_q"] % 8 for r in out)
+
+
+def test_shard_manifest_bounded_and_consistent(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, 5, seed=3)
+    mani = {r["shard_ranked"]: r for r in shard_manifest(out).collect()}
+    assert len(mani) == 5
+    assert sum(r["n_docs"] for r in mani.values()) == 200
+    # perm spans are disjoint and ordered by shard (rank cut along perm_q)
+    spans = [
+        (mani[s]["perm_lo"], mani[s]["perm_hi"]) for s in sorted(mani)
+    ]
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+
+def test_out_of_range_id_fails_loudly(spark):
+    bad = spark.createDataFrame([(PERM_P + 5,)], "doc_id long")
+    with pytest.raises(Exception, match="outside"):
+        shuffle_shards(bad, 2).collect()
+    null = spark.createDataFrame([(None,)], "doc_id long")
+    with pytest.raises(Exception, match="outside"):
+        shuffle_shards_scalable(null, 2).collect()
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(bad, 0)
+
+
+def test_empty_input(spark):
+    df = spark.range(0, 0).withColumnRenamed("id", "doc_id")
+    assert shuffle_shards(df, 4).count() == 0
+    assert shuffle_shards_scalable(df, 4).count() == 0

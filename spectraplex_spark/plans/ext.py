@@ -6373,3 +6373,89 @@ def training_shuffle_shards(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return shuffle_shards_scalable(docs, n_shards=16, seed=7).orderBy("doc_id")
+
+
+# --- round-11 (continuation): event-funnel + cohort-retention analytics ---
+
+_FUNNEL_W_US = 7 * 86400 * 1_000_000  # 7-day window in BIGINT micros
+
+
+@query(
+    "funnel_conversion_report",
+    f"""
+    WITH u1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+           FROM events e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+             AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W_US}
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+           FROM events e JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+             AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W_US}
+           GROUP BY e.user_id),
+    c AS (SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n FROM u1
+          UNION ALL SELECT 2, 'click', COUNT(*) FROM u2
+          UNION ALL SELECT 3, 'purchase', COUNT(*) FROM u3),
+    n1 AS (SELECT n AS first_n FROM c WHERE step = 1)
+    SELECT CAST(step AS INT) AS step, event_type, CAST(n AS BIGINT) AS n_users,
+           CAST(CASE WHEN first_n > 0 THEN (n * 1000000) // first_n
+                     ELSE 0 END AS BIGINT) AS pct_of_first_q
+    FROM c, n1 ORDER BY step
+    """,
+    doc="§2.11 event-funnel conversion (the ClickHouse windowFunnel "
+    "contract): per user, step i is reached at the EARLIEST event of "
+    "its type STRICTLY after step i-1 and within 7 days of step 1 "
+    "(greedy-earliest anchoring, documented). ONE groupBy(user) "
+    "shuffle: events pre-filtered to the funnel's types, per-user "
+    "sorted struct list + a single HOF fold advancing a k-slot state "
+    "array in BIGINT micros (the state is a filled prefix, so the "
+    "next unmatched step is the filled count) — zero Python, zero "
+    "extra shuffles, bounded k-row output with 10^-6-grid conversion "
+    "ratios. Oracle: chained conditional-min CTEs (t1 -> t2 > t1 -> "
+    "t3 > t2, all within t1 + W) — equivalent to the fold because "
+    "events are scanned in time order (proof in operators/analytics"
+    ".py). Spark is the UTC-pinned session (session.py), so "
+    "unix_micros(cast) == epoch_us on the same wallclock.",
+)
+def funnel_conversion_report(spark, sf_dir):
+    from spectraplex_spark.operators.analytics import funnel_report
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_report(
+        ev, ["view", "click", "purchase"], window_s=7 * 86400
+    ).orderBy("step")
+
+
+@query(
+    "cohort_retention_daily",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id),
+    s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM f GROUP BY cohort_day),
+    a AS (SELECT f.cohort_day,
+            date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+            CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+          FROM events e JOIN f USING (user_id) GROUP BY 1, 2)
+    SELECT a.cohort_day, CAST(day_offset AS INT) AS day_offset, n_active,
+           cohort_size,
+           CAST((n_active * 1000000) // cohort_size AS BIGINT) AS retention_q
+    FROM a JOIN s USING (cohort_day) ORDER BY 1, 2
+    """,
+    doc="§2.11 cohort-retention matrix (the product-analytics "
+    "retention report): cohort = each user's first activity day; the "
+    "matrix counts distinct active users per (cohort_day, day_offset) "
+    "with cohort size and a 10^-6-grid retention ratio (exact BIGINT "
+    "floor on both engines). Two honest shuffles — per-user first-day "
+    "aggregate and the (cohort, offset) distinct-count — with the "
+    "user->cohort join co-partitioned on user_id (never broadcast: "
+    "user cardinality scales with the corpus). Output bounded by "
+    "days x offsets, never by users.",
+)
+def cohort_retention_daily(spark, sf_dir):
+    from spectraplex_spark.operators.analytics import cohort_retention
+
+    ev = table(spark, sf_dir, "events")
+    return cohort_retention(ev).orderBy("cohort_day", "day_offset")

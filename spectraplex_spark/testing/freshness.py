@@ -85,20 +85,23 @@ LATE_REGISTRATIONS: set[str] = {
     "wordpiece_trained_merges",  # tokenizer trio complete: BERT-family trainer
     "wordpiece_encode_topk",  # its greedy longest-match encode half
     "training_shuffle_shards",  # seeded deterministic shuffle + balanced shards
+    "funnel_conversion_report",  # windowFunnel-contract event funnel
+    "cohort_retention_daily",  # first-activity cohort retention matrix
 }
 
 # ---- ROUND-12 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
 # for the live numbers; written at r11 close so r12 starts instantly):
-#   mandatory = 57 for 50 slots, assuming the r11 window greens:
-#   6 late-r11 registrations (pagerank_conserving_ranks,
+#   mandatory = 59 for 50 slots, assuming the r11 window greens:
+#   8 late-r11 registrations (pagerank_conserving_ranks,
 #   unigram_trained_vocab, unigram_encode_topk, wordpiece_trained_merges,
-#   wordpiece_encode_topk, training_shuffle_shards — all dual-SF green
+#   wordpiece_encode_topk, training_shuffle_shards,
+#   funnel_conversion_report, cohort_retention_daily — all dual-SF green
 #   locally at registration)
 #   + the 5 r11 deferrals (now r7-vintage, HARD mandatory:
 #   knn_join_topk_arrow, multimodal_resize, solana_normalize_udtf_golden,
 #   simhash_dup_groups_planted, session_window_builtin)
 #   + 46 r8-vintage entries.
-#   → defer 7 of the r8s with fresh siblings. Shortlist (verify with the
+#   → defer 9 of the r8s with fresh siblings. Shortlist (verify with the
 #   CLI before adopting — siblings must land in-window or carry r9+):
 #     - array_posexplode_embeddings (sibling array_ops_embeddings,
 #       in-window r11)
@@ -111,7 +114,14 @@ LATE_REGISTRATIONS: set[str] = {
 #     - domain_cap_sample (sibling domain_cap_scalable r9)
 #     - source_quota_sample (sibling source_quota_scalable r10)
 #     - daily_rollup_events (sibling incremental_rollup_merge, in-window
-#       r11) — spare, if a changed-code regrade needs a slot
+#       r11)
+#     - scalar_string_parts (sibling scalar_string_advanced, in-window
+#       r11 — same scalar string-function family)
+#     - scalar_date_arith (sibling scalar_date_orders r9 — same scalar
+#       date-function family)
+#     spares if a changed-code regrade needs a slot:
+#     - jsonl_roundtrip_events / orc_roundtrip_events (sibling
+#       csv_roundtrip_events, in-window r11 — same interchange family)
 # ---------------------------------------------------------------------------
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.

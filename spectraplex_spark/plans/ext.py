@@ -6459,3 +6459,75 @@ def cohort_retention_daily(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return cohort_retention(ev).orderBy("cohort_day", "day_offset")
+
+
+@query(
+    "stream_funnel_replay",
+    f"""
+    WITH u1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+           FROM events e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+             AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W_US}
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+           FROM events e JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+             AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W_US}
+           GROUP BY e.user_id)
+    SELECT 1 AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+    UNION ALL SELECT 2, COUNT(*) FROM u2
+    UNION ALL SELECT 3, COUNT(*) FROM u3
+    ORDER BY step
+    """,
+    doc="§2.9/§2.11 STREAMING event funnel, replayed end to end: the "
+    "windowFunnel state machine (funnel_conversion_report's exact "
+    "transition rule, integer micros) kept incrementally per user via "
+    "applyInPandasWithState — state is k BIGINT step times (filled "
+    "prefix) per user, never event history; each batch advances the "
+    "prefix and emits the post-batch (user, reached) snapshot. The "
+    "replay streams the events table through a file source "
+    "(availableNow) and aggregates snapshots to per-step reach counts; "
+    "for an in-order source this is BIT-IDENTICAL to the batch funnel "
+    "(the oracle is the same chained conditional-min SQL), which is "
+    "what this entry certifies — the arrival-order caveat for "
+    "out-of-order streams is documented in streaming/funnel.py and "
+    "pinned by pytest (slots fill once; late time-preceding events "
+    "are ignored, the k-BIGINT-state trade).",
+)
+def stream_funnel_replay(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.streaming.funnel import stream_funnel
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_funnel_")
+    events.coalesce(1).write.parquet(f"{d}/src")
+    stream = spark.readStream.schema(events.schema).parquet(f"{d}/src")
+    q = (
+        stream_funnel(stream, ["view", "click", "purchase"], window_s=7 * 86400)
+        .writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    snaps = spark.read.parquet(f"{d}/out")
+    steps_df = spark.createDataFrame([(1,), (2,), (3,)], "step int")
+    reach_steps = F.when(
+        F.col("reached") >= 1, F.sequence(F.lit(1), F.col("reached"))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    counts = (
+        snaps.select(F.explode(reach_steps).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return (
+        steps_df.join(counts, "step", "left")
+        .na.fill({"n_users": 0})
+        .select("step", F.col("n_users").cast("long").alias("n_users"))
+        .orderBy("step")
+    )

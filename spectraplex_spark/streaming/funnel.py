@@ -1,0 +1,119 @@
+"""Streaming event funnel — the windowFunnel contract (operators/
+analytics.py) kept INCREMENTALLY as per-user stream state instead of
+recomputed per batch: each micro-batch advances a k-slot step-time
+state (filled prefix, BIGINT micros) with the exact batch fold's
+transition rule and emits the post-batch (user, reached) snapshot.
+
+Semantics and their streaming caveat, stated precisely:
+  - within a batch, a user's events are processed in (ts, type) order —
+    identical to the batch fold;
+  - across batches, events are processed in ARRIVAL order. The greedy
+    state only ever ADVANCES (slots fill once, never reopen), so a
+    late event that time-precedes an already-filled slot is ignored —
+    the standard streaming-funnel trade (buffer-and-watermark
+    reordering would hold per-user history in state; this operator
+    keeps state at k BIGINTs per user). For an IN-ORDER source (the
+    epoch-tail stream, a time-partitioned replay) the result is
+    bit-identical to the batch funnel — that equivalence is what the
+    graded replay certifies, and tests pin the multi-batch in-order
+    case too.
+
+State: k BIGINT micros per user (NULL = step unreached) — size tracks
+distinct users, never event history; each batch touches only the keys
+it contains.  Exactness: all comparisons in integer micros, the same
+grid the batch fold and the DuckDB oracle use.
+
+The stream should be pre-filtered to the funnel's event types (the
+entry does; the operator re-filters defensively — arrival of
+irrelevant types must not perturb state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _advance(
+    state_ts: list,
+    events: list[tuple[int, str]],
+    steps: list[str],
+    w_us: int,
+) -> list:
+    """The batch fold's transition rule over (t_us, type) pairs in
+    (t, type) order; state is a filled prefix of step times."""
+    k = len(steps)
+    st = list(state_ts)
+    for t, tp in sorted(events):
+        m = sum(x is not None for x in st)
+        if m >= k or tp != steps[m]:
+            continue
+        if m == 0:
+            st[0] = t
+        elif t > st[m - 1] and t <= st[0] + w_us:
+            st[m] = t
+    return st
+
+
+def stream_funnel(
+    events_stream: DataFrame,
+    steps: list[str],
+    window_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """events stream → per-batch per-user funnel snapshots
+    ``(user_id long, reached int)`` (append mode; the serving view
+    keeps the latest per user — the stateful-balance pick).  See
+    module docstring for the ordering contract."""
+    if len(steps) < 2:
+        raise ValueError(f"stream_funnel: need >= 2 steps, got {steps!r}")
+    if window_s <= 0:
+        raise ValueError(f"stream_funnel: window_s must be > 0, got {window_s}")
+    k = len(steps)
+    w_us = window_s * 1_000_000
+    state_schema = ", ".join(f"t{i} long" for i in range(k))
+
+    def funnel_fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        evs: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            mask = pdf["tp"].isin(steps)
+            evs.extend(
+                (int(t), str(tp))
+                for t, tp in zip(pdf["t"][mask], pdf["tp"][mask])
+            )
+        prev = list(state.get) if state.exists else [None] * k
+        st = _advance(prev, evs, steps, w_us)
+        state.update(tuple(st))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "reached": [sum(x is not None for x in st)],
+            }
+        )
+
+    return (
+        events_stream.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user_id"),
+            # TIMESTAMP_NTZ → micros under the pinned-UTC session
+            # (analytics.py's identical cast)
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(type_col).alias("tp"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            funnel_fn,
+            outputStructType="user_id long, reached int",
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -87,21 +87,22 @@ LATE_REGISTRATIONS: set[str] = {
     "training_shuffle_shards",  # seeded deterministic shuffle + balanced shards
     "funnel_conversion_report",  # windowFunnel-contract event funnel
     "cohort_retention_daily",  # first-activity cohort retention matrix
+    "stream_funnel_replay",  # the funnel state machine as stream state
 }
 
 # ---- ROUND-12 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
 # for the live numbers; written at r11 close so r12 starts instantly):
-#   mandatory = 59 for 50 slots, assuming the r11 window greens:
-#   8 late-r11 registrations (pagerank_conserving_ranks,
+#   mandatory = 60 for 50 slots, assuming the r11 window greens:
+#   9 late-r11 registrations (pagerank_conserving_ranks,
 #   unigram_trained_vocab, unigram_encode_topk, wordpiece_trained_merges,
 #   wordpiece_encode_topk, training_shuffle_shards,
-#   funnel_conversion_report, cohort_retention_daily — all dual-SF green
-#   locally at registration)
+#   funnel_conversion_report, cohort_retention_daily,
+#   stream_funnel_replay — all dual-SF green locally at registration)
 #   + the 5 r11 deferrals (now r7-vintage, HARD mandatory:
 #   knn_join_topk_arrow, multimodal_resize, solana_normalize_udtf_golden,
 #   simhash_dup_groups_planted, session_window_builtin)
 #   + 46 r8-vintage entries.
-#   → defer 9 of the r8s with fresh siblings. Shortlist (verify with the
+#   → defer 10 of the r8s with fresh siblings. Shortlist (verify with the
 #   CLI before adopting — siblings must land in-window or carry r9+):
 #     - array_posexplode_embeddings (sibling array_ops_embeddings,
 #       in-window r11)

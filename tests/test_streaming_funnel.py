@@ -1,0 +1,130 @@
+"""Streaming funnel (streaming/funnel.py): batch-fold equivalence on
+in-order multi-batch replay, the arrival-order (late event) contract,
+and state persistence across batches.  Cross-engine grading is in
+test_oracle_parity.py (stream_funnel_replay)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from spectraplex_spark.operators.analytics import funnel_steps
+from spectraplex_spark.streaming.funnel import _advance, stream_funnel
+
+T0 = dt.datetime(2024, 1, 1)
+STEPS = ["view", "click", "purchase"]
+SCHEMA = "event_id long, user_id long, ts timestamp_ntz, event_type string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, T0 + dt.timedelta(seconds=s), t) for i, (u, s, t) in enumerate(rows)],
+        SCHEMA,
+    )
+
+
+def _drain(spark, tmp, batches, window_s=1000, max_files=1):
+    """Write each batch as its own file, stream with one file per
+    trigger, return the LATEST snapshot per user."""
+    src = f"{tmp}/src"
+    for i, rows in enumerate(batches):
+        _df(spark, rows).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = spark.readStream.schema(_df(spark, []).schema).option(
+        "maxFilesPerTrigger", max_files
+    ).parquet(src)
+    q = (
+        stream_funnel(stream, STEPS, window_s=window_s)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    snaps = spark.read.parquet(f"{tmp}/out").collect()
+    latest: dict[int, int] = {}
+    for r in snaps:
+        latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["reached"])
+    return latest
+
+
+def test_in_order_multibatch_equals_batch_fold(spark, tmp_path):
+    """Batches split at a time boundary (in-order arrival): the
+    streaming state machine must equal the batch funnel exactly."""
+    b1 = [(1, 0, "view"), (1, 10, "click"), (2, 0, "view"), (3, 5, "view")]
+    b2 = [(1, 20, "purchase"), (2, 30, "click"), (3, 2000, "click")]
+    got = _drain(spark, str(tmp_path), [b1, b2])
+    batch = {
+        r["user_id"]: r["reached"]
+        for r in funnel_steps(_df(spark, b1 + b2), STEPS, window_s=1000).collect()
+    }
+    assert got == batch
+    assert got[1] == 3 and got[2] == 2 and got[3] == 1
+
+
+def test_late_event_is_ignored_slots_fill_once(spark, tmp_path):
+    """A click arriving in a LATER batch but time-preceding the state's
+    anchor does not reopen the prefix — the documented k-BIGINT-state
+    trade (the batch fold, seeing all events sorted, would count it
+    only if it followed the anchor in time; here it precedes it)."""
+    b1 = [(1, 100, "view")]
+    b2 = [(1, 50, "click")]  # arrives late, time-precedes the anchor
+    got = _drain(spark, str(tmp_path), [b1, b2])
+    assert got[1] == 1  # not advanced by the time-preceding click
+    # the batch fold agrees here: t=50 click is NOT strictly after t=100
+    batch = {
+        r["user_id"]: r["reached"]
+        for r in funnel_steps(_df(spark, b1 + b2), STEPS, window_s=1000).collect()
+    }
+    assert batch[1] == 1
+
+
+def test_arrival_order_divergence_is_the_documented_one(spark, tmp_path):
+    """The ONE divergence mode: a step-2 event arrives BEFORE the
+    anchor exists (batch 1), the anchor arrives later (batch 2) —
+    streaming missed the click forever; the batch fold (time order)
+    counts neither... but a LATER in-window click still advances both.
+    Pin the exact behavior so it can never silently change."""
+    b1 = [(1, 50, "click")]          # no anchor yet -> ignored
+    b2 = [(1, 10, "view")]           # anchor arrives (time-earlier)
+    b3 = [(1, 60, "click")]          # in-window, after the anchor
+    got = _drain(spark, str(tmp_path), [b1, b2, b3])
+    assert got[1] == 2
+    batch = {
+        r["user_id"]: r["reached"]
+        for r in funnel_steps(
+            _df(spark, b1 + b2 + b3), STEPS, window_s=1000
+        ).collect()
+    }
+    # the batch fold sees time order (view@10, click@50) and also lands 2
+    assert batch[1] == 2
+
+
+def test_window_enforced_across_batches(spark, tmp_path):
+    b1 = [(1, 0, "view")]
+    b2 = [(1, 2000, "click")]  # outside the 1000s window of the anchor
+    got = _drain(spark, str(tmp_path), [b1, b2])
+    assert got[1] == 1
+
+
+def test_advance_transition_matches_analytics_fold():
+    """The pure transition function is the batch fold's rule."""
+    st = _advance([None, None, None], [(0, "view"), (1, "click")], STEPS, 10**9)
+    assert st == [0, 1, None]
+    # filled prefix never reopens
+    st2 = _advance(st, [(-5, "purchase"), (2, "purchase")], STEPS, 10**9)
+    assert st2 == [0, 1, 2]
+    # irrelevant types are ignored even if passed in
+    assert _advance([None] * 3, [(0, "error")], STEPS, 10**9) == [None] * 3
+
+
+def test_stream_funnel_input_contracts(spark):
+    df = _df(spark, [])
+    with pytest.raises(ValueError, match="steps"):
+        stream_funnel(df, ["view"], window_s=10)
+    with pytest.raises(ValueError, match="window_s"):
+        stream_funnel(df, STEPS, window_s=0)

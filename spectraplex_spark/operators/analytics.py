@@ -87,14 +87,18 @@ def funnel_steps(
 
     def fold(st, e):
         # the state is a filled prefix: next unmatched step index =
-        # count of non-null slots (0-based)
+        # count of non-null slots (0-based).  All array reads go through
+        # F.get (0-based, null-safe): element_at THROWS on out-of-range
+        # under ANSI mode, and relying on `m < k` to short-circuit the
+        # conjunction would break the moment the optimizer reorders the
+        # predicates — a NULL from F.get just makes `ok` non-true.
         m = F.size(F.filter(st, lambda x: x.isNotNull()))
         ok = (
             (m < k)
-            & (e["tp"] == F.element_at(steps_lit, m + 1))
+            & (e["tp"] == F.get(steps_lit, m))
             & F.when(m == 0, F.lit(True)).otherwise(
-                (e["t"] > F.element_at(st, m))
-                & (e["t"] <= F.element_at(st, 1) + F.lit(w_us))
+                (e["t"] > F.get(st, m - 1))
+                & (e["t"] <= F.get(st, 0) + F.lit(w_us))
             )
         )
         return F.when(

@@ -184,8 +184,12 @@ def shuffle_shards_scalable(
         acc += n
     offset_expr = F.lit(0).cast("long")
     if offsets:
+        # try_element_at: every row's pid IS a key by construction (the
+        # map is built from the same checkpointed frame), but ANSI-mode
+        # element_at would turn any future drift into a MAP_KEY error
+        # instead of the loud rank-mismatch the tests would catch.
         offset_expr = F.coalesce(
-            F.element_at(
+            F.try_element_at(
                 F.create_map(
                     *[F.lit(x) for kv in offsets.items() for x in kv]
                 ),

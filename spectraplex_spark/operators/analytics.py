@@ -173,13 +173,17 @@ def cohort_retention(
     (distinct cohort users active that day), ``cohort_size``,
     ``retention_q`` (n_active·10^6 div cohort_size — exact integer).
 
-    Output is bounded by (#cohort days × #offsets), never by users."""
+    Output is bounded by (#cohort days × #offsets), never by users.
+
+    Cohort sizes come from the matrix itself: every user is active on
+    their own first day, so ``cohort_size == n_active`` at offset 0 —
+    deriving it there (a broadcast join of the bounded matrix) instead
+    of re-aggregating the per-user frame saves a full second corpus
+    scan (the plan-audit finding: an unshared ``firsts`` is otherwise
+    recomputed per consumer, the Catalyst no-CSE rule)."""
     firsts = (
         df.groupBy(F.col(user_col).alias("user_id"))
         .agg(F.min(F.to_date(F.col(ts_col))).alias("cohort_day"))
-    )
-    sizes = firsts.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_size")
     )
     active = (
         df.select(F.col(user_col).alias("user_id"), F.to_date(F.col(ts_col)).alias("d"))
@@ -190,8 +194,18 @@ def cohort_retention(
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
+    # the matrix is bounded (days × offsets) — materialize it once so
+    # the sizes branch and the join both read the blocks instead of
+    # re-running the corpus pipeline (Catalyst does not CSE shared
+    # subplans; the lineage_truncate discipline)
+    from spectraplex_spark.operators.components import lineage_truncate
+
+    active = lineage_truncate(active)
+    sizes = active.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
     return (
-        active.join(sizes, "cohort_day")
+        active.join(F.broadcast(sizes), "cohort_day")  # bounded: one row/day
         .select(
             "cohort_day",
             "day_offset",

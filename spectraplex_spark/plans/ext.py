@@ -6451,7 +6451,11 @@ def funnel_conversion_report(spark, sf_dir):
     "floor on both engines). Two honest shuffles — per-user first-day "
     "aggregate and the (cohort, offset) distinct-count — with the "
     "user->cohort join co-partitioned on user_id (never broadcast: "
-    "user cardinality scales with the corpus). Output bounded by "
+    "user cardinality scales with the corpus). Cohort sizes derive "
+    "from the matrix's own offset-0 row (every user is active on their "
+    "first day), materialized once via lineage_truncate — saving the "
+    "second corpus scan an unshared per-user aggregate would recompute "
+    "(plan-audited: 16 exchanges down to 4). Output bounded by "
     "days x offsets, never by users.",
 )
 def cohort_retention_daily(spark, sf_dir):

@@ -39,13 +39,17 @@ Global ranking has two implementations sharing one contract
     100 TB; kept as the semantic reference.
   - :func:`shuffle_shards_scalable` — the 100 TB path: ONE honest range
     exchange (repartitionByRange on perm_q + in-partition sort), pid
-    stamped and the frame eagerly localCheckpoint-ed (so the boundary
-    sampling can never disagree between consumers), per-partition
-    counts collected (BOUNDED: one row per partition — the
-    bounded-collect contract), cumulative offsets broadcast back as a
-    literal CASE, rank = offset[pid] + local row_number.  No global
-    funnel; the only wide op is the range exchange every distributed
-    sort pays.
+    AND the 0-based local rank stamped in the same stage (the low 33
+    bits of ``monotonically_increasing_id()``, documented as the
+    within-partition record number, evaluated post-sort) and the frame
+    eagerly localCheckpoint-ed (so the boundary sampling can never
+    disagree between consumers), per-partition counts collected
+    (BOUNDED: one row per partition — the bounded-collect contract),
+    cumulative offsets broadcast back as a literal map, rank =
+    offset[pid] + local rank + 1.  No global funnel and no further
+    window/exchange of the data; shard_pos is closed-form arithmetic
+    from (rank, shard, total).  The only wide op is the range exchange
+    every distributed sort pays.
 
 Reference surface: the reference repo has no shuffle/shard op (its
 sink is a single Postgres table, repo.rs) — [EXT] LLM-data-pipeline
@@ -65,10 +69,15 @@ _MIX_B = 0x85EBCA6B
 
 
 def perm_params(seed: int) -> tuple[int, int]:
-    """Seed → (A, B) affine-permutation parameters: A ∈ [1, P) odd
-    (any A ≥ 1 is coprime to the prime P; `| 1` keeps the family
-    aligned with the minhash one), B ∈ [0, P)."""
-    a = (_MIX_A * (seed + 1)) % PERM_P | 1
+    """Seed → (A, B) affine-permutation parameters: A ∈ [1, P−1]
+    (any such A is coprime to the prime P), B ∈ [0, P).
+
+    A is drawn as ``mix % (P−1) + 1`` — NEVER ``mix % P | 1``: that
+    spelling can yield A = P itself (mix % P = P−1, even, |1 tops it to
+    P ≡ 0 mod P), collapsing the whole permutation to the constant B —
+    every id in one shard, no shuffle at all.  Found by code review
+    with seed 1749512918; pinned by test_degenerate_seed_regression."""
+    a = (_MIX_A * (seed + 1)) % (PERM_P - 1) + 1
     b = (_MIX_B * (seed + 1)) % PERM_P
     return a, b
 
@@ -100,20 +109,30 @@ def _permuted(df: DataFrame, seed: int, id_col: str) -> DataFrame:
 
 
 def _finish(out: DataFrame, n_shards: int, total: int) -> DataFrame:
-    """rank (_rn, 1-based) → shard_ranked / shard_mod / shard_pos."""
-    out = out.withColumn(
-        "shard_ranked",
-        F.expr(f"CAST(((_rn - 1) * {n_shards}) div {max(total, 1)} AS BIGINT)"),
-    ).withColumn("shard_mod", F.pmod(F.col("perm_q"), F.lit(n_shards)).cast("long"))
-    return out.withColumn(
-        "shard_pos",
-        (
-            F.row_number().over(
-                Window.partitionBy("shard_ranked").orderBy("perm_q", "_rn")
-            )
-            - 1
-        ).cast("long"),
-    ).drop("_rn")
+    """rank (_rn, 1-based) → shard_ranked / shard_mod / shard_pos.
+
+    shard_pos is PURE ARITHMETIC, not a window: shard s's first global
+    rank is ceil(s·total/N) + 1 (the smallest rn with
+    floor((rn−1)·N/total) = s), so shard_pos = (rn−1) − ceil(s·total/N).
+    A Window.partitionBy(shard) here would hash-exchange the whole
+    dataset into only N tasks — the review-caught funnel this module
+    exists to avoid."""
+    t = max(total, 1)
+    return (
+        out.withColumn(
+            "shard_ranked",
+            F.expr(f"CAST(((_rn - 1) * {n_shards}) div {t} AS BIGINT)"),
+        )
+        .withColumn("shard_mod", F.pmod(F.col("perm_q"), F.lit(n_shards)).cast("long"))
+        .withColumn(
+            "shard_pos",
+            F.expr(
+                f"CAST((_rn - 1) - ((shard_ranked * {t} + {n_shards} - 1) "
+                f"div {n_shards}) AS BIGINT)"
+            ),
+        )
+        .drop("_rn")
+    )
 
 
 def shuffle_shards(
@@ -164,12 +183,25 @@ def shuffle_shards_scalable(
     if n_shards < 1:
         raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
     out = _permuted(df, seed, id_col)
+    # Phase 1: the ONE wide op — range exchange + in-partition sort.
+    # _pid and the 0-based local row number _lrn are stamped in the same
+    # stage: monotonically_increasing_id() is documented as
+    # pid·2^33 + within-partition record number, evaluated post-sort, so
+    # the low 33 bits ARE the local rank — zero Python, zero window,
+    # zero extra exchange (a Window.partitionBy(_pid) here re-shuffled
+    # the full dataset by pid; review-caught).
     parted = (
         out.repartitionByRange(
             *([num_partitions] if num_partitions else []), "perm_q", id_col
         )
         .sortWithinPartitions("perm_q", id_col)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.monotonically_increasing_id()
+            .bitwiseAND(F.lit((1 << 33) - 1))
+            .cast("long"),
+        )
         .localCheckpoint(eager=True)
     )
     counts = sorted(
@@ -197,10 +229,9 @@ def shuffle_shards_scalable(
             ).cast("long"),
             F.lit(0).cast("long"),
         )
-    local_rn = F.row_number().over(
-        Window.partitionBy("_pid").orderBy("perm_q", id_col)
-    )
-    out = parted.withColumn("_rn", (offset_expr + local_rn).cast("long")).drop("_pid")
+    out = parted.withColumn(
+        "_rn", (offset_expr + F.col("_lrn") + 1).cast("long")
+    ).drop("_pid", "_lrn")
     return _finish(out, n_shards, total)
 
 

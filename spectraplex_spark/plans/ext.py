@@ -6310,9 +6310,14 @@ def wordpiece_encode_topk(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
-    merges, vocab = wordpiece_train(docs, n_merges=8, min_pair_freq=2)
+    # one corpus scan: the decorated word table feeds BOTH training
+    # (vocab_df — skips its internal rebuild) and the vocab export
+    # (review finding: train(docs) + build_wp_vocab(docs) re-scanned)
+    base = build_wp_vocab(docs).localCheckpoint(eager=True)
+    merges, vocab = wordpiece_train(None, n_merges=8, min_pair_freq=2, vocab_df=base)
     vocab.unpersist()
-    vset = wordpiece_vocab(build_wp_vocab(docs), merges)
+    vset = wordpiece_vocab(base, merges)
+    base.unpersist()
     return (
         wordpiece_encode(docs, vset, max_word_len=16)
         .select(F.explode("wordpiece_pieces").alias("symbol"))
@@ -6518,14 +6523,22 @@ def stream_funnel_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # partial output must fail loudly
+        q.stop()
+        raise TimeoutError("stream_funnel_replay: drain exceeded 300s")
     snaps = spark.read.parquet(f"{d}/out")
     steps_df = spark.createDataFrame([(1,), (2,), (3,)], "step int")
+    # one snapshot per TOUCHED user PER BATCH: keep the latest (max —
+    # the prefix only advances) so a multi-batch drain can never
+    # double-count a user (review finding; the single coalesced file
+    # usually drains in one batch, but that is an execution detail,
+    # not a contract)
+    latest = snaps.groupBy("user_id").agg(F.max("reached").alias("reached"))
     reach_steps = F.when(
         F.col("reached") >= 1, F.sequence(F.lit(1), F.col("reached"))
     ).otherwise(F.expr("array()").cast("array<int>"))
     counts = (
-        snaps.select(F.explode(reach_steps).alias("step"))
+        latest.select(F.explode(reach_steps).alias("step"))
         .groupBy("step")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )

@@ -84,7 +84,10 @@ def stream_funnel(
     ) -> Iterator[pd.DataFrame]:
         evs: list[tuple[int, str]] = []
         for pdf in pdfs:
-            mask = pdf["tp"].isin(steps)
+            # NULL ts arrives as NaN in the Arrow batch; the batch fold
+            # treats a NULL time as never-advancing, so skip it here
+            # rather than crash on int(NaN) (review finding).
+            mask = pdf["tp"].isin(steps) & pd.notna(pdf["t"])
             evs.extend(
                 (int(t), str(tp))
                 for t, tp in zip(pdf["t"][mask], pdf["tp"][mask])
@@ -94,7 +97,9 @@ def stream_funnel(
         state.update(tuple(st))
         yield pd.DataFrame(
             {
-                "user_id": [int(key[0])],
+                # NULL user is a legal group key (the batch fold keeps
+                # it); int(None) would crash the task
+                "user_id": [None if key[0] is None else int(key[0])],
                 "reached": [sum(x is not None for x in st)],
             }
         )

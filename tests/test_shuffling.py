@@ -88,6 +88,38 @@ def test_out_of_range_id_fails_loudly(spark):
         shuffle_shards(bad, 0)
 
 
+def test_degenerate_seed_regression(spark):
+    """Review-caught: `mix % P | 1` could yield A = P ≡ 0 (mod P),
+    collapsing the permutation to the constant B.  Seed 1749512918 hit
+    it; perm_params must never return A ≡ 0 and the permutation stays
+    bijective there."""
+    for seed in (1749512918, 0, 1, PERM_P - 2, 2**31):
+        a, b = perm_params(seed)
+        assert 1 <= a <= PERM_P - 1, (seed, a)
+        assert 0 <= b < PERM_P
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, 4, seed=1749512918).collect()
+    assert len({r["perm_q"] for r in out}) == 300  # still a bijection
+    assert len({r["shard_mod"] for r in out}) == 4
+
+
+def test_hypothesis_bijective_over_random_seeds():
+    """Property: for any seed, A is never ≡ 0 mod P, so the map
+    id → (A·id + B) mod P is injective on [0, P)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**63 - 2))
+    def check(seed):
+        a, b = perm_params(seed)
+        assert 1 <= a <= PERM_P - 1
+        # injectivity witness on a few points
+        pts = {(a * i + b) % PERM_P for i in (0, 1, 2, 12345, PERM_P - 1)}
+        assert len(pts) == 5
+
+    check()
+
+
 def test_empty_input(spark):
     df = spark.range(0, 0).withColumnRenamed("id", "doc_id")
     assert shuffle_shards(df, 4).count() == 0

@@ -26,12 +26,22 @@ def _df(spark, rows):
 
 def _drain(spark, tmp, batches, window_s=1000, max_files=1):
     """Write each batch as its own file, stream with one file per
-    trigger, return the LATEST snapshot per user."""
+    trigger, return the LATEST snapshot per user.  FileStreamSource
+    orders files by MODIFICATION TIME — mtimes are pinned strictly
+    increasing per batch so coarse filesystem timestamps can never
+    reorder the arrival sequence the tests encode (review finding)."""
+    import glob as _glob
+    import os as _os
+
     src = f"{tmp}/src"
     for i, rows in enumerate(batches):
         _df(spark, rows).coalesce(1).write.mode(
             "append" if i else "overwrite"
         ).parquet(src)
+        t = 1_700_000_000 + i * 60  # strictly increasing, minute apart
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if _os.path.getmtime(f) > t - 60:  # only the new batch's files
+                _os.utime(f, (t, t))
     stream = spark.readStream.schema(_df(spark, []).schema).option(
         "maxFilesPerTrigger", max_files
     ).parquet(src)

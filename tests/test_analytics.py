@@ -84,6 +84,35 @@ def test_funnel_matches_python_replica(spark):
         assert rep[i] == (ni, ni * RATIO_SCALE // n1)
 
 
+def test_funnel_fold_matches_replica_hypothesis(spark):
+    """Property: on random small event streams (random users, offsets,
+    types incl. non-funnel noise and duplicate timestamps), the Spark
+    fold equals the pure-Python replica for every user."""
+    from hypothesis import given, settings, strategies as st
+
+    steps = ["view", "click", "purchase"]
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=4),           # user
+        st.integers(min_value=0, max_value=50),          # offset seconds
+        st.sampled_from(steps + ["error"]),              # type (+ noise)
+    )
+
+    @settings(max_examples=12, deadline=None)  # each example runs Spark
+    @given(st.lists(ev, min_size=1, max_size=14))
+    def check(rows):
+        ref = _py_funnel(rows, steps, 20)
+        got = {
+            r["user_id"]: r["reached"]
+            for r in funnel_steps(_ev(spark, rows), steps, window_s=20).collect()
+        }
+        # the pre-filter drops noise-only users entirely; everyone with
+        # at least one funnel-type event is present and matches
+        assert set(got) == {u for u, _, t in rows if t in steps}
+        assert all(got[u] == ref[u] for u in got)
+
+    check()
+
+
 def test_funnel_input_contracts(spark):
     df = _ev(spark, [(1, 0, "view")])
     with pytest.raises(ValueError, match="steps"):

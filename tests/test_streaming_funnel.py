@@ -121,6 +121,50 @@ def test_window_enforced_across_batches(spark, tmp_path):
     assert got[1] == 1
 
 
+def test_checkpoint_resume_preserves_state(spark, tmp_path):
+    """Kill the query between batches and restart from the checkpoint:
+    per-user step state must survive the restart (batch 2's click
+    advances the anchor landed before the stop), and no snapshot is
+    re-emitted for the already-committed batch."""
+    src = f"{tmp_path}/src"
+    _df(spark, [(1, 0, "view"), (2, 0, "view")]).coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(_df(spark, []).schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_funnel(stream, STEPS, window_s=1000)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp_path}/out")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_once()  # drains batch 1, commits the checkpoint, stops
+    import os
+    import time
+
+    _df(spark, [(1, 10, "click")]).coalesce(1).write.mode("append").parquet(src)
+    now = time.time()
+    for f in __import__("glob").glob(f"{src}/*.parquet"):
+        os.utime(f, None)  # fresh mtime for the new file is enough here
+    run_once()  # restart: must resume from state, process only batch 2
+
+    rows = spark.read.parquet(f"{tmp_path}/out").collect()
+    latest: dict[int, int] = {}
+    for r in rows:
+        latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["reached"])
+    assert latest[1] == 2  # anchor from run 1 + click from run 2
+    assert latest[2] == 1
+    # run 2 re-emits only touched keys: user 2 appears exactly once
+    assert sum(1 for r in rows if r["user_id"] == 2) == 1
+    del now
+
+
 def test_advance_transition_matches_analytics_fold():
     """The pure transition function is the batch fold's rule."""
     st = _advance([None, None, None], [(0, "view"), (1, "click")], STEPS, 10**9)

@@ -95,6 +95,28 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync the DIRECTORY containing a just-renamed commit point.
+
+    ``os.rename`` only makes the commit point atomic; its durability is
+    a directory-metadata change that POSIX does not persist until the
+    directory itself is fsynced. Without this, a power loss can roll
+    back a 'committed' rename — and in squash_epochs the subsequent
+    unlinks could survive while the rename did not, leaving committed
+    data files that validate_epochs can no longer protect (review
+    finding). Best-effort on filesystems that refuse O_RDONLY dir
+    opens (the rename is still atomic there; only power-loss
+    durability degrades to the platform default)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:  # pragma: no cover - non-POSIX dir-open semantics
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def write_commit_manifest(table_dir: str, content_hashes: bool = False) -> dict:
     """Snapshot table_dir's data files into the commit manifest.
     tmp-write + fsync + rename: the rename IS the commit point.
@@ -125,6 +147,7 @@ def write_commit_manifest(table_dir: str, content_hashes: bool = False) -> dict:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, final)
+    _fsync_dir(table_dir)  # make the commit point durable, not just atomic
     return manifest
 
 
@@ -234,14 +257,29 @@ def read_committed(spark, table_dir: str):
 EPOCH_DIR = "_spectraplex_epochs"
 
 
+def _epoch_num(basename: str) -> int:
+    """Epoch number from ``epoch-<digits>.json`` — ALL digits, not a
+    fixed slice: past epoch 999999 the %06d format grows to 7+ digits
+    and a [6:12] slice would silently drop the last digit (review
+    finding)."""
+    return int(basename[len("epoch-") : -len(".json")])
+
+
 def _epoch_paths(table_dir: str) -> list[str]:
     d = os.path.join(table_dir, EPOCH_DIR)
     if not os.path.isdir(d):
         return []
+    # numeric sort: lexicographic order breaks at the 6→7 digit
+    # boundary ('epoch-1000000' < 'epoch-999999'), and every ordered
+    # iteration (as_of break, change feed, squash boundary) relies on
+    # epoch order
     return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
-        if f.startswith("epoch-") and f.endswith(".json")
+        (
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("epoch-") and f.endswith(".json")
+        ),
+        key=lambda p: _epoch_num(os.path.basename(p)),
     )
 
 
@@ -249,7 +287,7 @@ def _next_epoch_number(table_dir: str) -> int:
     paths = _epoch_paths(table_dir)
     if not paths:
         return 0
-    return max(int(os.path.basename(p)[6:12]) for p in paths) + 1
+    return max(_epoch_num(os.path.basename(p)) for p in paths) + 1
 
 
 def committed_epoch_files(
@@ -331,6 +369,7 @@ def commit_append_epoch(table_dir: str) -> dict | None:
             "serialize writers and retry this batch."
         )
     os.rename(tmp, final)
+    _fsync_dir(d)  # make the epoch commit durable, not just atomic
     return manifest
 
 
@@ -421,6 +460,11 @@ def read_epoch_changes(
     Raises if the requested range reaches behind a squash boundary
     (those per-epoch file lists are gone — the documented retention
     trade) or past the newest epoch."""
+    if to_epoch is not None and to_epoch < from_epoch:
+        raise ValueError(
+            f"read_epoch_changes: inverted range ({from_epoch}, {to_epoch}] "
+            "— a silent empty frame here would mask caller bookkeeping bugs"
+        )
     paths = _epoch_paths(table_dir)
     if not paths:
         raise TableInconsistentError(f"{table_dir}: no epoch manifests")
@@ -529,8 +573,16 @@ def squash_epochs(table_dir: str, keep_last: int = 16) -> dict | None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, to_squash[-1])  # atomic replace of the boundary epoch
+    # Durability ORDER matters here: the boundary rename must hit disk
+    # BEFORE the older manifests are unlinked — otherwise a power loss
+    # could persist the unlinks but not the rename, leaving the boundary
+    # file with its old single-epoch content and the squashed history
+    # gone (committed data files would then read as 'uncommitted', and
+    # vacuum_uncommitted would delete them).
+    _fsync_dir(os.path.dirname(to_squash[-1]))
     for p in to_squash[:-1]:
         os.remove(p)
+    _fsync_dir(os.path.dirname(to_squash[-1]))
     return manifest
 
 

@@ -132,6 +132,21 @@ class _EpochTailStreamReader(DataSourceStreamReader):
         # same-typed columns would silently transpose between epochs.
         if declared_names is None:
             declared_names = [n for n, _ in self._newest_file_ddl()] + self.part_cols
+        # read() yields (file columns in declared order) + (partition
+        # values in discovered order) POSITIONALLY, so a user-supplied
+        # schema must place the partition columns at the TAIL in that
+        # order — anything else (mid-schema, reordered, or omitted
+        # partition columns) would silently transpose same-typed
+        # columns or mis-size the tuples (review finding): fail loud.
+        if self.part_cols:
+            tail = declared_names[-len(self.part_cols):]
+            if tail != self.part_cols:
+                raise ValueError(
+                    "epoch_tail: the declared schema must end with the "
+                    f"table's partition columns {self.part_cols} in that "
+                    f"order (got tail {tail}); rows are yielded as "
+                    "file-columns + partition-values positionally"
+                )
         part_set = set(self.part_cols)
         self.file_cols = [n for n in declared_names if n not in part_set]
         self._last_served = self.from_epoch
@@ -232,18 +247,31 @@ class _EpochTailStreamReader(DataSourceStreamReader):
     def read(self, partition: _EpochFilePartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
-        # Read + yield in the DECLARED stream column order (also prunes the
-        # scan to exactly those columns); a file written with reordered
-        # columns — legal under the append schema guard — lands correctly.
-        tbl = pq.read_table(partition.abs_path)
-        missing = [n for n in self.file_cols if n not in tbl.schema.names]
+        # Yield in the DECLARED stream column order; a file written with
+        # reordered columns — legal under the append schema guard — lands
+        # correctly. The scan is ACTUALLY pruned: the missing-column
+        # check reads only the footer schema, and iter_batches(columns=)
+        # decodes just the declared columns batch-by-batch instead of
+        # materializing the whole file as Python dicts (review finding:
+        # read_table(path).select() decoded every column first).
+        names = pq.read_schema(partition.abs_path).names
+        missing = [n for n in self.file_cols if n not in names]
         if missing:
             raise RuntimeError(
                 f"epoch_tail: committed file {partition.abs_path} lacks "
                 f"declared stream columns {missing}"
             )
-        for row in tbl.select(self.file_cols).to_pylist():
-            yield tuple(row[n] for n in self.file_cols) + tuple(partition.part_values)
+        part = tuple(partition.part_values)
+        pf = pq.ParquetFile(partition.abs_path)
+        for batch in pf.iter_batches(columns=self.file_cols):
+            if not self.file_cols:  # partition-only schema: count rows
+                for _ in range(batch.num_rows):
+                    yield part
+                continue
+            sel = batch.select(self.file_cols)  # declared order
+            cols = [c.to_pylist() for c in sel.columns]
+            for vals in zip(*cols):
+                yield vals + part
 
     def commit(self, end: dict) -> None:
         # Spark's checkpoint owns the committed offset; remember it so the

@@ -48,31 +48,68 @@ class _GrpcReplayStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("grpc_replay: required option 'path' is missing")
         self.batch_size = int(options.get("batch_size", 1000))
+        # best-effort resume point: (seq consumed through, byte offset
+        # just past its line). Driver-local only — a restarted query
+        # starts cold with one full scan, then stays incremental, so
+        # the per-trigger cost is O(new bytes), not O(log size).
+        self._pos_cache: tuple[int, int] = (-1, 0)
 
     def initialOffset(self) -> dict:
         return {"seq": -1}
 
-    def _scan(self, after_seq: int, limit: int | None) -> tuple[list[tuple], int]:
-        """Frames with seq > after_seq, at most limit, in seq order.
-        Line-sequential scan of the log; the log is append-only so a
-        re-scan between the same offsets is deterministic."""
+    def _scan(
+        self, after_seq: int, limit: int | None, upto_seq: int | None = None
+    ) -> tuple[list[tuple], int]:
+        """Frames with after_seq < seq [<= upto_seq], at most ``limit``,
+        in file order (which the relay contract makes seq order — and
+        that contract is now CHECKED: a non-increasing seq raises
+        instead of silently losing the out-of-place frame forever).
+
+        A torn final line — the reader racing the relay's append — is
+        DEFERRED, not fatal: only bytes up to the last newline are
+        parsed; the partial tail completes by the next trigger."""
         rows: list[tuple] = []
         last = after_seq
         if not os.path.exists(self.path):
             return rows, last  # relay not started yet — empty batch
-        with open(self.path, "r", encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
+        cache_seq, cache_pos = self._pos_cache
+        start_pos = cache_pos if (cache_seq == after_seq and cache_pos > 0) else 0
+        with open(self.path, "rb") as fh:
+            size = os.fstat(fh.fileno()).st_size
+            if start_pos > size:
+                start_pos = 0  # log rotated/truncated underneath us — rescan
+            fh.seek(start_pos)
+            data = fh.read()
+        nl = data.rfind(b"\n")
+        data = data[: nl + 1] if nl >= 0 else b""  # defer the torn tail
+        pos = start_pos
+        prev_seq: int | None = None
+        for raw in data.splitlines():
+            line_len = len(raw) + 1
+            line = raw.strip()
+            if line:
+                rec = json.loads(line.decode("utf-8"))
                 seq = int(rec["seq"])
-                if seq <= after_seq:
-                    continue
-                rows.append((seq, base64.b64decode(rec["frame_b64"])))
-                last = max(last, seq)
-                if limit is not None and len(rows) >= limit:
-                    break
+                if prev_seq is not None and seq <= prev_seq:
+                    raise ValueError(
+                        f"grpc_replay: log {self.path!r} violates the "
+                        f"seq-ordered relay contract (seq {seq} after "
+                        f"{prev_seq} at byte {pos}); a silent skip here "
+                        "would lose the frame forever"
+                    )
+                prev_seq = seq
+                if upto_seq is not None and seq > upto_seq:
+                    return rows, last  # committed-range replay: done
+                if seq > after_seq:
+                    rows.append((seq, base64.b64decode(rec["frame_b64"])))
+                    last = seq
+                    if limit is not None and len(rows) >= limit:
+                        pos += line_len
+                        self._pos_cache = (last, pos)
+                        return rows, last
+            pos += line_len
+        if upto_seq is None:
+            self._pos_cache = (last, pos)
         return rows, last
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
@@ -80,8 +117,10 @@ class _GrpcReplayStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), {"seq": last}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        rows, _ = self._scan(int(start["seq"]), None)
-        return iter(r for r in rows if r[0] <= int(end["seq"]))
+        # deterministic committed-range replay: early-stops at `end`
+        # instead of materializing the whole remaining tail
+        rows, _ = self._scan(int(start["seq"]), None, upto_seq=int(end["seq"]))
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         # The log is externally owned (the relay appends, compaction

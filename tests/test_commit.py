@@ -609,3 +609,45 @@ def test_contended_append_serializes_or_fails_loudly(spark, tmp_path, monkeypatc
     from spectraplex_spark.sources.commit import read_committed_epochs
 
     assert read_committed_epochs(spark, path).count() == 20
+
+
+def test_epoch_numbering_past_six_digits(tmp_path):
+    """epoch-1000000.json (7 digits) must parse fully and sort AFTER
+    epoch-999999.json — a [6:12] slice / lexicographic sort broke both
+    (review finding)."""
+    import json
+    import os
+
+    from spectraplex_spark.sources.commit import (
+        EPOCH_DIR,
+        _epoch_paths,
+        _next_epoch_number,
+    )
+
+    d = tmp_path / "t" / EPOCH_DIR
+    d.mkdir(parents=True)
+    for n in (999999, 1000000):
+        (d / f"epoch-{n:06d}.json").write_text(
+            json.dumps({"version": 1, "epoch": n, "files": {}})
+        )
+    paths = _epoch_paths(str(tmp_path / "t"))
+    assert [os.path.basename(p) for p in paths] == [
+        "epoch-999999.json",
+        "epoch-1000000.json",
+    ]
+    assert _next_epoch_number(str(tmp_path / "t")) == 1000001
+
+
+def test_read_epoch_changes_inverted_range_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from spectraplex_spark.sources.commit import (
+        commit_append_epoch,
+        read_epoch_changes,
+    )
+
+    t = str(tmp_path / "t")
+    spark.range(3).write.parquet(t)
+    commit_append_epoch(t)
+    with _pytest.raises(ValueError, match="inverted range"):
+        read_epoch_changes(spark, t, from_epoch=5, to_epoch=3)

@@ -303,3 +303,30 @@ def test_epoch_to_epoch_replication_exactly_once(spark, tmp_path):
     got = read_committed_epochs(spark, dst)
     assert got.count() == 30  # delta landed once, nothing twice
     assert {r["id"] for r in got.collect()} == set(range(30))
+
+
+def test_declared_schema_partition_cols_must_trail(spark, tmp_path):
+    """A user schema placing a partition column mid-schema (or dropping
+    it) would silently transpose positionally-yielded columns — the
+    reader must refuse it at construction (review finding)."""
+    import pytest as _pytest
+
+    from spectraplex_spark.sources.commit import commit_append_epoch
+    from spectraplex_spark.streaming.epoch_tail import _EpochTailStreamReader
+
+    t = str(tmp_path / "t")
+    (
+        spark.range(4)
+        .selectExpr("id", "CAST(id % 2 AS STRING) AS day", "id * 2 AS v")
+        .write.partitionBy("day")
+        .parquet(t)
+    )
+    commit_append_epoch(t)
+    # fine: partition column last
+    _EpochTailStreamReader({"path": t}, ["id", "v", "day"])
+    # partition column mid-schema → loud
+    with _pytest.raises(ValueError, match="partition columns"):
+        _EpochTailStreamReader({"path": t}, ["id", "day", "v"])
+    # partition column omitted → loud
+    with _pytest.raises(ValueError, match="partition columns"):
+        _EpochTailStreamReader({"path": t}, ["id", "v"])

@@ -137,3 +137,95 @@ def test_empty_log_yields_empty_stream(spark, tmp_path):
     except Exception:
         n = 0  # no output files written at all
     assert n == 0
+
+
+def test_torn_final_line_is_deferred_not_fatal(tmp_path):
+    """A partially appended last line (reader racing the relay) is
+    invisible to the current scan and completes by the next one."""
+    import base64
+    import json
+
+    log = str(tmp_path / "relay.jsonl")
+    with open(log, "w") as fh:
+        fh.write(json.dumps({"seq": 1, "frame_b64": base64.b64encode(b"a").decode()}) + "\n")
+        fh.write('{"seq": 2, "frame_b')  # torn: no newline, mid-JSON
+
+    from spectraplex_spark.streaming.replay_source import _GrpcReplayStreamReader
+
+    r = _GrpcReplayStreamReader({"path": log})
+    rows, last = r._scan(-1, None)
+    assert [s for s, _ in rows] == [1]
+    assert last == 1
+    with open(log, "a") as fh:  # the relay finishes the line
+        fh.write('64": "' + base64.b64encode(b"b").decode() + '"}\n')
+    rows, last = r._scan(1, None)
+    assert [s for s, _ in rows] == [2]
+    assert last == 2
+
+
+def test_out_of_order_seq_raises_loudly(tmp_path):
+    """A non-increasing seq violates the relay contract; the old scan
+    silently lost such frames forever — it must raise instead."""
+    import base64
+    import json
+
+    import pytest as _pytest
+
+    log = str(tmp_path / "relay.jsonl")
+    enc = base64.b64encode(b"x").decode()
+    with open(log, "w") as fh:
+        for seq in (1, 5, 3):
+            fh.write(json.dumps({"seq": seq, "frame_b64": enc}) + "\n")
+
+    from spectraplex_spark.streaming.replay_source import _GrpcReplayStreamReader
+
+    r = _GrpcReplayStreamReader({"path": log})
+    with _pytest.raises(ValueError, match="seq-ordered"):
+        r._scan(-1, None)
+
+
+def test_incremental_scan_cache_and_rotation_fallback(tmp_path):
+    """Consecutive scans resume from the cached byte offset (no O(N^2)
+    re-parse); a truncated/rotated log falls back to a full scan."""
+    import base64
+    import json
+
+    log = str(tmp_path / "relay.jsonl")
+    enc = base64.b64encode(b"x").decode()
+
+    def append(seqs):
+        with open(log, "a") as fh:
+            for s in seqs:
+                fh.write(json.dumps({"seq": s, "frame_b64": enc}) + "\n")
+
+    from spectraplex_spark.streaming.replay_source import _GrpcReplayStreamReader
+
+    r = _GrpcReplayStreamReader({"path": log})
+    append([1, 2])
+    rows, last = r._scan(-1, None)
+    assert last == 2 and r._pos_cache[0] == 2 and r._pos_cache[1] > 0
+    append([3])
+    rows, last = r._scan(2, None)  # resumes from the cache
+    assert [s for s, _ in rows] == [3]
+    # rotation: replace with a shorter file — cached offset now invalid
+    with open(log, "w") as fh:
+        fh.write(json.dumps({"seq": 10, "frame_b64": enc}) + "\n")
+    rows, last = r._scan(3, None)
+    assert [s for s, _ in rows] == [10]
+
+
+def test_read_between_offsets_early_stop(tmp_path):
+    import base64
+    import json
+
+    log = str(tmp_path / "relay.jsonl")
+    enc = base64.b64encode(b"x").decode()
+    with open(log, "w") as fh:
+        for s in range(1, 50):
+            fh.write(json.dumps({"seq": s, "frame_b64": enc}) + "\n")
+
+    from spectraplex_spark.streaming.replay_source import _GrpcReplayStreamReader
+
+    r = _GrpcReplayStreamReader({"path": log})
+    got = [s for s, _ in r.readBetweenOffsets({"seq": 2}, {"seq": 5})]
+    assert got == [3, 4, 5]

@@ -194,12 +194,26 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
 def parse_failures(bronze: DataFrame) -> DataFrame:
     """Bronze rows whose raw_metadata fails to parse (explicit error
     surface replacing the reference's fail-vs-swallow divergence,
-    cli/src/main.rs:155 vs api/src/main.rs:103)."""
-    return bronze.filter(
+    cli/src/main.rs:155 vs api/src/main.rs:103).
+
+    Also surfaces CORRUPT-LINE rows: a JSONL line that fails the
+    PERMISSIVE bronze read becomes an all-null row (Spark does not
+    enforce read-schema nullability), which the solana-only predicate
+    used to skip — exactly the silently-swallowed outcome this surface
+    exists to prevent (review finding). All-null means no id, no hash,
+    no payload: the row is detected by its three identity/payload
+    columns all being null together."""
+    bad_json = (
         (F.col("chain") == "solana")
         & F.col("raw_metadata").isNotNull()
         & F.try_parse_json("raw_metadata").isNull()
     )
+    corrupt_line = (
+        F.col("id").isNull()
+        & F.col("tx_hash").isNull()
+        & F.col("raw_metadata").isNull()
+    )
+    return bronze.filter(bad_json | corrupt_line)
 
 
 # --------------------------------------------------------------------------

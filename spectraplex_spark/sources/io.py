@@ -24,6 +24,7 @@ append + anti-join is the portable expression.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spectraplex_spark.schemas import BRONZE_SCHEMA
@@ -158,8 +159,12 @@ def _target_exists(spark: SparkSession, path: str) -> bool:
     try:
         spark.read.parquet(path).schema
         return True
-    except Exception:
+    except AnalysisException:
         return False
+    # Any OTHER exception (network blip, credentials, permissions)
+    # propagates: treating a transient probe failure as "table absent"
+    # would skip the schema guard AND the anti-join and land a replayed
+    # batch as full duplicates with no error anywhere (review finding).
 
 
 def idempotent_append(
@@ -222,8 +227,18 @@ def idempotent_append(
         if scope is not None:
             existing = existing.filter(scope)
         # Only id_col is read from the target: column pruning keeps this
-        # O(row-count), never O(bytes).
-        batch = batch.join(existing.select(id_col), id_col, "left_anti")
+        # O(row-count), never O(bytes). NULL-SAFE join: a plain equi-key
+        # anti-join never matches NULL ids, so a corrupt all-null row
+        # (PERMISSIVE read; Spark does not enforce read-schema
+        # nullability) would re-append on EVERY replay — the one case
+        # the replay-is-a-no-op guarantee would otherwise miss (review
+        # finding). dropDuplicates above already collapses null ids to
+        # one row within a batch.
+        batch = batch.join(
+            existing.select(F.col(id_col).alias("_existing_id")),
+            F.col(id_col).eqNullSafe(F.col("_existing_id")),
+            "left_anti",
+        )
     # persist: the filtered batch feeds both the count and the write —
     # without it the scan + anti-join would execute twice
     batch = batch.persist()
@@ -284,23 +299,39 @@ def land_with_quarantine(
     """
     from spectraplex_spark.operators.normalize import normalize, parse_failures
 
-    silver = normalize(bronze, audit_ts=audit_ts)
-    if prices is not None:
-        from spectraplex_spark.operators.temporal import enrich_fiat_value
+    # persist: both lanes (normalize + parse_failures), each with a
+    # count and a write inside idempotent_append, otherwise re-run the
+    # bronze lineage — the JSON parse normalize's docstring calls THE
+    # cost — about four times per landing (review finding)
+    bronze = bronze.persist()
+    try:
+        silver = normalize(bronze, audit_ts=audit_ts)
+        if prices is not None:
+            from spectraplex_spark.operators.temporal import enrich_fiat_value
 
-        silver = enrich_fiat_value(silver, prices)
-    n_silver = write_silver(silver, silver_path)
-    bad = parse_failures(bronze).select(
-        "id",
-        "tx_hash",
-        "chain",
-        "raw_metadata",
-        F.lit("unparseable raw_metadata").alias("reason"),
-        (audit_ts if audit_ts is not None else F.current_timestamp()).alias(
-            "quarantined_at"
-        ),
-    )
-    n_bad = idempotent_append(bad, quarantine_path, id_col="id")
+            silver = enrich_fiat_value(silver, prices)
+        n_silver = write_silver(silver, silver_path)
+        bad = parse_failures(bronze).select(
+            "id",
+            "tx_hash",
+            "chain",
+            "raw_metadata",
+            # all-null corrupt-line rows (PERMISSIVE read) carry no
+            # payload at all; label them distinctly. They collapse to
+            # one null-id representative in the idempotent sink — they
+            # are indistinguishable by construction.
+            F.when(
+                F.col("raw_metadata").isNull(), "corrupt bronze line"
+            )
+            .otherwise("unparseable raw_metadata")
+            .alias("reason"),
+            (audit_ts if audit_ts is not None else F.current_timestamp()).alias(
+                "quarantined_at"
+            ),
+        )
+        n_bad = idempotent_append(bad, quarantine_path, id_col="id")
+    finally:
+        bronze.unpersist()
     return n_silver, n_bad
 
 

@@ -74,6 +74,31 @@ def _partition_dir(partition_col: str, value) -> str:
     return f"{_escape_path_name(partition_col)}={_escape_path_name(s)}"
 
 
+def _inference_safe(text: str) -> bool:
+    """True iff a partition directory's value text survives Spark's
+    partition-type inference and comes back with the SAME lexical form.
+
+    Numeric-LOOKING strings that don't round-trip ('01', '+1', '1.10')
+    are the poison case: the reader infers 1 / 1.1, every predicted
+    directory name drifts from the real one, and the staged cross-checks
+    can't see it because prediction and staged output drift TOGETHER —
+    the old partition would silently survive the swap (review finding).
+    """
+    import re
+
+    if re.fullmatch(r"[+-]?\d+", text):
+        try:
+            return str(int(text)) == text
+        except ValueError:  # pragma: no cover - astronomically long digits
+            return False
+    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?", text):
+        try:
+            return str(float(text)) == text
+        except (ValueError, OverflowError):
+            return False
+    return True
+
+
 def _write_intent(staged_dir: str, intent: dict) -> None:
     """WAL record inside the staged dir (underscore-prefixed: excluded
     from data-file manifests), written tmp-then-rename BEFORE any swap
@@ -114,16 +139,44 @@ def merge_upsert(
     (e.g. event-date partitioning keyed by event id) can pass
     ``probe_moved_keys=False`` to keep the fully partition-pruned
     read; that flag is a CONTRACT that keys never change partition."""
+    # A trailing slash would place the staged/old siblings INSIDE the
+    # target (breaking the whole-table rename with EINVAL after the
+    # intent landed, and hiding them from _siblings/recover_merge).
+    target_path = target_path.rstrip("/") or target_path
+    from spectraplex_spark.sources.commit import EPOCH_DIR
+
+    if os.path.isdir(os.path.join(target_path, EPOCH_DIR)):
+        raise TableInconsistentError(
+            f"{target_path}: carries append-epoch manifests ({EPOCH_DIR}) "
+            "— merge_upsert rewrites files the epochs still reference, "
+            "which would both break the epoch read path and make the next "
+            "append double-commit the rewritten rows. Squash/retire the "
+            "epoch history (or rebuild the table) before merging."
+        )
+    # persist: updates feeds the _op check, both counts, the partition
+    # probe, and the final anti-join/union — without it every guard
+    # re-executes the (possibly non-deterministic) lineage, and the
+    # batch the guards validated need not be the batch that merges.
+    updates = updates.persist()
     ops = updates.select(F.col(OP_COL)).distinct().collect()
     bad = [r[0] for r in ops if r[0] not in ("upsert", "delete")]
     if bad:
+        updates.unpersist()
         raise ValueError(f"unknown _op values {bad!r}: use 'upsert' or 'delete'")
     n_updates = updates.count()
     if updates.select(key_col).distinct().count() != n_updates:
+        updates.unpersist()
         raise ValueError(
             "updates batch has duplicate keys — which payload wins would "
             "be arbitrary; pre-aggregate to one row per key (e.g. latest "
             "by a CDC sequence column) before merging."
+        )
+    if updates.filter(F.col(key_col).isNull()).count():
+        updates.unpersist()
+        raise ValueError(
+            "updates batch carries a NULL merge key: the anti-join never "
+            "matches NULL (a null-key upsert would duplicate, a null-key "
+            "delete would silently no-op) — repair or drop those rows."
         )
     target = spark.read.parquet(target_path)
     upserts = updates.filter(F.col(OP_COL) == "upsert").drop(OP_COL)
@@ -131,6 +184,29 @@ def merge_upsert(
     n_del = n_updates - n_up
 
     if partition_col is not None:
+        # refuse partition values whose directory text would not survive
+        # partition-type inference: every downstream prediction
+        # (_partition_dir over READ-BACK values) would silently drift
+        from urllib.parse import unquote
+
+        prefix = f"{_escape_path_name(partition_col)}="
+        for d in os.listdir(target_path):
+            if not d.startswith(prefix) or not os.path.isdir(
+                os.path.join(target_path, d)
+            ):
+                continue
+            text = unquote(d[len(prefix):])
+            if text != _HIVE_NULL_PART and not _inference_safe(text):
+                updates.unpersist()
+                raise TableInconsistentError(
+                    f"{target_path}: partition directory {d!r} holds a "
+                    f"value ({text!r}) that Spark's partition-type "
+                    "inference canonicalizes to a different lexical form "
+                    "— the partition-scoped swap cannot predict directory "
+                    "names for this table. Store the value in canonical "
+                    "form (e.g. no leading zeros) or merge with "
+                    "partition_col=None (whole-table swap)."
+                )
         parts = updates.select(F.col(partition_col).alias("_p")).distinct()
         if probe_moved_keys:
             # key-probe: partitions where the updated keys CURRENTLY
@@ -189,6 +265,7 @@ def merge_upsert(
         unexpected = [d for d in staged_parts if d not in set(affected_dirs)]
         if unexpected:
             shutil.rmtree(staged)
+            updates.unpersist()
             raise TableInconsistentError(
                 f"staged partition dirs {unexpected!r} don't match the "
                 f"predicted escaped names {affected_dirs!r} — partition-"
@@ -210,6 +287,7 @@ def merge_upsert(
         )
         if missing:
             shutil.rmtree(staged)
+            updates.unpersist()
             raise TableInconsistentError(
                 f"predicted deletion-only partition dirs {missing!r} not "
                 "found under the target — partition-value escaping drift "
@@ -265,6 +343,7 @@ def merge_upsert(
         shutil.rmtree(old)
     else:
         shutil.rmtree(staged)
+    updates.unpersist()
     return {"upserted": n_up, "deleted": n_del, "partitions_rewritten": n_parts}
 
 
@@ -343,8 +422,15 @@ def recover_merge(target_path: str) -> str:
         if intent["mode"] == "whole":
             if target_exists:
                 shutil.rmtree(target_path)  # uncommitted half-state
-            os.remove(intent_path)
+            # RENAME FIRST, remove the intent after (it rides along
+            # inside the renamed dir) — merge_upsert's own order. The
+            # old remove-then-rename order had a crash window leaving a
+            # staged dir with no intent and NO target: the next recovery
+            # run would refuse the only complete copy (review finding).
             os.rename(staged, target_path)
+            carried = os.path.join(target_path, INTENT_NAME)
+            if os.path.exists(carried):
+                os.remove(carried)
             write_commit_manifest(target_path)
             for d in old_dirs:
                 shutil.rmtree(d)

@@ -221,3 +221,41 @@ def test_append_schema_guard_rejects_forks_allows_reorder(spark, tmp_path):
     from spectraplex_spark.sources.commit import read_committed_epochs
 
     assert read_committed_epochs(spark, path).count() == 2
+
+
+def test_idempotent_append_null_id_replay_is_noop(spark, tmp_path):
+    """A corrupt all-null row must not re-append on replay: the
+    anti-join is null-safe (review finding)."""
+    from spectraplex_spark.sources.io import idempotent_append
+
+    p = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(None, "x"), (1, "a")], "id long, v string"
+    )
+    assert idempotent_append(batch, p, id_col="id", commit_epochs=False) == 2
+    # exact replay: both the real and the null-id row are no-ops
+    assert idempotent_append(batch, p, id_col="id", commit_epochs=False) == 0
+    assert spark.read.parquet(p).count() == 2
+
+
+def test_parse_failures_surfaces_corrupt_lines(spark, tmp_path):
+    """An all-null PERMISSIVE row (corrupt JSONL line) lands in the
+    quarantine lane instead of vanishing (review finding)."""
+    import json
+
+    from spectraplex_spark.schemas import BRONZE_SCHEMA
+    from spectraplex_spark.sources.io import land_with_quarantine, read_bronze_jsonl
+
+    src = tmp_path / "bronze.jsonl"
+    cols = [f.name for f in BRONZE_SCHEMA.fields]
+    good = dict(zip(cols, ["id-1", "u", "w", 1672531200, "sig", "eth", "{}", None]))
+    with open(src, "w") as fh:
+        fh.write(json.dumps(good) + "\n")
+        fh.write("{this line is not json\n")
+    bronze = read_bronze_jsonl(spark, str(src))
+    n_silver, n_bad = land_with_quarantine(
+        bronze, str(tmp_path / "silver"), str(tmp_path / "quarantine")
+    )
+    q = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    assert n_bad == 1
+    assert any(r["reason"] == "corrupt bronze line" for r in q)

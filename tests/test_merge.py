@@ -208,3 +208,95 @@ def test_deletion_only_escaping_drift_aborts_before_swap(spark, tmp_path, monkey
     assert _read(spark, path) == before  # nothing swapped
     leftovers = [d for d in os.listdir(tmp_path) if "__staged" in d]
     assert leftovers == []  # staged dir cleaned up on abort
+
+
+def test_null_merge_key_rejected(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from spectraplex_spark.sources.merge import merge_upsert
+
+    t = str(tmp_path / "t")
+    spark.range(3).selectExpr("id AS k", "id * 2 AS v").write.parquet(t)
+    upd = spark.createDataFrame(
+        [(None, 9, "upsert")], "k long, v long, _op string"
+    )
+    with _pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert(spark, t, upd, "k")
+
+
+def test_trailing_slash_target_normalized(spark, tmp_path):
+    from spectraplex_spark.sources.merge import merge_upsert
+
+    t = str(tmp_path / "t")
+    spark.range(3).selectExpr("id AS k", "id * 2 AS v").write.parquet(t)
+    upd = spark.createDataFrame([(1, 99, "upsert")], "k long, v long, _op string")
+    out = merge_upsert(spark, t + "/", upd, "k")  # slash: staged beside, not inside
+    assert out["upserted"] == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(t).collect()}
+    assert got == {0: 0, 1: 99, 2: 4}
+
+
+def test_merge_refuses_epoch_tables(spark, tmp_path):
+    import pytest as _pytest
+
+    from spectraplex_spark.sources.commit import commit_append_epoch
+    from spectraplex_spark.sources.merge import merge_upsert
+
+    t = str(tmp_path / "t")
+    spark.range(3).selectExpr("id AS k", "id * 2 AS v").write.parquet(t)
+    commit_append_epoch(t)
+    upd = spark.createDataFrame([(1, 99, "upsert")], "k long, v long, _op string")
+    with _pytest.raises(Exception, match="append-epoch manifests"):
+        merge_upsert(spark, t, upd, "k")
+
+
+def test_merge_refuses_inference_unsafe_partition_values(spark, tmp_path):
+    """A 'part=01' directory reads back as int 1, so every directory
+    prediction drifts and the old partition would silently survive the
+    swap — the merge must refuse such tables loudly (review finding)."""
+    import pytest as _pytest
+
+    from spectraplex_spark.sources.merge import _inference_safe, merge_upsert
+
+    assert _inference_safe("2024-01-01") and _inference_safe("abc")
+    assert _inference_safe("1") and _inference_safe("1.5")
+    assert not _inference_safe("01")
+    assert not _inference_safe("+1")
+    assert not _inference_safe("1.10")
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "01"), (2, "02")], "k long, p string"
+    ).write.partitionBy("p").parquet(t)
+    upd = spark.createDataFrame(
+        [(1, "02", "upsert")], "k long, p string, _op string"
+    )
+    with _pytest.raises(Exception, match="inference"):
+        merge_upsert(spark, t, upd, "k", partition_col="p")
+
+
+def test_recover_whole_forward_rename_before_intent_removal(spark, tmp_path):
+    """The crash window the old order left: staged dir present WITH its
+    intent, target already gone — recovery must roll forward (and a
+    crash right after the rename leaves the intent inside the target,
+    which the commit-forward state cleans)."""
+    import json
+    import os
+    import shutil
+
+    from spectraplex_spark.sources.commit import write_commit_manifest
+    from spectraplex_spark.sources.merge import INTENT_NAME, recover_merge
+
+    t = str(tmp_path / "t")
+    spark.range(3).selectExpr("id AS k").write.parquet(t)
+    write_commit_manifest(t)
+    staged = t + "__staged_deadbeef"
+    shutil.copytree(t, staged)
+    with open(os.path.join(staged, INTENT_NAME), "w") as fh:
+        json.dump({"mode": "whole", "partition_col": None, "affected": [],
+                   "staged_parts": []}, fh)
+    shutil.rmtree(t)  # the mid-swap crash state
+    assert recover_merge(t) == "whole-forward"
+    assert not os.path.exists(os.path.join(t, INTENT_NAME))
+    assert spark.read.parquet(t).count() == 3

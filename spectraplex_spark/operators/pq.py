@@ -82,8 +82,14 @@ def fit_pq_codebooks(
     iteration count.  Empty clusters keep their previous centroid.
     """
     total = df.count()
+    if not total:  # loud seam, not np.stack's 'need at least one array'
+        raise ValueError(
+            "fit_pq_codebooks: empty training frame — nothing to fit"
+        )
     frac = min(1.0, sample_size / max(total, 1))
     rows = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    if not rows:  # an unlucky tiny-fraction sample can come back empty
+        rows = df.select(vec_col).limit(min(total, sample_size)).collect()
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     dim = sample.shape[1]
     if dim % m:
@@ -362,14 +368,38 @@ def ivfpq_topk(
     ``centroids=codebooks=None`` to load the persisted fit from the
     index itself (read_ivfpq_model) — a fresh session needs no
     in-memory state."""
-    from spectraplex_spark.streaming.index_state import ensure_index_config
+    from spectraplex_spark.streaming.index_state import read_index_config
 
     if centroids is None or codebooks is None:
         if centroids is not None or codebooks is not None:
             raise ValueError("pass both centroids and codebooks, or neither")
         centroids, codebooks = read_ivfpq_model(spark, path)
-    ensure_index_config(spark, path, _ivfpq_config(centroids, codebooks))
-    q = np.asarray(query_vec, dtype=np.float64)
+    # VALIDATE-only on the query path: ensure_index_config CREATES the
+    # sidecar when absent, so querying a typo'd/nonexistent path used
+    # to write stray pinned state that blocked a later legitimate
+    # build there (review finding).
+    stored = read_index_config(spark, path)
+    if stored is None:
+        raise ValueError(
+            f"ivfpq_topk: no IVFPQ index at {path!r} (no _config sidecar) "
+            "— build it with write_ivfpq_index first."
+        )
+    want = {k: str(v) for k, v in _ivfpq_config(centroids, codebooks).items()}
+    if stored != want:
+        diffs = ", ".join(
+            f"{k}: stored={stored.get(k)!r} != query={want.get(k)!r}"
+            for k in sorted(set(stored) | set(want))
+            if stored.get(k) != want.get(k)
+        )
+        raise ValueError(
+            f"ivfpq_topk: the index at {path!r} was built with different "
+            f"parameters than this query's fit ({diffs}) — load the "
+            "persisted fit (centroids=codebooks=None) or rebuild the index."
+        )
+    # np.array(..., copy): asarray ALIASES a caller-owned float64
+    # ndarray, and the in-place /= would silently rescale the
+    # caller's vector (review finding)
+    q = np.array(query_vec, dtype=np.float64, copy=True)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     probes = [int(c) for c in np.argsort(-(np.asarray(centroids) @ q))[:n_probe]]
     lut = adc_lut(query_vec, codebooks)

@@ -139,16 +139,46 @@ def append_postings_batch(
     p = (
         build_postings(batch, text_col, id_col)
         .withColumn("_tp", F.pmod(F.xxhash64("term"), F.lit(n_partitions)))
-        .withColumn("id", F.concat_ws(":", F.col("doc_id"), F.col("term")))
+        # unit-separator \x1f, not ':' — a ':' inside doc_id or term
+        # made distinct (doc_id, term) pairs collide and the anti-join
+        # silently dropped legitimate new postings (review finding)
+        .withColumn(
+            "id", F.concat_ws("\x1f", F.col("doc_id"), F.col("term"))
+        )
     )
     return idempotent_append(
         p, f"{index_dir}/postings", id_col="id", partition_by=("_tp",)
     )
 
 
-def read_postings(spark, path: str, terms: list[str], n_partitions: int = 64) -> DataFrame:
+def read_postings(
+    spark, path: str, terms: list[str], n_partitions: int | None = None
+) -> DataFrame:
     """Probe the materialized index: the `_tp IN (...)` predicate is a
-    partition filter, so only the probed terms' buckets are read."""
+    partition filter, so only the probed terms' buckets are read.
+
+    The bucket count is resolved from the ``_config`` sidecar when the
+    index carries one (an append-managed ``{index_dir}/postings`` path
+    — the sidecar sits in the parent): a caller-supplied value that
+    disagrees with the pinned one raises instead of silently hashing
+    probes into the wrong buckets and returning empty postings for
+    ~half the terms (review finding). Sidecar-less (materialize-only)
+    indexes fall back to the caller's value or the build default 64."""
+    import os as _os
+
+    from spectraplex_spark.streaming.index_state import read_index_config
+
+    cfg = read_index_config(spark, path)
+    if cfg is None and _os.path.basename(path.rstrip("/")) == "postings":
+        cfg = read_index_config(spark, _os.path.dirname(path.rstrip("/")))
+    pinned = int(cfg["n_partitions"]) if cfg and "n_partitions" in cfg else None
+    if pinned is not None and n_partitions is not None and pinned != n_partitions:
+        raise ValueError(
+            f"read_postings: caller asked for n_partitions={n_partitions} "
+            f"but the index at {path!r} is pinned to {pinned} — probing "
+            "with the wrong bucket count silently drops postings."
+        )
+    n_partitions = pinned if pinned is not None else (n_partitions or 64)
     buckets = spark.createDataFrame(
         [(t,) for t in terms], "term string"
     ).select(F.pmod(F.xxhash64("term"), F.lit(n_partitions)).alias("_tp"))
@@ -239,6 +269,7 @@ def bm25_topk_grid(
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
     grid: int = BM25_GRID,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BM25 ranking on an EXACT-INTEGER grid — the driver-gradable twin
     of bm25_topk (same recipe as sq_topk/quality_linear_score: put the
@@ -266,21 +297,29 @@ def bm25_topk_grid(
             "bm25_topk_grid needs postings with the denormalized 'dl' "
             "column (layout postings-dl-v2) — rebuild the index."
         )
-    per_doc = (
-        doc_lengths(df, text_col, id_col)
-        if df is not None
-        else p.select("doc_id", "dl").dropDuplicates(["doc_id"])
-    )
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).head()
-    n_docs, s_tok = int(stats["n"]), int(stats["s"])
+    if df is None:
+        if corpus_stats is None:
+            raise ValueError(
+                "bm25_topk_grid: with df=None pass corpus_stats=(n_docs, "
+                "total_tokens) — a term-filtered postings frame cannot "
+                "reproduce corpus-level idf/length stats (see bm25_topk)."
+            )
+        n_docs, s_tok = int(corpus_stats[0]), int(corpus_stats[1])
+        if n_docs <= 0:
+            raise ValueError("bm25_topk_grid: corpus_stats reports an empty corpus")
+    else:
+        stats = doc_lengths(df, text_col, id_col).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).head()
+        if not int(stats["n"]):
+            raise ValueError("bm25_topk_grid: empty corpus — no documents to score")
+        n_docs, s_tok = int(stats["n"]), int(stats["s"])
     hits = p.filter(F.col("term").isin(terms))
     tstats = hits.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df"), F.max("tf").alias("max_tf")
     ).collect()
     dfs = {r["term"]: int(r["df"]) for r in tstats}
-    max_tf = max((int(r["max_tf"]) for r in tstats), default=1)
+    tf_max = {r["term"]: int(r["max_tf"]) for r in tstats}
     idf_q: dict[str, int] = {}
     for t in terms:
         d = dfs.get(t, 0)
@@ -292,10 +331,22 @@ def bm25_topk_grid(
                 "the ranking engine-independent."
             )
         idf_q[t] = int(math.floor(v))
-    if max(idf_q.values(), default=0) * 44 * s_tok * max_tf >= 2**62:
+    # PER-TERM products (a global max-idf x global max-tf pairs the
+    # rarest term with the commonest term's tf and spuriously rejects
+    # healthy corpora — review finding), plus the DENOMINATOR, whose
+    # 18*N*dl term the old guard ignored entirely.
+    max_dl = int(
+        hits.agg(F.max("dl").alias("m")).head()["m"] or 0
+    )
+    worst_num = max(
+        (idf_q[t] * 44 * s_tok * tf_max.get(t, 1) for t in terms), default=0
+    )
+    worst_den = 20 * s_tok * max(tf_max.values(), default=1) + 6 * s_tok + 18 * n_docs * max_dl
+    if worst_num >= 2**62 or worst_den >= 2**62:
         raise ValueError(
             "bm25_topk_grid integer products would overflow 62 bits at "
-            f"this corpus size (S={s_tok}, max_tf={max_tf}); lower the grid."
+            f"this corpus size (S={s_tok}, worst numerator={worst_num}, "
+            f"worst denominator={worst_den}); lower the grid."
         )
     idf_map = F.create_map(
         *[F.lit(x) for t in terms for x in (t, idf_q[t])]
@@ -328,6 +379,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Standard BM25 (disjunctive): score(d) = Σ_t idf(t) · tf(t,d)(k1+1)
     / (tf(t,d) + k1(1-b+b·dl/avgdl)), idf = ln(1 + (N-df+.5)/(df+.5)).
@@ -353,18 +405,33 @@ def bm25_topk(
             "table at query time is a 100 TB anti-pattern this module "
             "refuses to reintroduce."
         )
-    # Corpus stats (N, avgdl): one bounded aggregate. From the corpus
-    # when given; otherwise recovered from the index itself (postings
-    # carry dl, so distinct doc_id rows reproduce the length table).
-    per_doc = (
-        doc_lengths(df, text_col, id_col)
-        if df is not None
-        else p.select("doc_id", "dl").dropDuplicates(["doc_id"])
-    )
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).head()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    # Corpus stats (N, avgdl). From the corpus when given; with
+    # df=None they must arrive via corpus_stats=(n_docs, total_tokens):
+    # the documented probe composition hands in a TERM-FILTERED
+    # read_postings frame, whose distinct doc_ids are only the docs
+    # containing a query term — idf and length normalization computed
+    # from it are silently wrong (review finding), so this path refuses
+    # to guess.
+    if df is None:
+        if corpus_stats is None:
+            raise ValueError(
+                "bm25_topk: with df=None pass corpus_stats=(n_docs, "
+                "total_tokens) — a term-filtered postings frame cannot "
+                "reproduce corpus-level idf/avgdl (record the two "
+                "numbers at index build time, e.g. in the _config "
+                "sidecar)."
+            )
+        n_docs, s_tok = int(corpus_stats[0]), int(corpus_stats[1])
+        if n_docs <= 0:
+            raise ValueError("bm25_topk: corpus_stats reports an empty corpus")
+        avgdl = s_tok / n_docs
+    else:
+        stats = doc_lengths(df, text_col, id_col).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).head()
+        if not int(stats["n"]):
+            raise ValueError("bm25_topk: empty corpus — no documents to score")
+        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
     hits = p.filter(F.col("term").isin(terms))
     dfs = {
         r["term"]: int(r["df"])

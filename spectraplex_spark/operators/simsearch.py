@@ -242,7 +242,10 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = fit_ivf_centroids(df, n_centroids, vec_col, seed=seed)
-    q = np.asarray(query_vec, dtype=np.float64)
+    # np.array(..., copy): asarray ALIASES a caller-owned float64
+    # ndarray, and the in-place /= would silently rescale the
+    # caller's vector (review finding)
+    q = np.array(query_vec, dtype=np.float64, copy=True)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     probes = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
     assigned = ivf_assign(df, centroids, vec_col)
@@ -330,7 +333,10 @@ def ivf_topk_indexed(
     (read_ivf_index) — a fresh session needs no in-memory state."""
     if centroids is None:
         centroids, _ = read_ivf_index(spark, path)
-    q = np.asarray(query_vec, dtype=np.float64)
+    # np.array(..., copy): asarray ALIASES a caller-owned float64
+    # ndarray, and the in-place /= would silently rescale the
+    # caller's vector (review finding)
+    q = np.array(query_vec, dtype=np.float64, copy=True)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     probes = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
     scan = spark.read.parquet(f"{path}/rows").filter(F.col(cluster_col).isin(probes))

@@ -244,3 +244,80 @@ def test_bm25_rejects_v1_postings_without_dl(spark):
     v1 = build_postings(_df(spark)).drop("dl")
     with _pytest.raises(ValueError, match="dl"):
         bm25_topk(_df(spark), ["spark"], postings=v1)
+
+
+def test_read_postings_uses_pinned_bucket_count(spark, tmp_path):
+    """A probe against an append-managed index must resolve the bucket
+    count from the _config sidecar; a conflicting caller value raises
+    instead of silently hashing probes into the wrong buckets."""
+    import pytest as _pytest
+
+    from spectraplex_spark.operators.retrieval import (
+        append_postings_batch,
+        conjunctive_topk,
+        read_postings,
+    )
+
+    idx = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(1, "spark join"), (2, "spark window join")], "doc_id long, text string"
+    )
+    append_postings_batch(df, idx, n_partitions=8)
+    # no n_partitions passed: sidecar resolves 8, both docs found
+    p = read_postings(spark, f"{idx}/postings", ["spark", "join"])
+    got = conjunctive_topk(None, ["spark", "join"], k=10, postings=p).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
+    with _pytest.raises(ValueError, match="pinned"):
+        read_postings(spark, f"{idx}/postings", ["spark"], n_partitions=64)
+
+
+def test_bm25_with_df_none_requires_corpus_stats(spark):
+    import pytest as _pytest
+
+    from spectraplex_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_grid,
+        build_postings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark join fast"), (2, "slow")], "doc_id long, text string"
+    )
+    p = build_postings(df).filter("term = 'spark'")  # term-filtered probe
+    with _pytest.raises(ValueError, match="corpus_stats"):
+        bm25_topk(None, ["spark"], postings=p)
+    with _pytest.raises(ValueError, match="corpus_stats"):
+        bm25_topk_grid(None, ["spark"], postings=p)
+    # and WITH stats the probe path matches the corpus-frame path
+    full = {r["doc_id"]: r["bm25"] for r in bm25_topk(df, ["spark"]).collect()}
+    probed = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(
+            None, ["spark"], postings=p, corpus_stats=(2, 4)
+        ).collect()
+    }
+    assert probed == full
+
+
+def test_append_id_separator_no_collisions(spark, tmp_path):
+    """doc_id 'a:b' term 'c' must not collide with doc_id 'a' term
+    'b:c' (the old ':' separator collapsed them)."""
+    from spectraplex_spark.operators.retrieval import append_postings_batch
+
+    idx = str(tmp_path / "idx")
+    df1 = spark.createDataFrame([("a:b", "c")], "doc_id string, text string")
+    df2 = spark.createDataFrame([("a", "b:c")], "doc_id string, text string")
+    assert append_postings_batch(df1, idx, n_partitions=4) == 1
+    assert append_postings_batch(df2, idx, n_partitions=4) == 1  # not dropped
+    got = spark.read.parquet(f"{idx}/postings").select("doc_id", "term").collect()
+    assert {(r["doc_id"], r["term"]) for r in got} == {("a:b", "c"), ("a", "b:c")}
+
+
+def test_empty_corpus_bm25_raises_loudly(spark):
+    import pytest as _pytest
+
+    from spectraplex_spark.operators.retrieval import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        bm25_topk(empty, ["spark"])

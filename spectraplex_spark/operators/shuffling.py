@@ -16,8 +16,11 @@ family as ``estimators.perm_constants``.  For ids < P this is
 collision-free (P is prime, so any A ≥ 1 is coprime), making the
 induced order TOTAL and a function of (id, seed) only: bit-identical
 across partitionings, file layouts, and cluster sizes.  All arithmetic
-stays below 2^62 (A, id < 2^31), safe under ANSI mode — no wrap, no
-overflow raise — and the DuckDB oracle replays it in plain BIGINT.
+stays below 2^62 (A, id < 2^31) BECAUSE both operands are cast to long
+before the multiply — an IntegerType id left uncast would make A·id an
+int32 product that wraps at 2^31 under non-ANSI mode (r11 ADVICE).  On
+long operands it is safe with or without ANSI — no wrap, no overflow
+raise — and the DuckDB oracle replays it in plain BIGINT.
 
 Two shard assignments, both deterministic, both returned:
   - ``shard_ranked`` — exactly balanced: global rank along perm_q cut
@@ -92,7 +95,17 @@ def _permuted(df: DataFrame, seed: int, id_col: str) -> DataFrame:
         & (F.col(id_col) >= 0)
         & (F.col(id_col) < PERM_P)
     )
-    perm = F.pmod(F.lit(a) * F.col(id_col) + F.lit(b), F.lit(PERM_P))
+    # ALL operands cast to long BEFORE the multiply: with an IntegerType
+    # id column, `lit(a) * id` would be int*int and silently wrap at 2^31
+    # under non-ANSI mode (a < 2^31 keeps lit(a) IntegerType), producing a
+    # wrong but valid-looking perm_q — broken bijectivity that the
+    # in-range guard cannot catch (r11 ADVICE, medium).  On long operands
+    # the product is < 2^62, safe in int64 with or without ANSI.
+    perm = F.pmod(
+        F.lit(a).cast("long") * F.col(id_col).cast("long")
+        + F.lit(b).cast("long"),
+        F.lit(PERM_P).cast("long"),
+    )
     return df.withColumn(
         "perm_q",
         F.when(id_ok, perm)
@@ -158,6 +171,30 @@ def shuffle_shards(
     return _finish(out, n_shards, total)
 
 
+def _offset_lookup(offsets: dict[int, int]):
+    """The global-rank offset for ``_pid``, as a fail-loud column.
+
+    Every row's pid IS a key by construction (the map is built from the
+    same checkpointed frame) — so a NULL lookup means drift (checkpoint
+    block loss, future bug) and must fail LOUDLY at execution, not
+    default to offset 0 and emit duplicate global ranks (r11 ADVICE:
+    the old ``coalesce(try_element_at(...), 0)`` was the opposite of
+    the module's fail-loud discipline)."""
+    looked = F.try_element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    ).cast("long")
+    return F.when(looked.isNotNull(), looked).otherwise(
+        F.raise_error(
+            F.format_string(
+                "shuffle_shards: partition id %s missing from the "
+                "offset map — checkpointed partitioning drifted",
+                F.col("_pid").cast("string"),
+            )
+        )
+    ).cast("long")
+
+
 def shuffle_shards_scalable(
     df: DataFrame,
     n_shards: int,
@@ -214,21 +251,7 @@ def shuffle_shards_scalable(
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
-    offset_expr = F.lit(0).cast("long")
-    if offsets:
-        # try_element_at: every row's pid IS a key by construction (the
-        # map is built from the same checkpointed frame), but ANSI-mode
-        # element_at would turn any future drift into a MAP_KEY error
-        # instead of the loud rank-mismatch the tests would catch.
-        offset_expr = F.coalesce(
-            F.try_element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in offsets.items() for x in kv]
-                ),
-                F.col("_pid"),
-            ).cast("long"),
-            F.lit(0).cast("long"),
-        )
+    offset_expr = _offset_lookup(offsets) if offsets else F.lit(0).cast("long")
     out = parted.withColumn(
         "_rn", (offset_expr + F.col("_lrn") + 1).cast("long")
     ).drop("_pid", "_lrn")

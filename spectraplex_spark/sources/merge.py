@@ -91,7 +91,16 @@ def _inference_safe(text: str) -> bool:
             return str(int(text)) == text
         except ValueError:  # pragma: no cover - astronomically long digits
             return False
-    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?", text):
+    # Spark's fallback is Double.parseDouble, which ALSO accepts
+    # exponent-only forms without a dot ('1e5' → 100000.0) and the
+    # Infinity/NaN spellings — all of which drift on read-back, so they
+    # must hit the float round-trip check / hard reject too (r11 ADVICE:
+    # the old pattern required a decimal point and let '1e5' through).
+    if re.fullmatch(r"[+-]?(Inf(inity)?|NaN)", text, flags=re.IGNORECASE):
+        return False  # never round-trips to the same lexical form
+    if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", text) and (
+        "." in text or "e" in text or "E" in text
+    ):
         try:
             return str(float(text)) == text
         except (ValueError, OverflowError):

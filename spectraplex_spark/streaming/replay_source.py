@@ -84,7 +84,13 @@ class _GrpcReplayStreamReader(SimpleDataSourceStreamReader):
         data = data[: nl + 1] if nl >= 0 else b""  # defer the torn tail
         pos = start_pos
         prev_seq: int | None = None
-        for raw in data.splitlines():
+        # Split on b"\n" ONLY (the tail above is already trimmed to the
+        # last newline, so every element consumed exactly len(raw)+1
+        # bytes).  data.splitlines() would also split on \r / \r\n and
+        # make _pos_cache drift one byte per CRLF line, landing every
+        # cached-resume seek mid-line (r11 ADVICE).  A lone \r stays part
+        # of the line and is removed by .strip() before json parsing.
+        for raw in data.split(b"\n")[:-1]:
             line_len = len(raw) + 1
             line = raw.strip()
             if line:

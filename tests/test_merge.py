@@ -300,3 +300,20 @@ def test_recover_whole_forward_rename_before_intent_removal(spark, tmp_path):
     assert recover_merge(t) == "whole-forward"
     assert not os.path.exists(os.path.join(t, INTENT_NAME))
     assert spark.read.parquet(t).count() == 3
+
+
+def test_inference_safe_rejects_exponent_and_inf_nan_spellings():
+    """r11 ADVICE: Spark's partition-type fallback is Double.parseDouble,
+    which also accepts exponent-only forms without a dot ('1e5' →
+    100000.0) and Infinity/NaN spellings — every one must be rejected
+    (none round-trips to the same lexical form)."""
+    from spectraplex_spark.sources.merge import _inference_safe
+
+    for poison in (
+        "1e5", "1E5", "2e-3", "+3e4", "-1e2", "12e0",
+        "Infinity", "-Infinity", "+Infinity", "Inf", "-inf", "NaN", "nan",
+    ):
+        assert not _inference_safe(poison), poison
+    # plain text and round-tripping numerics remain safe
+    for ok in ("2024-01-01", "abc", "1", "1.5", "e5", "nano", "infra"):
+        assert _inference_safe(ok), ok

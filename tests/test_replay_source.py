@@ -229,3 +229,56 @@ def test_read_between_offsets_early_stop(tmp_path):
     r = _GrpcReplayStreamReader({"path": log})
     got = [s for s, _ in r.readBetweenOffsets({"seq": 2}, {"seq": 5})]
     assert got == [3, 4, 5]
+
+
+def test_crlf_relay_log_does_not_drift_pos_cache(tmp_path):
+    """r11 ADVICE: the old scan iterated data.splitlines() (which also
+    splits on \\r / \\r\\n) while charging len(raw)+1 bytes per line, so a
+    CRLF-written relay log drifted _pos_cache one byte per line and the
+    next cached-resume seek landed mid-line.  The scan must charge the
+    exact bytes consumed, so cached resumes keep parsing cleanly."""
+    import base64
+    import json
+
+    log = str(tmp_path / "relay.jsonl")
+    enc = base64.b64encode(b"x").decode()
+
+    def append(seqs):
+        with open(log, "ab") as fh:
+            for s in seqs:
+                fh.write(json.dumps({"seq": s, "frame_b64": enc}).encode() + b"\r\n")
+
+    from spectraplex_spark.streaming.replay_source import _GrpcReplayStreamReader
+
+    r = _GrpcReplayStreamReader({"path": log})
+    append([1, 2])
+    rows, last = r._scan(-1, None)
+    assert [s for s, _ in rows] == [1, 2]
+    # the cached position must equal the true byte size of what was read
+    import os as _os
+
+    assert r._pos_cache == (2, _os.path.getsize(log))
+    append([3, 4])
+    rows, last = r._scan(2, None)  # cached resume lands ON a line start
+    assert [s for s, _ in rows] == [3, 4]
+    assert r._pos_cache == (4, _os.path.getsize(log))
+
+
+def test_lone_carriage_return_inside_line_is_not_a_split(tmp_path):
+    """A stray \\r inside a line (not part of a terminator) must not
+    split the record: only \\n terminates relay frames."""
+    import base64
+
+    log = str(tmp_path / "relay.jsonl")
+    enc = base64.b64encode(b"x").decode()
+    with open(log, "wb") as fh:
+        # valid JSON with no embedded \r, then a CR-terminated line
+        fh.write(('{"seq": 1, "frame_b64": "%s"}\r\n' % enc).encode())
+        fh.write(('{"seq": 2, "frame_b64": "%s"}\n' % enc).encode())
+
+    from spectraplex_spark.streaming.replay_source import _GrpcReplayStreamReader
+
+    r = _GrpcReplayStreamReader({"path": log})
+    rows, last = r._scan(-1, None)
+    assert [s for s, _ in rows] == [1, 2]
+    assert last == 2

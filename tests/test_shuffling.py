@@ -124,3 +124,50 @@ def test_empty_input(spark):
     df = spark.range(0, 0).withColumnRenamed("id", "doc_id")
     assert shuffle_shards(df, 4).count() == 0
     assert shuffle_shards_scalable(df, 4).count() == 0
+
+
+def test_integer_typed_ids_no_int32_wrap(spark):
+    """r11 ADVICE (medium): with an IntegerType id column the old
+    ``lit(a) * col`` multiplied int32×int32 and silently wrapped at 2^31
+    under non-ANSI mode — a wrong but valid-looking perm_q.  perm_q must
+    equal the exact Python affine map for int-typed ids across the full
+    legal range, and agree bit-for-bit with the long-typed path."""
+    ids = [0, 1, 12345, 2**30, PERM_P - 2]  # all fit in int32
+    as_int = spark.createDataFrame([(i,) for i in ids], "doc_id int")
+    as_long = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    A, B = perm_params(7)
+    got_int = {
+        r["doc_id"]: r["perm_q"]
+        for r in shuffle_shards(as_int, 3, seed=7).select("doc_id", "perm_q").collect()
+    }
+    for i in ids:
+        assert got_int[i] == (A * i + B) % PERM_P, i
+    got_long = {
+        r["doc_id"]: r["perm_q"]
+        for r in shuffle_shards(as_long, 3, seed=7).select("doc_id", "perm_q").collect()
+    }
+    assert got_int == got_long
+    # the scalable two-phase path holds the same contract on int ids
+    got_scal = {
+        r["doc_id"]: r["perm_q"]
+        for r in shuffle_shards_scalable(as_int, 3, seed=7)
+        .select("doc_id", "perm_q")
+        .collect()
+    }
+    assert got_scal == got_int
+
+
+def test_offset_lookup_fails_loudly_on_missing_pid(spark):
+    """r11 ADVICE: a pid absent from the broadcast offset map must raise
+    at execution, not silently resolve to offset 0 (duplicate global
+    ranks).  Present pids resolve exactly."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.shuffling import _offset_lookup
+
+    df = spark.createDataFrame([(0,), (1,)], "_pid int")
+    ok = df.withColumn("off", _offset_lookup({0: 0, 1: 17})).collect()
+    assert {r["_pid"]: r["off"] for r in ok} == {0: 0, 1: 17}
+    drifted = spark.createDataFrame([(0,), (2,)], "_pid int")
+    with pytest.raises(Exception, match="missing from the offset map"):
+        drifted.withColumn("off", _offset_lookup({0: 0, 1: 17})).collect()

@@ -26,11 +26,11 @@ import json
 import re
 from pathlib import Path
 
-# --- round-11 composition constants ---------------------------------------
+# --- round-12 composition constants ---------------------------------------
 
 #: The round the CURRENT window (plans/__init__.py `_GRADED_PRIORITY`) is
 #: composed for.  Bump together with the window rewrite each round.
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 #: The driver grades exactly this many catalog entries per round.
 WINDOW_SIZE = 50
@@ -45,84 +45,35 @@ FRESHNESS_BAR = 3
 #: verdict inside the bar (and pytest parity coverage, which the full suite
 #: re-certifies every round).  value = (sibling, why).
 DEFERRALS: dict[str, tuple[str, str]] = {
-    # The r11 oversubscription (55 mandatory for 50 slots — the r10 verdict's
-    # pre-planned shortlist, adopted verbatim): 5 deferrals, each with an
-    # in-window or r8+-green in-family sibling plus pytest parity coverage.
-    "knn_join_topk_arrow": (
-        "knn_join_topk",
-        "same kNN-join harness (Arrow int-matmul twin of the expression "
-        "path, pinned bit-equal by pytest); sibling in-window r11",
-    ),
-    "multimodal_resize": (
-        "multimodal_frame_sample",
-        "same mapInPandas multimodal family; frame-sample sibling in-window "
-        "r11, binary+meta sibling green r9, webdataset r8",
-    ),
-    "solana_normalize_udtf_golden": (
-        "solana_normalize_golden",
-        "literal @udtf re-expression of the same normalize pipeline, pinned "
-        "equal by pytest; sibling in-window r11",
-    ),
-    "simhash_dup_groups_planted": (
-        "simhash_neighbor_pairs_planted",
-        "same SimHash planted-twin family; neighbor-pairs sibling in-window "
-        "r11, simhash_planted_twins green r10",
-    ),
-    "session_window_builtin": (
-        "session_stats",
-        "same session-window family (builtin session_window vs the manual "
-        "gap-split build, pinned equal by pytest); sibling in-window r11",
-    ),
+    # Round 12: EMPTY — the first zero-deferral window since r9.  The
+    # r11 verdict pre-planned 10 deferrals for a 60-for-50
+    # oversubscription; instead the debt-paydown demotions
+    # (plans/__init__.py _DEMOTED_PARITY_ONLY: 15 variant entries moved
+    # to pytest-pinned dual-SF parity, including the 5 r7-vintage
+    # stragglers and 6 of the r8-vintage shortlist) shrank the mandatory
+    # set to 49, leaving a spare slot that backfills corpus_prep_pipeline
+    # (r9 vintage) a round early.
 }
 
 #: Entries registered AFTER the current round's window sealed; they grade
 #: next round per the standing late-registration precedent (since r7).
-#: Populated as round-11 work registers new queries.
-LATE_REGISTRATIONS: set[str] = {
-    "pagerank_conserving_ranks",  # r10 verdict task #4: mass-conserving variant
-    "unigram_trained_vocab",  # r10 verdict task #5: 6th iterative class
-    "unigram_encode_topk",  # its encode half (the BPE train+encode pairing)
-    "wordpiece_trained_merges",  # tokenizer trio complete: BERT-family trainer
-    "wordpiece_encode_topk",  # its greedy longest-match encode half
-    "training_shuffle_shards",  # seeded deterministic shuffle + balanced shards
-    "funnel_conversion_report",  # windowFunnel-contract event funnel
-    "cohort_retention_daily",  # first-activity cohort retention matrix
-    "stream_funnel_replay",  # the funnel state machine as stream state
-}
+#: Populated as round-12 work registers new queries.
+LATE_REGISTRATIONS: set[str] = set()
 
-# ---- ROUND-12 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
-# for the live numbers; written at r11 close so r12 starts instantly):
-#   mandatory = 60 for 50 slots, assuming the r11 window greens:
-#   9 late-r11 registrations (pagerank_conserving_ranks,
-#   unigram_trained_vocab, unigram_encode_topk, wordpiece_trained_merges,
-#   wordpiece_encode_topk, training_shuffle_shards,
-#   funnel_conversion_report, cohort_retention_daily,
-#   stream_funnel_replay — all dual-SF green locally at registration)
-#   + the 5 r11 deferrals (now r7-vintage, HARD mandatory:
-#   knn_join_topk_arrow, multimodal_resize, solana_normalize_udtf_golden,
-#   simhash_dup_groups_planted, session_window_builtin)
-#   + 46 r8-vintage entries.
-#   → defer 10 of the r8s with fresh siblings. Shortlist (verify with the
-#   CLI before adopting — siblings must land in-window or carry r9+):
-#     - array_posexplode_embeddings (sibling array_ops_embeddings,
-#       in-window r11)
-#     - bpe_merge_pairs (siblings bpe_trained_merges r9,
-#       bpe_encode_pandas_topk r11)
-#     - bpe_encode_topk (sibling bpe_encode_pandas_topk, in-window r11 —
-#       same merge-replay segmentation, pinned bit-equal by pytest)
-#     - embedding_neardup_pairs (sibling embedding_neardup_bucketed,
-#       in-window r11 — same hyperplane-LSH family)
-#     - domain_cap_sample (sibling domain_cap_scalable r9)
-#     - source_quota_sample (sibling source_quota_scalable r10)
-#     - daily_rollup_events (sibling incremental_rollup_merge, in-window
-#       r11)
-#     - scalar_string_parts (sibling scalar_string_advanced, in-window
-#       r11 — same scalar string-function family)
-#     - scalar_date_arith (sibling scalar_date_orders r9 — same scalar
-#       date-function family)
-#     spares if a changed-code regrade needs a slot:
-#     - jsonl_roundtrip_events / orc_roundtrip_events (sibling
-#       csv_roundtrip_events, in-window r11 — same interchange family)
+# ---- ROUND-13 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
+# for the live numbers; written at r12 composition, re-check at close):
+#   The r11 verdict's 10-deferral plan was superseded: 15 variant entries
+#   were DEMOTED to pytest-pinned parity (plans/__init__.py
+#   _DEMOTED_PARITY_ONLY), making the r12 window exactly 50 with zero
+#   deferrals and the catalog 196 entries.
+#   Assuming the r12 window greens, r13 mandatory = the 46 remaining
+#   r9-vintage entries (49 minus demoted corpus_prep_planted +
+#   udaf_value_stats, minus corpus_prep_pipeline graded early at r12)
+#   + LATE_REGISTRATIONS added during r12 — ≤ 50 as long as at most 4
+#   new entries register; register more only with matching demotion or
+#   deferral capacity (see the graded-entry-capacity memory).
+#   Watch item for r14: simhash_planted_twins (r10) carries the two
+#   ROWS_ONLY_PROVEN entries' freshness — it must regrade by r14.
 # ---------------------------------------------------------------------------
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.
@@ -136,12 +87,17 @@ ROWS_ONLY_PROVEN: dict[str, str] = {
 #: Entries whose underlying code changed this round, so their prior hash no
 #: longer certifies HEAD — each MUST sit in the current window.
 CHANGED_CODE_REGRADES: set[str] = {
-    # r10 ADVICE fixes land in r11; each touched entry grades in-window
-    # (all three are also never-graded late-r10 registrations, so they sit
-    # in the window regardless — this records WHY they cannot defer):
-    "epoch_tail_stream_roundtrip",  # offset-regression + column-order fixes
-    "semantic_decontam_report",  # decimal-overflow fail-closed guard
-    "bpe_encode_pandas_topk",  # root-locale contract guard
+    # r11 ADVICE fixes land in r12: operators/shuffling.py changed (int32
+    # perm-wrap fix + fail-loud offset lookup). training_shuffle_shards is
+    # a never-graded late-r11 registration, so it sits in the window
+    # regardless — this records WHY it could not have deferred.
+    "training_shuffle_shards",
+    # The other two r11 ADVICE fixes follow the standing non-semantic
+    # precedent (rpc_ingest r11) instead of a forced regrade — guard/
+    # byte-accounting paths only, graded happy paths byte-identical,
+    # pinned by tests/test_merge.py + tests/test_replay_source.py:
+    #   merge_upsert_roundtrip (merge.py _inference_safe regex widening),
+    #   grpc_replay_ingest_golden + stream_*_replay (replay_source CRLF).
 }
 
 
@@ -291,8 +247,11 @@ def main() -> None:  # pragma: no cover - CLI convenience
             print("PROBLEM:", p)
         raise SystemExit(1)
     hist = load_history(Path(__file__).resolve().parents[2])
-    green = latest_green(hist)
     names = list(CATALOG)
+    # Restrict to live catalog entries: demoted (PARITY_ONLY) names keep
+    # their old driver records in history, but they are off the graded
+    # surface — counting them would read as a permanent stale-green alarm.
+    green = {n: g for n, g in latest_green(hist).items() if n in set(names)}
     print(f"window legal: {WINDOW_SIZE} graded of {len(names)} catalog entries, "
           f"round {CURRENT_ROUND}, bar r{CURRENT_ROUND - FRESHNESS_BAR}")
     # The proven rows-only entries carry their freshness through a hashed

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from spectraplex_spark.plans import CATALOG
+from spectraplex_spark.plans import ALL_QUERIES as CATALOG
 from tests.conftest import SF_DIR
 
 

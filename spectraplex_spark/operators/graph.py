@@ -14,12 +14,15 @@ on a 1/scale integer grid and every step is BIGINT floor division —
   rank_q'(v)   = base + Σ contribs,  base = ((100−damping_pct)·scale
                  div 100) div N
 so Spark and the unrolled-CTE DuckDB oracle replay the identical
-trajectory. By default (the ranking-prior mode) dangling-node mass is
-DROPPED and floor losses are not re-normalized — total mass decays
-slightly; ``conserve_dangling=True`` plugs both leaks deterministically
-(dangling mass shared uniformly, floor residual returned largest-
-remainder style) so Σ rank_q == scale after every round — a true
-probability on the grid. Fixed iteration count (no float convergence
+trajectory. By DEFAULT (``conserve_dangling=True``, flipped in r12 once
+the conserving variant carried its own graded entry — r11 verdict task
+#5) the ranks are a true probability on the grid: dangling-node mass is
+shared uniformly and floor residuals are returned largest-remainder
+style, so Σ rank_q == scale after every round.  The legacy
+ranking-prior mode (``conserve_dangling=False``) DROPS dangling mass
+and floor losses — total mass decays slightly; it remains for rank-
+order-only consumers (one fewer bounded aggregate per round) and for
+the original ``pagerank_ranks`` graded trajectory. Fixed iteration count (no float convergence
 test — same rationale as kmeans_fit_predict's fixed ``iters``).
 
 Scale shape: per iteration one edge-ranks join (edges pre-joined with
@@ -43,15 +46,16 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     reliable_checkpoint: bool = False,
-    conserve_dangling: bool = False,
+    conserve_dangling: bool = True,
 ) -> DataFrame:
     """(node, rank_q) after ``iters`` exact integer PageRank rounds
     over the distinct edge list (self-loops allowed but pointless;
     duplicate edges collapse). rank_q is on the 1/scale grid.
 
-    ``conserve_dangling=True`` (r10 verdict task #4) makes the ranks a
-    true probability on the grid: Σ rank_q == scale EXACTLY after every
-    round.  Three leaks are plugged, each deterministically:
+    ``conserve_dangling=True`` (r10 verdict task #4; the DEFAULT since
+    r12) makes the ranks a true probability on the grid: Σ rank_q ==
+    scale EXACTLY after every round.  Three leaks are plugged, each
+    deterministically:
 
       - dangling-node mass (nodes with no out-edges) is redistributed
         uniformly — one extra bounded aggregate per round (a 1-row

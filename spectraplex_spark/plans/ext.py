@@ -5582,7 +5582,10 @@ def pagerank_ranks(spark, sf_dir):
         (F.col("doc_id") % 97).alias("src"),
         ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
     )
-    return pagerank_integer(edges, iters=3).orderBy("node")
+    # conserve_dangling pinned False: this entry grades the ORIGINAL
+    # leaky-trajectory oracle (the function default flipped to the
+    # conserving mode in r12; pagerank_conserving_ranks grades that).
+    return pagerank_integer(edges, iters=3, conserve_dangling=False).orderBy("node")
 
 
 def _perceptron_oracle_sql(epochs: int = 3) -> str:
@@ -5883,7 +5886,7 @@ def pagerank_conserving_ranks(spark, sf_dir):
         (F.col("doc_id") % 89).alias("src"),
         ((F.col("doc_id") * 13 + 5) % 97).alias("dst"),
     )
-    return pagerank_integer(edges, iters=3, conserve_dangling=True).orderBy("node")
+    return pagerank_integer(edges, iters=3).orderBy("node")  # the r12 default
 
 
 def _ilog_ctes(tag: str, src_sql: str, frac_bits: int = 16) -> tuple[list[str], str]:

@@ -97,7 +97,10 @@ CHANGED_CODE_REGRADES: set[str] = {
     # byte-accounting paths only, graded happy paths byte-identical,
     # pinned by tests/test_merge.py + tests/test_replay_source.py:
     #   merge_upsert_roundtrip (merge.py _inference_safe regex widening),
-    #   grpc_replay_ingest_golden + stream_*_replay (replay_source CRLF).
+    #   grpc_replay_ingest_golden + stream_*_replay (replay_source CRLF),
+    #   pagerank_ranks (conserve_dangling default flipped to True in r12;
+    #   the graded builder pins conserve_dangling=False so its leaky
+    #   trajectory — and hash — is byte-identical; dual-SF parity re-run).
 }
 
 

@@ -34,13 +34,13 @@ def _run(spark, edges, **kw):
 
 def test_pagerank_matches_python_replica(spark):
     edges = [(i, (i * 7 + 3) % 23) for i in range(60)] + [(1, 2), (2, 1), (5, 5)]
-    got = _run(spark, edges, iters=3)
+    got = _run(spark, edges, iters=3, conserve_dangling=False)
     assert got == _py_pagerank(edges, iters=3)
 
 
 def test_pagerank_star_sink_outranks_spokes(spark):
     edges = [(i, 0) for i in range(1, 9)]  # all spokes -> hub
-    got = _run(spark, edges, iters=2)
+    got = _run(spark, edges, iters=2, conserve_dangling=False)
     assert got[0] > max(got[i] for i in range(1, 9))
     # spokes are structurally identical -> identical ranks
     assert len({got[i] for i in range(1, 9)}) == 1
@@ -85,7 +85,7 @@ def test_pagerank_conserving_matches_python_replica(spark):
     exactly at every iteration depth."""
     edges = [(i, (i * 7 + 3) % 23) for i in range(0, 60, 3)] + [(1, 2), (2, 1)]
     for iters in (1, 2, 3):
-        got = _run(spark, edges, iters=iters, conserve_dangling=True)
+        got = _run(spark, edges, iters=iters)  # conserving is the default
         assert got == _py_pagerank_conserving(edges, iters=iters)
 
 
@@ -101,7 +101,7 @@ def test_pagerank_conserving_total_mass_invariant(spark):
     # directional sanity survives conservation
     assert got[0] > max(got[i] for i in range(1, 9))
     # and the default mode still decays (the documented contrast)
-    lossy = _run(spark, edges, iters=2)
+    lossy = _run(spark, edges, iters=2, conserve_dangling=False)
     assert sum(lossy.values()) < 10**12
 
 

@@ -122,3 +122,119 @@ def stream_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_funnel_watermarked(
+    events_stream: DataFrame,
+    steps: list[str],
+    window_s: int,
+    delay_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The watermark-buffered funnel mode (r11 verdict task #6): closes
+    ``stream_funnel``'s documented arrival-order gap for sources that
+    deliver out of order WITHIN a bounded delay.
+
+    Per-user state holds the k sealed step-time slots PLUS a buffer of
+    events newer than the watermark.  Each batch:
+
+      1. new events join the buffer;
+      2. events with ``t < watermark`` are SEALED — folded into the
+         slots with the exact batch ``_advance`` rule in (t, type)
+         order.  Sealing is final and correct: Spark drops input rows
+         older than the watermark before the stateful operator, so no
+         event that time-precedes a sealed one can still arrive, and
+         the strict ``<`` keeps watermark-boundary ties buffered (a
+         tie could otherwise interleave with a sealed equal-time
+         event);
+      3. the snapshot folds the remaining buffer (sorted) on top of
+         the sealed slots WITHOUT committing it — so after the last
+         batch the emitted ``reached`` equals the batch fold over
+         every delivered event BIT-FOR-BIT, as long as each event
+         arrived within ``delay_s`` of the max event time seen
+         (events later than that are dropped by the watermark — the
+         standard trade, now explicit instead of silent).
+
+    Output: ``(user_id, reached, reached_sealed, pending)`` — sealed
+    is the never-retracting floor, pending the buffered-event count
+    (an observability hook for sizing ``delay_s``).
+
+    State bound: k BIGINTs + the events inside one watermark delay per
+    user — arrival-rate × ``delay_s``, NEVER full history (sealing
+    drains the buffer as the watermark advances).  ``stream_funnel``
+    remains the k-BIGINT-only choice for in-order sources.
+    """
+    if len(steps) < 2:
+        raise ValueError(
+            f"stream_funnel_watermarked: need >= 2 steps, got {steps!r}"
+        )
+    if window_s <= 0:
+        raise ValueError(
+            f"stream_funnel_watermarked: window_s must be > 0, got {window_s}"
+        )
+    if delay_s < 0:
+        raise ValueError(
+            f"stream_funnel_watermarked: delay_s must be >= 0, got {delay_s}"
+        )
+    k = len(steps)
+    w_us = window_s * 1_000_000
+    state_schema = (
+        ", ".join(f"t{i} long" for i in range(k))
+        + ", buf_t array<long>, buf_tp array<string>"
+    )
+
+    def funnel_fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            mask = pdf["tp"].isin(steps) & pd.notna(pdf["t"])
+            buf.extend(
+                (int(t), str(tp))
+                for t, tp in zip(pdf["t"][mask], pdf["tp"][mask])
+            )
+        if state.exists:
+            prev = state.get
+            st = list(prev[:k])
+            buf.extend(zip(prev[k], prev[k + 1]))
+        else:
+            st = [None] * k
+        sealed = [e for e in buf if e[0] < wm_us]
+        pending = sorted(e for e in buf if e[0] >= wm_us)
+        st = _advance(st, sealed, steps, w_us)
+        state.update(
+            (*st, [t for t, _ in pending], [tp for _, tp in pending])
+        )
+        provisional = _advance(st, pending, steps, w_us)
+        yield pd.DataFrame(
+            {
+                "user_id": [None if key[0] is None else int(key[0])],
+                "reached": [sum(x is not None for x in provisional)],
+                "reached_sealed": [sum(x is not None for x in st)],
+                "pending": [len(pending)],
+            }
+        )
+
+    return (
+        events_stream.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).cast("timestamp").alias("_wm_ts"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(type_col).alias("tp"),
+        )
+        .withWatermark("_wm_ts", f"{delay_s} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            funnel_fn,
+            outputStructType=(
+                "user_id long, reached int, reached_sealed int, pending int"
+            ),
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

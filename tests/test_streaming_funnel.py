@@ -182,3 +182,131 @@ def test_stream_funnel_input_contracts(spark):
         stream_funnel(df, ["view"], window_s=10)
     with pytest.raises(ValueError, match="window_s"):
         stream_funnel(df, STEPS, window_s=0)
+
+
+# ---------------------------------------------------------------------------
+# stream_funnel_watermarked (r11 verdict task #6): the watermark-buffered
+# mode must close the arrival-order gap — out-of-order delivery within the
+# delay matches the batch fold bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from spectraplex_spark.streaming.funnel import stream_funnel_watermarked
+
+
+def _drain_wm(spark, tmp, batches, window_s=1000, delay_s=3600):
+    """The _drain harness for the watermarked mode: per-batch files with
+    pinned strictly-increasing mtimes, one file per trigger; returns
+    (latest-reached map, all snapshot rows)."""
+    import glob as _glob
+    import os as _os
+
+    src = f"{tmp}/src"
+    for i, rows in enumerate(batches):
+        _df(spark, rows).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+        t = 1_700_000_000 + i * 60
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if _os.path.getmtime(f) > t - 60:
+                _os.utime(f, (t, t))
+    stream = spark.readStream.schema(_df(spark, []).schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_funnel_watermarked(
+            stream, STEPS, window_s=window_s, delay_s=delay_s
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rows = spark.read.parquet(f"{tmp}/out").collect()
+    latest: dict[int, int] = {}
+    for r in rows:
+        latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["reached"])
+    return latest, rows
+
+
+def test_watermarked_closes_the_arrival_order_gap(spark, tmp_path):
+    """THE divergence case stream_funnel documents (click arrives before
+    its anchor): the watermarked mode buffers both and folds them in
+    time order — final reached equals the batch fold bit-for-bit,
+    where the arrival-order mode loses the click forever."""
+    b1 = [(1, 50, "click")]  # arrives first
+    b2 = [(1, 10, "view")]   # the anchor, time-earlier, one batch later
+    got, _ = _drain_wm(spark, str(tmp_path), [b1, b2])
+    batch = {
+        r["user_id"]: r["reached"]
+        for r in funnel_steps(_df(spark, b1 + b2), STEPS, window_s=1000).collect()
+    }
+    assert got == batch == {1: 2}  # view@10 then click@50
+    # contrast: the arrival-order mode is pinned at 1 for this delivery
+    # (test_arrival_order_divergence_is_the_documented_one needs a THIRD
+    # click to reach 2)
+
+
+def test_watermarked_scrambled_multibatch_equals_batch_fold(spark, tmp_path):
+    """Full journeys delivered scrambled across batches (every
+    displacement within the delay): the final snapshot equals the
+    batch fold over ALL events for EVERY user — bit-for-bit."""
+    b1 = [(1, 20, "purchase"), (2, 30, "click"), (3, 2000, "click"),
+          (4, 500, "purchase")]
+    b2 = [(1, 10, "click"), (2, 0, "view"), (4, 400, "view")]
+    b3 = [(1, 0, "view"), (3, 5, "view"), (4, 450, "click"),
+          (5, 7, "view"), (5, 3, "click")]
+    all_rows = b1 + b2 + b3
+    got, _ = _drain_wm(spark, str(tmp_path), [b1, b2, b3])
+    batch = {
+        r["user_id"]: r["reached"]
+        for r in funnel_steps(_df(spark, all_rows), STEPS, window_s=1000).collect()
+    }
+    assert got == batch
+    assert got == {1: 3, 2: 2, 3: 1, 4: 3, 5: 1}
+
+
+def test_watermarked_seals_behind_the_watermark(spark, tmp_path):
+    """With a small delay, earlier events SEAL as the watermark passes:
+    reached_sealed rises to the full fold and the buffer drains —
+    the state-bound contract (buffer holds only one delay's worth)."""
+    # user 1 journeys early; keeps appearing so sealing gets invoked
+    b1 = [(1, 0, "view"), (1, 5, "click"), (1, 9, "purchase")]
+    b2 = [(1, 100, "view")]   # advances wm to 95 -> seals all of b1
+    b3 = [(1, 200, "view")]   # advances wm to 195 -> seals the 100 too
+    _, rows = _drain_wm(spark, str(tmp_path), [b1, b2, b3], delay_s=5)
+    by_batch = sorted(
+        (r["reached"], r["reached_sealed"], r["pending"]) for r in rows
+    )
+    # The watermark lags one batch (wm after batch N gates batch N+1),
+    # so sealing advances one batch behind and the newest events are
+    # always pending: batch1 wm=0 seals nothing (pending all 3);
+    # batch2 wm=9-5=4 seals view@0; batch3 wm=100-5=95 seals
+    # click@5 + purchase@9 (prefix complete), views@100/200 pending.
+    assert by_batch == [(3, 0, 3), (3, 1, 3), (3, 3, 2)]
+    # provisional reached was already exact from the first snapshot,
+    # sealed never retracts, and the buffer holds one delay's worth —
+    # never the full history (3 -> 3 -> 2 while 6 events arrived).
+
+
+def test_watermarked_drops_events_later_than_the_delay(spark, tmp_path):
+    """An event older than the watermark is DROPPED by Spark before the
+    operator — the explicit trade replacing the silent arrival-order
+    loss.  The anchor at t=10 arrives when wm is already ~995."""
+    b1 = [(1, 1000, "view")]
+    b2 = [(1, 10, "view"), (1, 1005, "click")]  # t=10 is > delay late
+    got, _ = _drain_wm(spark, str(tmp_path), [b1, b2], delay_s=5)
+    # the t=10 view never perturbs state; anchor stays 1000, click lands
+    assert got == {1: 2}
+
+
+def test_watermarked_input_contracts(spark):
+    df = _df(spark, [])
+    with pytest.raises(ValueError, match="steps"):
+        stream_funnel_watermarked(df, ["view"], window_s=10, delay_s=1)
+    with pytest.raises(ValueError, match="window_s"):
+        stream_funnel_watermarked(df, STEPS, window_s=0, delay_s=1)
+    with pytest.raises(ValueError, match="delay_s"):
+        stream_funnel_watermarked(df, STEPS, window_s=10, delay_s=-1)

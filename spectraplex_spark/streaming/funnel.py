@@ -157,9 +157,14 @@ def stream_funnel_watermarked(
          (events later than that are dropped by the watermark — the
          standard trade, now explicit instead of silent).
 
-    Output: ``(user_id, reached, reached_sealed, pending)`` — sealed
-    is the never-retracting floor, pending the buffered-event count
-    (an observability hook for sizing ``delay_s``).
+    Output: ``(user_id, reached, reached_sealed, pending, n_seen)`` —
+    sealed is the never-retracting floor, pending the buffered-event
+    count (an observability hook for sizing ``delay_s``), n_seen the
+    cumulative accepted-event count.  ``reached`` itself is NOT
+    monotone (a late-but-in-delay anchor can legally shrink the fold:
+    an earlier step-1 event re-anchors the window), so consumers keep
+    the snapshot with max ``n_seen`` per user — snapshots tied on
+    n_seen fold the same event multiset and agree on reached.
 
     State bound: k BIGINTs + the events inside one watermark delay per
     user — arrival-rate × ``delay_s``, NEVER full history (sealing
@@ -182,7 +187,7 @@ def stream_funnel_watermarked(
     w_us = window_s * 1_000_000
     state_schema = (
         ", ".join(f"t{i} long" for i in range(k))
-        + ", buf_t array<long>, buf_tp array<string>"
+        + ", buf_t array<long>, buf_tp array<string>, n_seen long"
     )
 
     def funnel_fn(
@@ -196,17 +201,19 @@ def stream_funnel_watermarked(
                 (int(t), str(tp))
                 for t, tp in zip(pdf["t"][mask], pdf["tp"][mask])
             )
+        n_seen = len(buf)
         if state.exists:
             prev = state.get
             st = list(prev[:k])
             buf.extend(zip(prev[k], prev[k + 1]))
+            n_seen += prev[k + 2]
         else:
             st = [None] * k
         sealed = [e for e in buf if e[0] < wm_us]
         pending = sorted(e for e in buf if e[0] >= wm_us)
         st = _advance(st, sealed, steps, w_us)
         state.update(
-            (*st, [t for t, _ in pending], [tp for _, tp in pending])
+            (*st, [t for t, _ in pending], [tp for _, tp in pending], n_seen)
         )
         provisional = _advance(st, pending, steps, w_us)
         yield pd.DataFrame(
@@ -215,6 +222,7 @@ def stream_funnel_watermarked(
                 "reached": [sum(x is not None for x in provisional)],
                 "reached_sealed": [sum(x is not None for x in st)],
                 "pending": [len(pending)],
+                "n_seen": [n_seen],
             }
         )
 
@@ -231,7 +239,8 @@ def stream_funnel_watermarked(
         .applyInPandasWithState(
             funnel_fn,
             outputStructType=(
-                "user_id long, reached int, reached_sealed int, pending int"
+                "user_id long, reached int, reached_sealed int, "
+                "pending int, n_seen long"
             ),
             stateStructType=state_schema,
             outputMode="append",

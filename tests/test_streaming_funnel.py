@@ -225,10 +225,14 @@ def _drain_wm(spark, tmp, batches, window_s=1000, delay_s=3600):
     )
     assert q.awaitTermination(300)
     rows = spark.read.parquet(f"{tmp}/out").collect()
-    latest: dict[int, int] = {}
+    # the documented consumer pattern: reached is NOT monotone (a late
+    # in-delay anchor can shrink the fold), so keep the snapshot with
+    # max n_seen per user — that is the full-multiset fold.
+    best: dict[int, tuple[int, int]] = {}
     for r in rows:
-        latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["reached"])
-    return latest, rows
+        if r["user_id"] not in best or r["n_seen"] > best[r["user_id"]][0]:
+            best[r["user_id"]] = (r["n_seen"], r["reached"])
+    return {u: v for u, (_, v) in best.items()}, rows
 
 
 def test_watermarked_closes_the_arrival_order_gap(spark, tmp_path):
@@ -310,3 +314,21 @@ def test_watermarked_input_contracts(spark):
         stream_funnel_watermarked(df, STEPS, window_s=0, delay_s=1)
     with pytest.raises(ValueError, match="delay_s"):
         stream_funnel_watermarked(df, STEPS, window_s=10, delay_s=-1)
+
+
+def test_watermarked_reached_can_legally_shrink_and_n_seen_resolves(spark, tmp_path):
+    """A late-but-in-delay step-1 event RE-ANCHORS the fold (the batch
+    fold is greedy-earliest): provisional reached legally drops from 3
+    to 1 when the earlier view arrives and pushes the rest outside the
+    window.  n_seen is the monotone snapshot selector that keeps the
+    final (= batch-fold) answer."""
+    b1 = [(1, 100, "view"), (1, 105, "click"), (1, 108, "purchase")]
+    b2 = [(1, 0, "view")]  # earlier anchor; window 10s excludes 105/108
+    got, rows = _drain_wm(spark, str(tmp_path), [b1, b2], window_s=10)
+    batch = {
+        r["user_id"]: r["reached"]
+        for r in funnel_steps(_df(spark, b1 + b2), STEPS, window_s=10).collect()
+    }
+    assert got == batch == {1: 1}
+    snaps = sorted((r["n_seen"], r["reached"]) for r in rows)
+    assert snaps == [(3, 3), (4, 1)]  # the shrink, pinned

@@ -6551,3 +6551,178 @@ def stream_funnel_replay(spark, sf_dir):
         .select("step", F.col("n_users").cast("long").alias("n_users"))
         .orderBy("step")
     )
+
+
+@query(
+    "stream_funnel_watermarked_replay",
+    f"""
+    WITH u1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+           FROM events e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+             AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W_US}
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+           FROM events e JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+             AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W_US}
+           GROUP BY e.user_id)
+    SELECT 1 AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+    UNION ALL SELECT 2, COUNT(*) FROM u2
+    UNION ALL SELECT 3, COUNT(*) FROM u3
+    ORDER BY step
+    """,
+    doc="§2.9/§2.11 the WATERMARK-BUFFERED streaming funnel (r11 "
+    "verdict task #6) replayed OUT OF ORDER end to end: the source is "
+    "hash-scrambled into 8 files (arrival order decorrelated from "
+    "event time) and drained 2 files per trigger, so every micro-batch "
+    "delivers time-interleaved events — the case where the "
+    "arrival-order funnel (stream_funnel_replay) diverges from the "
+    "batch fold. stream_funnel_watermarked buffers per-user events "
+    "until the watermark passes, seals them through the exact batch "
+    "_advance rule in time order, and folds the pending tail "
+    "provisionally, so the final snapshot (max-n_seen per user — "
+    "reached is legally non-monotone under late re-anchoring) equals "
+    "the batch funnel BIT-FOR-BIT. The oracle is therefore the same "
+    "chained conditional-min SQL as the batch funnel — agreement "
+    "certifies the out-of-order claim, not just in-order replay. "
+    "State bound: k BIGINTs + one watermark delay of events per user.",
+)
+def stream_funnel_watermarked_replay(spark, sf_dir):
+    import tempfile
+
+    from spectraplex_spark.streaming.funnel import stream_funnel_watermarked
+
+    events = table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="spectraplex_wmfunnel_")
+    # hash-scramble: 8 range partitions of xxhash64(event_id) — each
+    # file spans the full time range, so arrival interleaves wildly
+    (
+        events.withColumn("_h", F.xxhash64("event_id"))
+        .repartitionByRange(8, "_h")
+        .drop("_h")
+        .write.parquet(f"{d}/src")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{d}/src")
+    )
+    q = (
+        stream_funnel_watermarked(
+            stream,
+            ["view", "click", "purchase"],
+            window_s=7 * 86400,
+            delay_s=31 * 86400,  # covers the table's full span: drop nothing
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):  # partial output must fail loudly
+        q.stop()
+        raise TimeoutError("stream_funnel_watermarked_replay: drain exceeded 300s")
+    snaps = spark.read.parquet(f"{d}/out")
+    steps_df = spark.createDataFrame([(1,), (2,), (3,)], "step int")
+    # final snapshot per user = max n_seen (monotone); reached itself
+    # may shrink under late re-anchoring, so max(reached) would be WRONG
+    latest = snaps.groupBy("user_id").agg(
+        F.max_by("reached", "n_seen").alias("reached")
+    )
+    reach_steps = F.when(
+        F.col("reached") >= 1, F.sequence(F.lit(1), F.col("reached"))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    counts = (
+        latest.select(F.explode(reach_steps).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return (
+        steps_df.join(counts, "step", "left")
+        .na.fill({"n_users": 0})
+        .select("step", F.col("n_users").cast("long").alias("n_users"))
+        .orderBy("step")
+    )
+
+
+@query(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    stats AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(len(toks)) AS BIGINT) AS s FROM tok),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                        unnest(toks) AS term FROM tok)
+           WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2, 3),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    c AS (SELECT tf.doc_id,
+                 (CAST(FLOOR(LN(1 + CAST(2 * (stats.n - dfs.df) + 1 AS DOUBLE)
+                                   / CAST(2 * dfs.df + 1 AS DOUBLE)) * 65536)
+                       AS BIGINT)
+                  * (44 * stats.s * tf.tf))
+                 // (20 * stats.s * tf.tf + 6 * stats.s + 18 * tf.dl * stats.n)
+                   AS cq
+          FROM tf JOIN dfs USING (term), stats),
+    bm AS MATERIALIZED (
+        SELECT doc_id, CAST(SUM(cq) AS BIGINT) AS bm25_q
+        FROM c GROUP BY doc_id
+        ORDER BY bm25_q DESC, doc_id ASC LIMIT 20),
+    bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25_q DESC, doc_id ASC) AS r
+            FROM bm),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cd AS (SELECT vec_id, {_SQ_CODE_SQL} AS codes FROM v WHERE vec_id != 0),
+    qv AS (SELECT {_SQ_CODE_SQL} AS qc FROM v WHERE vec_id = 0),
+    sq AS MATERIALIZED (
+        SELECT cd.vec_id AS doc_id,
+               CAST(list_sum(list_transform(range(1, len(cd.codes) + 1),
+                                            i -> cd.codes[i] * qv.qc[i]))
+                    AS BIGINT) AS dot
+        FROM cd, qv
+        ORDER BY dot DESC, doc_id ASC LIMIT 20),
+    sqr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS r
+            FROM sq),
+    u AS (SELECT doc_id, 1048576 // (60 + r) AS rrf FROM bmr
+          UNION ALL
+          SELECT doc_id, 1048576 // (60 + r) AS rrf FROM sqr)
+    SELECT doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_q,
+           CAST(COUNT(*) AS INT) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_q DESC, doc_id ASC LIMIT 10
+    """,
+    doc="E2/E4 hybrid retrieval fusion (r11 verdict task #9 — the RAG "
+    "serving shape): reciprocal-rank fusion of the BM25 lexical "
+    "shortlist (bm25_topk_grid, the graded integer-grid ranker) and "
+    "the int8-SQ semantic shortlist (sq_topk; vec_id shares documents' "
+    "id space in the driver tables), rrf_q = sum of "
+    "floor(2^20 div (60 + rank)) — pure BIGINT rank arithmetic, so the "
+    "fused score bit-grades with NO new float surface. n_lists rides "
+    "as the legs-agreed witness. Scale shape: both legs keep their own "
+    "distributed plans (postings probe / int8 scan) and hand fusion a "
+    "k-row shortlist; the fusion itself is a union + groupBy over "
+    "2k rows with single-partition rank windows bounded by the "
+    "rankers' limit() (the serving-edge discipline). Oracle ranks the "
+    "SQ leg by the raw integer dot — identical order to sq_score "
+    "(positive constant divisor).",
+)
+def hybrid_rrf_fusion(spark, sf_dir):
+    from spectraplex_spark.operators.fusion import rrf_fuse
+    from spectraplex_spark.operators.retrieval import bm25_topk_grid
+
+    docs = table(spark, sf_dir, "documents")
+    em = table(spark, sf_dir, "embeddings")
+    lex = bm25_topk_grid(docs, ["spark", "window", "join"], k=20)
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    sem = PQ.sq_topk(em.filter(F.col("vec_id") != 0), qvec, k=20).select(
+        F.col("vec_id").alias("doc_id"), "sq_score"
+    )
+    return rrf_fuse([(lex, "bm25_q"), (sem, "sq_score")], k=10)

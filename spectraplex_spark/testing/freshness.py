@@ -58,7 +58,14 @@ DEFERRALS: dict[str, tuple[str, str]] = {
 #: Entries registered AFTER the current round's window sealed; they grade
 #: next round per the standing late-registration precedent (since r7).
 #: Populated as round-12 work registers new queries.
-LATE_REGISTRATIONS: set[str] = set()
+LATE_REGISTRATIONS: set[str] = {
+    # r11 verdict task #6: out-of-order replay of the watermark-buffered
+    # funnel graded against the BATCH fold's oracle (the bit-for-bit claim)
+    "stream_funnel_watermarked_replay",
+    # r11 verdict task #9: reciprocal-rank fusion of the BM25 + SQ
+    # shortlists — pure BIGINT rank arithmetic over two graded rankers
+    "hybrid_rrf_fusion",
+}
 
 # ---- ROUND-13 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
 # for the live numbers; written at r12 composition, re-check at close):

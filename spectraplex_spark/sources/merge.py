@@ -98,9 +98,20 @@ def _inference_safe(text: str) -> bool:
     # the old pattern required a decimal point and let '1e5' through).
     if re.fullmatch(r"[+-]?(Inf(inity)?|NaN)", text, flags=re.IGNORECASE):
         return False  # never round-trips to the same lexical form
-    if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", text) and (
-        "." in text or "e" in text or "E" in text
+    # parseDouble further accepts a trailing f/F/d/D type suffix on any
+    # numeric/Infinity/NaN form ('123d' → 123.0) and hexadecimal float
+    # literals ('0x1p3' → 8.0) — str(float) emits neither, so none of
+    # these can round-trip: hard-reject the whole class.
+    num = r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+    # (per the Double.valueOf grammar the suffix attaches to NUMERIC
+    # literals only — 'NaNd' does NOT parse, so it stays a safe string)
+    if text and text[-1] in "fFdD" and re.fullmatch(num, text[:-1]):
+        return False
+    if re.fullmatch(
+        r"[+-]?0[xX][0-9a-fA-F]*\.?[0-9a-fA-F]*[pP][+-]?\d+[fFdD]?", text
     ):
+        return False
+    if re.fullmatch(num, text) and ("." in text or "e" in text or "E" in text):
         try:
             return str(float(text)) == text
         except (ValueError, OverflowError):

@@ -312,8 +312,15 @@ def test_inference_safe_rejects_exponent_and_inf_nan_spellings():
     for poison in (
         "1e5", "1E5", "2e-3", "+3e4", "-1e2", "12e0",
         "Infinity", "-Infinity", "+Infinity", "Inf", "-inf", "NaN", "nan",
+        # parseDouble type suffixes and hex-float literals (same class)
+        "123d", "1.5f", "2e3D", "-7F",
+        "0x1p3", "0X1.8p1", "-0x1p-2", "0x1p3f",
     ):
         assert not _inference_safe(poison), poison
     # plain text and round-tripping numerics remain safe
-    for ok in ("2024-01-01", "abc", "1", "1.5", "e5", "nano", "infra"):
+    for ok in ("2024-01-01", "abc", "1", "1.5", "e5", "nano", "infra",
+               "d", "f", "1dd", "x1p3", "0x1p", "id", "worldF",
+               # suffix attaches to numeric literals only in the
+               # Double.valueOf grammar — these stay safe strings
+               "NaNd", "Infinityf"):
         assert _inference_safe(ok), ok

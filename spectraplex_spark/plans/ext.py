@@ -6473,6 +6473,29 @@ def cohort_retention_daily(spark, sf_dir):
     return cohort_retention(ev).orderBy("cohort_day", "day_offset")
 
 
+
+def _funnel_reach_counts(spark, latest):
+    """Shared tail of the two streaming-funnel replay entries: fold the
+    final per-user ``reached`` snapshots into per-step reach counts
+    (step s counts users with reached >= s), zero-filled over the
+    3-step frame so an empty drain still grades."""
+    steps_df = spark.createDataFrame([(1,), (2,), (3,)], "step int")
+    reach_steps = F.when(
+        F.col("reached") >= 1, F.sequence(F.lit(1), F.col("reached"))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    counts = (
+        latest.select(F.explode(reach_steps).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return (
+        steps_df.join(counts, "step", "left")
+        .na.fill({"n_users": 0})
+        .select("step", F.col("n_users").cast("long").alias("n_users"))
+        .orderBy("step")
+    )
+
+
 @query(
     "stream_funnel_replay",
     f"""
@@ -6530,27 +6553,13 @@ def stream_funnel_replay(spark, sf_dir):
         q.stop()
         raise TimeoutError("stream_funnel_replay: drain exceeded 300s")
     snaps = spark.read.parquet(f"{d}/out")
-    steps_df = spark.createDataFrame([(1,), (2,), (3,)], "step int")
     # one snapshot per TOUCHED user PER BATCH: keep the latest (max —
     # the prefix only advances) so a multi-batch drain can never
     # double-count a user (review finding; the single coalesced file
     # usually drains in one batch, but that is an execution detail,
     # not a contract)
     latest = snaps.groupBy("user_id").agg(F.max("reached").alias("reached"))
-    reach_steps = F.when(
-        F.col("reached") >= 1, F.sequence(F.lit(1), F.col("reached"))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    counts = (
-        latest.select(F.explode(reach_steps).alias("step"))
-        .groupBy("step")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-    return (
-        steps_df.join(counts, "step", "left")
-        .na.fill({"n_users": 0})
-        .select("step", F.col("n_users").cast("long").alias("n_users"))
-        .orderBy("step")
-    )
+    return _funnel_reach_counts(spark, latest)
 
 
 @query(
@@ -6627,26 +6636,12 @@ def stream_funnel_watermarked_replay(spark, sf_dir):
         q.stop()
         raise TimeoutError("stream_funnel_watermarked_replay: drain exceeded 300s")
     snaps = spark.read.parquet(f"{d}/out")
-    steps_df = spark.createDataFrame([(1,), (2,), (3,)], "step int")
     # final snapshot per user = max n_seen (monotone); reached itself
     # may shrink under late re-anchoring, so max(reached) would be WRONG
     latest = snaps.groupBy("user_id").agg(
         F.max_by("reached", "n_seen").alias("reached")
     )
-    reach_steps = F.when(
-        F.col("reached") >= 1, F.sequence(F.lit(1), F.col("reached"))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    counts = (
-        latest.select(F.explode(reach_steps).alias("step"))
-        .groupBy("step")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-    return (
-        steps_df.join(counts, "step", "left")
-        .na.fill({"n_users": 0})
-        .select("step", F.col("n_users").cast("long").alias("n_users"))
-        .orderBy("step")
-    )
+    return _funnel_reach_counts(spark, latest)
 
 
 @query(

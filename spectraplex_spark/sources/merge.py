@@ -96,21 +96,38 @@ def _inference_safe(text: str) -> bool:
     # Infinity/NaN spellings — all of which drift on read-back, so they
     # must hit the float round-trip check / hard reject too (r11 ADVICE:
     # the old pattern required a decimal point and let '1e5' through).
-    if re.fullmatch(r"[+-]?(Inf(inity)?|NaN)", text, flags=re.IGNORECASE):
-        return False  # never round-trips to the same lexical form
-    # parseDouble further accepts a trailing f/F/d/D type suffix on any
-    # numeric/Infinity/NaN form ('123d' → 123.0) and hexadecimal float
-    # literals ('0x1p3' → 8.0) — str(float) emits neither, so none of
-    # these can round-trip: hard-reject the whole class.
     num = r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
-    # (per the Double.valueOf grammar the suffix attaches to NUMERIC
-    # literals only — 'NaNd' does NOT parse, so it stays a safe string)
-    if text and text[-1] in "fFdD" and re.fullmatch(num, text[:-1]):
-        return False
-    if re.fullmatch(
-        r"[+-]?0[xX][0-9a-fA-F]*\.?[0-9a-fA-F]*[pP][+-]?\d+[fFdD]?", text
-    ):
-        return False
+
+    def java_double_parses(t: str) -> bool:
+        """Whether Double.parseDouble accepts ``t`` (pre-trimmed): the
+        Double.valueOf grammar — EXACT-case NaN/Infinity (parseDouble
+        is case-sensitive: 'nan'/'inf'/'INFINITY' all throw and stay
+        safe strings), decimal forms with an optional f/F/d/D type
+        suffix ('123d' → 123.0; the suffix attaches to NUMERIC
+        literals only, so 'NaNd' does NOT parse), and hexadecimal
+        float literals ('0x1p3' → 8.0)."""
+        if re.fullmatch(r"[+-]?(Infinity|NaN)", t):
+            return True
+        core = t[:-1] if t and t[-1] in "fFdD" else t
+        if re.fullmatch(num, core):
+            return True
+        return bool(
+            re.fullmatch(r"[+-]?0[xX][0-9a-fA-F]*\.?[0-9a-fA-F]*[pP][+-]?\d+", core)
+        )
+
+    # parseDouble TRIMS like String.trim (chars ≤ U+0020) before
+    # parsing, while int/long/decimal inference throws on whitespace —
+    # so ' 1' infers as DOUBLE 1.0 and the directory name drifts.  Any
+    # whitespace-wrapped value whose trimmed core parses is unsafe;
+    # a trimmed core that does NOT parse falls through every inference
+    # and survives as the identical string.
+    trimmed = re.sub(r"^[\x00-\x20]+|[\x00-\x20]+$", "", text)
+    if trimmed != text:
+        return not java_double_parses(trimmed)
+    if re.fullmatch(r"[+-]?(Infinity|NaN)", text):
+        return False  # reads back as Infinity/NaN, not the string
+    if java_double_parses(text) and not re.fullmatch(num, text):
+        return False  # suffix / hex forms: str(float) never emits them
     if re.fullmatch(num, text) and ("." in text or "e" in text or "E" in text):
         try:
             return str(float(text)) == text

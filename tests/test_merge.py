@@ -311,10 +311,13 @@ def test_inference_safe_rejects_exponent_and_inf_nan_spellings():
 
     for poison in (
         "1e5", "1E5", "2e-3", "+3e4", "-1e2", "12e0",
-        "Infinity", "-Infinity", "+Infinity", "Inf", "-inf", "NaN", "nan",
+        "Infinity", "-Infinity", "+Infinity", "NaN",
         # parseDouble type suffixes and hex-float literals (same class)
         "123d", "1.5f", "2e3D", "-7F",
         "0x1p3", "0X1.8p1", "-0x1p-2", "0x1p3f",
+        # parseDouble TRIMS (String.trim) while int/decimal inference
+        # throws on whitespace: wrapped numerics infer as DOUBLE
+        " 1", "1.5 ", " 2e3 ", "\tNaN", " 0x1p3 ", " 7d",
     ):
         assert not _inference_safe(poison), poison
     # plain text and round-tripping numerics remain safe
@@ -322,5 +325,11 @@ def test_inference_safe_rejects_exponent_and_inf_nan_spellings():
                "d", "f", "1dd", "x1p3", "0x1p", "id", "worldF",
                # suffix attaches to numeric literals only in the
                # Double.valueOf grammar — these stay safe strings
-               "NaNd", "Infinityf"):
+               "NaNd", "Infinityf",
+               # parseDouble is CASE-SENSITIVE: these throw and stay
+               # safe strings (review finding: the first fix was
+               # IGNORECASE and wrongly blocked merges on them)
+               "nan", "inf", "Inf", "-inf", "INFINITY", "nAn",
+               # wrapped NON-numerics also stay safe strings
+               " abc ", " nan "):
         assert _inference_safe(ok), ok

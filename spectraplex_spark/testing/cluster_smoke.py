@@ -72,6 +72,8 @@ QUERIES = [
     "pagerank_conserving_ranks",
     "wordpiece_trained_merges",
     "training_shuffle_shards",
+    "hybrid_rrf_fusion",
+    "stream_funnel_watermarked_replay",
 ]
 
 DEFAULT_MASTER = "local-cluster[2,2,2048]"

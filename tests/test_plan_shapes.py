@@ -182,3 +182,19 @@ def test_quota_sample_single_window_exchange(spark):
     plan = _initial_plan(CATALOG["source_quota_sample"].builder(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_rrf_fusion_bounded_windows_and_topk(spark):
+    """hybrid_rrf_fusion: the heavy legs keep their own plans and hand
+    fusion k-row shortlists — the fused plan's global sort is a
+    TakeOrderedAndProject (never a full rangepartition sort), there is
+    no cartesian anywhere, and the single-partition rank windows sit
+    above the rankers' limit() (GlobalLimit), so they are k-bounded."""
+    plan = _initial_plan(CATALOG["hybrid_rrf_fusion"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both shortlist legs are limit()-cut (TakeOrderedAndProject) before
+    # their rank windows, plus the final fused top-k: three in total
+    assert plan.count("TakeOrderedAndProject") == 3

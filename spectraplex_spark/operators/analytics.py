@@ -69,7 +69,13 @@ def funnel_steps(
     w_us = window_s * 1_000_000
     steps_lit = F.array(*[F.lit(s) for s in steps])
     evs = (
-        df.filter(F.col(type_col).isin(steps))  # predicate BEFORE the shuffle
+        # predicates BEFORE the shuffle; NULL-ts events can never fill a
+        # slot (a NULL time neither anchors nor passes the strict-after
+        # check), so dropping them here is result-identical, keeps them
+        # out of the exchange, and pins the oracle's ts IS NOT NULL
+        # contract for users whose ONLY step-1 events are NULL-timed
+        # (review finding r12)
+        df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .select(
             F.col(user_col).alias("user_id"),
             F.struct(

@@ -201,6 +201,69 @@ def _check_root_locale_contract(jvm_lang: str | None) -> None:
         )
 
 
+
+def pandas_token_encode(df: DataFrame, seg_fn, out_col: str, text_col: str = "text") -> DataFrame:
+    """Shared Arrow-batched encode harness for the tokenizer family
+    (BPE / unigram-LM / WordPiece — one body, three callers; review
+    finding r12: the three copy-pasted harnesses had already drifted,
+    unigram's was missing the locale guard).
+
+      - plan-time root-locale refusal (_check_root_locale_contract);
+      - the Java-``\\s`` tokenizer twin of textops.tokens() (Java's
+        ``\\s`` is ASCII-only; Python's is unicode-aware — the class is
+        spelled out so tokenization is identical on exotic whitespace);
+      - a per-batch word→pieces cache (Arrow-batch-local by design —
+        bulk corpus encodes should segment the DISTINCT-WORD table and
+        broadcast-join instead, the measured 13× recommendation);
+      - NULL text → NULL pieces (the expression paths' propagation).
+
+    ``seg_fn(word) -> list[str]`` segments one word under the broadcast
+    trained tokenizer."""
+    from pyspark.sql import types as T
+
+    try:  # driver-side, once per call — plan-time metadata, not per row
+        jvm_lang = (
+            df.sparkSession._jvm.java.util.Locale.getDefault().getLanguage()
+        )
+    except Exception:  # pragma: no cover - no JVM gateway (e.g. Spark Connect)
+        jvm_lang = None
+    _check_root_locale_contract(jvm_lang)
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+
+    def encode_batches(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        cache: dict[str, list[str]] = {}
+
+        def seg(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = seg_fn(w)
+                cache[w] = got
+            return got
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None
+                if t is None
+                else [
+                    p
+                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
+                    if w
+                    for p in seg(w)
+                ]
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=out_schema)
+
+
 def apply_bpe_pandas(
     df: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
 ) -> DataFrame:
@@ -247,69 +310,23 @@ def apply_bpe_pandas(
     or pre-lower the text with Spark's own ``lower()`` and pass merges
     over that column).
     """
-    from pyspark.sql import types as T
-
-    try:  # driver-side, once per call — plan-time metadata, not per row
-        jvm_lang = (
-            df.sparkSession._jvm.java.util.Locale.getDefault().getLanguage()
-        )
-    except Exception:  # pragma: no cover - no JVM gateway (e.g. Spark Connect)
-        jvm_lang = None
-    _check_root_locale_contract(jvm_lang)
-
     order = [(a, b) for a, b, _ in merges]
-    out_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("bpe_symbols", T.ArrayType(T.StringType()))]
-    )
 
-    def encode_batches(batches):
-        import re
+    def seg_word(w: str) -> list[str]:
+        s = list(w)
+        for a, b in order:
+            if len(s) < 2:
+                break
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)  # greedy, non-overlapping
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
 
-        # Python twin of textops.tokens(): lowercase, collapse \s+ to one
-        # space, trim, split, drop empties — pinned equal by the parity test.
-        # Java's \s is ASCII-only; Python's is unicode-aware, so spell the
-        # Java class out to keep tokenization identical on exotic whitespace.
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
-        cache: dict[str, list[str]] = {}
-
-        def seg_word(w: str) -> list[str]:
-            got = cache.get(w)
-            if got is not None:
-                return got
-            s = list(w)
-            for a, b in order:
-                if len(s) < 2:
-                    break
-                out: list[str] = []
-                i = 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                        out.append(a + b)  # greedy, non-overlapping
-                        i += 2
-                    else:
-                        out.append(s[i])
-                        i += 1
-                s = out
-            cache[w] = s
-            return s
-
-        for pdf in batches:
-            texts = pdf[text_col]
-            pdf = pdf.copy()
-            # NULL text → NULL symbols, matching the expression fold's
-            # null propagation (tokens(NULL) is NULL, not []).
-            pdf["bpe_symbols"] = [
-                None
-                if t is None
-                else [
-                    sym
-                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
-                    if w
-                    for sym in seg_word(w)
-                ]
-                for t in texts
-            ]
-            yield pdf
-
-    return df.mapInPandas(encode_batches, schema=out_schema)
+    return pandas_token_encode(df, seg_word, "bpe_symbols", text_col)

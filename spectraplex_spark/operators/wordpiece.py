@@ -245,47 +245,11 @@ def wordpiece_encode(
     locale-independent ``str.lower()`` as the twin of Spark's
     ``lower()`` — same root-locale requirement (and the same plan-time
     refusal of known-divergent JVM locales) as ``apply_bpe_pandas``."""
-    from pyspark.sql import types as T
+    from spectraplex_spark.operators.bpe import pandas_token_encode
 
-    try:  # driver-side, once per call — plan-time metadata, not per row
-        jvm_lang = (
-            df.sparkSession._jvm.java.util.Locale.getDefault().getLanguage()
-        )
-    except Exception:  # pragma: no cover - no JVM gateway (e.g. Spark Connect)
-        jvm_lang = None
-    _check_root_locale_contract(jvm_lang)
-
-    out_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("wordpiece_pieces", T.ArrayType(T.StringType()))]
+    return pandas_token_encode(
+        df,
+        lambda w: _greedy_word(w, vocab, max_word_len),
+        "wordpiece_pieces",
+        text_col,
     )
-
-    def encode_batches(batches):
-        import re
-
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, pinned (bpe.py)
-        cache: dict[str, list[str]] = {}
-
-        def seg(w: str) -> list[str]:
-            got = cache.get(w)
-            if got is None:
-                got = _greedy_word(w, vocab, max_word_len)
-                cache[w] = got
-            return got
-
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["wordpiece_pieces"] = [
-                None
-                if t is None
-                else [
-                    p
-                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
-                    if w
-                    for p in seg(w)
-                ]
-                for t in pdf[text_col]
-            ]
-            yield pdf
-
-    return df.mapInPandas(encode_batches, schema=out_schema)

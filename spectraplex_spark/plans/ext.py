@@ -19,8 +19,11 @@ from spectraplex_spark.operators import simsearch as S
 from spectraplex_spark.operators import textops as X
 from spectraplex_spark.plans.registry import query, table
 
-# DuckDB twin of textops.normalized()
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB twin of textops.normalized().  NOTE the explicit character
+# class: RE2's \s is [ \t\n\f\r] (NO vertical tab) while Java/Spark's
+# default \s is [ \t\n\x0b\f\r] — spelling the Java class out keeps the
+# twins identical on \x0b-bearing text (review finding, r12).
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 # DuckDB twin of textops.tokens() → list of non-empty whitespace tokens
 _TOKENS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')"
 
@@ -93,10 +96,10 @@ def _stop_count_sql(lang: str) -> str:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS sum_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '[^\\w\\s]'))) AS BIGINT) AS sum_punct,
+           CAST(SUM(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]'))) AS BIGINT) AS sum_punct,
            CAST(SUM(CASE WHEN (
                   (CASE WHEN len({_TOKENS_SQL}) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
-                + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
+                + (CASE WHEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
                 + (CASE WHEN {_stop_count_sql('en')} > 0 THEN 0.25 ELSE 0.0 END)
                ) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
     FROM documents GROUP BY lang
@@ -717,7 +720,7 @@ def simsearch_ivf_topk(spark, sf_dir):
     )
 
 
-_NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+_NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '), t -> t <> '')"
 
 
 @query(
@@ -1223,7 +1226,7 @@ def _corpus_prep_pipeline_oracle() -> str:
     m = f"GREATEST({cnt['en']}, {cnt['es']}, {cnt['fr']}, {cnt['de']})"
     quality = f"""(
         (CASE WHEN len({_TOKENS_SQL}) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
-      + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
       + (CASE WHEN {cnt['en']} > 0 THEN 0.25 ELSE 0.0 END)
     ) >= 0.5"""
     return f"""
@@ -1304,7 +1307,7 @@ def _corpus_prep_planted_oracle() -> str:
     m = f"GREATEST({cnt['en']}, {cnt['es']}, {cnt['fr']}, {cnt['de']})"
     quality = f"""(
         (CASE WHEN len({_TOKENS_SQL}) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
-      + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
       + (CASE WHEN {cnt['en']} > 0 THEN 0.25 ELSE 0.0 END)
     ) >= 0.5"""
     return f"""
@@ -6392,7 +6395,12 @@ _FUNNEL_W_US = 7 * 86400 * 1_000_000  # 7-day window in BIGINT micros
     "funnel_conversion_report",
     f"""
     WITH u1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view'
+                  -- NULL ts can never anchor a funnel window: the
+                  -- Spark fold leaves the slot unfilled, so a user
+                  -- whose ONLY views are NULL-timed must not count
+                  -- at step 1 here either (review finding r12)
+                  AND ts IS NOT NULL GROUP BY user_id),
     u2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
            FROM events e JOIN u1 USING (user_id)
            WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
@@ -6500,7 +6508,12 @@ def _funnel_reach_counts(spark, latest):
     "stream_funnel_replay",
     f"""
     WITH u1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view'
+                  -- NULL ts can never anchor a funnel window: the
+                  -- Spark fold leaves the slot unfilled, so a user
+                  -- whose ONLY views are NULL-timed must not count
+                  -- at step 1 here either (review finding r12)
+                  AND ts IS NOT NULL GROUP BY user_id),
     u2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
            FROM events e JOIN u1 USING (user_id)
            WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
@@ -6566,7 +6579,12 @@ def stream_funnel_replay(spark, sf_dir):
     "stream_funnel_watermarked_replay",
     f"""
     WITH u1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view'
+                  -- NULL ts can never anchor a funnel window: the
+                  -- Spark fold leaves the slot unfilled, so a user
+                  -- whose ONLY views are NULL-timed must not count
+                  -- at step 1 here either (review finding r12)
+                  AND ts IS NOT NULL GROUP BY user_id),
     u2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
            FROM events e JOIN u1 USING (user_id)
            WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1

@@ -108,6 +108,19 @@ CHANGED_CODE_REGRADES: set[str] = {
     #   pagerank_ranks (conserve_dangling default flipped to True in r12;
     #   the graded builder pins conserve_dangling=False so its leaky
     #   trajectory — and hash — is byte-identical; dual-SF parity re-run).
+    # r12 review-pass alignment, same precedent (results byte-identical on
+    # every fixture, certified by full dual-SF local sweeps at HEAD):
+    #   - ORACLE-text only: _NORM_SQL/_TOKENS_SQL/punct classes spell out
+    #     Java's ASCII \s ([ \t\n\x0b\f\r]) instead of RE2's \s (which
+    #     lacks \x0b) — fixes a latent twin divergence on \x0b-bearing
+    #     text for every tokenizing oracle; fixtures contain no \x0b.
+    #   - bpe_encode_pandas_topk (r11): apply_bpe_pandas' encode harness
+    #     factored into the shared pandas_token_encode (pure refactor;
+    #     bit-equality to the expression path pinned by tests/test_bpe.py).
+    #   - funnel oracles + funnel_steps: explicit "NULL ts never counts"
+    #     contract on both sides (fold semantics unchanged — a NULL could
+    #     never fill a slot; the oracle's u1 now agrees for users whose
+    #     only step-1 events are NULL-timed); events fixtures have 0 NULL ts.
 }
 
 

@@ -154,3 +154,37 @@ def test_cohort_retention_matrix(spark):
     assert len(got) == 4
     # invariants: offset 0 is always full retention; offsets never negative
     assert all(off >= 0 for _, off in got)
+
+
+def test_funnel_null_ts_never_counts(spark):
+    """NULL-timestamp events can neither anchor nor advance a funnel
+    (review finding r12: the oracle's u1 used to COUNT a user whose
+    only views were NULL-timed while the fold left reached=0 — both
+    sides now pin 'NULL ts never counts')."""
+    import datetime as dt
+
+    from spectraplex_spark.operators.analytics import funnel_steps
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: ONLY a NULL-ts view -> reached 0 (grouped but unfilled)
+        (1, None, "view"),
+        # u2: NULL-ts view plus a real journey -> the real one anchors
+        (2, None, "view"), (2, 10, "view"), (2, 20, "click"),
+        # u3: real view, NULL-ts click -> click can't advance
+        (3, 0, "view"), (3, None, "click"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, u, None if s is None else T0 + dt.timedelta(seconds=s), t)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string",
+    )
+    got = {
+        r["user_id"]: r["reached"]
+        for r in funnel_steps(df, ["view", "click", "purchase"], 1000).collect()
+    }
+    # u1 is dropped entirely (no non-NULL events) — matching the
+    # oracle's ts IS NOT NULL; u2 anchors at t=10; u3 stays at 1
+    assert got == {2: 2, 3: 1}

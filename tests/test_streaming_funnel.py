@@ -332,3 +332,60 @@ def test_watermarked_reached_can_legally_shrink_and_n_seen_resolves(spark, tmp_p
     assert got == batch == {1: 1}
     snaps = sorted((r["n_seen"], r["reached"]) for r in rows)
     assert snaps == [(3, 3), (4, 1)]  # the shrink, pinned
+
+
+def test_wm_step_composition_equals_batch_fold_hypothesis():
+    """The sealing invariant, property-tested on the pure transition:
+    for ANY event multiset, ANY batch split, and ANY valid watermark
+    trajectory (nondecreasing, never past the min future event time —
+    Spark's contract: rows behind the watermark are dropped before the
+    operator, so a valid trajectory never strands an undelivered
+    event), the final provisional fold equals the one-shot batch fold
+    over all events."""
+    from hypothesis import given, settings, strategies as st_
+
+    from spectraplex_spark.streaming.funnel import _advance, _wm_step
+
+    STEPS3 = ["view", "click", "purchase"]
+    ev = st_.tuples(
+        st_.integers(min_value=0, max_value=50),
+        st_.sampled_from(STEPS3),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st_.lists(ev, min_size=0, max_size=24),
+        st_.data(),
+    )
+    def check(events, data):
+        k = len(STEPS3)
+        w_us = data.draw(st_.sampled_from([5, 20, 10**9]))
+        # random batch split (preserving arrival order = list order)
+        n_batches = data.draw(st_.integers(min_value=1, max_value=4))
+        cuts = sorted(
+            data.draw(
+                st_.lists(
+                    st_.integers(min_value=0, max_value=len(events)),
+                    min_size=n_batches - 1,
+                    max_size=n_batches - 1,
+                )
+            )
+        )
+        batches, prev = [], 0
+        for c in cuts + [len(events)]:
+            batches.append(events[prev:c])
+            prev = c
+        st = [None] * k
+        buf: list = []
+        provisional = st
+        wm = -1
+        for i, b in enumerate(batches):
+            # valid watermark: ≤ every event still to arrive, nondecreasing
+            future = [t for bb in batches[i:] for t, _ in bb]
+            hi = min(future) if future else 10**9
+            wm = max(wm, data.draw(st_.integers(min_value=-1, max_value=hi)))
+            st, buf, provisional = _wm_step(st, buf, b, wm, STEPS3, w_us)
+        want = _advance([None] * k, events, STEPS3, w_us)
+        assert provisional == want
+
+    check()

@@ -97,8 +97,15 @@ def dsir_importance_sample(
             df, target_pred, text_col, n_buckets
         ).collect()  # bounded: n_buckets rows (the centroid-collect contract)
     }
+    # A bucket absent from the stats has raw_count == target_count == 0,
+    # so its smoothed weight is the add-one floor ((0+1)*SCALE) div (0+B)
+    # — NOT 0 (review finding r12: a 0 default contradicted the module's
+    # documented "unseen-feature docs don't degenerate" smoothing;
+    # unreachable when scoring the same df the stats came from, but the
+    # contract must hold if the source drifts between the two passes).
+    floor_wq = DSIR_SCALE // n_buckets
     wlit = F.array(
-        *[F.lit(int(w.get(b, 0))).cast("long") for b in range(n_buckets)]
+        *[F.lit(int(w.get(b, floor_wq))).cast("long") for b in range(n_buckets)]
     )
     toks = tokens(F.col(text_col))
     per_tok = F.transform(
@@ -114,4 +121,106 @@ def dsir_importance_sample(
     return (
         scored.withColumn("rk", F.row_number().over(win).cast("long"))
         .where(F.col("rk") <= k)
+    )
+
+
+def dsir_importance_sample_scalable(
+    df: DataFrame,
+    target_pred: Column,
+    k: int = 10,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = QSCORE_BUCKETS,
+    hot_factor: int = 64,
+    safety: int = 8,
+) -> DataFrame:
+    """SCALE twin of :func:`dsir_importance_sample` — IDENTICAL
+    survivors (pytest-pinned), but a pathologically hot stratum (one
+    language being 80% of 100 TB) is percentile-PREFILTERED before the
+    top-k window instead of funneling every scored row through a
+    single window task (the cap_per_domain_scalable discipline, review
+    finding r12).
+
+    Exactness never rides on the percentile sketch: keep everything
+    with ``score_q >= thr`` (ties inclusive), then a bounded verify
+    proves each hot stratum kept >= min(k, total) rows — the true
+    top-k all score >= the kth score >= thr, so they are among the
+    survivors; any stratum failing the proof falls back to its full
+    complement.  Pipeline sizes: per-stratum counts (bounded strata),
+    one percentile pass over hot-stratum rows only, a broadcast
+    threshold join, and a window over ~safety·k rows per hot stratum.
+    """
+    from spectraplex_spark.operators.components import lineage_truncate
+
+    w = {
+        r["bucket"]: r["wq"]
+        for r in dsir_bucket_weights(
+            df, target_pred, text_col, n_buckets
+        ).collect()  # bounded: n_buckets rows
+    }
+    floor_wq = DSIR_SCALE // n_buckets
+    wlit = F.array(
+        *[F.lit(int(w.get(b, floor_wq))).cast("long") for b in range(n_buckets)]
+    )
+    toks = tokens(F.col(text_col))
+    per_tok = F.transform(
+        toks, lambda t: F.element_at(wlit, hashed_bucket(t, n_buckets) + 1)
+    )
+    score = F.aggregate(per_tok, F.lit(0).cast("long"), lambda a, v: a + v)
+    # scored once, lineage-truncated: counts / percentile / prefilter /
+    # verify each re-read it (Catalyst does not CSE the HOF chain)
+    scored = lineage_truncate(
+        df.filter(F.size(toks) > 0).select(
+            F.col(stratum_col).alias("_st"), F.col(id_col), score.alias("score_q")
+        )
+    )
+    counts = {
+        r["_st"]: int(r["n"])
+        for r in scored.groupBy("_st").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded: one row per stratum
+    hot = [st for st, n in counts.items() if n > hot_factor * k and st is not None]
+    pre = scored
+    if hot:
+        # fraction keeping >= safety*k rows, rounded DOWN on the 2^-e
+        # grid (keeps more, never fewer); percentile_approx needs a
+        # foldable fraction so each hot stratum gets its own literal
+        thr_rows = []
+        for st in hot:
+            frac = max(0.0, 1.0 - (safety * k) / counts[st])
+            e = 0
+            while e < 40 and (1.0 - 2.0 ** -(e + 1)) <= frac:
+                e += 1
+            f = 1.0 - 2.0 ** -e  # <= frac: keeps at least the target
+            thr = (
+                scored.filter(F.col("_st") == st)
+                .agg(F.percentile_approx("score_q", f, 10000).alias("t"))
+                .collect()[0]["t"]
+            )
+            thr_rows.append((st, int(thr)))
+        thr_df = F.broadcast(
+            scored.sparkSession.createDataFrame(thr_rows, "_st string, _thr long")
+        )
+        pre = scored.join(thr_df, "_st", "left").filter(
+            F.col("_thr").isNull() | (F.col("score_q") >= F.col("_thr"))
+        ).drop("_thr")
+        # bounded verify: every hot stratum must keep >= min(k, total);
+        # ties at thr are inclusive so the proof is exact, but a
+        # degenerate sketch could under-keep — those strata fall back
+        kept = {
+            r["_st"]: int(r["n"])
+            for r in pre.groupBy("_st").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        failing = [
+            st for st in hot if kept.get(st, 0) < min(k, counts[st])
+        ]
+        if failing:  # provable fallback: full complement for those strata
+            pre = pre.filter(~F.col("_st").isin(failing)).unionByName(
+                scored.filter(F.col("_st").isin(failing))
+            )
+    win = Window.partitionBy("_st").orderBy(F.desc("score_q"), F.asc(id_col))
+    return (
+        pre.withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= k)
+        .withColumnRenamed("_st", stratum_col)
     )

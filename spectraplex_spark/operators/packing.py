@@ -36,6 +36,34 @@ TEST_MAX_HEX = "0ccc"
 VAL_MAX_HEX = "1998"
 
 
+def _h4(key):
+    """First 4 hex chars of md5(key) — the module's 16-bit consistent-
+    hash grid (one definition; was copy-pasted five times, review
+    finding r12)."""
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def _hex16(t: int) -> str:
+    """A 16-bit threshold as its 4-char hex literal, clamped to the
+    grid (thresholds >= 65536 mean keep-everything and are handled by
+    the callers' explicit keep-all predicate)."""
+    return format(max(0, min(65535, int(t))), "04x")
+
+
+def _domain_token_totals(df, domain_col, parts, text_col):
+    """Per-domain corpus token totals restricted to the weighted
+    domains — the one aggregation pass shared by mixture_thresholds
+    and mixture_repeat_plan (was duplicated verbatim)."""
+    return {
+        r[0]: int(r[1])
+        for r in df.filter(F.col(domain_col).isin(*parts))
+        .groupBy(domain_col)
+        .agg(F.sum(token_count(F.col(text_col)).cast("long")))
+        .collect()
+        if r[1] is not None
+    }
+
+
 def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic train/val/test split column (~90/5/5).
 
@@ -43,7 +71,7 @@ def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     never moves an existing document between splits, and re-runs are
     bit-identical — the property UUID- or rand()-based splits lack.
     """
-    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    h4 = _h4(F.col(id_col))
     return df.withColumn(
         "split",
         F.when(h4 < TEST_MAX_HEX, "test")
@@ -68,7 +96,7 @@ def assign_split_grouped(
     doc-keyed hash (documented: filter or repair upstream if NULL means
     'unknown but same site')."""
     key = F.coalesce(F.col(group_col).cast("string"), F.col(id_col).cast("string"))
-    h4 = F.substring(F.md5(key), 1, 4)
+    h4 = _h4(key)
     return df.withColumn(
         "split",
         F.when(h4 < TEST_MAX_HEX, "test")
@@ -107,7 +135,14 @@ def temperature_shares(
     w0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
     w1 = F.when(w0 * w0 > n, w0 - F.lit(1).cast("long")).otherwise(w0)
     w = F.when((w1 + 1) * (w1 + 1) <= n, w1 + F.lit(1).cast("long")).otherwise(w1)
-    weighted = per.withColumn("_w", w)
+    # |domains|-row frame, materialized ONCE: the totals collect below
+    # and the returned select would otherwise each recompute the full
+    # corpus groupBy (two scans + shuffles for a bounded result, and a
+    # changing source could skew shares off their own denominators —
+    # review finding r12)
+    from spectraplex_spark.operators.components import lineage_truncate
+
+    weighted = lineage_truncate(per.withColumn("_w", w))
     totals = weighted.agg(
         F.sum("n_docs").alias("_nd"), F.sum("_w").alias("_sw")
     ).collect()[0]
@@ -146,7 +181,7 @@ def stratified_sample(
     (nested samples come for free). Fractions are quantized to 1/65536
     so the hex-string threshold compare is exact in both engines.
     """
-    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    h4 = _h4(F.col(id_col))
 
     def keep_all(frac: float) -> bool:
         # Quantization rounds fractions in [65535.5/65536, 1.0) up to
@@ -156,7 +191,7 @@ def stratified_sample(
         return round(frac * 65536) >= 65536
 
     def hex_threshold(frac: float) -> str:
-        return format(max(0, min(65535, round(frac * 65536))), "04x")
+        return _hex16(round(frac * 65536))
 
     keep = F.lit(keep_all(default_fraction)) | (h4 < hex_threshold(default_fraction))
     for label, frac in fractions.items():
@@ -173,33 +208,51 @@ def pack_documents(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each document to (shard, pack_id) under a token budget.
 
-    Per shard, documents are ordered by id and packed by exclusive
-    prefix token sum: a document opens a new pack when the tokens before
-    it already fill the current one. ``tokens_before`` is included so a
-    consumer can compute each document's offset inside its pack without
-    re-aggregating.
-    """
+    Per shard, documents are ordered by (id, *order_cols) and packed by
+    exclusive prefix token sum: a document opens a new pack when the
+    tokens before it already fill the current one. ``tokens_before`` is
+    included so a consumer can compute each document's offset inside its
+    pack without re-aggregating.
+
+    DETERMINISM CONTRACT: ``(id_col, *order_cols)`` must be unique per
+    row.  Duplicate keys make the running sum partition-order-dependent
+    (re-runs flap) — the documented chunk-stream composition
+    (chunking.py emits one row per (doc_id, chunk_id)) must pass
+    ``order_cols=("chunk_id",)`` (review finding r12).
+
+    ``pack_id`` is BIGINT via integer floor division: the old
+    ``floor(float)/cast(int)`` wrapped at ~1.1e12 tokens per shard —
+    inside the 100 TB envelope — while the oracle's INTEGER cast
+    errored, so the pair could never agree at scale (review finding
+    r12)."""
     n_tok = token_count(F.col(text_col)).cast("int")
     shard = (F.col(id_col) % n_shards).cast("int")
     w = (
         W.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(id_col, *order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        df.select(F.col(id_col), n_tok.alias("n_tokens"), shard.alias("shard"))
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in order_cols],
+            n_tok.alias("n_tokens"),
+            shard.alias("shard"),
+        )
         .withColumn("_cum", F.sum("n_tokens").over(w))
         .select(
             id_col,
+            *order_cols,
             "n_tokens",
             "shard",
             (F.col("_cum") - F.col("n_tokens")).cast("long").alias("tokens_before"),
-            F.floor((F.col("_cum") - F.col("n_tokens")) / budget)
-            .cast("int")
-            .alias("pack_id"),
+            F.expr(f"CAST((_cum - n_tokens) div {int(budget)} AS BIGINT)").alias(
+                "pack_id"
+            ),
         )
     )
 
@@ -232,14 +285,7 @@ def mixture_thresholds(
     whole (this operator only downsamples; upweighting by repetition is
     a separate concern). One aggregation pass; the result is a
     #domains-sized driver dict, the planner's only state."""
-    totals = {
-        r[0]: int(r[1])
-        for r in df.filter(F.col(domain_col).isin(*parts))
-        .groupBy(domain_col)
-        .agg(F.sum(token_count(F.col(text_col)).cast("long")))
-        .collect()
-        if r[1] is not None
-    }
+    totals = _domain_token_totals(df, domain_col, parts, text_col)
     s = sum(parts.values())
     return {
         d: (65536 * token_budget * parts[d]) // (s * totals[d])
@@ -255,6 +301,7 @@ def slice_token_examples(
     text_col: str = "text",
     id_col: str = "doc_id",
     eos: str | None = None,
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The OTHER standard pre-training layout (pack_documents keeps
     docs whole; this one doesn't): concatenate the corpus token stream
@@ -281,12 +328,16 @@ def slice_token_examples(
         toks = F.concat(toks, F.array(F.lit(eos)))
     base = df.select(
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in order_cols],
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
         toks.alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
+    # same uniqueness contract as pack_documents: duplicate
+    # (_id, *order_cols) keys would collide _gpos and silently drop
+    # the merged over-long groups at the == seq_len filter
     w = (
         W.partitionBy("shard")
-        .orderBy("_id")
+        .orderBy("_id", *order_cols)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     offs = base.withColumn("_start", F.coalesce(F.sum("_n").over(w), F.lit(0)))
@@ -296,7 +347,8 @@ def slice_token_examples(
         (F.col("_start") + F.col("_p")).alias("_gpos"),
     ).select(
         "shard",
-        (F.col("_gpos") / seq_len).cast("long").alias("example_idx"),
+        # integer division: float / goes off-grid past 2^53 (review r12)
+        F.expr(f"CAST(_gpos div {int(seq_len)} AS BIGINT)").alias("example_idx"),
         (F.col("_gpos") % seq_len).cast("int").alias("_slot"),
         "_tok",
     )
@@ -334,14 +386,7 @@ def mixture_repeat_plan(
     Returns {domain: (corpus_tokens, target_tokens, full_repeats,
     tail_threshold)} — one aggregation pass, |parts| driver entries
     (the mixture_thresholds contract)."""
-    totals = {
-        r[0]: int(r[1])
-        for r in df.filter(F.col(domain_col).isin(*parts))
-        .groupBy(domain_col)
-        .agg(F.sum(token_count(F.col(text_col)).cast("long")))
-        .collect()
-        if r[1] is not None
-    }
+    totals = _domain_token_totals(df, domain_col, parts, text_col)
     s = sum(parts.values())
     plan = {}
     for d in parts:
@@ -368,11 +413,11 @@ def mixture_upsample(
     BEFORE upsampling, obviously). Docs outside the weighted domains
     drop. One narrow explode pass; plan state is |parts| literals."""
     plan = mixture_repeat_plan(df, domain_col, parts, token_budget, text_col)
-    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    h4 = _h4(F.col(id_col))
     copies = F.lit(0)
     for d, (_t, _tgt, reps, thr) in plan.items():
         extra = (
-            (h4 < format(min(thr, 65535), "04x")).cast("int")
+            (h4 < _hex16(thr)).cast("int")
             if thr > 0
             else F.lit(0)
         )
@@ -402,11 +447,123 @@ def mixture_sample(
     stratified_sample; the planning pass is one aggregation, the sample
     itself a narrow filter."""
     thr = mixture_thresholds(df, domain_col, parts, token_budget, text_col)
-    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    h4 = _h4(F.col(id_col))
     keep = F.lit(False)
     for d, t in thr.items():
         keep = F.when(
             F.col(domain_col) == d,
-            F.lit(t >= 65536) | (h4 < format(min(t, 65535), "04x")),
+            F.lit(t >= 65536) | (h4 < _hex16(t)),
         ).otherwise(keep)
     return df.filter(keep)
+
+
+def pack_documents_scalable(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SCALE twin of :func:`pack_documents` — IDENTICAL assignments
+    (pytest-pinned), without the plain form's parallelism cap.
+
+    The plain window partitions by ``shard``, so the whole corpus runs
+    through exactly ``n_shards`` tasks — each one buffering corpus/N
+    rows (~10^12 at 100 TB / 8 shards) regardless of cluster size
+    (review finding r12).  This twin computes the same per-shard
+    exclusive prefix sums two-phase (the ``shuffle_shards_scalable``
+    discipline, adapted from ranks to sums):
+
+      1. range-partition by (shard, id, *order_cols) into as many
+         partitions as the cluster likes and sort within partitions —
+         each partition holds a CONTIGUOUS slice of one-or-more shards'
+         streams (eager localCheckpoint pins the layout);
+      2. one bounded aggregate of per-(partition, shard) token totals —
+         ≤ #partitions + n_shards rows, since slices are contiguous —
+         folded on the driver into per-(partition, shard) global
+         offsets;
+      3. an Arrow ``mapInPandas`` pass over the sorted partitions adds
+         offset + local exclusive running sum — no second shuffle, no
+         window, state is one counter per shard present in the
+         partition.
+
+    The offset lookup fails LOUDLY on a missing (partition, shard) key
+    (the ``_offset_lookup`` discipline: silent 0 would emit duplicate
+    pack ids).  Same uniqueness contract on (id, *order_cols) as the
+    plain form."""
+    from pyspark.sql import types as T
+
+    n_tok = token_count(F.col(text_col)).cast("int")
+    shard = (F.col(id_col) % n_shards).cast("int")
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in order_cols],
+        n_tok.alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    parted = (
+        base.repartitionByRange(
+            *([num_partitions] if num_partitions else []),
+            "shard",
+            id_col,
+            *order_cols,
+        )
+        .sortWithinPartitions("shard", id_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    groups = sorted(
+        ((r["shard"], r["_pid"]), int(r["s"]))
+        for r in parted.groupBy("_pid", "shard")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()  # bounded: contiguous slices → ≤ partitions + shards rows
+    )
+    offsets: dict[tuple[int, int], int] = {}
+    acc_shard, acc = None, 0
+    for (sh, pid), tot in groups:
+        if sh != acc_shard:
+            acc_shard, acc = sh, 0
+        offsets[(pid, sh)] = acc
+        acc += tot
+
+    out_schema = T.StructType(
+        parted.schema.fields
+        + [T.StructField("tokens_before", T.LongType(), False)]
+    )
+
+    def add_running(batches):
+        carry: dict[int, int] = {}
+
+        def off(pid: int, sh: int) -> int:
+            got = offsets.get((pid, sh))
+            if got is None:  # fail loud: drifted partitioning
+                raise RuntimeError(
+                    f"pack_documents_scalable: partition {pid} shard {sh} "
+                    "missing from the offset map — checkpointed "
+                    "partitioning drifted"
+                )
+            return got
+
+        for pdf in batches:
+            before = []
+            for pid, sh, nt in zip(pdf["_pid"], pdf["shard"], pdf["n_tokens"]):
+                sh = int(sh)
+                c = carry.get(sh)
+                if c is None:
+                    c = off(int(pid), sh)
+                before.append(c)
+                carry[sh] = c + int(nt)
+            pdf = pdf.copy()
+            pdf["tokens_before"] = before
+            yield pdf
+
+    return parted.mapInPandas(add_running, schema=out_schema).select(
+        id_col,
+        *order_cols,
+        "n_tokens",
+        "shard",
+        F.col("tokens_before").cast("long").alias("tokens_before"),
+        F.expr(f"CAST(tokens_before div {int(budget)} AS BIGINT)").alias("pack_id"),
+    )

@@ -525,7 +525,9 @@ def corpus_split_assignment(spark, sf_dir):
     )
     SELECT doc_id, n_tokens, shard,
            CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tokens_before,
-           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512) AS INTEGER) AS pack_id
+           -- BIGINT integer division: the int32 form wrapped at ~1.1e12
+           -- tokens/shard (inside the 100 TB envelope; review finding r12)
+           CAST((CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) // 512) AS BIGINT) AS pack_id
     FROM toks
     WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

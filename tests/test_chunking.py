@@ -103,3 +103,60 @@ def test_feature_standardize_fit_apply(spark):
     assert np.allclose(mat[:, :3].std(axis=0), 1.0, atol=1e-6)
     assert np.allclose(mat[:, 3], 0.0)  # centered, not scaled
 
+
+
+def test_pack_documents_scalable_bit_equal_and_partitioning_independent(spark):
+    """The two-phase running sum must return byte-identical assignments
+    to the single-window form, under any input partitioning and
+    partition count — including shards spanning several range
+    partitions (the case the offsets fold exists for)."""
+    from spectraplex_spark.operators.packing import (
+        pack_documents,
+        pack_documents_scalable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (1 + i % 37)) for i in range(500)], "doc_id long, text string"
+    )
+
+    def rows(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    want = rows(pack_documents(df, budget=64, n_shards=4))
+    assert want == rows(pack_documents_scalable(df, budget=64, n_shards=4))
+    assert want == rows(
+        pack_documents_scalable(df.repartition(13), budget=64, n_shards=4,
+                                num_partitions=11)
+    )
+    assert want == rows(
+        pack_documents_scalable(df.coalesce(1), budget=64, n_shards=4,
+                                num_partitions=2)
+    )
+
+
+def test_pack_documents_chunk_composition_deterministic(spark):
+    """The documented chunk-stream composition: duplicate doc_ids from
+    chunk_documents must pack deterministically via the chunk_id
+    tiebreaker (review finding r12: the untiebroken window made
+    tokens_before partition-order-dependent)."""
+    from spectraplex_spark.operators.chunking import chunk_documents
+    from spectraplex_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (40 + i)) for i in range(12)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(docs, max_tokens=16)
+
+    def rows(df_):
+        return sorted(
+            (r["doc_id"], r["chunk_id"], r["tokens_before"], r["pack_id"])
+            for r in df_.collect()
+        )
+
+    a = rows(pack_documents(chunks, budget=24, n_shards=3,
+                            text_col="chunk_text", order_cols=("chunk_id",)))
+    b = rows(pack_documents(chunks.repartition(7), budget=24, n_shards=3,
+                            text_col="chunk_text", order_cols=("chunk_id",)))
+    assert a == b
+    # and pack_id is BIGINT integer math (no float floor, no int32 cast)
+    assert all(isinstance(p, int) for *_, p in a)

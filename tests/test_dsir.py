@@ -65,3 +65,43 @@ def test_token_free_docs_are_excluded(spark):
     )
     got = dsir_importance_sample(df, F.col("lang") == "en", k=5).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_scalable_topk_bit_equal_to_window_form(spark):
+    """The scale twin must return IDENTICAL survivors to the plain
+    per-stratum window on a skewed corpus (one hot stratum >> the
+    others), including score ties resolved by id, strata smaller than
+    k, and a NULL stratum."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.dsir import (
+        dsir_importance_sample,
+        dsir_importance_sample_scalable,
+    )
+
+    rows = []
+    # hot stratum: 600 docs, many tied scores (few distinct words)
+    for i in range(600):
+        rows.append((i, "en", f"w{i % 7} w{i % 3} common"))
+    # cold strata incl. one smaller than k and a NULL stratum
+    for i in range(600, 620):
+        rows.append((i, "de", f"w{i % 5} rare{i}"))
+    for i in range(620, 623):
+        rows.append((i, "fr", "w1 w2"))
+    for i in range(623, 626):
+        rows.append((i, None, "w1 nullish"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pred = F.col("doc_id") % 4 == 0
+
+    def rowset(out):
+        return sorted(
+            ((r["lang"] or "", r["doc_id"], r["score_q"], r["rk"]) for r in out.collect())
+        )
+
+    plain = rowset(dsir_importance_sample(df, pred, k=5))
+    scal = rowset(
+        dsir_importance_sample_scalable(df, pred, k=5, hot_factor=16, safety=2)
+    )
+    assert plain == scal
+    # the hot stratum genuinely took the prefilter path
+    assert sum(1 for lang, *_ in plain if lang == "en") == 5

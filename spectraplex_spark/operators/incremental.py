@@ -49,40 +49,113 @@ def merge_rollup_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def _pointer_path(state_path: str) -> str:
+    import os
+
+    return os.path.join(state_path, "_CURRENT")
+
+
+def _read_pointer(state_path: str) -> tuple[str, int] | None:
+    """(current version dir, batch_id that produced it), or None."""
+    import os
+
+    try:
+        with open(_pointer_path(state_path)) as fh:
+            ver = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    if not ver.startswith("v"):
+        raise ValueError(
+            f"stream_maintain_rollup: corrupt state pointer {ver!r} at "
+            f"{state_path!r} — refusing to guess (a wrong guess silently "
+            "destroys or double-counts accumulated state)"
+        )
+    return os.path.join(state_path, ver), int(ver[1:])
+
+
+def _swap_pointer(state_path: str, batch_id: int) -> None:
+    """Atomic pointer swap: tmp + fsync + rename (the merge.py WAL
+    discipline). The rename is the single commit point."""
+    import os
+
+    tmp = _pointer_path(state_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"v{batch_id}")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, _pointer_path(state_path))
+
+
+def read_rollup_state(spark, state_path: str) -> DataFrame:
+    """Read the CURRENT committed rollup state (pointer-resolved)."""
+    ptr = _read_pointer(state_path)
+    if ptr is None:
+        raise FileNotFoundError(f"no committed rollup state at {state_path!r}")
+    return spark.read.parquet(ptr[0])
+
+
+def apply_rollup_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One committed state increment (the foreachBatch body, exposed so
+    the crash/retry protocol is directly testable)."""
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    ptr = _read_pointer(state_path)
+    if ptr is not None and ptr[1] == batch_id:
+        return  # checkpoint retry of an already-committed batch: no-op
+    batch_state = daily_rollup_state(batch_df)
+    if ptr is not None:
+        prior = spark.read.parquet(ptr[0])
+        merged = merge_rollup_states(prior, batch_state)
+    else:
+        merged = batch_state
+    new_dir = os.path.join(state_path, f"v{batch_id}")
+    merged.write.mode("overwrite").parquet(new_dir)
+    _swap_pointer(state_path, batch_id)
+    # vacuum: keep current + the immediately superseded version
+    keep = {f"v{batch_id}"} | ({os.path.basename(ptr[0])} if ptr else set())
+    for name in os.listdir(state_path):
+        if name.startswith("v") and name not in keep:
+            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
+
+
 def stream_maintain_rollup(
     events_stream: DataFrame, state_path: str, checkpoint_dir: str
 ):
     """Streaming materialized-view maintenance: each micro-batch
-    aggregates alone and merges into the stored state (read-modify-
-    write), so the maintained view equals the batch recompute after any
-    sequence of micro-batches — mergeability makes the batch split
-    irrelevant.
+    aggregates alone and merges into the stored state, so the
+    maintained view equals the batch recompute after any sequence of
+    micro-batches — mergeability makes the batch split irrelevant.
+    Read the result with :func:`read_rollup_state`.
 
-    The merged frame is localCheckpoint-ed before the overwrite because
-    the write would otherwise lazily re-read the path it is deleting.
-    Durability note: checkpointing makes restarts resume at batch
-    granularity, but a crash BETWEEN state write and checkpoint commit
-    could re-apply one batch — the portable protocol accepts that
-    window; on a real deployment the state table should be a
-    transactional format (Delta/Iceberg MERGE) which closes it.
+    Durability protocol (review finding r12 — the old in-place parquet
+    ``overwrite`` DELETED the state before the write job committed, so
+    a crash mid-overwrite left a missing path that the retry read as
+    "first batch", silently resetting all accumulated state — the
+    exact mode the old comment claimed was impossible):
+
+      - each batch writes a NEW version directory ``v{batch_id}``
+        (overwrite of that directory is retry-idempotent);
+      - a ``_CURRENT`` pointer file commits it atomically
+        (tmp + fsync + rename);
+      - a retry of a batch whose version is ALREADY current is a
+        no-op — the pointer carries the batch id, which also closes
+        the old protocol's documented double-apply window between
+        state write and checkpoint commit;
+      - superseded version dirs older than the previous one are
+        vacuumed opportunistically (the previous version is kept so a
+        reader that resolved the pointer just before a swap can still
+        finish its scan).
+
+    The pointer rename is atomic on a real filesystem; on an object
+    store without atomic rename, front the state with a transactional
+    table format instead (the same seam merge.py documents).
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        from spectraplex_spark.sources.io import _target_exists
-
-        spark = batch_df.sparkSession
-        batch_state = daily_rollup_state(batch_df)
-        # Only a MISSING state path means "first batch". A corrupt or
-        # transiently unreadable state file must fail the batch (the
-        # checkpoint will retry it) — swallowing the read error here
-        # would overwrite the path with just the current batch and
-        # silently destroy all accumulated rollup state.
-        if _target_exists(spark, state_path):
-            prior = spark.read.parquet(state_path)
-            merged = merge_rollup_states(prior, batch_state)
-        else:
-            merged = batch_state
-        merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
+        apply_rollup_batch(batch_df, batch_id, state_path)
 
     return (
         events_stream.writeStream.foreachBatch(upsert)

@@ -3133,7 +3133,16 @@ def stateful_balance_replay(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(f"{d}/out")
+    snaps = spark.read.parquet(f"{d}/out")
+    # one snapshot per TOUCHED user PER BATCH: reduce to the latest
+    # (n_events is strictly monotone per user), so the grade holds for
+    # ANY micro-batch layout — the old bare read-back graded only
+    # because coalesce(1) happens to drain in one batch (review
+    # finding r12; identity reduction on the single-batch fixture)
+    return snaps.groupBy("user_id").agg(
+        F.max_by("balance_cents", "n_events").cast("long").alias("balance_cents"),
+        F.max("n_events").cast("long").alias("n_events"),
+    )
 
 
 @query(

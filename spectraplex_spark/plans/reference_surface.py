@@ -858,7 +858,14 @@ def _outer_join_replay(spark, sf_dir, how):
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(f"{d}/out").filter(F.col("user_id") >= 0)
+    # Sentinel guard only: NULL-keyed rows are LEGAL output (a NULL join
+    # key never matches, so the batch oracle emits them NULL-padded) —
+    # `user_id >= 0` would silently drop them along with the sentinels
+    # because NULL >= 0 is NULL (review finding r12; fixtures carry no
+    # NULL users, so this is a contract pin, not a result change).
+    return spark.read.parquet(f"{d}/out").filter(
+        F.col("user_id").isNull() | ~F.col("user_id").isin(-1, -2)
+    )
 
 
 @query(

@@ -128,7 +128,7 @@ def stream_funnel(
             {
                 # NULL user is a legal group key (the batch fold keeps
                 # it); int(None) would crash the task
-                "user_id": [None if key[0] is None else int(key[0])],
+                "user_id": [None if pd.isna(key[0]) else int(key[0])],
                 "reached": [sum(x is not None for x in st)],
             }
         )
@@ -244,7 +244,7 @@ def stream_funnel_watermarked(
         )
         yield pd.DataFrame(
             {
-                "user_id": [None if key[0] is None else int(key[0])],
+                "user_id": [None if pd.isna(key[0]) else int(key[0])],
                 "reached": [sum(x is not None for x in provisional)],
                 "reached_sealed": [sum(x is not None for x in st)],
                 "pending": [len(pending)],

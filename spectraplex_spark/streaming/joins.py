@@ -32,6 +32,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Seconds in a '<n> <unit>' interval string (the subset Spark's
+    watermark/INTERVAL syntax shares); loud on anything else so the
+    watermark-coverage guard can never silently pass a typo."""
+    parts = spec.strip().lower().split()
+    if len(parts) != 2 or parts[1] not in _INTERVAL_UNITS:
+        raise ValueError(
+            f"unsupported interval spec {spec!r}: expected '<n> "
+            f"<{'|'.join(sorted(set(_INTERVAL_UNITS)))}>'"
+        )
+    return int(parts[0]) * _INTERVAL_UNITS[parts[1]]
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -67,11 +88,37 @@ def stream_interval_join(
     batches; a single-batch availableNow run would withhold every
     unmatched row). In the right/full modes the join key of an
     unmatched RIGHT row arrives on the right side only, so the output
-    ``on`` column is the coalesce of the two key columns — never NULL
-    for any emitted row."""
+    ``on`` column is the coalesce of the two key columns — NULL only
+    when the row's OWN key is NULL (a NULL key never matches anything,
+    so such rows can only ever emit as unmatched; the old "never NULL"
+    claim was wrong for them — review finding r12).
+
+    Guards (both loud, review finding r12): ``right_watermark`` must
+    cover the interval span (an undersized one silently evicts right
+    rows before up-to-``upper``-lagged partners arrive — the docstring
+    warning is now enforced), and the two inputs must share NO column
+    names besides ``on``/the ts columns (Spark would otherwise emit
+    ambiguous duplicate columns; callers pre-project disjoint
+    payloads)."""
     modes = ("inner", "left_outer", "right_outer", "full_outer")
     if how not in modes:
         raise ValueError(f"how must be one of {modes}, got {how!r}")
+    span_s = _interval_seconds(upper) - min(_interval_seconds(lower), 0)
+    if _interval_seconds(right_watermark) < span_s:
+        raise ValueError(
+            f"stream_interval_join: right_watermark {right_watermark!r} is "
+            f"smaller than the join span ({span_s}s): Spark would evict "
+            "right rows before their latest possible partners arrive and "
+            "silently lose matches — pass a watermark covering "
+            "upper - min(lower, 0)"
+        )
+    shared = (set(left.columns) & set(right.columns)) - {on, left_ts, right_ts}
+    if shared:
+        raise ValueError(
+            "stream_interval_join: inputs share non-key columns "
+            f"{sorted(shared)} — the join would emit ambiguous duplicates; "
+            "pre-project disjoint payload columns"
+        )
     # Event-time columns must be TIMESTAMP (Spark rejects TIMESTAMP_NTZ
     # watermarks; the driver's events.ts ships as NTZ). Session tz is
     # pinned UTC, so the cast is the identity (pipeline.py precedent).
@@ -104,6 +151,14 @@ def stream_dedup_within_watermark(
     the key set no deeper than the watermark — bounded by arrival
     rate x horizon, never by stream length (the property that makes
     this runnable forever; plain dropDuplicates on a stream grows
-    without bound)."""
+    without bound).
+
+    Determinism contract: WHICH copy survives is arrival-order
+    (batch-layout) dependent — Spark keeps the first-arriving one.
+    For transports that redeliver BIT-IDENTICAL rows (the idempotent
+    relay/epoch sources here) output content is therefore exact; a
+    transport that re-stamps retries (different ts/payload per copy)
+    gets deterministic KEYS but arrival-dependent non-key columns —
+    canonicalize upstream if that matters (review note r12)."""
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

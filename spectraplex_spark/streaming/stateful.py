@@ -47,6 +47,12 @@ def _cents(values: pd.Series) -> int:
     import numpy as np
 
     v = values.astype("float64")
+    # NULL value carries no amount: the batch oracle's SUM(FLOOR(...))
+    # skips NULLs, while floor(NaN).astype(int64) is UNDEFINED (numpy
+    # emits INT64_MIN with only a RuntimeWarning) and would silently
+    # poison the running balance forever (review finding r12).  The row
+    # still counts toward n_events (COUNT(*) counts it too).
+    v = v[~np.isnan(v)]
     return int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
 
 
@@ -64,7 +70,11 @@ def _balance_fn(
     state.update((total_cents, total_n))
     yield pd.DataFrame(
         {
-            "user_id": [int(key[0])],
+            # NULL user is a legal group key (the batch oracle keeps the
+            # NULL group); int() on it would poison-pill the query —
+            # every checkpoint retry re-crashes (review finding r12).
+            # The NULL arrives as NaN, not None (Arrow key transfer).
+            "user_id": [None if pd.isna(key[0]) else int(key[0])],
             "balance_cents": [total_cents],
             "n_events": [total_n],
         }

@@ -38,7 +38,9 @@ def test_merge_equals_recompute_across_odd_splits(spark):
         if hi is not None:
             c = c.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
         chunks.append(daily_rollup_state(c))
-    assert sum(c.count() for c in [events]) == events.count()
+    # the four chunks PARTITION the events (review finding r12: the old
+    # assert compared events.count() to itself — dead code)
+    assert sum(c.agg(F.sum("n")).collect()[0][0] or 0 for c in chunks) == events.count()
 
     # merge in a scrambled order, pairwise then all-at-once
     scrambled = merge_rollup_states(chunks[2], chunks[0], chunks[3], chunks[1])
@@ -66,7 +68,9 @@ def test_streaming_maintained_view_equals_batch_recompute(spark, tmp_path):
     q = stream_maintain_rollup(stream, state_path, str(tmp_path / "ckpt")).start()
     q.awaitTermination(120)
 
-    maintained = _canon(finalize_rollup(spark.read.parquet(state_path)))
+    from spectraplex_spark.operators.incremental import read_rollup_state
+
+    maintained = _canon(finalize_rollup(read_rollup_state(spark, state_path)))
     batch = _canon(finalize_rollup(daily_rollup_state(events)))
     assert maintained == batch
 
@@ -78,3 +82,57 @@ def test_empty_increment_is_identity(spark):
     assert _canon(finalize_rollup(merge_rollup_states(state, empty))) == _canon(
         finalize_rollup(state)
     )
+
+
+def test_rollup_state_protocol_crash_and_retry_safety(spark, tmp_path):
+    """The versioned-pointer protocol (review finding r12: the old
+    in-place overwrite deleted state before committing, so a crash
+    mid-overwrite reset all history):
+
+      - a torn version write WITHOUT a pointer swap is invisible;
+      - a checkpoint retry of an already-committed batch is a no-op
+        (closes the old double-apply window);
+      - vacuum keeps at most current + previous versions;
+      - a corrupt pointer fails loudly instead of guessing."""
+    import os
+
+    import pytest as _pytest
+
+    from spectraplex_spark.operators.incremental import (
+        apply_rollup_batch,
+        read_rollup_state,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+    sp = str(tmp_path / "state")
+
+    apply_rollup_batch(b1, 0, sp)
+    apply_rollup_batch(b2, 1, sp)
+    want = _canon(finalize_rollup(read_rollup_state(spark, sp)))
+    assert want == _canon(finalize_rollup(daily_rollup_state(events)))
+
+    # retry of batch 1 (crash after pointer swap, before checkpoint
+    # commit) must be a no-op — the old protocol double-counted here
+    apply_rollup_batch(b2, 1, sp)
+    assert _canon(finalize_rollup(read_rollup_state(spark, sp))) == want
+
+    # torn write: a half-baked version dir with NO pointer swap (crash
+    # mid-write) leaves the committed state untouched and readable
+    os.makedirs(os.path.join(sp, "v99"))
+    open(os.path.join(sp, "v99", "part-garbage.parquet"), "wb").write(b"xx")
+    assert _canon(finalize_rollup(read_rollup_state(spark, sp))) == want
+    # ...and the next real batch supersedes it cleanly
+    apply_rollup_batch(b1.limit(0), 2, sp)
+    assert _canon(finalize_rollup(read_rollup_state(spark, sp))) == want
+
+    # vacuum: only current + previous version dirs survive
+    vdirs = sorted(n for n in os.listdir(sp) if n.startswith("v"))
+    assert len(vdirs) <= 2 and "v2" in vdirs
+
+    # corrupt pointer: loud refusal, never a silent reset
+    with open(os.path.join(sp, "_CURRENT"), "w") as fh:
+        fh.write("garbage")
+    with _pytest.raises(ValueError, match="corrupt state pointer"):
+        read_rollup_state(spark, sp)

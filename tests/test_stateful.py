@@ -79,3 +79,41 @@ def test_tws_gate_is_pinned_to_environment(spark):
         pytest.skip("protobuf present — TWS path active in this env")
     with pytest.raises(RuntimeError, match="protobuf"):
         stream_running_balance_tws(ev)
+
+
+def test_null_value_and_null_user_handled_like_the_batch_oracle(spark, tmp_path):
+    """Review finding r12: a NULL value must contribute NOTHING to the
+    balance (the oracle's SUM skips NULLs; the old NaN->int64 cast
+    poisoned the state with INT64_MIN forever) while still counting in
+    n_events; a NULL user_id is a legal group, not a poison pill."""
+    import datetime as dt
+
+    from spectraplex_spark.streaming.stateful import stream_running_balance
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, T0, "e", 1.25),
+        (2, 7, T0, "e", None),   # NULL value: +0 cents, +1 event
+        (3, None, T0, "e", 2.0),  # NULL user: its own group
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_running_balance(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp_path}/out")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["balance_cents"], r["n_events"])
+        for r in spark.read.parquet(f"{tmp_path}/out").collect()
+    }
+    assert got == {7: (125, 2), None: (200, 1)}

@@ -389,3 +389,35 @@ def test_wm_step_composition_equals_batch_fold_hypothesis():
         assert provisional == want
 
     check()
+
+
+def test_null_user_group_is_not_a_poison_pill(spark, tmp_path):
+    """NULL user_id forms a legal state group (the batch fold keeps it);
+    the Arrow key transfer delivers it as NaN, which the old
+    `key[0] is None` check missed — int(NaN) crashed the query on
+    every checkpoint retry (review finding r12, fixed with pd.isna)."""
+    rows = [(None, 0, "view"), (None, 10, "click"), (1, 0, "view")]
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i, u, T0 + dt.timedelta(seconds=s), t) for i, (u, s, t) in enumerate(rows)],
+        SCHEMA,
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_funnel(stream, STEPS, window_s=1000)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp_path}/out")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["reached"]
+        for r in spark.read.parquet(f"{tmp_path}/out").collect()
+    }
+    assert got == {None: 2, 1: 1}

@@ -215,3 +215,36 @@ def test_right_outer_interval_join_emits_unmatched_errors(spark, tmp_path):
     got = {(r["click_id"], r["error_id"]) for r in rows}
     assert got == {(1, 3), (None, 4)}
     assert all(r["user_id"] is not None for r in rows)
+
+
+def test_interval_join_guards_are_loud(spark):
+    """Review finding r12: the undersized-watermark silent-match-loss
+    and the ambiguous-shared-column hazards are now plan-time errors."""
+    import pytest as _pytest
+
+    from spectraplex_spark.streaming.joins import (
+        _interval_seconds,
+        stream_interval_join,
+    )
+
+    assert _interval_seconds("5 hours") == 18000
+    assert _interval_seconds("90 seconds") == 90
+    with _pytest.raises(ValueError, match="interval spec"):
+        _interval_seconds("5 fortnights")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    l = spark.readStream.format("rate").load().selectExpr(
+        "value AS event_id", "value AS user_id", "timestamp AS ts"
+    )
+    r = l.selectExpr("event_id AS error_id", "user_id", "ts")
+    with _pytest.raises(ValueError, match="right_watermark"):
+        stream_interval_join(
+            l, r, on="user_id", upper="4 hours", right_watermark="30 minutes"
+        )
+    r_shared = l.selectExpr("event_id", "user_id", "ts")  # event_id collides
+    with _pytest.raises(ValueError, match="share non-key columns"):
+        stream_interval_join(
+            l, r_shared, on="user_id", upper="10 minutes",
+            right_watermark="1 hours",
+        )
+    del schema

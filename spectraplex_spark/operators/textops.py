@@ -226,14 +226,26 @@ QSCORE_WSCALE = 1_000_000  # weights on a 1e-6 integer grid
 
 
 def hashed_bucket(tok: Column, n_buckets: int = QSCORE_BUCKETS) -> Column:
-    """Engine-portable feature-hash bucket: two md5 hex chars folded to
-    an int (ascii(c1)*256 + ascii(c2)) mod n_buckets. md5 + ascii +
-    substring behave identically in Spark and DuckDB, unlike xxhash64
-    (Spark-only) or hex-string parsing (engine-specific)."""
+    """Engine-portable feature-hash bucket: the first two md5 hex chars
+    parsed to their NIBBLE values and folded (n1*16 + n2) mod n_buckets
+    — uniform over 0..255, so every bucket count up to 256 is fully and
+    evenly reachable. md5 + ascii + substring behave identically in
+    Spark and DuckDB, unlike xxhash64 (Spark-only) or hex-string
+    parsing (engine-specific).
+
+    Review finding r12: the old fold (ascii(c1)*256 + ascii(c2)) mod n
+    collapsed to ascii(c2) mod n whenever n divides 256 — at the
+    default 64 buckets only 16 were reachable (hex chars have 16 ascii
+    values), quadrupling collision rates and leaving 75% of any weight
+    vector dead. Both engines shared the flawed formula, so grading
+    passed; the fix lands with its consumers' fresh regrades."""
     h = F.md5(tok.cast("binary"))
-    return (
-        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
-    ) % n_buckets
+
+    def nib(i: int) -> Column:
+        a = F.ascii(F.substring(h, i, 1))
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    return (nib(1) * 16 + nib(2)) % n_buckets
 
 
 def seeded_quality_weights(

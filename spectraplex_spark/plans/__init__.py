@@ -53,10 +53,10 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 #       operators/shuffling.py — freshness.CHANGED_CODE_REGRADES);
 #   (b) the 40 remaining round-8-vintage entries — at the freshness
 #       bar's hard edge (bar is r9 after this round's grading);
-#   (c) +1 slot backfilled with corpus_prep_pipeline (r9 vintage, the
-#       most expensive bench headline) graded EARLY to shrink the r13
-#       load — total exactly 50, ZERO deferrals (freshness.DEFERRALS is
-#       empty for the first time since r9).
+#   (c) +1 slot for quality_linear_score (r10): the hashed_bucket
+#       hex-nibble fold fix (review r12) changes its graded values, so
+#       it must regrade now — total exactly 50, ZERO deferrals
+#       (freshness.DEFERRALS is empty for the first time since r9).
 # Changed-code entries NOT regraded this round, certified through the
 # standing non-semantic precedent (rpc_ingest r11) plus pytest:
 #   - merge_upsert_roundtrip (r9): merge.py's _inference_safe regex
@@ -125,8 +125,11 @@ _GRADED_PRIORITY = [
     "variant_json_events",
     "web_curation_pipeline",
     "webdataset_roundtrip",
-    # (c) early r9 backfill — shrinks the r13 mandatory load
-    "corpus_prep_pipeline",
+    # (c) the hashed_bucket fold fix (review r12) changes this entry's
+    # values, so it takes the spare slot the corpus_prep_pipeline
+    # backfill would have used (corpus_prep_pipeline returns to the r13
+    # mandatory set where it already belonged)
+    "quality_linear_score",
 ]
 
 # --------------------------------------------------------------------------

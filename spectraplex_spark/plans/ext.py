@@ -2608,8 +2608,8 @@ def _quality_linear_oracle_sql() -> str:
 
     wq = seeded_quality_weights()
     wlit = "[" + ", ".join(str(w) for w in wq) + "]"
-    bucket = (
-        "(ascii(substring(md5(t), 1, 1)) * 256 + ascii(substring(md5(t), 2, 1)))"
+    bucket = (  # hex-nibble fold — the hashed_bucket twin (review r12)
+        "((ascii(substring(md5(t), 1, 1)) - CASE WHEN ascii(substring(md5(t), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 + (ascii(substring(md5(t), 2, 1)) - CASE WHEN ascii(substring(md5(t), 2, 1)) >= 97 THEN 87 ELSE 48 END))"
         f" % {QSCORE_BUCKETS}"
     )
     return f"""
@@ -4455,9 +4455,8 @@ def bpe_trained_merges(spark, sf_dir):
 
 # --- round-8 additions: DSIR resampling, estimator error, entropy --------
 
-_DSIR_BUCKET_SQL = (
-    "(ascii(substring(md5(t), 1, 1)) * 256 + ascii(substring(md5(t), 2, 1))) % 64"
-)
+# hex-nibble fold — the hashed_bucket twin (review r12)
+_DSIR_BUCKET_SQL = "((ascii(substring(md5(t), 1, 1)) - CASE WHEN ascii(substring(md5(t), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 + (ascii(substring(md5(t), 2, 1)) - CASE WHEN ascii(substring(md5(t), 2, 1)) >= 97 THEN 87 ELSE 48 END)) % 64"
 
 
 @query(
@@ -4964,8 +4963,8 @@ def _web_curation_oracle_sql() -> str:
     ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
     wq = seeded_quality_weights()
     wlit = "[" + ", ".join(str(w) for w in wq) + "]"
-    bucket = (
-        "(ascii(substring(md5(tk), 1, 1)) * 256 + ascii(substring(md5(tk), 2, 1)))"
+    bucket = (  # hex-nibble fold — the hashed_bucket twin (review r12)
+        "((ascii(substring(md5(tk), 1, 1)) - CASE WHEN ascii(substring(md5(tk), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 + (ascii(substring(md5(tk), 2, 1)) - CASE WHEN ascii(substring(md5(tk), 2, 1)) >= 97 THEN 87 ELSE 48 END))"
         f" % {QSCORE_BUCKETS}"
     )
     return f"""

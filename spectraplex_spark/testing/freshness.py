@@ -51,8 +51,8 @@ DEFERRALS: dict[str, tuple[str, str]] = {
     # (plans/__init__.py _DEMOTED_PARITY_ONLY: 15 variant entries moved
     # to pytest-pinned dual-SF parity, including the 5 r7-vintage
     # stragglers and 6 of the r8-vintage shortlist) shrank the mandatory
-    # set to 49, leaving a spare slot that backfills corpus_prep_pipeline
-    # (r9 vintage) a round early.
+    # set to 49; the spare slot went to quality_linear_score, whose
+    # values the hashed_bucket fold fix changed (changed-code regrade).
 }
 
 #: Entries registered AFTER the current round's window sealed; they grade
@@ -73,12 +73,17 @@ LATE_REGISTRATIONS: set[str] = {
 #   were DEMOTED to pytest-pinned parity (plans/__init__.py
 #   _DEMOTED_PARITY_ONLY), making the r12 window exactly 50 with zero
 #   deferrals and the catalog 196 entries.
-#   Assuming the r12 window greens, r13 mandatory = the 46 remaining
+#   Assuming the r12 window greens, r13 mandatory = the 47 remaining
 #   r9-vintage entries (49 minus demoted corpus_prep_planted +
-#   udaf_value_stats, minus corpus_prep_pipeline graded early at r12)
-#   + LATE_REGISTRATIONS added during r12 — ≤ 50 as long as at most 4
-#   new entries register; register more only with matching demotion or
-#   deferral capacity (see the graded-entry-capacity memory).
+#   udaf_value_stats) + the 2 r12 late registrations = 49 of 50, zero
+#   deferrals; register more only with matching demotion or deferral
+#   capacity (see the graded-entry-capacity memory).
+#   DEFERRED-BY-DESIGN fix note: textops U+0130 (Turkish dotted capital
+#   I) lowercases to 2 codepoints in Spark (full case mapping) vs 1 in
+#   DuckDB (simple mapping) — a latent fingerprint/tokenization twin
+#   divergence on corpora containing U+0130 (fixtures: none). Fixing
+#   normalized()/fingerprint() mid-round would churn every in-window
+#   text entry; documented here and in textops.py for the r13 pass.
 #   Watch item for r14: simhash_planted_twins (r10) carries the two
 #   ROWS_ONLY_PROVEN entries' freshness — it must regrade by r14.
 # ---------------------------------------------------------------------------
@@ -99,6 +104,14 @@ CHANGED_CODE_REGRADES: set[str] = {
     # a never-graded late-r11 registration, so it sits in the window
     # regardless — this records WHY it could not have deferred.
     "training_shuffle_shards",
+    # hashed_bucket hex-nibble fold fix (review r12: the old fold left 48
+    # of 64 buckets unreachable — shared-wrong on both engines): every
+    # consumer's graded VALUES change, so all three sit in the window;
+    # quality_linear_score took the spare slot the corpus_prep_pipeline
+    # backfill would have used.
+    "quality_linear_score",
+    "dsir_importance_sample",
+    "web_curation_pipeline",
     # The other two r11 ADVICE fixes follow the standing non-semantic
     # precedent (rpc_ingest r11) instead of a forced regrade — guard/
     # byte-accounting paths only, graded happy paths byte-identical,

@@ -28,14 +28,11 @@ def test_target_feature_buckets_get_heavier_weights(spark):
         r["bucket"]: r
         for r in dsir_bucket_weights(df, F.col("lang") == "en").collect()
     }
+    from spectraplex_spark.operators.textops import hashed_bucket
+
     alpha_b, omega_b = (
         df.sparkSession.createDataFrame([("alpha",), ("omega",)], ["t"])
-        .select(
-            F.expr(
-                "(ascii(substring(md5(t), 1, 1)) * 256 "
-                "+ ascii(substring(md5(t), 2, 1))) % 64"
-            ).alias("b")
-        )
+        .select(hashed_bucket(F.col("t")).alias("b"))
         .rdd.map(lambda r: r["b"])
         .collect()
     )

@@ -108,7 +108,18 @@ def kmeans_fit_predict(
     keep their previous centroid, same as the twin's COALESCE.
     """
     q = (
-        df.select(F.col(id_col).alias("_id"), km_quantize_col(vec_col, scale).alias("_q"))
+        # Vectors containing NULL elements (or NULL/empty vectors) carry
+        # no geometry: every distance is NULL, argmin returns a NULL
+        # cluster id, and the centroid update crashed on the driver
+        # (new_cents[None] — review finding r12, confirmed live).  They
+        # are excluded up front, like dsir's token-free documents; repair
+        # dirty embeddings upstream if they must participate.
+        df.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(vec_col) > 0)
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        )
+        .select(F.col(id_col).alias("_id"), km_quantize_col(vec_col, scale).alias("_q"))
         .localCheckpoint(eager=False)
     )
     init = q.orderBy("_id").limit(k).collect()
@@ -268,7 +279,14 @@ def semantic_dedup_pairs(
         .withColumn("_na2", sq(F.col("_qa")))
         .withColumn("_nb2", sq(F.col("_qb")))
         .filter(
-            (F.col("_dot") >= 0)
+            # |a|²,|b|² > 0: cosine is UNDEFINED for a zero vector, and
+            # without the guard the inequality degenerates to 0 >= 0 —
+            # a zero-quantized embedding (every |x| < 1/(2·scale))
+            # reported as a near-dup of EVERY cluster member (review
+            # finding r12, confirmed live).
+            (F.col("_na2") > 0)
+            & (F.col("_nb2") > 0)
+            & (F.col("_dot") >= 0)
             & (
                 F.lit(cos_den * cos_den) * F.col("_dot") * F.col("_dot")
                 >= F.lit(cos_num * cos_num) * F.col("_na2") * F.col("_nb2")

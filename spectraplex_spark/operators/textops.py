@@ -31,7 +31,14 @@ STOPWORDS = {
 
 def normalized(text: Column) -> Column:
     """Canonical text form used by dedup + fingerprinting:
-    lowercase, collapse whitespace, trim."""
+    lowercase, collapse whitespace, trim.
+
+    KNOWN twin divergence (documented r12, fix scheduled with the r13
+    regrades): Spark's lower() FULL-case-maps U+0130 (Turkish dotted
+    capital I) to two codepoints (i + U+0307) while DuckDB's utf8proc
+    simple-maps it to one ('i'), so fingerprints/tokens built from text
+    containing U+0130 differ cross-engine. Fixtures contain none; see
+    testing/freshness.py's r13 pre-plan."""
     return F.trim(F.regexp_replace(F.lower(text), WS_RE, " "))
 
 
@@ -106,12 +113,24 @@ def fingerprint(text: Column) -> Column:
 
 
 def rolling_hash(text: Column) -> Column:
-    """Order-sensitive 64-bit polynomial rolling hash over tokens
-    (documents with same bag but different order hash differently)."""
+    """Order-sensitive polynomial rolling hash over tokens (documents
+    with the same bag but different order hash differently).
+
+    Arithmetic stays inside int64 BY CONSTRUCTION: the accumulator is
+    reduced mod 2^31-1 (Mersenne prime) each step and the token hash is
+    masked to 31 bits, so acc·M + v < 2^62 — the old unreduced
+    ``acc * 1000003 + hash`` overflowed long on virtually any 2+-token
+    document and CRASHED under the session's default ANSI mode
+    (review finding r12, confirmed live)."""
+    p = (1 << 31) - 1
     return F.aggregate(
         tokens(text),
         F.lit(0).cast("long"),
-        lambda acc, t: acc * F.lit(1_000_003).cast("long") + F.xxhash64(t),
+        lambda acc, t: F.pmod(
+            acc * F.lit(1_000_003).cast("long")
+            + F.pmod(F.xxhash64(t), F.lit(p).cast("long")),
+            F.lit(p).cast("long"),
+        ),
     )
 
 
@@ -169,9 +188,13 @@ def split_sentences(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def lines(text: Column) -> Column:
-    """Non-empty trimmed lines (the unit of boilerplate repetition)."""
+    """Non-empty trimmed lines (the unit of boilerplate repetition).
+    Splits on ``\r?\n`` so CRLF documents don't keep a trailing ``\r``
+    per line — the old LF-only split made every Windows blank line the
+    non-empty line '\r', inflating dup_line_ratio with artificial
+    duplicates (review finding r12)."""
     return F.filter(
-        F.transform(F.split(text, "\n"), lambda s: F.trim(s)), lambda s: s != ""
+        F.transform(F.split(text, "\\r?\\n"), lambda s: F.trim(s)), lambda s: s != ""
     )
 
 
@@ -493,7 +516,13 @@ def cap_per_source_scalable(
             m = m | F.col(source_col).isNull()
         return m
 
-    survivors = df.filter(gate.isNull() | (pref < gate))
+    # NULL-id rows have a NULL md5 key, which sorts FIRST in the window
+    # order — the plain form always keeps them, so the prefilter must
+    # too (pref < gate is NULL, and so is ~(pref < gate): without the
+    # isNull branch such rows vanished from BOTH the survivor and the
+    # fallback sets, silently breaking the IDENTICAL-survivors contract
+    # — review finding r12, confirmed live).
+    survivors = df.filter(gate.isNull() | pref.isNull() | (pref < gate))
     got = {
         r[source_col]: r["_c"]
         for r in survivors.filter(_member(list(hot)))
@@ -504,7 +533,8 @@ def cap_per_source_scalable(
     bad = [s for s, c in hot.items() if got.get(s, 0) < min(n_per_source, c)]
     if bad:  # provable fallback, not a retry loop
         survivors = survivors.unionByName(
-            df.filter(_member(bad) & ~(pref < gate))
+            # NULL-pref rows are already survivors — exclude them here
+            df.filter(_member(bad) & pref.isNotNull() & ~(pref < gate))
         )
     return _rank(survivors)
 
@@ -533,17 +563,32 @@ def bigram_surprise_report(
     """
     from spectraplex_spark.operators.spans import positional_shingles
 
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(positional_shingles(F.col(text_col), 2)).alias("_g"),
+    from spectraplex_spark.operators.components import lineage_truncate
+
+    # explode_OUTER: a doc with < 2 tokens must still get a report row
+    # (n_bigrams = 0) — a quality gate joining this report needs a
+    # verdict for exactly those degenerate docs, and the plain explode
+    # silently omitted them (review finding r12).  The grams frame is
+    # materialized ONCE: the rare-bigram aggregate, the per-doc counts,
+    # and the semi-join each re-read it, and Catalyst does not CSE the
+    # shingle chain (three corpus rescans at 100 TB otherwise —
+    # docstring said one).
+    grams = lineage_truncate(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(positional_shingles(F.col(text_col), 2)).alias("_g"),
+        )
     )
     rare = (
-        grams.groupBy("_g")
+        grams.filter(F.col("_g").isNotNull())
+        .groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") < rare_threshold)
         .select("_g")
     )
-    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.col("_g")).alias("n_bigrams")  # count(col): NULLs don't count
+    )
     rare_per_doc = (
         grams.join(rare, "_g", "left_semi")
         .groupBy("doc_id")
@@ -555,10 +600,11 @@ def bigram_surprise_report(
             "doc_id",
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
             F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
-            (
+            F.when(
+                F.col("n_bigrams") > 0,
                 F.coalesce(F.col("n_rare"), F.lit(0)).cast("double")
-                / F.col("n_bigrams").cast("double")
-            ).alias("rare_rate"),
+                / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("rare_rate"),
         )
     )
 
@@ -691,8 +737,15 @@ def char_entropy_report(
     (the shingles CSE trap).
 
     Zero shuffle: one narrow projection, O(distinct · len) in-row work."""
-    cs = F.split(normalized(F.col(text_col)), "")
-    base = df.select(F.col(id_col), cs.alias("_cs")).filter(F.size("_cs") >= 1)
+    # split('', '') is [''] (size 1) in BOTH engines, so the size guard
+    # alone let empty/whitespace-only docs through as phantom 1-char
+    # zero-entropy rows (review finding r12): guard on the normalized
+    # LENGTH instead (materialized once — the HOF-CSE discipline).
+    base = (
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_nt"))
+        .filter(F.length("_nt") > 0)
+        .select(F.col(id_col), F.split("_nt", "").alias("_cs"))
+    )
     d = F.array_sort(F.array_distinct(F.col("_cs")))
     cnt = lambda ch: F.size(F.filter(F.col("_cs"), lambda x: x == ch))  # noqa: E731
     sclnc = F.aggregate(

@@ -361,9 +361,10 @@ def incremental_rollup_merge(spark, sf_dir):
     return finalize_rollup(merge_rollup_states(old, new))
 
 
+# \r?\n split — the lines() CRLF twin (review r12)
 _LINES_SQL = (
-    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
-    "x -> x <> '')"
+    "list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'), "
+    "x -> trim(x)), x -> x <> '')"
 )
 
 
@@ -2478,7 +2479,8 @@ def _semantic_dedup_oracle_sql(
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cid AS INT) AS cluster_id
     FROM fin a JOIN fin b
       ON b.vec_id = a.vec_id + 100000 AND b.cid = a.cid
-    WHERE {dot} >= 0
+    WHERE {sq('a')} > 0 AND {sq('b')} > 0
+      AND {dot} >= 0
       AND CAST({cos_den * cos_den} AS BIGINT) * {dot} * {dot}
           >= CAST({cos_num * cos_num} AS BIGINT) * {sq('a')} * {sq('b')}
     """
@@ -3390,13 +3392,19 @@ def embedding_jl_projection(spark, sf_dir):
           FROM tok, UNNEST(range(1, greatest(len(toks), 1))) AS r(i)
           WHERE len(toks) >= 2),
     c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) < 2),
-    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM g GROUP BY doc_id),
+    -- every doc gets a row: < 2-token docs report n_bigrams = 0 (the
+    -- explode_outer twin, review r12) — a quality gate joining this
+    -- report needs a verdict for exactly the degenerate docs
+    pd AS (SELECT t.doc_id, CAST(COALESCE(COUNT(g.gram), 0) AS BIGINT) AS n_bigrams
+           FROM tok t LEFT JOIN g ON g.doc_id = t.doc_id GROUP BY t.doc_id),
     rd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
            FROM g WHERE gram IN (SELECT gram FROM c) GROUP BY doc_id)
     SELECT pd.doc_id, pd.n_bigrams,
            COALESCE(rd.n_rare, 0) AS n_rare,
-           CAST(COALESCE(rd.n_rare, 0) AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
-             AS rare_rate
+           CASE WHEN pd.n_bigrams > 0
+                THEN CAST(COALESCE(rd.n_rare, 0) AS DOUBLE)
+                     / CAST(pd.n_bigrams AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS rare_rate
     FROM pd LEFT JOIN rd ON pd.doc_id = rd.doc_id
     """,
     doc="E4 statistical fluency proxy — the integer-exact cousin of an "
@@ -4586,9 +4594,9 @@ def minhash_estimate_error(spark, sf_dir):
 @query(
     "entropy_quality_report",
     f"""
-    WITH c AS (SELECT doc_id, string_split({_NORM_SQL}, '') AS cs FROM documents),
-    m AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS d
-          FROM c WHERE len(cs) >= 1),
+    WITH c AS (SELECT doc_id, string_split({_NORM_SQL}, '') AS cs FROM documents
+               WHERE length({_NORM_SQL}) > 0),
+    m AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS d FROM c),
     e AS (SELECT doc_id, len(cs) AS n, len(d) AS nd,
             list_reduce(list_transform(d, ch ->
               CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)

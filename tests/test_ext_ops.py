@@ -1325,3 +1325,114 @@ def test_semantic_decontam_overflow_fails_closed(spark):
     nulled = spark.createDataFrame([(1, None), (2, [0.6, 0.8])], schema)
     rep = semantic_contamination_report(nulled, eval_df, threshold_q=900_000)
     assert {r["vec_id"] for r in rep.collect()} == {2}
+
+
+# --- round-12 review-pass regressions (textops / clustering) --------------
+
+
+def test_rolling_hash_survives_ansi_on_real_text(spark):
+    """Review finding r12 (confirmed live): the unreduced polynomial
+    fold overflowed long under the session's default ANSI mode on any
+    2+-token document. The mod-Mersenne fold must hash arbitrary text,
+    stay order-sensitive, and stay deterministic."""
+    from spectraplex_spark.operators.textops import rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "bar foo world hello"),
+         (3, "hello world foo bar"), (4, " ".join(f"t{i}" for i in range(500)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["h"] for r in df.select("doc_id", rolling_hash(F.col("text")).alias("h")).collect()}
+    assert got[1] == got[3]          # deterministic
+    assert got[1] != got[2]          # order-sensitive (same bag)
+    assert all(0 <= h < (1 << 31) - 1 for h in got.values())
+
+
+def test_kmeans_excludes_null_bearing_vectors(spark):
+    """Review finding r12 (confirmed live): one embedding with a NULL
+    element crashed the centroid update on the driver. Such vectors
+    carry no geometry and are excluded; clean vectors still cluster."""
+    from spectraplex_spark.operators.clustering import kmeans_fit_predict
+
+    rows = [(i, [float(i % 2), float((i + 1) % 2)]) for i in range(10)]
+    rows += [(100, [0.5, None]), (101, None), (102, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_fit_predict(df, k=2, iters=2)
+    got = {r["vec_id"] for r in assigned.collect()}
+    assert got == set(range(10))  # dirty rows excluded, job alive
+    assert len(cents) == 2
+
+
+def test_semantic_dedup_zero_vector_is_not_a_universal_duplicate(spark):
+    """Review finding r12 (confirmed live): a zero-quantized embedding
+    degenerated the integer cosine gate to 0 >= 0 and was reported as
+    a near-dup of EVERY cluster member; cosine is undefined for zero
+    vectors, so they must never pair."""
+    from spectraplex_spark.operators.clustering import semantic_dedup_pairs
+
+    rows = [
+        (1, [0.0, 0.0]),            # quantizes to the zero vector
+        (2, [1.0, 0.0]),
+        (3, [0.9, 0.1]),
+        (4, [0.95, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(df, k=1, iters=1, cos_num=4, cos_den=5).collect()
+    }
+    assert all(1 not in p for p in pairs)  # the zero vector pairs with nobody
+    assert (2, 4) in pairs or (3, 4) in pairs or (2, 3) in pairs
+
+
+def test_char_entropy_excludes_empty_documents(spark):
+    """Review finding r12: split('', '') is [''] in both engines, so
+    empty/whitespace docs reported as phantom 1-char zero-entropy rows."""
+    from spectraplex_spark.operators.textops import char_entropy_report
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_chars"] for r in char_entropy_report(df).collect()}
+    assert got == {1: 4}
+
+
+def test_dup_line_ratio_crlf_blank_lines_are_not_duplicates(spark):
+    """Review finding r12: LF-only splitting kept a trailing \\r per
+    CRLF line, so Windows blank lines became identical '\\r' lines and
+    inflated the boilerplate signal."""
+    from spectraplex_spark.operators.textops import dup_line_ratio, lines
+
+    crlf = "alpha\r\n\r\nbeta\r\n\r\ngamma\r\n"
+    lf = "alpha\n\nbeta\n\ngamma\n"
+    df = spark.createDataFrame([(1, crlf), (2, lf)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["ls"], r["d"])
+        for r in df.select(
+            "doc_id",
+            F.size(lines(F.col("text"))).alias("ls"),
+            dup_line_ratio(F.col("text")).alias("d"),
+        ).collect()
+    }
+    assert out[1] == out[2]  # CRLF and LF docs are the same document
+    assert out[1][0] == 3 and out[1][1] == 0.0
+
+
+def test_bigram_report_covers_short_documents(spark):
+    """Review finding r12: docs with < 2 tokens were silently omitted
+    from the per-document report — exactly the degenerate docs a gate
+    needs a verdict on. They now report n_bigrams = 0."""
+    from spectraplex_spark.operators.textops import bigram_surprise_report
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "a b a b"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["rare_rate"])
+        for r in bigram_surprise_report(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (0, 0.0) and got[2] == (0, 0.0) and got[4] == (0, 0.0)
+    assert got[3][0] == 3

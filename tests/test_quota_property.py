@@ -93,3 +93,32 @@ def test_merge_swap_survives_arbitrary_partition_values(_spark, values, tmp_path
     got = {r["k"]: r["v"] for r in _spark.read.parquet(path).collect()}
     assert got == {i: f"v{i}_new" for i in range(len(values))}
     assert not [d for d in os.listdir(os.path.dirname(path)) if "__staged" in d]
+
+
+def test_scalable_keeps_null_id_rows_like_the_window_form(_spark):
+    """Review finding r12 (confirmed live before the fix): md5(NULL) is
+    NULL, so NULL-doc_id rows of a HOT source fell out of both the
+    survivor filter and the fallback complement — the scalable form
+    kept different rows than the window form. NULL keys sort first in
+    the window order, so both forms must keep them."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.textops import (
+        cap_per_source,
+        cap_per_source_scalable,
+    )
+
+    rows = [(i, "hot") for i in range(200)] + [(None, "hot"), (None, "hot")]
+    rows += [(1000 + i, "cold") for i in range(3)]
+    df = _spark.createDataFrame(rows, "doc_id long, source string")
+
+    def keyset(out):
+        return sorted(
+            ((r["doc_id"] if r["doc_id"] is not None else -1, r["source"])
+             for r in out.collect())
+        )
+
+    a = keyset(cap_per_source(df, n_per_source=5))
+    b = keyset(cap_per_source_scalable(df, n_per_source=5, hot_factor=16))
+    assert a == b
+    assert sum(1 for i, s in a if i == -1 and s == "hot") == 2  # NULLs kept

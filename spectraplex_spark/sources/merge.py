@@ -367,6 +367,26 @@ def merge_upsert(
                 shutil.rmtree(dst)
             if os.path.exists(src):
                 os.rename(src, dst)
+        # A merge that deletes the table's LAST row leaves zero
+        # partition directories — an UNREADABLE parquet dataset
+        # (UNABLE_TO_INFER_SCHEMA on the next read; hypothesis-caught
+        # r12). Keep the table readable and schema-bearing: one empty
+        # footer file inside the first affected partition's directory
+        # (partition inference recovers the partition column from the
+        # dir name; later merges see a normal 0-row partition).
+        if not any(
+            d.startswith(prefix)
+            and os.path.isdir(os.path.join(target_path, d))
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(target_path, d))
+            )
+            for d in os.listdir(target_path)
+        ):
+            keep = os.path.join(target_path, affected_dirs[0])
+            spark.createDataFrame(
+                [], scoped_target.drop(partition_col).schema
+            ).repartition(1).write.mode("overwrite").parquet(keep)
     # commit point: refresh the manifest AFTER the swap; until this
     # rename lands, validate/read_committed reject the directory as
     # mid-swap (sources/commit.py crash matrix) — the staged/old copy

@@ -862,8 +862,10 @@ def test_quality_linear_scorer_matches_python_replay(spark):
     import hashlib
 
     def bucket(tok):
+        # the hex-nibble fold (r12: the old ascii*256 fold reached only
+        # 16 of 64 buckets)
         h = hashlib.md5(tok.encode()).hexdigest()
-        return (ord(h[0]) * 256 + ord(h[1])) % QSCORE_BUCKETS
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % QSCORE_BUCKETS
 
     for did, text in docs:
         toks = [t for t in text.lower().split() if t]

@@ -333,3 +333,32 @@ def test_inference_safe_rejects_exponent_and_inf_nan_spellings():
                # wrapped NON-numerics also stay safe strings
                " abc ", " nan "):
         assert _inference_safe(ok), ok
+
+
+def test_partitioned_delete_of_last_row_keeps_table_readable(spark, tmp_path):
+    """Hypothesis-caught (r12): a partition-scoped merge that deletes the
+    table's only row removed every partition directory, leaving an
+    UNREADABLE dataset (UNABLE_TO_INFER_SCHEMA). The table must stay
+    readable (0 rows, full schema incl. the partition column) and
+    accept further merges."""
+    from spectraplex_spark.sources.merge import merge_upsert
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(0, "v0", "p0")], "k long, v string, part string"
+    ).write.partitionBy("part").parquet(t)
+    dels = spark.createDataFrame(
+        [(0, None, "p0", "delete")], "k long, v string, part string, _op string"
+    )
+    merge_upsert(spark, t, dels, "k", partition_col="part")
+    back = spark.read.parquet(t)
+    assert back.count() == 0
+    assert set(back.columns) == {"k", "v", "part"}
+    # the emptied table accepts a later upsert normally
+    ups = spark.createDataFrame(
+        [(5, "v5", "p1", "upsert")], "k long, v string, part string, _op string"
+    )
+    merge_upsert(spark, t, ups, "k", partition_col="part")
+    assert [(r["k"], r["v"], r["part"]) for r in spark.read.parquet(t).collect()] == [
+        (5, "v5", "p1")
+    ]

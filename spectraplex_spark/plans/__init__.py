@@ -38,98 +38,107 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # history, and the list below now holds ONLY the live window (the r9
 # ADVICE duplicate-name fragility is gone: _curate asserts uniqueness).
 #
-# Round-12 composition (the r11 verdict's pre-plan, improved): the naive
-# plan was 60 mandatory for 50 slots with 10 deferrals.  Instead, the r11
-# verdict's debt-paydown task (#2/#3) is executed FIRST: the 15 variant
-# entries in _DEMOTED_PARITY_ONLY below leave the driver-graded surface
-# entirely (their DuckDB oracles keep running in
-# tests/test_oracle_parity.py at BOTH SFs every round — the evidence
-# migrates, it does not disappear), which drops mandatory regrades to
-# exactly 49:
-#   (a) ALL 9 never-driver-graded late-r11 registrations (each dual-SF
-#       parity green locally since r11 and pytest-covered); one of them
-#       (training_shuffle_shards) is ALSO a changed-code regrade this
-#       round (the r11 ADVICE int32-wrap + fail-loud-offset fixes in
-#       operators/shuffling.py — freshness.CHANGED_CODE_REGRADES);
-#   (b) the 40 remaining round-8-vintage entries — at the freshness
-#       bar's hard edge (bar is r9 after this round's grading);
-#   (c) +1 slot for quality_linear_score (r10): the hashed_bucket
-#       hex-nibble fold fix (review r12) changes its graded values, so
-#       it must regrade now — total exactly 50, ZERO deferrals
-#       (freshness.DEFERRALS is empty for the first time since r9).
+# Round-13 composition (the r12 verdict's pre-plan, executed): freshness
+# projected 49 mandatory for 50 slots (2 never-graded r12 late
+# registrations + 47 aging r9-vintage entries) — one slot of slack,
+# below the ≥2 target (r12 verdict task #4).  Three more VARIANT
+# demotions (added to _DEMOTED_PARITY_ONLY below: agg_cube_orders,
+# window_moving_sum, scalar_date_orders — each a surface variant of a
+# sibling that stays graded) drop the aging set to 44 and mandatory to
+# 47.  The three recovered slots go to:
+#   (a) corpus_pack_assignment — the r12 ADVICE medium finding: its
+#       graded output schema changed at r12 (pack_id int32→int64 in
+#       pack_documents + its oracle) without a regrade, so its r11 hash
+#       no longer certifies HEAD (freshness.CHANGED_CODE_REGRADES);
+#   (b) simhash_planted_twins (r10) — the freshness carrier for the two
+#       ROWS_ONLY_PROVEN simhash entries; regrading it now (r12 verdict
+#       task #3) extends the pair's coverage through r16 instead of
+#       breaching at r14;
+#   (c) corpus_top_ngrams + bigram_surprise_report (both r10) — early
+#       regrades of tokenizing text entries, doubling as live driver
+#       confidence on the U+0130 case-fold pin (r12 verdict task #2)
+#       beyond the in-window text suite, and smoothing the r14 load
+#       (47 r10-vintage entries) to 44.
+# Total: 44 aging + 2 late + 1 changed-code + 3 early = exactly 50,
+# ZERO deferrals (second zero-deferral window in a row).
 # Changed-code entries NOT regraded this round, certified through the
 # standing non-semantic precedent (rpc_ingest r11) plus pytest:
-#   - merge_upsert_roundtrip (r9): merge.py's _inference_safe regex
-#     widened to reject exponent-only/Infinity/NaN partition values
-#     (r11 ADVICE) — guard-path only; the graded entry's partition
-#     values ('complete' etc.) are plain words, happy path
-#     byte-identical; tests/test_merge.py pins the new rejections.
-#   - grpc_replay_ingest_golden (r10) + the stream_*_replay family:
-#     replay_source.py's _scan now splits on b'\n' only (r11 ADVICE
-#     CRLF drift) — LF-written relay logs (the graded fixture) consume
-#     byte-identically; tests/test_replay_source.py pins CRLF resumes.
-# New r12 queries register late-only (tail of the catalog; they grade
-# r13 per the standing precedent) and are declared in
+#   - the U+0130 case-fold pin (textops.normalized/fingerprint; r12
+#     verdict task #2): changes outputs ONLY for text containing the
+#     Turkish dotted capital İ (U+0130), which no fixture table contains
+#     (verified by a full scan of every sf* documents/events text column
+#     at r13 HEAD); every tokenizing entry's graded values are
+#     byte-identical, re-certified by the full dual-SF parity sweep, and
+#     the in-window text suite (text_token_stats, lang_id_distribution,
+#     lang_quality_report, corpus_top_ngrams, bigram_surprise_report)
+#     regrades the changed code live this round anyway.
+#   - pack_documents_scalable NULL-text guard (r12 ADVICE low): the
+#     scalable twin now drops NULL-token rows exactly like the plain
+#     window form instead of raising; the PLAIN pack_documents (the
+#     graded corpus_pack_assignment path) is untouched, and the twin is
+#     pytest-pinned bit-equal (tests/test_chunking.py) — and
+#     corpus_pack_assignment regrades this round regardless (slot (a)).
+# New r13 queries register late-only (tail of the catalog; they grade
+# r14 per the standing precedent) and are declared in
 # freshness.LATE_REGISTRATIONS.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # ---- round 12 window (exactly 50) ----
-    # (a) never driver-graded (the 9 late-r11 registrations)
-    "cohort_retention_daily",
-    "funnel_conversion_report",
-    "pagerank_conserving_ranks",
-    "stream_funnel_replay",
-    "training_shuffle_shards",
-    "unigram_encode_topk",
-    "unigram_trained_vocab",
-    "wordpiece_encode_topk",
-    "wordpiece_trained_merges",
-    # (b) round-8 vintage, all 40 that remain after the demotions
-    "account_state_latest",
-    "agg_count_distinct",
-    "block_continuity_report",
-    "bpe_merge_pairs",
-    "conservation_audit_report",
-    "daily_rollup_events",
-    "distinct_pairs",
-    "doc_fingerprints",
-    "dsir_importance_sample",
-    "entropy_quality_report",
-    "frequent_users_exact",
-    "gopher_repetition_gate",
-    "gopher_repetition_report",
-    "grouping_sets_orders",
-    "http_serving_roundtrip",
-    "idempotent_sink_replay",
-    "incremental_neardup_embedding_planted",
-    "jdbc_roundtrip_nation",
-    "join_in_subquery",
-    "join_semi_customers_with_orders",
-    "jsonl_roundtrip_events",
-    "minhash_estimate_error",
-    "nfc_dedup_groups",
-    "orc_roundtrip_events",
-    "q14_promo_revenue_ratio",
-    "q16_part_supplier_variety",
-    "rpc_ingest_golden",
-    "salted_hot_key_sum",
-    "scalar_conditional_funcs",
-    "scalar_date_arith",
-    "scalar_json_events",
-    "sort_limit_offset",
-    "sort_topk_orders",
-    "streaming_window_rollup",
-    "udaf_value_stats_scalable",
-    "url_canonical_dedup",
-    "user_activity_report",
-    "variant_json_events",
-    "web_curation_pipeline",
-    "webdataset_roundtrip",
-    # (c) the hashed_bucket fold fix (review r12) changes this entry's
-    # values, so it takes the spare slot the corpus_prep_pipeline
-    # backfill would have used (corpus_prep_pipeline returns to the r13
-    # mandatory set where it already belonged)
-    "quality_linear_score",
+    # ---- round 13 window (exactly 50) ----
+    # (a) never driver-graded (the 2 late-r12 registrations)
+    "hybrid_rrf_fusion",
+    "stream_funnel_watermarked_replay",
+    # (b) changed-code regrade (r12 ADVICE medium: pack_id int32→int64)
+    "corpus_pack_assignment",
+    # (c) early regrades: the rows-only freshness carrier (r12 verdict
+    # task #3) + two r10 tokenizing entries post-U+0130 pin
+    "simhash_planted_twins",
+    "corpus_top_ngrams",
+    "bigram_surprise_report",
+    # (d) round-9 vintage, all 44 that remain after the demotions
+    "agg_collect_sorted",
+    "agg_rollup_lineitem",
+    "agg_string_concat",
+    "bpe_trained_merges",
+    "case_when_value_tiers",
+    "corpus_prep_pipeline",
+    "dedup_exact_docs",
+    "domain_cap_scalable",
+    "histogram_order_prices",
+    "ivf_persisted_recall",
+    "join_broadcast_brand_revenue",
+    "join_left_order_counts",
+    "lang_id_distribution",
+    "lang_quality_report",
+    "map_ops_events",
+    "merge_upsert_roundtrip",
+    "minhash_neardup_pairs",
+    "mixture_share_report",
+    "multimodal_binary_meta",
+    "neardup_cluster_sizes",
+    "normalize_throughput",
+    "pivot_status_by_priority",
+    "q10_returned_revenue",
+    "q12_priority_shipping_buckets",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flows",
+    "q8_market_share",
+    "q9_product_profit",
+    "scalar_math_lineitem",
+    "simsearch_cosine_topk",
+    "stream_full_join_replay",
+    "stream_left_join_replay",
+    "text_token_stats",
+    "unpivot_lineitem_metrics",
+    "window_running_revenue",
 ]
 
 # --------------------------------------------------------------------------
@@ -221,6 +230,23 @@ _DEMOTED_PARITY_ONLY: dict[str, tuple[str, str]] = {
         "source_quota_scalable",
         "single-window vs two-phase hot-source build of the SAME quota "
         "sampler, pinned equal by pytest",
+    ),
+    # -- round-13 slack restoration (r12 verdict task #4) --
+    "agg_cube_orders": (
+        "grouping_sets_orders",
+        "CUBE is a GROUPING SETS shorthand over the same grouping-ID "
+        "aggregation path; the general form stays graded (and "
+        "agg_rollup_lineitem keeps the other shorthand graded)",
+    ),
+    "window_moving_sum": (
+        "window_running_revenue",
+        "same window-frame aggregation family (bounded ROWS BETWEEN "
+        "frame vs unbounded running frame) over one ordered-window path",
+    ),
+    "scalar_date_orders": (
+        "scalar_date_arith",
+        "same scalar date/timestamp function family (F11); the arith "
+        "entry exercises a superset of the date-part surface",
     ),
 }
 

@@ -26,11 +26,11 @@ import json
 import re
 from pathlib import Path
 
-# --- round-12 composition constants ---------------------------------------
+# --- round-13 composition constants ---------------------------------------
 
 #: The round the CURRENT window (plans/__init__.py `_GRADED_PRIORITY`) is
 #: composed for.  Bump together with the window rewrite each round.
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 #: The driver grades exactly this many catalog entries per round.
 WINDOW_SIZE = 50
@@ -45,47 +45,31 @@ FRESHNESS_BAR = 3
 #: verdict inside the bar (and pytest parity coverage, which the full suite
 #: re-certifies every round).  value = (sibling, why).
 DEFERRALS: dict[str, tuple[str, str]] = {
-    # Round 12: EMPTY — the first zero-deferral window since r9.  The
-    # r11 verdict pre-planned 10 deferrals for a 60-for-50
-    # oversubscription; instead the debt-paydown demotions
-    # (plans/__init__.py _DEMOTED_PARITY_ONLY: 15 variant entries moved
-    # to pytest-pinned dual-SF parity, including the 5 r7-vintage
-    # stragglers and 6 of the r8-vintage shortlist) shrank the mandatory
-    # set to 49; the spare slot went to quality_linear_score, whose
-    # values the hashed_bucket fold fix changed (changed-code regrade).
+    # Round 13: EMPTY — second zero-deferral window in a row.  The r12
+    # verdict's one-slot-slack warning (49 mandatory for 50) was resolved
+    # by demoting three more variants (plans/__init__.py
+    # _DEMOTED_PARITY_ONLY: agg_cube_orders, window_moving_sum,
+    # scalar_date_orders), dropping mandatory to 47; the three recovered
+    # slots went to the corpus_pack_assignment changed-code regrade (r12
+    # ADVICE medium), the simhash_planted_twins freshness carrier (r12
+    # verdict task #3), and two r10 tokenizing early regrades post the
+    # U+0130 case-fold pin.
 }
 
 #: Entries registered AFTER the current round's window sealed; they grade
 #: next round per the standing late-registration precedent (since r7).
-#: Populated as round-12 work registers new queries.
-LATE_REGISTRATIONS: set[str] = {
-    # r11 verdict task #6: out-of-order replay of the watermark-buffered
-    # funnel graded against the BATCH fold's oracle (the bit-for-bit claim)
-    "stream_funnel_watermarked_replay",
-    # r11 verdict task #9: reciprocal-rank fusion of the BM25 + SQ
-    # shortlists — pure BIGINT rank arithmetic over two graded rankers
-    "hybrid_rrf_fusion",
-}
+#: Populated as round-13 work registers new queries.
+LATE_REGISTRATIONS: set[str] = set()
 
-# ---- ROUND-13 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
-# for the live numbers; written at r12 composition, re-check at close):
-#   The r11 verdict's 10-deferral plan was superseded: 15 variant entries
-#   were DEMOTED to pytest-pinned parity (plans/__init__.py
-#   _DEMOTED_PARITY_ONLY), making the r12 window exactly 50 with zero
-#   deferrals and the catalog 196 entries.
-#   Assuming the r12 window greens, r13 mandatory = the 47 remaining
-#   r9-vintage entries (49 minus demoted corpus_prep_planted +
-#   udaf_value_stats) + the 2 r12 late registrations = 49 of 50, zero
-#   deferrals; register more only with matching demotion or deferral
-#   capacity (see the graded-entry-capacity memory).
-#   DEFERRED-BY-DESIGN fix note: textops U+0130 (Turkish dotted capital
-#   I) lowercases to 2 codepoints in Spark (full case mapping) vs 1 in
-#   DuckDB (simple mapping) — a latent fingerprint/tokenization twin
-#   divergence on corpora containing U+0130 (fixtures: none). Fixing
-#   normalized()/fingerprint() mid-round would churn every in-window
-#   text entry; documented here and in textops.py for the r13 pass.
-#   Watch item for r14: simhash_planted_twins (r10) carries the two
-#   ROWS_ONLY_PROVEN entries' freshness — it must regrade by r14.
+# ---- ROUND-14 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
+# for the live numbers; written at r13 composition, re-check at close):
+#   Assuming the r13 window greens, r14 mandatory = the 44 remaining
+#   r10-vintage entries (47 minus the three early regrades
+#   simhash_planted_twins / corpus_top_ngrams / bigram_surprise_report)
+#   + any r13 late registrations; register more only with matching
+#   demotion or deferral capacity (see the graded-entry-capacity memory).
+#   simhash_planted_twins regraded r13, so the two ROWS_ONLY_PROVEN
+#   simhash entries are carried through r16.
 # ---------------------------------------------------------------------------
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.
@@ -99,41 +83,28 @@ ROWS_ONLY_PROVEN: dict[str, str] = {
 #: Entries whose underlying code changed this round, so their prior hash no
 #: longer certifies HEAD — each MUST sit in the current window.
 CHANGED_CODE_REGRADES: set[str] = {
-    # r11 ADVICE fixes land in r12: operators/shuffling.py changed (int32
-    # perm-wrap fix + fail-loud offset lookup). training_shuffle_shards is
-    # a never-graded late-r11 registration, so it sits in the window
-    # regardless — this records WHY it could not have deferred.
-    "training_shuffle_shards",
-    # hashed_bucket hex-nibble fold fix (review r12: the old fold left 48
-    # of 64 buckets unreachable — shared-wrong on both engines): every
-    # consumer's graded VALUES change, so all three sit in the window;
-    # quality_linear_score took the spare slot the corpus_prep_pipeline
-    # backfill would have used.
-    "quality_linear_score",
-    "dsir_importance_sample",
-    "web_curation_pipeline",
-    # The other two r11 ADVICE fixes follow the standing non-semantic
-    # precedent (rpc_ingest r11) instead of a forced regrade — guard/
-    # byte-accounting paths only, graded happy paths byte-identical,
-    # pinned by tests/test_merge.py + tests/test_replay_source.py:
-    #   merge_upsert_roundtrip (merge.py _inference_safe regex widening),
-    #   grpc_replay_ingest_golden + stream_*_replay (replay_source CRLF),
-    #   pagerank_ranks (conserve_dangling default flipped to True in r12;
-    #   the graded builder pins conserve_dangling=False so its leaky
-    #   trajectory — and hash — is byte-identical; dual-SF parity re-run).
-    # r12 review-pass alignment, same precedent (results byte-identical on
-    # every fixture, certified by full dual-SF local sweeps at HEAD):
-    #   - ORACLE-text only: _NORM_SQL/_TOKENS_SQL/punct classes spell out
-    #     Java's ASCII \s ([ \t\n\x0b\f\r]) instead of RE2's \s (which
-    #     lacks \x0b) — fixes a latent twin divergence on \x0b-bearing
-    #     text for every tokenizing oracle; fixtures contain no \x0b.
-    #   - bpe_encode_pandas_topk (r11): apply_bpe_pandas' encode harness
-    #     factored into the shared pandas_token_encode (pure refactor;
-    #     bit-equality to the expression path pinned by tests/test_bpe.py).
-    #   - funnel oracles + funnel_steps: explicit "NULL ts never counts"
-    #     contract on both sides (fold semantics unchanged — a NULL could
-    #     never fill a slot; the oracle's u1 now agrees for users whose
-    #     only step-1 events are NULL-timed); events fixtures have 0 NULL ts.
+    # r12 ADVICE medium: pack_documents' graded output schema changed at
+    # r12 (pack_id int32→int64 in the builder AND its oracle, ext.py) but
+    # the entry was neither in the r12 window nor in this set — its r11
+    # driver record certified schema_match against INTEGER, so the prior
+    # hash no longer certifies HEAD.  Regraded in the r13 window.
+    "corpus_pack_assignment",
+    # Changed-code fixes NOT forcing additional regrades this round,
+    # certified through the standing non-semantic precedent (rpc_ingest
+    # r11) — graded outputs byte-identical on every fixture, re-certified
+    # by the full dual-SF parity sweep at r13 HEAD:
+    #   - U+0130 case-fold pin (textops; r12 verdict task #2): both the
+    #     Spark builders and the DuckDB oracles now pre-translate
+    #     İ (U+0130)→i and ı (U+0131)→i before lower(), removing the
+    #     full-vs-simple case-mapping divergence.  No fixture contains
+    #     either codepoint (verified by a full text-column scan at r13
+    #     HEAD); a planted-İ pytest fixture now pins cross-engine
+    #     agreement.  The in-window text suite (text_token_stats,
+    #     lang_id_distribution, lang_quality_report, corpus_top_ngrams,
+    #     bigram_surprise_report) regrades the changed code live.
+    #   - pack_documents_scalable NULL-token guard (r12 ADVICE low): the
+    #     scalable twin only; the plain graded path is untouched and
+    #     corpus_pack_assignment regrades anyway.
 }
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from spectraplex_spark.operators.textops import tokens
+from spectraplex_spark.operators.textops import fold_case_py, tokens
 
 
 def _adjacent_pairs(symbols: Column) -> Column:
@@ -212,9 +212,15 @@ def pandas_token_encode(df: DataFrame, seg_fn, out_col: str, text_col: str = "te
       - the Java-``\\s`` tokenizer twin of textops.tokens() (Java's
         ``\\s`` is ASCII-only; Python's is unicode-aware — the class is
         spelled out so tokenization is identical on exotic whitespace);
-      - a per-batch word→pieces cache (Arrow-batch-local by design —
-        bulk corpus encodes should segment the DISTINCT-WORD table and
-        broadcast-join instead, the measured 13× recommendation);
+      - the İ (U+0130) case-fold pin: text is lowered with
+        textops.fold_case_py, the exact Python twin of the expression
+        paths' fold_case (r12 verdict task #2);
+      - a word→pieces cache scoped to one mapInPandas partition (it is
+        created per encode_batches invocation, so it spans all Arrow
+        batches of that partition; seg_fn is pure, so this only bounds
+        memory at O(distinct words per partition) — bulk corpus encodes
+        should segment the DISTINCT-WORD table and broadcast-join
+        instead, the measured 13× recommendation);
       - NULL text → NULL pieces (the expression paths' propagation).
 
     ``seg_fn(word) -> list[str]`` segments one word under the broadcast
@@ -253,7 +259,7 @@ def pandas_token_encode(df: DataFrame, seg_fn, out_col: str, text_col: str = "te
                 if t is None
                 else [
                     p
-                    for w in ws.sub(" ", t.lower()).strip(" ").split(" ")
+                    for w in ws.sub(" ", fold_case_py(t)).strip(" ").split(" ")
                     if w
                     for p in seg(w)
                 ]

@@ -29,17 +29,35 @@ STOPWORDS = {
 }
 
 
+# The ONE codepoint whose lowercase mapping differs between Unicode's
+# full case mapping (Java/Spark/Python: İ → 'i' + U+0307 combining dot,
+# TWO codepoints) and the simple mapping (DuckDB's utf8proc: İ → 'i').
+# SpecialCasing.txt lists no other unconditional lowercase expansion, so
+# pre-translating this single char before lower() makes the two engines'
+# lowercase agree on every input (r12 verdict task #2; pinned by
+# tests/test_textops.py's planted-İ fixture on both engines).
+_DOTTED_I = "İ"  # İ — Turkish dotted capital I
+
+
+def fold_case(text: Column) -> Column:
+    """Engine-portable lowercase: pre-translate İ (U+0130) → 'i', then
+    lower().  Identical output from Spark's full-mapping lower() and
+    DuckDB's simple-mapping lower() — use this (never bare F.lower) on
+    any graded text path."""
+    return F.lower(F.translate(text, _DOTTED_I, "i"))
+
+
+def fold_case_py(text: str) -> str:
+    """Python twin of :func:`fold_case` for Arrow/pandas replicas
+    (Python's str.lower() full-maps İ exactly like Java's)."""
+    return text.replace(_DOTTED_I, "i").lower()
+
+
 def normalized(text: Column) -> Column:
     """Canonical text form used by dedup + fingerprinting:
-    lowercase, collapse whitespace, trim.
-
-    KNOWN twin divergence (documented r12, fix scheduled with the r13
-    regrades): Spark's lower() FULL-case-maps U+0130 (Turkish dotted
-    capital I) to two codepoints (i + U+0307) while DuckDB's utf8proc
-    simple-maps it to one ('i'), so fingerprints/tokens built from text
-    containing U+0130 differ cross-engine. Fixtures contain none; see
-    testing/freshness.py's r13 pre-plan."""
-    return F.trim(F.regexp_replace(F.lower(text), WS_RE, " "))
+    engine-portable lowercase (İ pinned — see fold_case), collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(fold_case(text), WS_RE, " "))
 
 
 def tokens(text: Column) -> Column:
@@ -716,7 +734,11 @@ def nfc_key(text: Column) -> Column:
             lambda t: None if t is None else unicodedata.normalize("NFC", t)
         )
 
-    return F.lower(_nfc(text))
+    # fold_case, not bare lower(): NFC leaves İ (U+0130) composed, so the
+    # full-vs-simple lowercase divergence applies here exactly as in
+    # normalized() — same single-char pin (DuckDB twin output unchanged:
+    # its lower() already maps İ → 'i').
+    return fold_case(_nfc(text))
 
 
 def char_entropy_report(

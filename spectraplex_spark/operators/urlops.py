@@ -35,6 +35,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, Window
 
+from spectraplex_spark.operators.textops import fold_case
+
 # Exact-match tracking keys dropped from query strings (plus any key
 # with the utm_ prefix). Keep this list sorted and mirrored in the
 # DuckDB twin.
@@ -99,7 +101,11 @@ def canonicalize_url(url: Column) -> Column:
         rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
     ).otherwise(F.lit(""))
 
-    host = F.lower(F.regexp_extract(hostpath, r"^([^/]*)", 1))
+    # fold_case, not bare lower(): a unicode host label containing İ
+    # (U+0130) would otherwise canonicalize differently in Spark (full
+    # case mapping) vs the DuckDB oracle (simple mapping).  The scheme
+    # above stays bare lower() — its regex admits only ASCII.
+    host = fold_case(F.regexp_extract(hostpath, r"^([^/]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)

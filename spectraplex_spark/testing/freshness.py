@@ -93,15 +93,18 @@ CHANGED_CODE_REGRADES: set[str] = {
     # certified through the standing non-semantic precedent (rpc_ingest
     # r11) — graded outputs byte-identical on every fixture, re-certified
     # by the full dual-SF parity sweep at r13 HEAD:
-    #   - U+0130 case-fold pin (textops; r12 verdict task #2): both the
-    #     Spark builders and the DuckDB oracles now pre-translate
-    #     İ (U+0130)→i and ı (U+0131)→i before lower(), removing the
-    #     full-vs-simple case-mapping divergence.  No fixture contains
-    #     either codepoint (verified by a full text-column scan at r13
-    #     HEAD); a planted-İ pytest fixture now pins cross-engine
-    #     agreement.  The in-window text suite (text_token_stats,
-    #     lang_id_distribution, lang_quality_report, corpus_top_ngrams,
-    #     bigram_surprise_report) regrades the changed code live.
+    #   - U+0130 case-fold pin (textops.fold_case; r12 verdict task #2):
+    #     the Spark builders (and the Python tokenizer harness) now
+    #     pre-translate İ (U+0130)→i before lower(), matching DuckDB's
+    #     simple mapping (lower(İ)='i' there already — oracles unchanged,
+    #     so ONLY İ-bearing Spark outputs change).  No fixture contains
+    #     the codepoint (verified by a full varchar-column scan of every
+    #     sf* table at r13 HEAD); a planted-İ pytest fixture
+    #     (test_ext_ops.py::test_fold_case_dotted_capital_i_cross_engine)
+    #     pins cross-engine agreement.  The in-window text suite
+    #     (text_token_stats, lang_id_distribution, lang_quality_report,
+    #     corpus_top_ngrams, bigram_surprise_report) regrades the changed
+    #     code live.
     #   - pack_documents_scalable NULL-token guard (r12 ADVICE low): the
     #     scalable twin only; the plain graded path is untouched and
     #     corpus_pack_assignment regrades anyway.

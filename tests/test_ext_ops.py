@@ -1020,6 +1020,69 @@ def test_ivf_recall_full_probe_is_exact(spark):
     assert all(0 <= r["hits"] <= 5 and r["recall_q"] == r["hits"] * 200_000 for r in part)
 
 
+def test_fold_case_dotted_capital_i_cross_engine(spark):
+    """The İ (U+0130) case-fold pin (r12 verdict task #2): Spark's
+    lower() FULL-maps İ to two codepoints (i + U+0307) while DuckDB's
+    simple-maps it to one ('i') — fold_case pre-translates the single
+    divergent codepoint so normalized()/fingerprint()/tokens() agree
+    cross-engine on İ-bearing text.  This fixture is the planted
+    regression the r12 verdict asked for (no parquet fixture contains
+    the codepoint, verified by a full text-column scan)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.textops import (
+        fingerprint,
+        fold_case_py,
+        nfc_key,
+        normalized,
+        tokens,
+    )
+    from spectraplex_spark.plans.ext import _NORM_SQL, _TOKENS_SQL
+
+    rows = [
+        (1, "İstanbul IĞDIR İİ"),  # İstanbul IĞDIR İİ
+        (2, "plain ASCII Text"),
+        (3, "mıx ı and İ"),  # dotless ı + dotted İ
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n"], r["fp"], r["tk"])
+        for r in sdf.select(
+            "doc_id",
+            normalized(F.col("text")).alias("n"),
+            fingerprint(F.col("text")).alias("fp"),
+            F.array_join(tokens(F.col("text")), "|").alias("tk"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(d): (n, fp, tk)
+        for d, n, fp, tk in con.sql(
+            f"SELECT doc_id, {_NORM_SQL} AS n, md5({_NORM_SQL}) AS fp, "
+            f"list_aggregate({_TOKENS_SQL}, 'string_agg', '|') AS tk FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+    # the Python twin of fold_case matches the engines too
+    assert fold_case_py("İstanbul") == "istanbul"
+    # and the NFC path shares the pin (İ is NFC-composed, so the same
+    # divergence would apply after nfc_normalize)
+    nfc_got = {
+        r["doc_id"]: r["k"]
+        for r in sdf.select("doc_id", nfc_key(F.col("text")).alias("k")).collect()
+    }
+    nfc_want = {
+        int(d): k
+        for d, k in con.sql(
+            "SELECT doc_id, lower(nfc_normalize(text)) AS k FROM documents"
+        ).fetchall()
+    }
+    assert nfc_got == nfc_want
+
+
 def test_nfc_key_known_vectors(spark):
     """Decomposed and precomposed spellings collapse; case folds;
     NULLs pass through; plain ASCII is untouched."""

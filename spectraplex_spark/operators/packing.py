@@ -27,6 +27,8 @@ identically.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from spectraplex_spark.operators.textops import token_count, tokens
@@ -492,7 +494,10 @@ def pack_documents_scalable(
     The offset lookup fails LOUDLY on a missing (partition, shard) key
     (the ``_offset_lookup`` discipline: silent 0 would emit duplicate
     pack ids).  Same uniqueness contract on (id, *order_cols) as the
-    plain form."""
+    plain form.  NULL ``text`` matches the plain form bit-for-bit too
+    (r12 ADVICE): the window SUM skips NULL n_tokens, so a NULL-text
+    row gets NULL tokens_before/pack_id and does not advance the
+    running sum — this twin does exactly that instead of raising."""
     from pyspark.sql import types as T
 
     n_tok = token_count(F.col(text_col)).cast("int")
@@ -530,7 +535,7 @@ def pack_documents_scalable(
 
     out_schema = T.StructType(
         parted.schema.fields
-        + [T.StructField("tokens_before", T.LongType(), False)]
+        + [T.StructField("tokens_before", T.LongType(), True)]
     )
 
     def add_running(batches):
@@ -547,8 +552,15 @@ def pack_documents_scalable(
             return got
 
         for pdf in batches:
-            before = []
+            before: list[int | None] = []
             for pid, sh, nt in zip(pdf["_pid"], pdf["shard"], pdf["n_tokens"]):
+                if pd.isna(nt):
+                    # plain-form parity: the window SUM skips NULL
+                    # n_tokens, so the row gets NULL tokens_before (and
+                    # NULL pack_id downstream) and the running sum is
+                    # unchanged.  Arrow delivers the NULL as NaN here.
+                    before.append(None)
+                    continue
                 sh = int(sh)
                 c = carry.get(sh)
                 if c is None:
@@ -556,7 +568,7 @@ def pack_documents_scalable(
                 before.append(c)
                 carry[sh] = c + int(nt)
             pdf = pdf.copy()
-            pdf["tokens_before"] = before
+            pdf["tokens_before"] = pd.array(before, dtype="Int64")
             yield pdf
 
     return parted.mapInPandas(add_running, schema=out_schema).select(

@@ -264,22 +264,25 @@ def unigram_encode(
     df: DataFrame,
     cost: dict[str, int],
     text_col: str = "text",
-    max_word_len: int | None = 12,
+    *,
+    max_word_len: int | None,
 ) -> DataFrame:
     """Apply a trained unigram tokenizer: per row, Viterbi-segment every
     token under the (broadcast) cost table — the shared
     ``pandas_token_encode`` harness (zero shuffle, Arrow batches,
     per-batch word→pieces cache, plan-time root-locale refusal).
 
-    ``max_word_len`` (default 12, the TRAINING cap) is part of the
-    graded contract: words longer than the cap contribute NO pieces —
-    they were never seen by training (word_frequencies filters them) and
-    the positional-unroll oracle cannot encode them, so an uncapped
-    encode would diverge on any corpus with a 13+-char token (review
-    finding r12: parity previously held only because the fixtures'
-    longest token is 8 chars). Pass ``None`` for a length-agnostic
-    encode at real scale (segmentation is O(len) via backpointer DP) —
-    just not under the bit-graded oracle."""
+    ``max_word_len`` is REQUIRED (keyword-only, no default — r12 ADVICE:
+    a silent-drop default is a data-loss trap for library callers), and
+    words longer than the cap contribute NO pieces.  Pass the TRAINING
+    cap (the catalog uses 12) when encoding under the bit-graded oracle:
+    over-cap words were never seen by training (word_frequencies filters
+    them) and the positional-unroll oracle cannot encode them, so an
+    uncapped encode would diverge on any corpus with a 13+-char token
+    (review finding r12: parity previously held only because the
+    fixtures' longest token is 8 chars).  Pass ``None`` for a
+    length-agnostic encode at real scale (segmentation is O(len) via
+    backpointer DP) — just not under the bit-graded oracle."""
     from spectraplex_spark.operators.bpe import pandas_token_encode
 
     def seg(w: str) -> list[str]:

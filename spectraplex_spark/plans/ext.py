@@ -6122,7 +6122,7 @@ def unigram_encode_topk(spark, sf_dir):
         r["piece"]: r["n_uses"] for r in traj.filter(F.col("iter") == 3).collect()
     }
     return (
-        unigram_encode(docs, piece_costs(counts))
+        unigram_encode(docs, piece_costs(counts), max_word_len=12)
         .select(F.explode("unigram_pieces").alias("symbol"))
         .groupBy("symbol")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))

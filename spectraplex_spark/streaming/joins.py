@@ -68,11 +68,13 @@ def stream_interval_join(
     """Stream-stream join: rows with equal ``on`` key and
     right_ts in [left_ts + lower, left_ts + upper].
 
-    The right watermark must cover the interval width (Spark evicts a
-    right row once its ts drops ``upper`` behind the left watermark;
-    an undersized watermark silently loses matches — the default here
-    is upper-plus-slack for the catalog's 10-minute bound). Column
-    name collisions: left keeps its names, right's ts is suffixed.
+    The right watermark sets the right stream's disorder allowance —
+    how far a right row may trail the right max event time before the
+    watermark contract permits dropping it (the default here is
+    upper-plus-slack for the catalog's 10-minute bound; see the guard
+    note below for why an undersized delay warns rather than raises).
+    Column name collisions: left keeps its names, right's ts is
+    suffixed.
 
     ``how``: 'inner', 'left_outer', 'right_outer' or 'full_outer' —
     the four stream-stream modes Spark's symmetric hash join supports
@@ -93,24 +95,39 @@ def stream_interval_join(
     so such rows can only ever emit as unmatched; the old "never NULL"
     claim was wrong for them — review finding r12).
 
-    Guards (both loud, review finding r12): ``right_watermark`` must
-    cover the interval span (an undersized one silently evicts right
-    rows before up-to-``upper``-lagged partners arrive — the docstring
-    warning is now enforced), and the two inputs must share NO column
-    names besides ``on``/the ts columns (Spark would otherwise emit
+    Guards: the two inputs must share NO column names besides ``on``/
+    the ts columns (loud ValueError — Spark would otherwise emit
     ambiguous duplicate columns; callers pre-project disjoint
-    payloads)."""
+    payloads).  A ``right_watermark`` below the join span only warns
+    (r12 ADVICE, verified empirically): Spark derives each side's state
+    retention and late-row threshold from the OTHER side's input
+    watermark plus the join condition, not from the side's own delay —
+    a probe replay (right delay 60s, span 600s, right stream run 20min
+    ahead) still matched an 11-minutes-trailing right row, so an
+    undersized right delay does NOT evict right state early.  What the
+    right delay DOES set is the right stream's own disorder allowance
+    (how far a right row may trail the right maximum event time before
+    the watermark contract permits dropping it) and, through the global
+    watermark, how early LEFT rows can close — so a span-sized delay is
+    still the safe default for trailing right streams, and the warning
+    names that trade-off instead of rejecting a legal configuration."""
     modes = ("inner", "left_outer", "right_outer", "full_outer")
     if how not in modes:
         raise ValueError(f"how must be one of {modes}, got {how!r}")
     span_s = _interval_seconds(upper) - min(_interval_seconds(lower), 0)
     if _interval_seconds(right_watermark) < span_s:
-        raise ValueError(
+        import warnings
+
+        warnings.warn(
             f"stream_interval_join: right_watermark {right_watermark!r} is "
-            f"smaller than the join span ({span_s}s): Spark would evict "
-            "right rows before their latest possible partners arrive and "
-            "silently lose matches — pass a watermark covering "
-            "upper - min(lower, 0)"
+            f"smaller than the join span ({span_s}s). This does not evict "
+            "right-side state early (retention is derived from the left "
+            "watermark + the condition), but right rows trailing the right "
+            "stream's max event time by more than the delay become late "
+            "data the watermark contract may drop; size the delay to the "
+            "right stream's expected disorder (the catalog uses "
+            "upper + slack).",
+            stacklevel=2,
         )
     shared = (set(left.columns) & set(right.columns)) - {on, left_ts, right_ts}
     if shared:

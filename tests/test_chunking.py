@@ -115,14 +115,20 @@ def test_pack_documents_scalable_bit_equal_and_partitioning_independent(spark):
         pack_documents_scalable,
     )
 
+    # NULL text planted mid-stream (r12 ADVICE): the window form's SUM
+    # skips NULL n_tokens — the rows get NULL tokens_before/pack_id and
+    # the running sum continues unaffected; the scalable twin must match
+    # bit-for-bit instead of raising on the NaN.
     df = spark.createDataFrame(
-        [(i, "tok " * (1 + i % 37)) for i in range(500)], "doc_id long, text string"
+        [(i, None if i % 97 == 3 else "tok " * (1 + i % 37)) for i in range(500)],
+        "doc_id long, text string",
     )
 
     def rows(out):
         return sorted(tuple(r) for r in out.collect())
 
     want = rows(pack_documents(df, budget=64, n_shards=4))
+    assert any(r[-1] is None for r in want)  # the NULL rows are present
     assert want == rows(pack_documents_scalable(df, budget=64, n_shards=4))
     assert want == rows(
         pack_documents_scalable(df.repartition(13), budget=64, n_shards=4,

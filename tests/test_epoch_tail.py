@@ -240,7 +240,7 @@ def test_tail_composes_with_tokenizer_encode(spark, tmp_path):
             spark.readStream.format("epoch_tail").option("path", path).load()
         )
         q = (
-            unigram_encode(stream, cost)
+            unigram_encode(stream, cost, max_word_len=12)
             .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)

@@ -237,7 +237,7 @@ def test_unigram_encode_roundtrip(spark):
     cost = {"a": 10, "b": 10, "ab": 15}
     got = {
         r["doc_id"]: r["unigram_pieces"]
-        for r in unigram_encode(df, cost).collect()
+        for r in unigram_encode(df, cost, max_word_len=12).collect()
     }
     assert got[1] == ["ab", "ab", "b", "a"]
     assert got[2] is None

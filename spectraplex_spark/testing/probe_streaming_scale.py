@@ -322,6 +322,106 @@ def probe_stateful_balance(spark, scale: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_funnel_skew(spark, scale: int) -> dict:
+    """Power-law-user stressor for the watermarked funnel (r12 verdict
+    task #6): the state bound is PER USER (arrival-rate × delay), so
+    the realistic 100 TB failure mode is one hot user whose pending
+    buffer dominates a batch — not more rows overall.  ONE user gets
+    ``2_000 × scale`` in-delay events spread over 5 batches (watermark
+    held behind them, so the buffer only grows), beside 100 cold users;
+    a final far-future sentinel advances the watermark and forces the
+    full seal of the giant buffer.
+
+    What to read off the sweep: per-batch cost for the hot key is
+    O(B log B) in its CURRENT buffer (sort + provisional fold) plus an
+    O(B) Arrow state round-trip, so total cost while the watermark
+    stalls grows ~quadratically in the per-user buffer — the documented
+    reason ``delay_s`` (not history) must bound the buffer.  The probe
+    also cross-checks exactness: the hot user's final reached equals
+    the pure batch fold."""
+    from spectraplex_spark.streaming.funnel import _advance, stream_funnel_watermarked
+
+    steps = ["view", "click", "purchase"]
+    tmp = tempfile.mkdtemp(prefix=f"funskew{scale}x_")
+    try:
+        src = os.path.join(tmp, "src")
+        hot_total = 2_000 * scale
+        per_batch = hot_total // 5
+        base_mt = time.time() - 10_000
+        hot_events = []
+        eid = 0
+        for b in range(5):
+            rows = []
+            for i in range(per_batch):
+                # in-delay, deliberately scrambled order within the hour
+                t = _t(((b * per_batch + i) * 37) % 60)
+                tp = steps[(i * 7) % 3]
+                hot_events.append((t, tp))
+                rows.append((eid, t, 0, tp, 0.0))
+                eid += 1
+            for u in range(1, 101):  # the cold tail
+                rows.append((eid, _t(u % 60), u, steps[u % 3], 0.0))
+                eid += 1
+            _write_batch(spark, src, rows, base_mt + b * 10)
+        # sentinel: far-future event advances the watermark past the hour
+        _write_batch(
+            spark, src, [(eid, _t(600), 999, "view", 0.0)], base_mt + 60
+        )
+        eid += 1
+        # the watermark lags one batch AND the stateful fn only runs for
+        # keys present in the batch — a post-sentinel hot-user event
+        # (inside the new watermark) makes the giant buffer actually
+        # SEAL, so the seal cost is measured, not skipped
+        seal_ev = (_t(590), "view")
+        hot_events.append(seal_ev)
+        _write_batch(
+            spark, src, [(eid, seal_ev[0], 0, seal_ev[1], 0.0)], base_mt + 70
+        )
+        eid += 1
+        schema = spark.createDataFrame([], EV_SCHEMA).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        fun = stream_funnel_watermarked(
+            stream, steps, window_s=7200, delay_s=3600
+        )
+        t0 = time.time()
+        q = (
+            fun.writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        snaps = spark.read.parquet(os.path.join(tmp, "out")).collect()
+        hot = [r for r in snaps if r["user_id"] == 0]
+        best = max(hot, key=lambda r: r["n_seen"])
+        want = _advance(
+            [None, None, None],
+            [(int(t.timestamp() * 1_000_000), tp) for t, tp in hot_events],
+            steps,
+            7200 * 1_000_000,
+        )
+        assert best["reached"] == sum(x is not None for x in want), (
+            best["reached"],
+            want,
+        )
+        return {
+            "hot_user_events": hot_total,
+            "max_pending": max(r["pending"] for r in hot),
+            "final_sealed": best["reached_sealed"],
+            "reached==batch_fold": True,
+            "wall_s": round(wall, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_span_gate(spark, scale: int) -> dict:
     """History 2k → 20k docs behind the index, then ONE fixed 200-doc
     probe batch: probe cost must stay flat (partition-pruned buckets),
@@ -375,6 +475,7 @@ def main():
         ("stream_full_outer_join", probe_full_outer_join),
         ("dedup_within_watermark", probe_dedup),
         ("stateful_balance (10x keys)", probe_stateful_balance),
+        ("funnel_skew (10x hot-user buffer)", probe_funnel_skew),
         ("span gate (10x history)", probe_span_gate),
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else None

@@ -6757,3 +6757,230 @@ def hybrid_rrf_fusion(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "sq_score"
     )
     return rrf_fuse([(lex, "bm25_q"), (sem, "sq_score")], k=10)
+
+
+# --------------------------------------------------------------------------
+# Round-13 growth (r12 verdict task #8): the END-TO-END curation run —
+# the integration-level evidence that the per-stage graded entries
+# COMPOSE. Registers at the catalog tail (grades r14 per the standing
+# late-registration precedent; declared in freshness.LATE_REGISTRATIONS).
+# --------------------------------------------------------------------------
+
+
+def _curation_run_oracle() -> str:
+    """Single-statement DuckDB replay of the ENTIRE curation run:
+    benchmark split → language gate → quality gate → exact dedup →
+    exact-Jaccard near-dup pairs (inverted shingle index) → transitive
+    closure → min-id survivors → 8-gram decontamination vs the
+    benchmark → DSIR importance top-k per source → 512-token pack
+    assignment → seeded shuffle shards.  Every stage's SQL is the
+    already-certified twin of its constituent graded entry
+    (corpus_prep_pipeline, decontam_ngram_overlap,
+    dsir_importance_sample, corpus_pack_assignment,
+    training_shuffle_shards) chained in order, so one hash certifies
+    stage order and survivor propagation across the whole pipeline.
+    Chained CTEs are MATERIALIZED (the r11 inlining-blowup gotcha)."""
+    from spectraplex_spark.operators.shuffling import PERM_P, perm_params
+
+    a, b = perm_params(7)
+    cnt = {lang: _stop_count_sql(lang) for lang in X.STOPWORDS}
+    m = f"GREATEST({cnt['en']}, {cnt['es']}, {cnt['fr']}, {cnt['de']})"
+    quality = f"""(
+        (CASE WHEN len({_TOKENS_SQL}) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0b\\f\\r]')) < 0.3 * LENGTH(text) THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN {cnt['en']} > 0 THEN 0.25 ELSE 0.0 END)
+    ) >= 0.5"""
+    gram8 = (
+        "list_distinct(CASE WHEN len(toks) >= 8 "
+        "THEN list_transform(range(1, len(toks) - 6), "
+        "i -> array_to_string(toks[i:i+7], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END)"
+    )
+    return f"""
+    WITH RECURSIVE tr AS MATERIALIZED (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 7 != 0
+    ),
+    lq AS MATERIALIZED (
+      SELECT doc_id, text, source FROM tr
+      WHERE {m} > 0 AND {cnt['en']} = {m} AND {quality}
+    ),
+    pl AS MATERIALIZED (
+      SELECT doc_id, text, source FROM lq
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM lq GROUP BY md5({_NORM_SQL}))
+    ),
+    t AS (SELECT doc_id, {_NGRAM_TOKENS} AS toks FROM pl),
+    s AS MATERIALIZED (SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    nd AS MATERIALIZED (
+      SELECT doc_id, text, source FROM pl
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+    ),
+    ng8 AS MATERIALIZED (
+      SELECT doc_id, {gram8} AS g8
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM nd)
+    ),
+    ngb AS MATERIALIZED (
+      SELECT DISTINCT unnest(g8) AS gram
+      FROM (SELECT {gram8} AS g8
+            FROM (SELECT {_TOKENS_SQL} AS toks FROM documents
+                  WHERE doc_id % 7 = 0))
+    ),
+    dirty AS (
+      SELECT DISTINCT n.doc_id
+      FROM (SELECT doc_id, unnest(g8) AS gram FROM ng8) n
+      JOIN ngb USING (gram)
+    ),
+    dc AS MATERIALIZED (
+      SELECT doc_id, text, source FROM nd
+      WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    tb AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(list_transform(toks, t -> {_DSIR_BUCKET_SQL})) AS bucket
+      FROM (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM dc)
+    ),
+    w AS MATERIALIZED (
+      SELECT bucket,
+             ((COUNT(*) FILTER (WHERE doc_id % 3 = 0) + 1) * 1000000)
+               // (COUNT(*) + 64) AS wq
+      FROM tb GROUP BY bucket
+    ),
+    sc AS (SELECT tb.doc_id, any_value(tb.source) AS source,
+                  CAST(SUM(w.wq) AS BIGINT) AS score_q
+           FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id),
+    rkd AS (SELECT source, doc_id, score_q,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY score_q DESC, doc_id) AS rk
+            FROM sc),
+    kept AS MATERIALIZED (
+      SELECT r.source, r.doc_id, r.score_q, CAST(r.rk AS BIGINT) AS rk,
+             CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens
+      FROM rkd r JOIN dc USING (doc_id) WHERE r.rk <= 8
+    ),
+    pk AS (
+      SELECT doc_id, n_tokens,
+             CAST(doc_id % 4 AS INTEGER) AS pack_shard,
+             CAST(SUM(n_tokens) OVER wp - n_tokens AS BIGINT) AS tokens_before,
+             CAST((CAST(SUM(n_tokens) OVER wp - n_tokens AS BIGINT) // 512)
+                  AS BIGINT) AS pack_id
+      FROM kept
+      WINDOW wp AS (PARTITION BY doc_id % 4 ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pm AS (
+      SELECT doc_id,
+             CAST(({a} * doc_id + {b}) % {PERM_P} AS BIGINT) AS perm_q
+      FROM kept
+    ),
+    rr AS (SELECT doc_id, perm_q,
+             ROW_NUMBER() OVER (ORDER BY perm_q, doc_id) AS rn,
+             COUNT(*) OVER () AS total
+           FROM pm),
+    sh8 AS (SELECT doc_id, perm_q,
+              CAST(((rn - 1) * 8) // total AS BIGINT) AS shard_ranked,
+              CAST(perm_q % 8 AS BIGINT) AS shard_mod,
+              rn
+            FROM rr),
+    shf AS (SELECT doc_id, perm_q, shard_ranked, shard_mod,
+              CAST(ROW_NUMBER() OVER (PARTITION BY shard_ranked ORDER BY rn) - 1
+                   AS BIGINT) AS shard_pos
+            FROM sh8)
+    SELECT k.doc_id, k.source, k.score_q, k.rk,
+           p.n_tokens, p.pack_shard, p.tokens_before, p.pack_id,
+           f.perm_q, f.shard_ranked, f.shard_mod, f.shard_pos
+    FROM kept k JOIN pk p USING (doc_id) JOIN shf f USING (doc_id)
+    ORDER BY k.doc_id
+    """
+
+
+@query(
+    "curation_run_e2e",
+    _curation_run_oracle(),
+    doc="THE end-to-end curation run (r12 verdict task #8) — every "
+    "stage of a pretraining-data pipeline chained as ONE graded "
+    "entry over the organic corpus: benchmark split (every 7th doc "
+    "held out) → prepare_corpus (language gate → quality gate → exact "
+    "dedup → MinHash/LSH near-dup pairs → connected components → "
+    "min-id survivors) → verbatim 8-gram decontamination against the "
+    "held-out benchmark (string-gram graded path; hashed=True is the "
+    "100 TB path) → DSIR importance top-8 per source toward the "
+    "doc_id%3 target slice → 512-token pack assignment (4 shards) → "
+    "seeded shuffle into 8 training shards (scalable two-phase "
+    "ranking). One hash certifies stage ORDER and survivor "
+    "propagation across six operator families that were previously "
+    "only graded stage-by-stage (the corpus_prep_pipeline precedent, "
+    "extended to the r7-r12 operators). Scale shape: the pipeline "
+    "inherits each stage's certified plan — gates are narrow in-row "
+    "passes on one enrichment scan, dedup shuffles 16-byte keys, the "
+    "benchmark side broadcasts, DSIR collects exactly 64 bucket "
+    "weights, and pack/shuffle run over the k-per-stratum selection "
+    "(bounded), with the shuffle's two-phase ranking the only "
+    "data-sized exchange.",
+)
+def curation_run_e2e(spark, sf_dir):
+    from spectraplex_spark.operators.corpus import prepare_corpus
+    from spectraplex_spark.operators.decontam import decontaminate
+    from spectraplex_spark.operators.dsir import dsir_importance_sample
+    from spectraplex_spark.operators.packing import pack_documents
+    from spectraplex_spark.operators.shuffling import shuffle_shards_scalable
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    clean, _ = prepare_corpus(train, keep_langs=("en",), collect_stats=False)
+    # string-gram decontam (hashed=False) is the graded path; production
+    # passes hashed=True (xxhash64 stream — same verdicts absent 31-bit
+    # collisions, pytest-asserted in test_decontam)
+    dc = decontaminate(clean, bench, n=8, hashed=False)
+    sel = dsir_importance_sample(
+        dc, F.col("doc_id") % 3 == 0, k=8, stratum_col="source"
+    )
+    kept = dc.join(sel.select("doc_id", "score_q", "rk"), "doc_id")
+    packed = pack_documents(kept, budget=512, n_shards=4)
+    shf = shuffle_shards_scalable(kept.select("doc_id"), n_shards=8, seed=7)
+    return (
+        sel.join(packed, "doc_id")
+        .join(shf, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "score_q",
+            "rk",
+            "n_tokens",
+            F.col("shard").alias("pack_shard"),
+            "tokens_before",
+            "pack_id",
+            "perm_q",
+            "shard_ranked",
+            "shard_mod",
+            "shard_pos",
+        )
+        .orderBy("doc_id")
+    )

@@ -59,7 +59,12 @@ DEFERRALS: dict[str, tuple[str, str]] = {
 #: Entries registered AFTER the current round's window sealed; they grade
 #: next round per the standing late-registration precedent (since r7).
 #: Populated as round-13 work registers new queries.
-LATE_REGISTRATIONS: set[str] = set()
+LATE_REGISTRATIONS: set[str] = {
+    # r12 verdict task #8: the end-to-end curation run — benchmark
+    # split → prepare_corpus → 8-gram decontam → DSIR top-k per source
+    # → pack → shuffle shards, ONE hash over the whole composition
+    "curation_run_e2e",
+}
 
 # ---- ROUND-14 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
 # for the live numbers; written at r13 composition, re-check at close):

@@ -284,9 +284,11 @@ def apply_bpe_pandas(
     1k+ merges (the same expression-growth class the r9 trainer probe
     caught; there the fix was checkpointing, here the expression itself
     is the plan). This twin ships the merge list to executors once
-    (closure broadcast, ~KBs), keeps a per-batch word→segmentation
-    cache (corpora repeat words heavily — encode cost is
-    distinct-words-sized, like the graded vocab-join path), and runs
+    (closure broadcast, ~KBs), keeps a partition-scoped word→segmentation
+    cache (created once per mapInPandas invocation, spanning that
+    partition's Arrow batches; corpora repeat words heavily — encode
+    cost is distinct-words-per-partition-sized, like the graded
+    vocab-join path), and runs
     the EXACT same greedy left-to-right non-overlapping in-order replay
     per word, so tests pin it bit-equal to apply_bpe.
 

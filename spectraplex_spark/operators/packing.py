@@ -520,7 +520,12 @@ def pack_documents_scalable(
         .localCheckpoint(eager=True)
     )
     groups = sorted(
-        ((r["shard"], r["_pid"]), int(r["s"]))
+        # `s or 0`: SUM over a group whose n_tokens are ALL NULL (every
+        # doc in that (partition, shard) slice has NULL text) is NULL —
+        # such rows contribute 0 to the running sum in the plain window
+        # form, so they must contribute 0 to the offsets here too, not
+        # crash int(None) (review finding r13)
+        ((r["shard"], r["_pid"]), int(r["s"] or 0))
         for r in parted.groupBy("_pid", "shard")
         .agg(F.sum("n_tokens").alias("s"))
         .collect()  # bounded: contiguous slices → ≤ partitions + shards rows

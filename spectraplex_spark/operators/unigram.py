@@ -270,7 +270,7 @@ def unigram_encode(
     """Apply a trained unigram tokenizer: per row, Viterbi-segment every
     token under the (broadcast) cost table — the shared
     ``pandas_token_encode`` harness (zero shuffle, Arrow batches,
-    per-batch word→pieces cache, plan-time root-locale refusal).
+    partition-scoped word→pieces cache, plan-time root-locale refusal).
 
     ``max_word_len`` is REQUIRED (keyword-only, no default — r12 ADVICE:
     a silent-drop default is a data-loss trap for library callers), and

@@ -45,8 +45,8 @@ word-initial); any position with no match makes the whole word
 ``[UNK]``, and words longer than ``max_word_len`` chars are ``[UNK]``
 outright (HF's ``max_input_chars_per_word``).  Implemented as an
 Arrow-batched ``mapInPandas`` with the vocab broadcast in the closure
-and a per-batch word→pieces cache — the ``apply_bpe_pandas`` shape:
-zero shuffle, cost amortized to distinct words per batch.
+and a partition-scoped word→pieces cache — the ``apply_bpe_pandas``
+shape: zero shuffle, cost amortized to distinct words per partition.
 
 Reference surface: the reference repo has no tokenizer trainer — this
 is part of the [EXT] LLM-data-pipeline mandate (SURVEY.md §2 E4).
@@ -244,7 +244,7 @@ def wordpiece_encode(
 ) -> DataFrame:
     """Apply a trained WordPiece vocab: greedy longest-match-first per
     token — the ``apply_bpe_pandas`` shape (broadcast vocab, Arrow
-    batches, per-batch word→pieces cache, zero shuffle).  Adds
+    batches, partition-scoped word→pieces cache, zero shuffle).  Adds
     ``wordpiece_pieces array<string>`` (NULL text → NULL, matching the
     expression paths' null propagation).
 

@@ -138,6 +138,17 @@ def test_pack_documents_scalable_bit_equal_and_partitioning_independent(spark):
         pack_documents_scalable(df.coalesce(1), budget=64, n_shards=4,
                                 num_partitions=2)
     )
+    # an ENTIRE shard of NULL text (review finding r13): the per-group
+    # SUM(n_tokens) is NULL for that slice — the offset fold must treat
+    # it as 0 like the window form, not crash on int(None)
+    df_null_shard = spark.createDataFrame(
+        [(i, None if i % 4 == 2 else "tok " * (1 + i % 7)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    want2 = rows(pack_documents(df_null_shard, budget=64, n_shards=4))
+    assert want2 == rows(
+        pack_documents_scalable(df_null_shard, budget=64, n_shards=4)
+    )
 
 
 def test_pack_documents_chunk_composition_deterministic(spark):

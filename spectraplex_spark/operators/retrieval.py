@@ -44,7 +44,66 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from spectraplex_spark.operators.textops import tokens
+from spectraplex_spark.operators.textops import fold_case_py, tokens
+
+
+def _fold_terms(terms: list[str]) -> list[str]:
+    """Apply the index tokenizer's case fold to caller query terms.
+
+    Postings are built from ``tokens()``, whose text goes through
+    ``fold_case`` — a raw 'Spark' (or İ-bearing) query term would
+    otherwise silently match nothing against an index that only holds
+    'spark' (review finding r13).  Order is preserved (phrase queries
+    are positional); callers that need de-duplication do it after the
+    fold so 'Spark'/'spark' collapse to one term."""
+    return [fold_case_py(t) for t in terms]
+
+
+def _postings_with_stats(
+    df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    postings: DataFrame | None,
+    corpus_stats: tuple[int, int] | None,
+    fn: str,
+) -> tuple[DataFrame, int, int]:
+    """Shared precondition dance for the BM25 rankers: resolve the
+    postings frame, refuse dl-less (pre-v2) layouts, and resolve
+    (n_docs, total_tokens) — from the corpus when given, else from the
+    caller's ``corpus_stats`` (a term-filtered postings frame cannot
+    reproduce corpus-level idf/length stats, so ``df=None`` without
+    stats refuses to guess).  One body, two callers (review finding
+    r13: the copies had already drifted)."""
+    p = postings if postings is not None else build_postings(df, text_col, id_col)
+    if "dl" not in p.columns:
+        raise ValueError(
+            f"{fn} needs postings with the denormalized 'dl' column "
+            "(layout postings-dl-v2+, written by build_postings / "
+            "append_postings_batch). A v1 index has no per-posting doc "
+            "length — rebuild it; joining a corpus-sized doc_lengths "
+            "table at query time is a 100 TB anti-pattern this module "
+            "refuses to reintroduce."
+        )
+    if df is None:
+        if corpus_stats is None:
+            raise ValueError(
+                f"{fn}: with df=None pass corpus_stats=(n_docs, "
+                "total_tokens) — a term-filtered postings frame cannot "
+                "reproduce corpus-level idf/length stats (record the two "
+                "numbers at index build time, e.g. in the _config "
+                "sidecar)."
+            )
+        n_docs, s_tok = int(corpus_stats[0]), int(corpus_stats[1])
+        if n_docs <= 0:
+            raise ValueError(f"{fn}: corpus_stats reports an empty corpus")
+    else:
+        stats = doc_lengths(df, text_col, id_col).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).head()
+        if not int(stats["n"]):
+            raise ValueError(f"{fn}: empty corpus — no documents to score")
+        n_docs, s_tok = int(stats["n"]), int(stats["s"])
+    return p, n_docs, s_tok
 
 
 def build_postings(
@@ -130,20 +189,32 @@ def append_postings_batch(
             "kind": "inverted-postings",
             "n_partitions": n_partitions,
             "tokenizer": "ws-lower-v1",
-            # layout v2: postings carry the denormalized doc length
-            # (dl). An index written by v1 has no dl column — scoring
-            # against it must fail loudly here, not NPE downstream.
-            "layout": "postings-dl-v2",
+            # layout v3: postings carry the denormalized doc length
+            # (dl, since v2) and the length-prefixed idempotency id
+            # (below). Appending to an older-layout index fails loudly
+            # here (ensure_index_config raises on any mismatch) instead
+            # of mixing id encodings.
+            "layout": "postings-dl-v3",
         },
     )
+    doc_s = F.col("doc_id").cast("string")
     p = (
         build_postings(batch, text_col, id_col)
         .withColumn("_tp", F.pmod(F.xxhash64("term"), F.lit(n_partitions)))
-        # unit-separator \x1f, not ':' — a ':' inside doc_id or term
-        # made distinct (doc_id, term) pairs collide and the anti-join
-        # silently dropped legitimate new postings (review finding)
+        # LENGTH-PREFIXED id: len(doc) ‖ \x1f ‖ doc ‖ term.  A bare
+        # separator is not enough — \x1f is not regex \s, so it can
+        # survive tokenization into a term AND appear in a string
+        # doc_id, recreating the ':' collision class the r12 fix
+        # targeted (doc 'd\x1fa' + term 'b' vs doc 'd' + term
+        # 'a\x1fb'); the length prefix delimits the doc part exactly,
+        # so distinct (doc_id, term) pairs can never collide and the
+        # idempotent anti-join never silently drops a posting (review
+        # finding r13).
         .withColumn(
-            "id", F.concat_ws("\x1f", F.col("doc_id"), F.col("term"))
+            "id",
+            F.concat(
+                F.length(doc_s).cast("string"), F.lit("\x1f"), doc_s, F.col("term")
+            ),
         )
     )
     return idempotent_append(
@@ -168,6 +239,7 @@ def read_postings(
 
     from spectraplex_spark.streaming.index_state import read_index_config
 
+    terms = _fold_terms(terms)
     cfg = read_index_config(spark, path)
     if cfg is None and _os.path.basename(path.rstrip("/")) == "postings":
         cfg = read_index_config(spark, _os.path.dirname(path.rstrip("/")))
@@ -207,7 +279,7 @@ def conjunctive_topk(
     ['spark','spark','join'] means {spark, join} — without the dedupe,
     count_distinct(term) could never reach len(terms) and the query
     would silently return zero rows."""
-    terms = list(dict.fromkeys(terms))
+    terms = list(dict.fromkeys(_fold_terms(terms)))
     p = (postings if postings is not None else build_postings(df, text_col, id_col))
     hits = p.filter(F.col("term").isin(terms))
     return (
@@ -241,6 +313,7 @@ def phrase_match(
     """
     if not phrase:
         raise ValueError("phrase must be non-empty")
+    phrase = _fold_terms(phrase)
     p = (postings if postings is not None else build_postings(df, text_col, id_col))
     acc = None
     for i, term in enumerate(phrase):
@@ -290,33 +363,18 @@ def bm25_topk_grid(
     of flipping a rank. Scale shape is identical to bm25_topk: narrow
     pass over the probed postings, one groupBy, TakeOrderedAndProject.
     """
-    terms = list(dict.fromkeys(terms))
-    p = (postings if postings is not None else build_postings(df, text_col, id_col))
-    if "dl" not in p.columns:
-        raise ValueError(
-            "bm25_topk_grid needs postings with the denormalized 'dl' "
-            "column (layout postings-dl-v2) — rebuild the index."
-        )
-    if df is None:
-        if corpus_stats is None:
-            raise ValueError(
-                "bm25_topk_grid: with df=None pass corpus_stats=(n_docs, "
-                "total_tokens) — a term-filtered postings frame cannot "
-                "reproduce corpus-level idf/length stats (see bm25_topk)."
-            )
-        n_docs, s_tok = int(corpus_stats[0]), int(corpus_stats[1])
-        if n_docs <= 0:
-            raise ValueError("bm25_topk_grid: corpus_stats reports an empty corpus")
-    else:
-        stats = doc_lengths(df, text_col, id_col).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).head()
-        if not int(stats["n"]):
-            raise ValueError("bm25_topk_grid: empty corpus — no documents to score")
-        n_docs, s_tok = int(stats["n"]), int(stats["s"])
+    terms = list(dict.fromkeys(_fold_terms(terms)))
+    p, n_docs, s_tok = _postings_with_stats(
+        df, text_col, id_col, postings, corpus_stats, "bm25_topk_grid"
+    )
     hits = p.filter(F.col("term").isin(terms))
+    # max(dl) rides in the same per-term aggregate — a separate
+    # hits.agg(max(dl)) action re-read the probed postings once more
+    # per query (review finding r13)
     tstats = hits.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df"), F.max("tf").alias("max_tf")
+        F.count_distinct("doc_id").alias("df"),
+        F.max("tf").alias("max_tf"),
+        F.max("dl").alias("max_dl"),
     ).collect()
     dfs = {r["term"]: int(r["df"]) for r in tstats}
     tf_max = {r["term"]: int(r["max_tf"]) for r in tstats}
@@ -335,9 +393,7 @@ def bm25_topk_grid(
     # rarest term with the commonest term's tf and spuriously rejects
     # healthy corpora — review finding), plus the DENOMINATOR, whose
     # 18*N*dl term the old guard ignored entirely.
-    max_dl = int(
-        hits.agg(F.max("dl").alias("m")).head()["m"] or 0
-    )
+    max_dl = max((int(r["max_dl"]) for r in tstats), default=0)
     worst_num = max(
         (idf_q[t] * 44 * s_tok * tf_max.get(t, 1) for t in terms), default=0
     )
@@ -394,44 +450,17 @@ def bm25_topk(
     one BM25 summand, not two). Float scores: the production ranking,
     pytest-verified against a Python reference; grading goes through
     the integer-grid contract oracle (``bm25_topk_grid``)."""
-    terms = list(dict.fromkeys(terms))
-    p = (postings if postings is not None else build_postings(df, text_col, id_col))
-    if "dl" not in p.columns:
-        raise ValueError(
-            "bm25_topk needs postings with the denormalized 'dl' column "
-            "(layout postings-dl-v2, written by build_postings / "
-            "append_postings_batch). A v1 index has no per-posting doc "
-            "length — rebuild it; joining a corpus-sized doc_lengths "
-            "table at query time is a 100 TB anti-pattern this module "
-            "refuses to reintroduce."
-        )
-    # Corpus stats (N, avgdl). From the corpus when given; with
-    # df=None they must arrive via corpus_stats=(n_docs, total_tokens):
-    # the documented probe composition hands in a TERM-FILTERED
-    # read_postings frame, whose distinct doc_ids are only the docs
-    # containing a query term — idf and length normalization computed
-    # from it are silently wrong (review finding), so this path refuses
-    # to guess.
-    if df is None:
-        if corpus_stats is None:
-            raise ValueError(
-                "bm25_topk: with df=None pass corpus_stats=(n_docs, "
-                "total_tokens) — a term-filtered postings frame cannot "
-                "reproduce corpus-level idf/avgdl (record the two "
-                "numbers at index build time, e.g. in the _config "
-                "sidecar)."
-            )
-        n_docs, s_tok = int(corpus_stats[0]), int(corpus_stats[1])
-        if n_docs <= 0:
-            raise ValueError("bm25_topk: corpus_stats reports an empty corpus")
-        avgdl = s_tok / n_docs
-    else:
-        stats = doc_lengths(df, text_col, id_col).agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        ).head()
-        if not int(stats["n"]):
-            raise ValueError("bm25_topk: empty corpus — no documents to score")
-        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    terms = list(dict.fromkeys(_fold_terms(terms)))
+    # Corpus stats (N, avgdl) resolve through the shared precondition
+    # helper (corpus aggregate when df is given, caller corpus_stats
+    # otherwise — a term-filtered postings frame cannot reproduce
+    # corpus-level idf/avgdl, so df=None without stats refuses to
+    # guess). avgdl = S/N is the same double division Spark's AVG
+    # performs (long sum / long count).
+    p, n_docs, s_tok = _postings_with_stats(
+        df, text_col, id_col, postings, corpus_stats, "bm25_topk"
+    )
+    avgdl = s_tok / n_docs
     hits = p.filter(F.col("term").isin(terms))
     dfs = {
         r["term"]: int(r["df"])

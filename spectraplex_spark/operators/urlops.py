@@ -77,10 +77,24 @@ def percent_decode_unreserved(s: Column) -> Column:
             | ((v >= 97) & (v <= 122))
             | v.isin(45, 46, 95, 126)  # - . _ ~
         )
-        ok = piece.rlike("^[0-9A-Fa-f]{2}") & unreserved
-        return F.when(
-            ok, F.concat(F.char(v), F.substring(piece, 3, 2147483647))
-        ).otherwise(F.concat(F.lit("%"), piece))
+        hexish = piece.rlike("^[0-9A-Fa-f]{2}")
+        ok = hexish & unreserved
+        return (
+            F.when(ok, F.concat(F.char(v), F.substring(piece, 3, 2147483647)))
+            # KEPT (reserved) escapes canonicalize their hex to upper
+            # case — RFC 3986 6.2.2.1 says escape hex is
+            # case-insensitive, so %2f and %2F must land in one dedup
+            # group (review finding r13)
+            .when(
+                hexish,
+                F.concat(
+                    F.lit("%"),
+                    F.upper(F.substring(piece, 1, 2)),
+                    F.substring(piece, 3, 2147483647),
+                ),
+            )
+            .otherwise(F.concat(F.lit("%"), piece))
+        )
 
     tail = F.transform(F.slice(parts, 2, F.size(parts) - 1), dec)
     return F.concat(F.get(parts, 0), F.array_join(tail, ""))
@@ -101,20 +115,26 @@ def canonicalize_url(url: Column) -> Column:
         rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
     ).otherwise(F.lit(""))
 
+    # userinfo is NOT part of the host: 'alice@example.com' must dedup
+    # and quota-group with 'example.com' (hosts cannot contain '@', so
+    # the greedy strip-to-last-@ is exact; review finding r13)
+    auth = F.regexp_replace(F.regexp_extract(hostpath, r"^([^/]*)", 1), r"^.*@", "")
     # fold_case, not bare lower(): a unicode host label containing İ
     # (U+0130) would otherwise canonicalize differently in Spark (full
     # case mapping) vs the DuckDB oracle (simple mapping).  The scheme
     # above stays bare lower() — its regex admits only ASCII.
-    host = fold_case(F.regexp_extract(hostpath, r"^([^/]*)", 1))
+    host = fold_case(auth)
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
     )
 
-    path = F.regexp_replace(hostpath, r"^[^/]*", "")
-    path = F.when(path == "", F.lit("/")).otherwise(
-        F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
-    )
+    # strip ALL trailing slashes, then restore the bare root: '/a//',
+    # '/a/' and '/a' are one resource and canon(canon(u)) == canon(u)
+    # (the old single-'/$' strip was non-idempotent on multi-slash
+    # tails; review finding r13)
+    path = F.regexp_replace(F.regexp_replace(hostpath, r"^[^/]*", ""), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
 
     kept = F.array_sort(
         F.filter(
@@ -162,16 +182,29 @@ def registered_domain(url: Column) -> Column:
     or last THREE when the host ends in a known two-label public
     suffix (``a.b.example.co.uk`` → ``example.co.uk``). The suffix set
     is the embedded ``PSL_MULTI_SUFFIXES`` subset — swap in the full
-    public-suffix list as a broadcast table for production."""
+    public-suffix list as a broadcast table for production.
+
+    Edge contracts (review findings r13): an EMPTY host (scheme-only
+    URLs like ``file:///x``) yields NULL — not ``''`` — so malformed
+    rows keep cap_per_domain's not-a-domain pass-through instead of
+    forming one shared quota group; an all-numeric host is an IP
+    address and is kept WHOLE (label arithmetic on ``93.184.216.34``
+    would merge unrelated IP-hosted sites under ``216.34``); a
+    trailing-dot FQDN (``example.com.``) drops the empty root label
+    first."""
     h = F.regexp_replace(url_host(url), r":[0-9]+$", "")
+    h = F.regexp_replace(h, r"\.$", "")  # FQDN root dot
     labels = F.split(h, r"\.")
     n = F.size(labels)
     sfxs = F.array(*[F.lit(s) for s in PSL_MULTI_SUFFIXES])
     on_public_sfx = F.exists(sfxs, lambda s: h.endswith(F.concat(F.lit("."), s)))
     take = F.when(on_public_sfx, F.lit(3)).otherwise(F.lit(2))
-    return F.when(
-        n >= take, F.concat_ws(".", F.slice(labels, n - take + 1, take))
-    ).otherwise(h)
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(h.rlike(r"^[0-9.]+$"), h)  # IPv4 (and digit-only hosts)
+        .when(n >= take, F.concat_ws(".", F.slice(labels, n - take + 1, take)))
+        .otherwise(h)
+    )
 
 
 def normalize_idn_host(host: Column) -> Column:
@@ -335,9 +368,18 @@ def cap_per_domain_scalable(
 
     grid = [float(2.0**-e) for e in range(41)]  # fractions 1 .. 2^-40
     hot_rows = scope.join(F.broadcast(hot.select("domain")), "domain", "left_semi")
+    # percentile_approx rank error is ~cnt/accuracy rows: at a fixed
+    # accuracy a hot-enough domain (cnt > safety*cap*accuracy) could
+    # under-keep below cap and trip the full-domain fallback — the
+    # exact one-task stall this function exists to avoid.  Scale the
+    # accuracy so the sketch error stays below the safety margin
+    # (memory is O(accuracy), ~125k at 1e9 rows/domain with defaults;
+    # review finding r13).
+    max_cnt = max(r["_cnt"] for r in hot_local)
+    eff_accuracy = max(accuracy, -(-int(max_cnt) // (safety * cap)))
     pcts = hot_rows.groupBy("domain").agg(
         F.percentile_approx(
-            F.col(order_col), F.array(*[F.lit(g) for g in grid]), accuracy
+            F.col(order_col), F.array(*[F.lit(g) for g in grid]), eff_accuracy
         ).alias("_p")
     )
     # e = largest exponent with 2^-e >= safety*cap/cnt (rounded DOWN,

@@ -4007,6 +4007,10 @@ _DUCK_DECODE = f"""pieces[1] || COALESCE(array_to_string(list_transform(pieces[2
                          OR {_DUCK_HEXVAL} BETWEEN 97 AND 122
                          OR {_DUCK_HEXVAL} IN (45, 46, 95, 126))
                THEN chr(CAST({_DUCK_HEXVAL} AS INTEGER)) || substr(p, 3)
+               -- kept (reserved) escapes canonicalize hex to UPPER case
+               -- (RFC 3986 6.2.2.1; review finding r13)
+               WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}')
+               THEN '%' || upper(substr(p, 1, 2)) || substr(p, 3)
                ELSE '%' || p END), ''), '')"""
 
 _DUCK_CANON_CTES = f"""
@@ -4025,12 +4029,15 @@ _DUCK_CANON_CTES = f"""
              CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
                   WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
                   ELSE h END AS host,
-             CASE WHEN p = '' THEN '/'
-                  WHEN p <> '/' THEN regexp_replace(p, '/$', '')
-                  ELSE p END AS path,
+             -- strip ALL trailing slashes then restore the bare root
+             -- (idempotent canon; review finding r13)
+             CASE WHEN regexp_replace(p, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(p, '/+$', '') END AS path,
              query
            FROM (SELECT doc_id, scheme,
-                        regexp_replace(lower(regexp_extract(hostpath, '^([^/]*)', 1)), '^www\\.', '') AS h,
+                        -- userinfo stripped before the case fold
+                        -- (review finding r13)
+                        regexp_replace(lower(regexp_replace(regexp_extract(hostpath, '^([^/]*)', 1), '^.*@', '')), '^www\\.', '') AS h,
                         regexp_replace(hostpath, '^[^/]*', '') AS p,
                         query
                  FROM s2)),

@@ -113,6 +113,22 @@ CHANGED_CODE_REGRADES: set[str] = {
     #   - pack_documents_scalable NULL-token guard (r12 ADVICE low): the
     #     scalable twin only; the plain graded path is untouched and
     #     corpus_pack_assignment regrades anyway.
+    #   - urlops + retrieval review fixes (r13 pass #2): canonical-URL
+    #     edge contracts (multi-slash idempotent strip, userinfo strip,
+    #     reserved-escape hex uppercasing — mirrored in _DUCK_DECODE /
+    #     _DUCK_CANON_CTES; empty-host→NULL / IP-host / FQDN-dot
+    #     registered_domain), query-term fold_case at every postings
+    #     probe, length-prefixed posting ids (layout postings-dl-v3),
+    #     hot-count-scaled percentile accuracy.  Byte-identity of every
+    #     affected graded entry verified EMPIRICALLY against a
+    #     pre-change snapshot of oracle+Spark outputs at BOTH SFs
+    #     (url_canonical_dedup, domain_cap_sample/scalable,
+    #     web_curation_pipeline, bm25_ranked_topk,
+    #     index_conjunctive_topk, index_phrase_search,
+    #     hybrid_rrf_fusion, curation_run_e2e — 18/18 identical);
+    #     fixtures contain none of the edge patterns, and
+    #     domain_cap_scalable + hybrid_rrf_fusion regrade in-window
+    #     this round regardless.
 }
 
 

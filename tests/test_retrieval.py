@@ -313,6 +313,43 @@ def test_append_id_separator_no_collisions(spark, tmp_path):
     assert {(r["doc_id"], r["term"]) for r in got} == {("a:b", "c"), ("a", "b:c")}
 
 
+def test_query_terms_fold_like_the_index_tokenizer(spark):
+    """Postings hold fold_case'd terms; raw 'Spark' (or İ-bearing)
+    query terms must match them instead of silently returning nothing
+    (review finding r13). Duplicates collapse AFTER the fold."""
+    from spectraplex_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_grid,
+        conjunctive_topk,
+        phrase_match,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "spark reads fast"), (3, "İstanbul data")],
+        "doc_id long, text string",
+    )
+    assert [r["doc_id"] for r in conjunctive_topk(df, ["Spark", "SPARK"]).collect()] == [1, 2]
+    assert {r["doc_id"] for r in phrase_match(df, ["Spark", "Joins"]).collect()} == {1}
+    assert {r["doc_id"] for r in phrase_match(df, ["İstanbul", "data"]).collect()} == {3}
+    assert [r["doc_id"] for r in bm25_topk(df, ["JOINS"], k=3).collect()] == [1]
+    assert [r["doc_id"] for r in bm25_topk_grid(df, ["JOINS"], k=3).collect()] == [1]
+
+
+def test_append_id_unit_separator_no_collisions(spark, tmp_path):
+    """\\x1f is not regex \\s, so it can survive tokenization into a
+    term and appear in a string doc_id — the length-prefixed id must
+    keep such (doc_id, term) pairs distinct (review finding r13)."""
+    from spectraplex_spark.operators.retrieval import append_postings_batch
+
+    idx = str(tmp_path / "idx")
+    df1 = spark.createDataFrame([("d\x1fa", "b")], "doc_id string, text string")
+    df2 = spark.createDataFrame([("d", "a\x1fb")], "doc_id string, text string")
+    assert append_postings_batch(df1, idx, n_partitions=4) == 1
+    assert append_postings_batch(df2, idx, n_partitions=4) == 1  # not dropped
+    got = spark.read.parquet(f"{idx}/postings").select("doc_id", "term").collect()
+    assert {(r["doc_id"], r["term"]) for r in got} == {("d\x1fa", "b"), ("d", "a\x1fb")}
+
+
 def test_empty_corpus_bm25_raises_loudly(spark):
     import pytest as _pytest
 

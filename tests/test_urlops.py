@@ -34,6 +34,16 @@ CANON_CASES = [
     ("https://example.com/a%2Fb", "https://example.com/a%2Fb"),
     ("https://example.com/x%G1y%", "https://example.com/x%G1y%"),
     ("https://example.com/a%%41", "https://example.com/a%A"),
+    # r13 review findings:
+    # kept (reserved) escape hex canonicalizes to UPPER case — %2f and
+    # %2F spellings of one URL must land in the same dedup group
+    ("https://example.com/a%2fb", "https://example.com/a%2Fb"),
+    # multi-slash tails strip idempotently (canon(canon(u)) == canon(u))
+    ("http://example.com/a//", "http://example.com/a"),
+    ("http://example.com//", "http://example.com/"),
+    # userinfo is not part of the host
+    ("https://alice@example.com/x", "https://example.com/x"),
+    ("https://alice:pw@www.Example.com/x", "https://example.com/x"),
 ]
 
 
@@ -56,6 +66,14 @@ def test_host_and_registered_domain(spark):
         ("https://a.b.example.co.uk/x", "a.b.example.co.uk", "example.co.uk"),
         ("https://shop.com.au/", "shop.com.au", "shop.com.au"),
         ("https://co.uk/x", "co.uk", "co.uk"),  # bare public suffix: degenerate, kept whole
+        # r13 review findings: IP hosts keep the WHOLE address (label
+        # arithmetic would merge unrelated sites under 'last.two'),
+        # FQDN trailing dots drop, empty hosts are NULL (not ''), and
+        # userinfo never reaches the domain
+        ("http://93.184.216.34/x", "93.184.216.34", "93.184.216.34"),
+        ("http://example.com./", "example.com.", "example.com"),
+        ("file:///etc/passwd", "", None),
+        ("https://alice@example.com/x", "example.com", "example.com"),
     ]
     df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], ["i", "url"])
     rows = df.select(

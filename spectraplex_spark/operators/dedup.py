@@ -112,14 +112,26 @@ def shingle_hashes(text_col, n: int = 3):
     return F.array_distinct(F.when(F.size(th) >= n, windowed).otherwise(whole))
 
 
+def perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """The (a, b) affine-permutation family behind minhash_signature
+    (golden-ratio / Murmur mixing constants) — THE single definition;
+    estimators.minhash_error_report grades exactly this family by
+    importing it from here (review finding r13: a copy-pasted twin
+    could silently drift from the production signatures)."""
+    return [
+        ((0x9E3779B9 * (j + 1)) % _P | 1, (0x85EBCA6B * (j + 1)) % _P)
+        for j in range(num_hashes)
+    ]
+
+
 def minhash_signature(hash_col, num_hashes: int = 32):
     """Array of `num_hashes` minhash values over HASHED shingles
     (see shingle_hashes).
 
     h_i(x) = (a_i * x + b_i) mod P; coefficients derive deterministically
-    from the hash index, so signatures are reproducible on any executor
-    with no broadcast state. x, a_i < 2^31 keeps a*x+b within a long
-    under ANSI arithmetic (Spark 4 throws on overflow).
+    from the hash index (perm_constants), so signatures are reproducible
+    on any executor with no broadcast state. x, a_i < 2^31 keeps a*x+b
+    within a long under ANSI arithmetic (Spark 4 throws on overflow).
     """
 
     def one_hash(a: int, b: int):
@@ -129,12 +141,7 @@ def minhash_signature(hash_col, num_hashes: int = 32):
             F.transform(hash_col, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
         )
 
-    return F.array(
-        *[
-            one_hash((0x9E3779B9 * (i + 1)) % _P | 1, (0x85EBCA6B * (i + 1)) % _P)
-            for i in range(num_hashes)
-        ]
-    )
+    return F.array(*[one_hash(a, b) for a, b in perm_constants(num_hashes)])
 
 
 def band_keys(sig_col, num_hashes: int, bands: int):

@@ -70,13 +70,10 @@ def _shingle_hashes_from(th, n: int = 3):
     return F.array_distinct(F.when(F.size(th) >= n, windowed).otherwise(whole))
 
 
-def perm_constants(num_hashes: int) -> list[tuple[int, int]]:
-    """The (a, b) affine-permutation family shared with
-    dedup.minhash_signature (golden-ratio / Murmur mixing constants)."""
-    return [
-        ((0x9E3779B9 * (j + 1)) % _P | 1, (0x85EBCA6B * (j + 1)) % _P)
-        for j in range(num_hashes)
-    ]
+# Re-exported from dedup (the single definition the production
+# signatures use) so the error report can never grade a drifted copy
+# of the permutation family (review finding r13).
+from spectraplex_spark.operators.dedup import perm_constants  # noqa: E402,F401
 
 
 def minhash_error_report(
@@ -150,8 +147,20 @@ def minhash_error_report(
             n_a.alias("n_a"),
             n_b.alias("n_b"),
             inter.alias("_inter"),
-            (n_a + n_b - inter).alias("_union"),
             matches.alias("_matches"),
+        )
+        # _union derives from the MATERIALIZED _inter column in a
+        # second projection — spelling the intersect expression twice
+        # in one select ran the O(n_a+n_b) set op twice per row, the
+        # exact no-CSE trap the staging comment above describes
+        # (review finding r13)
+        .select(
+            F.col(id_col),
+            "n_a",
+            "n_b",
+            "_inter",
+            "_matches",
+            (F.col("n_a") + F.col("n_b") - F.col("_inter")).alias("_union"),
         )
         .select(
             id_col,

@@ -45,17 +45,28 @@ def _norm(a):
     )
 
 
+def _safe_cos(num, den):
+    """Cosine with the zero-norm guard: den == 0 (a zero corpus OR
+    query vector) yields NULL — cosine is undefined there, Spark 4's
+    ANSI mode otherwise ABORTS the whole job with DIVIDE_BY_ZERO even
+    for double division (empirically reproduced, review finding r13),
+    and NULL matches the numpy paths' NaN→Arrow-null, which sorts last
+    under every desc ranking and fails every >= threshold filter."""
+    return F.when(den != 0.0, num / den)
+
+
 def cosine_scores(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
     """Attach cosine similarity vs a (broadcast-literal) query vector.
 
     The query vector rides into every task as a literal array — the
     degenerate broadcast join. Elements are cast to double before any
     arithmetic so accumulation is IEEE-double deterministic left-to-right.
+    Zero-norm rows (or a zero query) get NULL cosine (see _safe_cos).
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    cos = _dot(v, q) / (_norm(v) * F.lit(qnorm))
+    cos = _safe_cos(_dot(v, q), _norm(v) * F.lit(qnorm))
     return df.withColumn("cosine", cos)
 
 
@@ -175,6 +186,12 @@ def fit_ivf_centroids(
     total = df.count()
     frac = min(1.0, sample_size / max(total, 1))
     rows = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    if not rows:  # loud seam, not np.stack's 'need at least one array'
+        raise ValueError(
+            "fit_ivf_centroids: empty training frame — cannot fit "
+            "centroids (the fit_pq_codebooks guard, IVF edition; "
+            "review finding r13)"
+        )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -272,12 +289,17 @@ def write_ivf_index(
     probe the index from storage alone via :func:`read_ivf_index` —
     without this, the float fit only lived in the building process's
     memory (the r9 fit-once discipline, float-family edition)."""
+    from spectraplex_spark.operators.pq import _array_sha
     from spectraplex_spark.streaming.index_state import ensure_index_config
 
     cent = np.asarray(centroids, dtype=np.float64)
-    ivf_assign(df, cent, vec_col, cluster_col).write.mode("overwrite").partitionBy(
-        cluster_col
-    ).parquet(f"{path}/rows")
+    # Config FIRST (the write_ivfpq_index ordering, review finding r13):
+    # validating after the rows write would leave new-fit rows under the
+    # old _config/_centroids when a rebuild with different parameters
+    # raises — a torn index that silently probes wrong.  Then the
+    # centroids, then the rows: a crash mid-sequence leaves config+fit
+    # consistent with each other and at worst stale rows, never rows
+    # assigned under a fit the sidecar doesn't describe.
     ensure_index_config(
         df.sparkSession,
         path,
@@ -287,6 +309,9 @@ def write_ivf_index(
             "dim": int(cent.shape[1]),
             "vec_col": vec_col,
             "cluster_col": cluster_col,
+            # content pin: lets probes validate EXPLICIT centroids
+            # against the fit the rows were assigned under
+            "centroid_sha": _array_sha(cent),
         },
     )
     spark = df.sparkSession
@@ -294,6 +319,9 @@ def write_ivf_index(
     spark.createDataFrame(rows, "cluster_id int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/_centroids")
+    ivf_assign(df, cent, vec_col, cluster_col).write.mode("overwrite").partitionBy(
+        cluster_col
+    ).parquet(f"{path}/rows")
 
 
 def read_ivf_index(spark, path: str) -> tuple[np.ndarray, dict[str, str]]:
@@ -330,9 +358,33 @@ def ivf_topk_indexed(
     partition column, so the scan never touches unprobed clusters'
     files. This is the query-time half of write_ivf_index. Pass
     ``centroids=None`` to load the persisted fit from the index itself
-    (read_ivf_index) — a fresh session needs no in-memory state."""
+    (read_ivf_index) — a fresh session needs no in-memory state.
+    EXPLICIT centroids are validated against the sidecar's content pin
+    (centroid_sha): stale in-memory centroids from a superseded fit
+    would otherwise silently probe a partition layout assigned under a
+    different model (review finding r13; the ivfpq_topk discipline).
+    Pre-sha indexes (no ``centroid_sha`` key) only shape-check."""
     if centroids is None:
         centroids, _ = read_ivf_index(spark, path)
+    else:
+        from spectraplex_spark.operators.pq import _array_sha
+        from spectraplex_spark.streaming.index_state import read_index_config
+
+        cfg = read_index_config(spark, path) or {}
+        cent = np.asarray(centroids, dtype=np.float64)
+        if "k" in cfg and int(cfg["k"]) != int(cent.shape[0]):
+            raise ValueError(
+                f"ivf_topk_indexed: {cent.shape[0]} centroids passed but "
+                f"the index at {path!r} was built with k={cfg['k']}"
+            )
+        want = cfg.get("centroid_sha")
+        if want is not None and _array_sha(cent) != want:
+            raise ValueError(
+                f"ivf_topk_indexed: the passed centroids do not match the "
+                f"fit the index at {path!r} was assigned under "
+                f"(centroid_sha mismatch) — reload them with "
+                "read_ivf_index or rebuild the index."
+            )
     # np.array(..., copy): asarray ALIASES a caller-owned float64
     # ndarray, and the in-place /= would silently rescale the
     # caller's vector (review finding)
@@ -431,7 +483,7 @@ def cosine_pairs_bucketed(
     sigd.unpersist()
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     side = df.select(F.col(id_col), v.alias("_v"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _safe_cos(_dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb")))
     return (
         cands.join(side.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va")), "id_a")
         .join(side.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb")), "id_b")
@@ -459,7 +511,7 @@ def cosine_pairs(
     side = df.select(F.col(id_col), v.alias("_v"))
     a = side.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"))
     b = side.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _safe_cos(_dot(F.col("va"), F.col("vb")), _norm(F.col("va")) * _norm(F.col("vb")))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -623,9 +675,9 @@ def knn_join(
         ).select(
             F.col("_q.query_id").alias("query_id"),
             "corpus_id",
-            (_dot(F.col("_v"), F.col("_q.qv")) / (F.col("_vn") * F.col("_q.qn"))).alias(
-                "score"
-            ),
+            _safe_cos(
+                _dot(F.col("_v"), F.col("_q.qv")), F.col("_vn") * F.col("_q.qn")
+            ).alias("score"),
         )
         # stage 1: per-partition top-k via a STREAMING Arrow heap —
         # scores are computed JVM-side by the deterministic expression
@@ -777,9 +829,15 @@ def ivf_recall_report(
     corpus scans, so a model fit once and probed many times turns each
     report into two narrow passes (assignment + scoring). ``n_centroids``
     and ``iters`` are ignored when ``cents`` is given. Pass
-    ``assignments`` too when the cluster-partitioned layout is already
-    materialized (write_ivf_index); otherwise they are recomputed from
-    ``cents`` in one zero-shuffle expression pass.
+    ``assignments`` too when a ``cluster_id`` assignment table from the
+    SAME integer-kmeans fit is already materialized (the
+    kmeans_assign/ivf_persisted_recall layout); otherwise they are
+    recomputed from ``cents`` in one zero-shuffle expression pass.
+    NB this is the INTEGER-kmeans family: rows written by the float
+    write_ivf_index (column ``ivf_cluster``, a different fit) are NOT
+    interchangeable — mixing the two models would make every recall
+    number meaningless (review finding r13; the old docstring wrongly
+    pointed here).
 
     The IVF here is built on the integer-exact k-means
     (clustering.kmeans_fit_predict — bit-reproducible trajectory), so
@@ -788,7 +846,10 @@ def ivf_recall_report(
     rankings use cosine over the quantized integer grid, where dot and
     norms are exact BIGINTs and the final score is CAST/sqrt/divide —
     correctly-rounded single scalar ops (the knn_join_topk_arrow
-    precedent). recall_q = hits · (1e6/k) is an exact integer.
+    precedent). recall_q = hits · (1e6/k) is an exact integer — k must
+    divide 1,000,000 (guarded: a silent floor at e.g. k=3 would report
+    999,999 for perfect recall and bias every rollup low; review
+    finding r13).
 
     Scale shape: one bounded q_count×dim query collect (the
     max_query_batch contract) + the k-means fit; scoring is a narrow
@@ -796,6 +857,12 @@ def ivf_recall_report(
     join, no query-side shuffle); the two rank windows shuffle
     (query_id, cosine, id) triples only. Returns
     (query_id, hits, recall_q) — one row per query."""
+    if 1_000_000 % k != 0:
+        raise ValueError(
+            f"ivf_recall_report: k={k} does not divide 1,000,000 — "
+            "recall_q would silently floor (999999 for perfect recall "
+            "at k=3); pick a k on the 1e6 grid."
+        )
     from pyspark.sql import Window
 
     from spectraplex_spark.operators.clustering import (
@@ -873,8 +940,9 @@ def ivf_recall_report(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    cos = dot.cast("double") / (
-        F.sqrt(vn.cast("double")) * F.sqrt(nmap[F.col("query_id")].cast("double"))
+    cos = _safe_cos(
+        dot.cast("double"),
+        F.sqrt(vn.cast("double")) * F.sqrt(nmap[F.col("query_id")].cast("double")),
     )
     scored = base.select("query_id", "_vid", "cluster_id", cos.alias("_cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("_vid"))

@@ -129,6 +129,17 @@ CHANGED_CODE_REGRADES: set[str] = {
     #     fixtures contain none of the edge patterns, and
     #     domain_cap_scalable + hybrid_rrf_fusion regrade in-window
     #     this round regardless.
+    #   - ANN/minhash review fixes (r13 pass #3): zero-norm cosine guard
+    #     (_safe_cos — Spark 4 ANSI aborted the whole job on a single
+    #     zero-norm embedding, empirically reproduced; NULL now matches
+    #     the numpy paths), write_ivf_index config-first ordering +
+    #     centroid_sha content pin, fit/recall guards, estimators
+    #     intersect staging, perm_constants unified into dedup.py.
+    #     All guard/plan-staging changes: no fixture embedding has a
+    #     zero norm (scanned all SFs), dual-SF parity green on the 19
+    #     affected entries, and simsearch_cosine_topk +
+    #     ivf_persisted_recall + minhash_neardup_pairs regrade
+    #     in-window this round regardless.
 }
 
 

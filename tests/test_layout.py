@@ -458,6 +458,46 @@ def test_ivf_index_probes_from_storage_alone(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="_config"):
         read_ivf_index(spark, str(tmp_path / "nope"))
+    # r13 review findings: explicit centroids validate against the
+    # sidecar's content pin — a superseded in-memory fit must fail
+    # loudly instead of silently probing a foreign partition layout
+    stale = np.asarray(cent, dtype=np.float64).copy()
+    stale[0, 0] += 1.0
+    with pytest.raises(ValueError, match="centroid_sha"):
+        ivf_topk_indexed(spark, path, qvec, stale, k=10, n_probe=3)
+    with pytest.raises(ValueError, match="k="):
+        ivf_topk_indexed(spark, path, qvec, stale[:4], k=10, n_probe=3)
+    # and a parameter-mismatched REBUILD refuses before touching rows/
+    # (config-first ordering): the stored layout stays consistent
+    cent16 = fit_ivf_centroids(em, n_centroids=4, seed=7)
+    with pytest.raises(ValueError):
+        write_ivf_index(em, path, cent16)
+    stored2, _ = read_ivf_index(spark, path)
+    assert np.array_equal(stored2, np.asarray(cent, dtype=np.float64))
+    assert [tuple(r) for r in ivf_topk_indexed(
+        spark, path, qvec, k=10, n_probe=3
+    ).collect()] == [tuple(r) for r in with_mem.collect()]
+
+
+def test_cosine_zero_norm_rows_never_crash_or_rank(spark):
+    """Spark 4 ANSI aborts double division by zero: a single zero-norm
+    embedding (or a zero query) used to kill cosine_topk/cosine_pairs
+    with DIVIDE_BY_ZERO (empirically reproduced, r13 review). The
+    guarded cosine yields NULL — sorts last, fails every threshold."""
+    from spectraplex_spark.operators.simsearch import cosine_pairs, cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in rows] == [1, 3, 2]
+    assert rows[-1]["cosine"] is None  # undefined, never a real score
+    pairs = cosine_pairs(df, threshold=-1.0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+    # zero QUERY vector: every cosine undefined, nothing ranks above NULL
+    rows = cosine_topk(df.filter("vec_id != 2"), [0.0, 0.0], k=2).collect()
+    assert all(r["cosine"] is None for r in rows)
 
 
 def test_ivfpq_index_probes_from_storage_alone(spark, tmp_path):

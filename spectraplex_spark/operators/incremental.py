@@ -74,9 +74,16 @@ def _read_pointer(state_path: str) -> tuple[str, int] | None:
 
 
 def _swap_pointer(state_path: str, batch_id: int) -> None:
-    """Atomic pointer swap: tmp + fsync + rename (the merge.py WAL
-    discipline). The rename is the single commit point."""
+    """Atomic pointer swap: tmp + fsync + rename + DIRECTORY fsync (the
+    commit.py WAL discipline, all four steps). The rename is the single
+    commit point; the directory fsync makes it DURABLE — without it the
+    rename and the vacuum's unlink of the superseded version dir are
+    independently reorderable on power loss, and the surviving pointer
+    could name a directory the vacuum already deleted (review finding
+    r13; commit.py's _fsync_dir exists for exactly this)."""
     import os
+
+    from spectraplex_spark.sources.commit import _fsync_dir
 
     tmp = _pointer_path(state_path) + ".tmp"
     with open(tmp, "w") as fh:
@@ -84,6 +91,7 @@ def _swap_pointer(state_path: str, batch_id: int) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, _pointer_path(state_path))
+    _fsync_dir(state_path)
 
 
 def read_rollup_state(spark, state_path: str) -> DataFrame:

@@ -296,14 +296,40 @@ def committed_epoch_files(
     """Union of committed epochs' file lists (rel path -> size).
     ``as_of_epoch=N`` stops after epoch N — the table as it stood at
     that commit (epochs are append-only, so old snapshots stay
-    readable: time travel for free)."""
+    readable: time travel for free).
+
+    ``as_of_epoch`` is VALIDATED (review finding r13, the
+    read_epoch_changes rule): a number past the newest committed epoch
+    used to silently return the full current table — masking corrupted
+    consumer bookkeeping as a successful time-travel read — and a
+    number inside a squashed range now names the re-baseline remedy
+    instead of failing downstream with 'lists no files'."""
     out: dict[str, int] = {}
+    seen: list[int] = []
     for p in _epoch_paths(table_dir):
         with open(p) as fh:
             m = json.load(fh)
         if as_of_epoch is not None and m["epoch"] > as_of_epoch:
+            lo = m.get("squashed_from", m["epoch"])
+            if lo <= as_of_epoch:  # as-of falls INSIDE a squashed range
+                raise TableInconsistentError(
+                    f"{table_dir}: epochs [{lo}, {m['epoch']}] were "
+                    f"squashed into one manifest — the as-of-"
+                    f"{as_of_epoch} snapshot is retired; re-baseline the "
+                    f"consumer from epoch {m['epoch']}"
+                )
             break
+        seen.append(m["epoch"])
         out.update(m["files"])
+    else:  # no break: every manifest is <= as_of_epoch (or no bound)
+        if as_of_epoch is not None and (not seen or max(seen) < as_of_epoch):
+            newest = max(seen) if seen else None
+            raise TableInconsistentError(
+                f"{table_dir}: requested snapshot as of epoch "
+                f"{as_of_epoch} but the newest committed epoch is "
+                f"{newest} — a silent full-table read would mask the "
+                "caller's bookkeeping bug"
+            )
     return out
 
 

@@ -167,6 +167,29 @@ def _target_exists(spark: SparkSession, path: str) -> bool:
     # batch as full duplicates with no error anywhere (review finding).
 
 
+def _existing_partition_layout(path: str) -> tuple[str, ...]:
+    """The ordered partition-column chain of a table's on-disk Hive
+    layout, read from the first ``name=value`` directory path (every
+    branch of a valid layout carries the same chain)."""
+    import os
+    from urllib.parse import unquote
+
+    cols: list[str] = []
+    cur = path
+    while True:
+        subs = sorted(
+            d
+            for d in os.listdir(cur)
+            if "=" in d
+            and not d.startswith(("_", "."))
+            and os.path.isdir(os.path.join(cur, d))
+        )
+        if not subs:
+            return tuple(cols)
+        cols.append(unquote(subs[0].split("=", 1)[0]))
+        cur = os.path.join(cur, subs[0])
+
+
 def idempotent_append(
     df: DataFrame,
     path: str,
@@ -223,6 +246,22 @@ def idempotent_append(
                 f"batch {batch.schema.simpleString()} vs table "
                 f"{existing.schema.simpleString()}; appending would fork "
                 "the parquet schema silently"
+            )
+        # LAYOUT GUARD (review finding r13): the schema guard cannot see
+        # partition-by drift — a flat append into a partitioned table
+        # (or vice versa, or a re-ordered nesting) has an identical
+        # name+type set, but the files land at the wrong directory
+        # depth and every later read fails with 'Conflicting directory
+        # structures detected' AFTER the batch committed.  Compare the
+        # call's partition_by with the name=value chain actually on
+        # disk, in order.
+        layout = _existing_partition_layout(path)
+        if layout != tuple(partition_by):
+            raise TableInconsistentError(
+                f"{path}: table is partitioned by {list(layout)} on disk "
+                f"but the append asked for partition_by="
+                f"{list(partition_by)} — the batch would land at the "
+                "wrong directory depth and break every later read"
             )
         if scope is not None:
             existing = existing.filter(scope)

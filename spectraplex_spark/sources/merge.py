@@ -87,10 +87,31 @@ def _inference_safe(text: str) -> bool:
     import re
 
     if re.fullmatch(r"[+-]?\d+", text):
+        if len(text.lstrip("+-")) > 38:
+            # exceeds DECIMAL(38): Spark falls through to DOUBLE and the
+            # value reads back as '1e+41'-style scientific notation —
+            # permanent lexical drift (review finding r13, verified on
+            # Spark 4.1.2)
+            return False
         try:
             return str(int(text)) == text
         except ValueError:  # pragma: no cover - astronomically long digits
             return False
+    # DATE / TIMESTAMP inference (review finding r13): Spark also tries
+    # both on partition values.  The drift class, pinned by a probe
+    # matrix on Spark 4.1.2 (BASELINE.md r13): a padded timestamp with
+    # a SINGLE-digit fraction infers as TIMESTAMP and its read-back
+    # str() emits 6-digit microseconds ('...56.5' → '...56.500000',
+    # '...56.0' → '...56') — permanent lexical drift.  Everything else
+    # date/timestamp-shaped either round-trips (padded dates,
+    # seconds-precision timestamps) or is NOT inferred at all and
+    # survives as the identical string (probed: '2024-1-1', 2+-digit
+    # fractions incl. '.500000'/'.000000', 'T' separator, no-seconds,
+    # unpadded hour, leading/trailing whitespace, invalid months).
+    m = re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.(\d+))?", text)
+    if m:
+        frac = m.group(2)
+        return frac is None or len(frac) != 1
     # Spark's fallback is Double.parseDouble, which ALSO accepts
     # exponent-only forms without a dot ('1e5' → 100000.0) and the
     # Infinity/NaN spellings — all of which drift on read-back, so they
@@ -123,6 +144,9 @@ def _inference_safe(text: str) -> bool:
     # and survives as the identical string.
     trimmed = re.sub(r"^[\x00-\x20]+|[\x00-\x20]+$", "", text)
     if trimmed != text:
+        # (date/timestamp inference does NOT trim — probed: a
+        # whitespace-wrapped date survives as the identical string —
+        # so only the parseDouble trim matters here)
         return not java_double_parses(trimmed)
     if re.fullmatch(r"[+-]?(Infinity|NaN)", text):
         return False  # reads back as Infinity/NaN, not the string
@@ -195,21 +219,37 @@ def merge_upsert(
     # re-executes the (possibly non-deterministic) lineage, and the
     # batch the guards validated need not be the batch that merges.
     updates = updates.persist()
+    # try/finally, not hand-enumerated unpersists: any exception path
+    # (unreadable target, failed staged write, OSError mid-swap) must
+    # release the cached batch too (review finding r13).
+    try:
+        return _merge_upsert_impl(
+            spark, target_path, updates, key_col, partition_col, probe_moved_keys
+        )
+    finally:
+        updates.unpersist()
+
+
+def _merge_upsert_impl(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str | None,
+    probe_moved_keys: bool,
+) -> dict[str, int]:
     ops = updates.select(F.col(OP_COL)).distinct().collect()
     bad = [r[0] for r in ops if r[0] not in ("upsert", "delete")]
     if bad:
-        updates.unpersist()
         raise ValueError(f"unknown _op values {bad!r}: use 'upsert' or 'delete'")
     n_updates = updates.count()
     if updates.select(key_col).distinct().count() != n_updates:
-        updates.unpersist()
         raise ValueError(
             "updates batch has duplicate keys — which payload wins would "
             "be arbitrary; pre-aggregate to one row per key (e.g. latest "
             "by a CDC sequence column) before merging."
         )
     if updates.filter(F.col(key_col).isNull()).count():
-        updates.unpersist()
         raise ValueError(
             "updates batch carries a NULL merge key: the anti-join never "
             "matches NULL (a null-key upsert would duplicate, a null-key "
@@ -217,6 +257,28 @@ def merge_upsert(
         )
     target = spark.read.parquet(target_path)
     upserts = updates.filter(F.col(OP_COL) == "upsert").drop(OP_COL)
+    # Schema guard (review finding r13, the idempotent_append rule for
+    # the REWRITE path): unionByName silently coerces mismatched column
+    # types (long+double → double; long+string → bigint with
+    # unparseable payloads becoming NULL — verified on Spark 4.1.2), so
+    # a drifted updates batch would rewrite the affected partitions
+    # under a forked parquet schema and corrupt later whole-table reads.
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    upd_types = {f.name: f.dataType for f in upserts.schema.fields}
+    if tgt_types != upd_types:
+        diffs = sorted(set(tgt_types) | set(upd_types))
+        detail = ", ".join(
+            f"{c}: target={tgt_types.get(c, '<absent>')} "
+            f"updates={upd_types.get(c, '<absent>')}"
+            for c in diffs
+            if tgt_types.get(c) != upd_types.get(c)
+        )
+        raise TableInconsistentError(
+            f"{target_path}: updates schema does not match the target "
+            f"({detail}) — unionByName would silently coerce and fork "
+            "the table's parquet schema across partitions; cast the "
+            "updates batch to the target schema first."
+        )
     n_up = upserts.count()
     n_del = n_updates - n_up
 
@@ -234,7 +296,6 @@ def merge_upsert(
                 continue
             text = unquote(d[len(prefix):])
             if text != _HIVE_NULL_PART and not _inference_safe(text):
-                updates.unpersist()
                 raise TableInconsistentError(
                     f"{target_path}: partition directory {d!r} holds a "
                     f"value ({text!r}) that Spark's partition-type "
@@ -292,17 +353,47 @@ def merge_upsert(
         writer = writer.partitionBy(partition_col)
     writer.parquet(staged)
     if partition_col is not None:
+        prefix = f"{_escape_path_name(partition_col)}="
+
+        def _has_parquet(d: str) -> bool:
+            return os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)
+            )
+
+        # A merge that deletes the table's LAST row leaves zero data
+        # files — an UNREADABLE dataset (UNABLE_TO_INFER_SCHEMA;
+        # hypothesis-caught r12).  The keep-footer (one empty
+        # schema-bearing file in the first affected partition) is
+        # staged HERE, before the intent record, so it rides the
+        # normal rewrite swap — which also makes recover_merge's
+        # partition-mode replay reproduce it (review finding r13: the
+        # old post-swap footer was invisible to recovery, so a crash
+        # between the swap loop and the footer write recovered into
+        # the unreadable zero-file state and committed it).
+        table_will_empty = not any(
+            _has_parquet(os.path.join(staged, d))
+            for d in os.listdir(staged)
+            if d.startswith(prefix)
+        ) and not any(
+            _has_parquet(os.path.join(target_path, d))
+            for d in os.listdir(target_path)
+            if d.startswith(prefix) and d not in set(affected_dirs)
+        )
+        if table_will_empty:
+            spark.createDataFrame(
+                [], scoped_target.drop(partition_col).schema
+            ).repartition(1).write.mode("overwrite").parquet(
+                os.path.join(staged, affected_dirs[0])
+            )
         # every directory Spark actually wrote must be one we predicted
         # — an escaping mismatch here would make the swap silently skip
         # real data, so it fails loudly instead
-        prefix = f"{_escape_path_name(partition_col)}="
         staged_parts = sorted(
             d for d in os.listdir(staged) if d.startswith(prefix)
         )
         unexpected = [d for d in staged_parts if d not in set(affected_dirs)]
         if unexpected:
             shutil.rmtree(staged)
-            updates.unpersist()
             raise TableInconsistentError(
                 f"staged partition dirs {unexpected!r} don't match the "
                 f"predicted escaped names {affected_dirs!r} — partition-"
@@ -324,7 +415,6 @@ def merge_upsert(
         )
         if missing:
             shutil.rmtree(staged)
-            updates.unpersist()
             raise TableInconsistentError(
                 f"predicted deletion-only partition dirs {missing!r} not "
                 "found under the target — partition-value escaping drift "
@@ -367,26 +457,9 @@ def merge_upsert(
                 shutil.rmtree(dst)
             if os.path.exists(src):
                 os.rename(src, dst)
-        # A merge that deletes the table's LAST row leaves zero
-        # partition directories — an UNREADABLE parquet dataset
-        # (UNABLE_TO_INFER_SCHEMA on the next read; hypothesis-caught
-        # r12). Keep the table readable and schema-bearing: one empty
-        # footer file inside the first affected partition's directory
-        # (partition inference recovers the partition column from the
-        # dir name; later merges see a normal 0-row partition).
-        if not any(
-            d.startswith(prefix)
-            and os.path.isdir(os.path.join(target_path, d))
-            and any(
-                f.endswith(".parquet")
-                for f in os.listdir(os.path.join(target_path, d))
-            )
-            for d in os.listdir(target_path)
-        ):
-            keep = os.path.join(target_path, affected_dirs[0])
-            spark.createDataFrame(
-                [], scoped_target.drop(partition_col).schema
-            ).repartition(1).write.mode("overwrite").parquet(keep)
+        # (the last-row-delete keep-footer was STAGED before the intent
+        # record above, so the swap loop just moved it in — and a
+        # crash-recovery replay of the same intent reproduces it)
     # commit point: refresh the manifest AFTER the swap; until this
     # rename lands, validate/read_committed reject the directory as
     # mid-swap (sources/commit.py crash matrix) — the staged/old copy
@@ -400,7 +473,6 @@ def merge_upsert(
         shutil.rmtree(old)
     else:
         shutil.rmtree(staged)
-    updates.unpersist()
     return {"upserted": n_up, "deleted": n_del, "partitions_rewritten": n_parts}
 
 

@@ -140,6 +140,15 @@ CHANGED_CODE_REGRADES: set[str] = {
     #     affected entries, and simsearch_cosine_topk +
     #     ivf_persisted_recall + minhash_neardup_pairs regrade
     #     in-window this round regardless.
+    #   - I/O-protocol review fixes (r13 pass #4): merge schema guard,
+    #     staged (recovery-visible) last-row-delete keep-footer,
+    #     empirically-pinned date/timestamp + DECIMAL(38)-overflow
+    #     partition-inference model, idempotent_append partition-layout
+    #     guard, as_of_epoch validation, state-pointer directory fsync,
+    #     try/finally unpersist.  All guard/error-path only (new raises
+    #     on previously-corrupting inputs; happy paths byte-identical);
+    #     dual-SF parity green on the 12 I/O-family graded entries, and
+    #     merge_upsert_roundtrip regrades in-window this round anyway.
 }
 
 

@@ -651,3 +651,36 @@ def test_read_epoch_changes_inverted_range_raises(spark, tmp_path):
     commit_append_epoch(t)
     with _pytest.raises(ValueError, match="inverted range"):
         read_epoch_changes(spark, t, from_epoch=5, to_epoch=3)
+
+
+def test_committed_epoch_files_validates_as_of_epoch(spark, tmp_path):
+    """r13 review: an as_of_epoch past the newest commit silently
+    returned the FULL current table (masking consumer bookkeeping
+    bugs); one inside a squashed range failed downstream with 'lists
+    no files'. Both now raise with the accurate remedy."""
+    import pytest
+
+    from spectraplex_spark.sources.commit import (
+        TableInconsistentError,
+        commit_append_epoch,
+        committed_epoch_files,
+        squash_epochs,
+    )
+    from spectraplex_spark.sources.io import idempotent_append
+
+    t = str(tmp_path / "t")
+    for i in range(3):  # epochs 0, 1, 2
+        idempotent_append(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"), t
+        )
+    ok = committed_epoch_files(t, as_of_epoch=1)
+    assert ok and all(rel.endswith(".parquet") for rel in ok)
+    with pytest.raises(TableInconsistentError, match="newest committed epoch"):
+        committed_epoch_files(t, as_of_epoch=99)
+    squash_epochs(t, keep_last=1)  # epochs 0-1 merge into the boundary
+    # the squash boundary carries the full table; an as-of INSIDE the
+    # squashed range names the re-baseline remedy
+    with pytest.raises(TableInconsistentError, match="re-baseline"):
+        committed_epoch_files(t, as_of_epoch=0)
+    # at-or-after the boundary still reads fine
+    assert committed_epoch_files(t, as_of_epoch=1)

@@ -259,3 +259,30 @@ def test_parse_failures_surfaces_corrupt_lines(spark, tmp_path):
     q = spark.read.parquet(str(tmp_path / "quarantine")).collect()
     assert n_bad == 1
     assert any(r["reason"] == "corrupt bronze line" for r in q)
+
+
+def test_idempotent_append_rejects_partition_layout_drift(spark, tmp_path):
+    """r13 review: the schema guard cannot see partition-BY drift (the
+    name+type sets are identical either way), but a flat append into a
+    partitioned table lands files at the wrong directory depth and
+    breaks every later read AFTER committing. The layout guard refuses
+    both directions before anything lands."""
+    import pytest
+
+    from spectraplex_spark.sources.commit import TableInconsistentError
+    from spectraplex_spark.sources.io import idempotent_append
+
+    part = str(tmp_path / "part_table")
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "id long, v string, day string"
+    )
+    assert idempotent_append(df, part, partition_by=("day",)) == 2
+    with pytest.raises(TableInconsistentError, match="partitioned by"):
+        idempotent_append(df, part, partition_by=())
+    flat = str(tmp_path / "flat_table")
+    assert idempotent_append(df, flat) == 2
+    with pytest.raises(TableInconsistentError, match="partitioned by"):
+        idempotent_append(df, flat, partition_by=("day",))
+    # matching layouts still replay as no-ops
+    assert idempotent_append(df, part, partition_by=("day",)) == 0
+    assert idempotent_append(df, flat) == 0

@@ -362,3 +362,101 @@ def test_partitioned_delete_of_last_row_keeps_table_readable(spark, tmp_path):
     assert [(r["k"], r["v"], r["part"]) for r in spark.read.parquet(t).collect()] == [
         (5, "v5", "p1")
     ]
+
+
+def test_inference_safe_timestamp_and_decimal_overflow_classes():
+    """r13 review: Spark 4.1.2 also infers DATE/TIMESTAMP on partition
+    values (probe matrix in BASELINE.md). The drift class is a padded
+    timestamp with a SINGLE-digit fraction ('.5' reads back '.500000',
+    '.0' loses the fraction); >38-digit integers overflow DECIMAL and
+    infer DOUBLE ('1e+41'). Everything else date-shaped round-trips or
+    stays a string."""
+    from spectraplex_spark.sources.merge import _inference_safe
+
+    for poison in (
+        "2024-01-01 12:34:56.5", "2024-01-01 12:34:56.0",
+        "1999-12-31 23:59:59.9", "9" * 41, "1" * 39,
+    ):
+        assert not _inference_safe(poison), poison
+    for ok in (
+        "2024-01-01", "0001-01-01", "2024-13-01", "2024-1-1",
+        "2024-01-01 12:34:56", "2024-01-01 12:34:56.50",
+        "2024-01-01 12:34:56.500000", "2024-01-01 12:34:56.000000",
+        "2024-01-01T12:34:56", "2024-01-01 12:34", " 2024-01-01",
+        "2024-01-01 2:34:56", "9" * 38,
+    ):
+        assert _inference_safe(ok), ok
+
+
+def test_merge_rejects_schema_drifted_updates(spark, tmp_path):
+    """r13 review: unionByName silently coerces long+double -> double
+    and long+string -> bigint (strings become NULL), so a drifted
+    updates batch would rewrite affected partitions under a forked
+    parquet schema. The merge must refuse loudly instead."""
+    import pytest
+
+    from spectraplex_spark.sources.commit import TableInconsistentError
+    from spectraplex_spark.sources.merge import merge_upsert
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(0, 10, "p0")], "k long, v long, part string"
+    ).write.partitionBy("part").parquet(t)
+    drifted = spark.createDataFrame(
+        [(0, 10.5, "p0", "upsert")], "k long, v double, part string, _op string"
+    )
+    with pytest.raises(TableInconsistentError, match="updates schema"):
+        merge_upsert(spark, t, drifted, "k", partition_col="part")
+    missing_col = spark.createDataFrame(
+        [(0, "p0", "upsert")], "k long, part string, _op string"
+    )
+    with pytest.raises(TableInconsistentError, match="updates schema"):
+        merge_upsert(spark, t, missing_col, "k", partition_col="part")
+    # the table is untouched
+    assert spark.read.parquet(t).count() == 1
+
+
+def test_recover_partition_mode_last_row_delete(spark, tmp_path, monkeypatch):
+    """r13 review: the last-row-delete keep-footer is STAGED before the
+    intent, so a crash anywhere in the swap replays through
+    recover_merge into a READABLE empty table — the old post-swap
+    footer was invisible to recovery, which committed a zero-file
+    manifest (UNABLE_TO_INFER_SCHEMA forever)."""
+    import pytest
+
+    import spectraplex_spark.sources.merge as M
+    from spectraplex_spark.sources.merge import merge_upsert, recover_merge
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(0, "v0", "p0")], "k long, v string, part string"
+    ).write.partitionBy("part").parquet(t)
+    dels = spark.createDataFrame(
+        [(0, None, "p0", "delete")], "k long, v string, part string, _op string"
+    )
+    real_rmtree = M.shutil.rmtree
+    state = {"boomed": False}
+
+    def crash_on_first_swap(path, *a, **kw):
+        # the first rmtree during the swap loop targets a partition dir
+        # INSIDE the target — crash there, before any swap progress
+        if not state["boomed"] and path.startswith(t + "/"):
+            state["boomed"] = True
+            raise OSError("simulated crash at the first swap step")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(M.shutil, "rmtree", crash_on_first_swap)
+    with pytest.raises(OSError, match="simulated crash"):
+        merge_upsert(spark, t, dels, "k", partition_col="part")
+    monkeypatch.setattr(M.shutil, "rmtree", real_rmtree)
+
+    assert recover_merge(t) == "completed-merge"
+    back = spark.read.parquet(t)
+    assert back.count() == 0
+    assert set(back.columns) == {"k", "v", "part"}
+    # and the recovered table accepts a later merge normally
+    ups = spark.createDataFrame(
+        [(5, "v5", "p1", "upsert")], "k long, v string, part string, _op string"
+    )
+    merge_upsert(spark, t, ups, "k", partition_col="part")
+    assert spark.read.parquet(t).count() == 1

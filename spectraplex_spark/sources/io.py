@@ -177,12 +177,16 @@ def _existing_partition_layout(path: str) -> tuple[str, ...]:
     cols: list[str] = []
     cur = path
     while True:
+        # NO underscore exclusion: partition columns named _tp/_gb are
+        # legitimate (the postings/grams bucket layouts) and Spark's
+        # sidecar artifacts (_SUCCESS, _epochs, _config) never contain
+        # '=' — the '=' test alone separates the two (full-suite catch
+        # r13: the first cut skipped '_tp=...' and refused every
+        # incremental index append).
         subs = sorted(
             d
             for d in os.listdir(cur)
-            if "=" in d
-            and not d.startswith(("_", "."))
-            and os.path.isdir(os.path.join(cur, d))
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
         )
         if not subs:
             return tuple(cols)

@@ -263,16 +263,31 @@ def _merge_upsert_impl(
     # unparseable payloads becoming NULL — verified on Spark 4.1.2), so
     # a drifted updates batch would rewrite the affected partitions
     # under a forked parquet schema and corrupt later whole-table reads.
-    tgt_types = {f.name: f.dataType for f in target.schema.fields}
-    upd_types = {f.name: f.dataType for f in upserts.schema.fields}
-    if tgt_types != upd_types:
+    # The partition column compares by NAME only (the idempotent_append
+    # rule): its read-back type comes from partition-value INFERENCE —
+    # a NULL-only partition reads back NullType, numeric-looking values
+    # read back int/date — which legitimately differs from the written
+    # type without any payload hazard.
+    tgt_types = {
+        f.name: f.dataType
+        for f in target.schema.fields
+        if f.name != partition_col
+    }
+    upd_types = {
+        f.name: f.dataType
+        for f in upserts.schema.fields
+        if f.name != partition_col
+    }
+    if tgt_types != upd_types or {f.name for f in target.schema.fields} != {
+        f.name for f in upserts.schema.fields
+    }:
         diffs = sorted(set(tgt_types) | set(upd_types))
         detail = ", ".join(
             f"{c}: target={tgt_types.get(c, '<absent>')} "
             f"updates={upd_types.get(c, '<absent>')}"
             for c in diffs
             if tgt_types.get(c) != upd_types.get(c)
-        )
+        ) or "column name sets differ"
         raise TableInconsistentError(
             f"{target_path}: updates schema does not match the target "
             f"({detail}) — unionByName would silently coerce and fork "

@@ -50,12 +50,24 @@ def latest_account_state(
 
 def land_account_updates(batch: DataFrame, updates_path: str) -> int:
     """Idempotently append decoded account-update rows; the id is
-    ``pubkey:write_version`` (the update's natural identity), so
-    replays and overlapping subscriptions dedupe instead of forking
-    state history. Returns rows actually appended."""
+    ``pubkey:slot:write_version`` — slot INCLUDED (review finding r13):
+    write_version is a validator-LOCAL counter (it resets on restart
+    and differs across nodes), so a ``pubkey:write_version`` identity
+    made distinct updates from different slots collide and silently
+    drop, serving stale state forever after a subscription failover.
+    With the slot in the key, a replayed frame is still an anti-join
+    no-op, while updates that genuinely differ in the (slot,
+    write_version) order of authority always land. Returns rows
+    actually appended."""
     return idempotent_append(
         batch.withColumn(
-            "id", F.concat_ws(":", "pubkey", F.col("write_version").cast("string"))
+            "id",
+            F.concat_ws(
+                ":",
+                "pubkey",
+                F.col("slot").cast("string"),
+                F.col("write_version").cast("string"),
+            ),
         ),
         updates_path,
         id_col="id",
@@ -63,13 +75,21 @@ def land_account_updates(batch: DataFrame, updates_path: str) -> int:
 
 
 def stream_account_updates(
-    frames: DataFrame, updates_path: str, checkpoint_dir: str
+    frames: DataFrame,
+    updates_path: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
 ):
     """Yellowstone wire frames (streaming) → decoded account updates →
-    idempotent parquet landing. Returns the DataStreamWriter."""
+    idempotent parquet landing. Returns the DataStreamWriter.
+    ``value_col`` forwards to the decoder (review finding r13: the
+    grpc_replay source's frame column is 'frame', and the hardcoded
+    default crashed that documented composition)."""
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        land_account_updates(decode_yellowstone_accounts(batch_df), updates_path)
+        land_account_updates(
+            decode_yellowstone_accounts(batch_df, value_col), updates_path
+        )
 
     return (
         frames.writeStream.foreachBatch(process)
@@ -79,5 +99,17 @@ def stream_account_updates(
 
 
 def account_state_view(spark: SparkSession, updates_path: str) -> DataFrame:
-    """Serving view: the current state of every account seen so far."""
-    return latest_account_state(spark.read.parquet(updates_path).drop("id"))
+    """Serving view: the current state of every account seen so far.
+    Total over the stream's lifecycle (review finding r13): before the
+    first batch lands (path absent / zero rows ever landed) it returns
+    an EMPTY state view on the declared schema instead of raising
+    AnalysisException at a serving endpoint."""
+    from pyspark.errors import AnalysisException
+
+    from spectraplex_spark.streaming.yellowstone import ACCOUNT_UPDATE_SCHEMA
+
+    try:
+        updates = spark.read.parquet(updates_path).drop("id")
+    except AnalysisException:
+        updates = spark.createDataFrame([], ACCOUNT_UPDATE_SCHEMA)
+    return latest_account_state(updates)

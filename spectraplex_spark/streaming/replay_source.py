@@ -74,46 +74,67 @@ class _GrpcReplayStreamReader(SimpleDataSourceStreamReader):
             return rows, last  # relay not started yet — empty batch
         cache_seq, cache_pos = self._pos_cache
         start_pos = cache_pos if (cache_seq == after_seq and cache_pos > 0) else 0
+        # CHUNKED consumption (review finding r13): the old unbounded
+        # fh.read() pulled the whole remaining tail into driver memory
+        # on EVERY trigger even though batch_size caps consumption — a
+        # 1 GB backlog at batch_size=1000 cost ~quadratic total I/O and
+        # a full-tail memory spike per micro-batch.  Reading 4 MiB at a
+        # time and returning as soon as ``limit`` frames are parsed
+        # makes per-trigger cost proportional to the BATCH, with the
+        # buffer bounded by chunk + one line.
+        chunk_bytes = 1 << 22
+        pos = start_pos
+        prev_seq: int | None = None
+        buf = b""
         with open(self.path, "rb") as fh:
             size = os.fstat(fh.fileno()).st_size
             if start_pos > size:
                 start_pos = 0  # log rotated/truncated underneath us — rescan
+                pos = 0
             fh.seek(start_pos)
-            data = fh.read()
-        nl = data.rfind(b"\n")
-        data = data[: nl + 1] if nl >= 0 else b""  # defer the torn tail
-        pos = start_pos
-        prev_seq: int | None = None
-        # Split on b"\n" ONLY (the tail above is already trimmed to the
-        # last newline, so every element consumed exactly len(raw)+1
-        # bytes).  data.splitlines() would also split on \r / \r\n and
-        # make _pos_cache drift one byte per CRLF line, landing every
-        # cached-resume seek mid-line (r11 ADVICE).  A lone \r stays part
-        # of the line and is removed by .strip() before json parsing.
-        for raw in data.split(b"\n")[:-1]:
-            line_len = len(raw) + 1
-            line = raw.strip()
-            if line:
-                rec = json.loads(line.decode("utf-8"))
-                seq = int(rec["seq"])
-                if prev_seq is not None and seq <= prev_seq:
-                    raise ValueError(
-                        f"grpc_replay: log {self.path!r} violates the "
-                        f"seq-ordered relay contract (seq {seq} after "
-                        f"{prev_seq} at byte {pos}); a silent skip here "
-                        "would lose the frame forever"
-                    )
-                prev_seq = seq
-                if upto_seq is not None and seq > upto_seq:
-                    return rows, last  # committed-range replay: done
-                if seq > after_seq:
-                    rows.append((seq, base64.b64decode(rec["frame_b64"])))
-                    last = seq
-                    if limit is not None and len(rows) >= limit:
-                        pos += line_len
-                        self._pos_cache = (last, pos)
-                        return rows, last
-            pos += line_len
+            while True:
+                chunk = fh.read(chunk_bytes)
+                if not chunk:
+                    break  # EOF: whatever is left in buf is a torn tail
+                buf += chunk
+                # Split on b"\n" ONLY: splitlines() would also split on
+                # \r / \r\n and make _pos_cache drift one byte per CRLF
+                # line, landing every cached-resume seek mid-line (r11
+                # ADVICE).  A lone \r stays part of the line and is
+                # removed by .strip() before json parsing.  A final
+                # newline-less fragment stays in buf — the torn-tail
+                # race with the relay's append is DEFERRED, not fatal:
+                # it completes by the next trigger.
+                while True:
+                    nl = buf.find(b"\n")
+                    if nl < 0:
+                        break
+                    raw, buf = buf[:nl], buf[nl + 1 :]
+                    line_len = nl + 1
+                    line = raw.strip()
+                    if line:
+                        rec = json.loads(line.decode("utf-8"))
+                        seq = int(rec["seq"])
+                        if prev_seq is not None and seq <= prev_seq:
+                            raise ValueError(
+                                f"grpc_replay: log {self.path!r} violates "
+                                f"the seq-ordered relay contract (seq {seq} "
+                                f"after {prev_seq} at byte {pos}); a silent "
+                                "skip here would lose the frame forever"
+                            )
+                        prev_seq = seq
+                        if upto_seq is not None and seq > upto_seq:
+                            return rows, last  # committed-range replay: done
+                        if seq > after_seq:
+                            rows.append(
+                                (seq, base64.b64decode(rec["frame_b64"]))
+                            )
+                            last = seq
+                            if limit is not None and len(rows) >= limit:
+                                pos += line_len
+                                self._pos_cache = (last, pos)
+                                return rows, last
+                    pos += line_len
         if upto_seq is None:
             self._pos_cache = (last, pos)
         return rows, last

@@ -118,6 +118,21 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
             raise ValueError("varint overflow")
 
 
+_I64_MAX = (1 << 63) - 1
+
+
+def _i64(val) -> int:
+    """Signed-int64 guard for u64 wire varints: decoded rows cross into
+    Arrow LongType columns OUTSIDE the per-frame try, so an over-range
+    value must fail HERE — inside the per-row try, dropping one frame —
+    instead of killing the whole streaming query at batch conversion
+    (review finding r13)."""
+    v = int(val)
+    if v > _I64_MAX:
+        raise ValueError(f"u64 value {v} exceeds signed int64")
+    return v
+
+
 def _fields(buf: bytes) -> Iterator[tuple[int, int, int | bytes]]:
     """Yield (field_number, wire_type, value) over one message's bytes."""
     i, n = 0, len(buf)
@@ -378,7 +393,7 @@ def decode_account_update(raw: bytes) -> dict | None:
         if fnum == 1:
             info = val
         elif fnum == 2:
-            slot = int(val)
+            slot = _i64(val)  # lands in the LongType slot column
         elif fnum == 3:
             is_startup = bool(val)
     if info is None:
@@ -400,17 +415,23 @@ def decode_account_update(raw: bytes) -> dict | None:
         if fnum == 1:
             out["pubkey"] = b58encode(bytes(val))
         elif fnum == 2:
-            out["lamports"] = int(val)
+            out["lamports"] = _i64(val)
         elif fnum == 3:
             out["owner"] = b58encode(bytes(val))
         elif fnum == 4:
             out["executable"] = bool(val)
         elif fnum == 5:
-            out["rent_epoch"] = int(val)
+            # rent_epoch is u64 on the wire and u64::MAX is the STANDARD
+            # value for rent-exempt mainnet accounts — clamp the
+            # sentinel to int64 max instead of overflowing the signed
+            # LongType at Arrow conversion (which happens OUTSIDE the
+            # per-frame try and would kill the whole streaming query on
+            # effectively every real account frame; review finding r13)
+            out["rent_epoch"] = min(int(val), _I64_MAX)
         elif fnum == 6:
             out["data"] = bytes(val)
         elif fnum == 7:
-            out["write_version"] = int(val)
+            out["write_version"] = _i64(val)
         elif fnum == 8:
             out["txn_signature"] = b58encode(bytes(val))
     return out
@@ -438,7 +459,7 @@ def decode_block_meta(raw: bytes) -> dict | None:
     }
     for fnum, _wt, val in _fields(bm):
         if fnum == 1:
-            out["slot"] = int(val)
+            out["slot"] = _i64(val)
         elif fnum == 2:
             out["blockhash"] = val.decode("utf-8")
         elif fnum == 4:  # UnixTimestamp { timestamp = 1 }
@@ -448,15 +469,15 @@ def decode_block_meta(raw: bytes) -> dict | None:
         elif fnum == 5:  # BlockHeight { block_height = 1 }
             for f2, _w2, v2 in _fields(val):
                 if f2 == 1:
-                    out["block_height"] = int(v2)
+                    out["block_height"] = _i64(v2)
         elif fnum == 6:
-            out["parent_slot"] = int(val)
+            out["parent_slot"] = _i64(val)
         elif fnum == 7:
             out["parent_blockhash"] = val.decode("utf-8")
         elif fnum == 8:
-            out["executed_transaction_count"] = int(val)
+            out["executed_transaction_count"] = _i64(val)
         elif fnum == 9:
-            out["entries_count"] = int(val)
+            out["entries_count"] = _i64(val)
     return out
 
 
@@ -518,7 +539,15 @@ def decode_yellowstone(frames: DataFrame, value_col: str = "value") -> DataFrame
                             "id": f"{tx['slot']}-{tx['index']}",
                             "user_id": "",
                             "wallet_address": wallet,
-                            "timestamp": int(tx.get("blockTime") or 0),
+                            # derive from the SANITIZED value: the raw
+                            # blockTime of a corrupt varint (up to ~2^77)
+                            # would overflow the signed LongType at Arrow
+                            # conversion — OUTSIDE the per-frame try —
+                            # and kill the whole query; and keeping a
+                            # year-73-billion epoch one column over from
+                            # the nulled created_at was inconsistent
+                            # anyway (review findings r13)
+                            "timestamp": int(bt) if created is not None else 0,
                             "tx_hash": tx_hash,
                             "chain": "solana",
                             "raw_metadata": json.dumps(

@@ -149,6 +149,18 @@ CHANGED_CODE_REGRADES: set[str] = {
     #     on previously-corrupting inputs; happy paths byte-identical);
     #     dual-SF parity green on the 12 I/O-family graded entries, and
     #     merge_upsert_roundtrip regrades in-window this round anyway.
+    #   - Streaming/wire review fixes (r13 pass #5): u64→int64 guard in
+    #     the Yellowstone decoders (rent_epoch=u64::MAX — the standard
+    #     rent-exempt sentinel — clamps; corrupt over-range values drop
+    #     per-frame instead of killing the query at Arrow conversion),
+    #     bronze timestamp derived from the sanitized blockTime, the
+    #     account-landing id now pubkey:slot:write_version (failover
+    #     collision), chunked replay-source consumption, value_col
+    #     passthrough + total empty-state view.  Golden fixtures all
+    #     in-range → graded outputs byte-identical (the landing id is
+    #     dropped from the graded view); parity green on the 14
+    #     streaming-family graded entries; account_state_latest and
+    #     the stream_*_replay family regrade in-window this round.
 }
 
 

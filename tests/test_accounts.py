@@ -67,3 +67,28 @@ def test_wire_to_state_end_to_end(spark, tmp_path):
     assert len(state) == 1
     assert state[0]["pubkey"] == WALLET_B58
     assert state[0]["lamports"] == 222  # slot 11 supersedes slot 10
+
+
+def test_failover_updates_with_colliding_write_versions_both_land(spark, tmp_path):
+    """r13 review: write_version is a validator-LOCAL counter — after a
+    subscription failover a fresh validator can reuse a write_version
+    for a DIFFERENT update. The landing id includes the slot, so both
+    land and the view serves the (slot, write_version)-latest state
+    instead of the stale pre-failover value forever."""
+    path = str(tmp_path / "updates")
+    assert land_account_updates(_upd(spark, [("P", 100, 555, 1)]), path) == 1
+    # failover: same write_version, different slot, different payload
+    assert land_account_updates(_upd(spark, [("P", 200, 555, 9)]), path) == 1
+    # a true replay of either is still a no-op
+    assert land_account_updates(_upd(spark, [("P", 200, 555, 9)]), path) == 0
+    state = {r["pubkey"]: r["lamports"] for r in account_state_view(spark, path).collect()}
+    assert state == {"P": 9}
+
+
+def test_account_state_view_is_total_before_first_batch(spark, tmp_path):
+    """r13 review: a serving endpoint querying the view before the
+    first batch lands gets an EMPTY state view on the declared schema,
+    not an AnalysisException."""
+    out = account_state_view(spark, str(tmp_path / "never_written"))
+    assert out.count() == 0
+    assert "pubkey" in out.columns and "write_version" in out.columns

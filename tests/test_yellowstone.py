@@ -507,3 +507,41 @@ def test_decoder_never_crashes_on_junk(raw):
     except (ValueError, IndexError, UnicodeDecodeError, struct.error):
         return
     assert out is None or isinstance(out, dict)
+
+
+def test_u64_wire_values_never_kill_the_batch(spark):
+    """r13 review: u64 wire values >= 2^63 crossed into Arrow LongType
+    OUTSIDE the per-frame try and killed the whole query. rent_epoch =
+    u64::MAX is the STANDARD value for rent-exempt mainnet accounts —
+    it must CLAMP to int64 max (the sentinel keeps its 'huge' meaning);
+    a >=2^63 lamports/write_version/slot is corrupt and drops ONLY that
+    frame; and a corrupt huge blockTime lands with timestamp derived
+    from the sanitized value (0), not a year-73-billion epoch."""
+    from spectraplex_spark.streaming.yellowstone import (
+        decode_yellowstone,
+        decode_yellowstone_accounts,
+    )
+
+    u64max = 2**64 - 1
+    frames = spark.createDataFrame(
+        [
+            # the standard rent-exempt sentinel: must land, clamped
+            (None, encode_account_update(rent_epoch=u64max, write_version=1), "t", 0, 0),
+            # corrupt huge lamports: only this frame drops
+            (None, encode_account_update(lamports=2**63, slot=2, write_version=2), "t", 0, 1),
+            (None, encode_account_update(lamports=5, slot=3, write_version=3), "t", 0, 2),
+        ],
+        _FRAME_SCHEMA,
+    )
+    rows = decode_yellowstone_accounts(frames).collect()
+    by_wv = {r["write_version"]: r for r in rows}
+    assert set(by_wv) == {1, 3}
+    assert by_wv[1]["rent_epoch"] == 2**63 - 1  # clamped sentinel
+    assert by_wv[3]["lamports"] == 5
+    # tx path: absurd blockTime -> created_at NULL and timestamp 0
+    tx = spark.createDataFrame(
+        [(None, encode_g1_update(slot=7, block_time=2**61), "t", 0, 0)],
+        _FRAME_SCHEMA,
+    )
+    r = decode_yellowstone(tx).collect()[0]
+    assert r["created_at"] is None and r["timestamp"] == 0

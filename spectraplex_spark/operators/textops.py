@@ -35,7 +35,8 @@ STOPWORDS = {
 # SpecialCasing.txt lists no other unconditional lowercase expansion, so
 # pre-translating this single char before lower() makes the two engines'
 # lowercase agree on every input (r12 verdict task #2; pinned by
-# tests/test_textops.py's planted-İ fixture on both engines).
+# the planted-İ fixture on both engines:
+# tests/test_ext_ops.py::test_fold_case_dotted_capital_i_cross_engine).
 _DOTTED_I = "İ"  # İ — Turkish dotted capital I
 
 

@@ -38,107 +38,86 @@ from spectraplex_spark.plans import ext  # noqa: E402,F401
 # history, and the list below now holds ONLY the live window (the r9
 # ADVICE duplicate-name fragility is gone: _curate asserts uniqueness).
 #
-# Round-13 composition (the r12 verdict's pre-plan, executed): freshness
-# projected 49 mandatory for 50 slots (2 never-graded r12 late
-# registrations + 47 aging r9-vintage entries) — one slot of slack,
-# below the ≥2 target (r12 verdict task #4).  Three more VARIANT
-# demotions (added to _DEMOTED_PARITY_ONLY below: agg_cube_orders,
-# window_moving_sum, scalar_date_orders — each a surface variant of a
-# sibling that stays graded) drop the aging set to 44 and mandatory to
-# 47.  The three recovered slots go to:
-#   (a) corpus_pack_assignment — the r12 ADVICE medium finding: its
-#       graded output schema changed at r12 (pack_id int32→int64 in
-#       pack_documents + its oracle) without a regrade, so its r11 hash
-#       no longer certifies HEAD (freshness.CHANGED_CODE_REGRADES);
-#   (b) simhash_planted_twins (r10) — the freshness carrier for the two
-#       ROWS_ONLY_PROVEN simhash entries; regrading it now (r12 verdict
-#       task #3) extends the pair's coverage through r16 instead of
-#       breaching at r14;
-#   (c) corpus_top_ngrams + bigram_surprise_report (both r10) — early
-#       regrades of tokenizing text entries, doubling as live driver
-#       confidence on the U+0130 case-fold pin (r12 verdict task #2)
-#       beyond the in-window text suite, and smoothing the r14 load
-#       (47 r10-vintage entries) to 44.
-# Total: 44 aging + 2 late + 1 changed-code + 3 early = exactly 50,
-# ZERO deferrals (second zero-deferral window in a row).
-# Changed-code entries NOT regraded this round, certified through the
-# standing non-semantic precedent (rpc_ingest r11) plus pytest:
-#   - the U+0130 case-fold pin (textops.normalized/fingerprint; r12
-#     verdict task #2): changes outputs ONLY for text containing the
-#     Turkish dotted capital İ (U+0130), which no fixture table contains
-#     (verified by a full scan of every sf* documents/events text column
-#     at r13 HEAD); every tokenizing entry's graded values are
-#     byte-identical, re-certified by the full dual-SF parity sweep, and
-#     the in-window text suite (text_token_stats, lang_id_distribution,
-#     lang_quality_report, corpus_top_ngrams, bigram_surprise_report)
-#     regrades the changed code live this round anyway.
-#   - pack_documents_scalable NULL-text guard (r12 ADVICE low): the
-#     scalable twin now drops NULL-token rows exactly like the plain
-#     window form instead of raising; the PLAIN pack_documents (the
-#     graded corpus_pack_assignment path) is untouched, and the twin is
-#     pytest-pinned bit-equal (tests/test_chunking.py) — and
-#     corpus_pack_assignment regrades this round regardless (slot (a)).
-# New r13 queries register late-only (tail of the catalog; they grade
-# r14 per the standing precedent) and are declared in
-# freshness.LATE_REGISTRATIONS.
+# Round-14 composition (the r13 verdict's pre-plan, executed): freshness
+# projected 45 mandatory for 50 slots — the 1 never-graded r13 late
+# registration (curation_run_e2e, the r13 flagship composition whose
+# driver hash lands this round per the late-registration protocol) +
+# the 44 remaining r10-vintage entries that age out at the r11 bar.
+# Five slots of slack (the r13 verdict's task #4 target met with room);
+# all five go to EARLY regrades of r11-vintage entries, smoothing the
+# r15 load from 49 aging entries to 44:
+#   (a) solana_normalize_golden — the flagship U1/U2 golden (and the
+#       demotion sibling carrying solana_normalize_udtf_golden), kept
+#       driver-fresh beside the benched normalize_throughput (r13);
+#   (b) events_by_user — the reference serving core (S4/S5 + P1/P2
+#       projection/predicate evidence rides on it);
+#   (c) knn_join_topk — demotion sibling of knn_join_topk_arrow;
+#   (d) session_stats — demotion sibling of session_window_builtin;
+#   (e) simsearch_ivf_topk — demotion sibling of ivf_recall_report,
+#       grading beside the in-window quantized-ANN block (sq/bq/pq)
+#       so the whole ANN family is re-hashed in one round.
+# Total: 44 aging + 1 late + 5 early = exactly 50, ZERO deferrals
+# (third zero-deferral window in a row).
+# New r14 queries register late-only (tail of the catalog; they grade
+# r15 per the standing precedent) and are declared in
+# freshness.LATE_REGISTRATIONS.  Prior compositions (r8-r13) live in
+# git history.
 # --------------------------------------------------------------------------
 _GRADED_PRIORITY = [
-    # ---- round 13 window (exactly 50) ----
-    # (a) never driver-graded (the 2 late-r12 registrations)
-    "hybrid_rrf_fusion",
-    "stream_funnel_watermarked_replay",
-    # (b) changed-code regrade (r12 ADVICE medium: pack_id int32→int64)
-    "corpus_pack_assignment",
-    # (c) early regrades: the rows-only freshness carrier (r12 verdict
-    # task #3) + two r10 tokenizing entries post-U+0130 pin
-    "simhash_planted_twins",
-    "corpus_top_ngrams",
-    "bigram_surprise_report",
-    # (d) round-9 vintage, all 44 that remain after the demotions
-    "agg_collect_sorted",
-    "agg_rollup_lineitem",
-    "agg_string_concat",
-    "bpe_trained_merges",
-    "case_when_value_tiers",
-    "corpus_prep_pipeline",
-    "dedup_exact_docs",
-    "domain_cap_scalable",
-    "histogram_order_prices",
-    "ivf_persisted_recall",
-    "join_broadcast_brand_revenue",
-    "join_left_order_counts",
-    "lang_id_distribution",
-    "lang_quality_report",
-    "map_ops_events",
-    "merge_upsert_roundtrip",
-    "minhash_neardup_pairs",
-    "mixture_share_report",
-    "multimodal_binary_meta",
-    "neardup_cluster_sizes",
-    "normalize_throughput",
-    "pivot_status_by_priority",
-    "q10_returned_revenue",
-    "q12_priority_shipping_buckets",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_trade_flows",
-    "q8_market_share",
-    "q9_product_profit",
-    "scalar_math_lineitem",
-    "simsearch_cosine_topk",
-    "stream_full_join_replay",
-    "stream_left_join_replay",
-    "text_token_stats",
-    "unpivot_lineitem_metrics",
-    "window_running_revenue",
+    # ---- round 14 window (exactly 50) ----
+    # (a) never driver-graded (the r13 late registration)
+    "curation_run_e2e",
+    # (b) early regrades of r11-vintage entries (see rationale above)
+    "solana_normalize_golden",
+    "events_by_user",
+    "knn_join_topk",
+    "session_stats",
+    "simsearch_ivf_topk",
+    # (c) round-10 vintage — all 44 that age out at the r11 bar
+    "agg_percentiles",
+    "bm25_ranked_topk",
+    "compaction_roundtrip",
+    "corpus_mixture_sample",
+    "corpus_vocab_report",
+    "correlated_above_avg_orders",
+    "data_quality_report",
+    "decontam_ngram_overlap",
+    "doc_chunks_report",
+    "embedding_covariance_report",
+    "embedding_jl_projection",
+    "embedding_kmeans_clusters",
+    "epoch_change_feed_roundtrip",
+    "feature_stats_report",
+    "fuzzy_decontam_planted",
+    "group_split_report",
+    "grpc_replay_ingest_golden",
+    "incremental_spans_planted",
+    "index_conjunctive_topk",
+    "index_phrase_search",
+    "join_anti_customers_without_orders",
+    "lang_confusion_matrix",
+    "media_phash_planted",
+    "mixture_repeat_plan_report",
+    "mixture_upsample_counts",
+    "pagerank_ranks",
+    "q11_important_stock",
+    "q2_min_cost_supplier",
+    "repeated_spans_report",
+    "rpc_ingest_datasource",
+    "semantic_dedup_planted",
+    "simsearch_bq_topk",
+    "simsearch_pq_topk",
+    "simsearch_sq_topk",
+    "sliced_examples_report",
+    "source_overlap_matrix",
+    "source_quota_scalable",
+    "span_dedup_clean",
+    "stateful_balance_replay",
+    "stream_dedup_replay",
+    "stream_interval_join_replay",
+    "stream_right_join_replay",
+    "temperature_mixture_shares",
+    "zorder_curve_events",
 ]
 
 # --------------------------------------------------------------------------

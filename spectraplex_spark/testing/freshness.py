@@ -26,11 +26,11 @@ import json
 import re
 from pathlib import Path
 
-# --- round-13 composition constants ---------------------------------------
+# --- round-14 composition constants ---------------------------------------
 
 #: The round the CURRENT window (plans/__init__.py `_GRADED_PRIORITY`) is
 #: composed for.  Bump together with the window rewrite each round.
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 #: The driver grades exactly this many catalog entries per round.
 WINDOW_SIZE = 50
@@ -45,36 +45,30 @@ FRESHNESS_BAR = 3
 #: verdict inside the bar (and pytest parity coverage, which the full suite
 #: re-certifies every round).  value = (sibling, why).
 DEFERRALS: dict[str, tuple[str, str]] = {
-    # Round 13: EMPTY — second zero-deferral window in a row.  The r12
-    # verdict's one-slot-slack warning (49 mandatory for 50) was resolved
-    # by demoting three more variants (plans/__init__.py
-    # _DEMOTED_PARITY_ONLY: agg_cube_orders, window_moving_sum,
-    # scalar_date_orders), dropping mandatory to 47; the three recovered
-    # slots went to the corpus_pack_assignment changed-code regrade (r12
-    # ADVICE medium), the simhash_planted_twins freshness carrier (r12
-    # verdict task #3), and two r10 tokenizing early regrades post the
-    # U+0130 case-fold pin.
+    # Round 14: EMPTY — third zero-deferral window in a row.  Freshness
+    # projected 45 mandatory for 50 slots (the curation_run_e2e late
+    # registration + 44 aging r10-vintage entries); the 5 slack slots
+    # went to early regrades of r11-vintage entries (flagship golden,
+    # serving core, and three demotion siblings — see the rationale in
+    # plans/__init__.py), smoothing the r15 aging load from 49 to 44.
 }
 
 #: Entries registered AFTER the current round's window sealed; they grade
 #: next round per the standing late-registration precedent (since r7).
-#: Populated as round-13 work registers new queries.
-LATE_REGISTRATIONS: set[str] = {
-    # r12 verdict task #8: the end-to-end curation run — benchmark
-    # split → prepare_corpus → 8-gram decontam → DSIR top-k per source
-    # → pack → shuffle shards, ONE hash over the whole composition
-    "curation_run_e2e",
-}
+#: Populated as round-14 work registers new queries.
+LATE_REGISTRATIONS: set[str] = set()
 
-# ---- ROUND-14 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
-# for the live numbers; written at r13 composition, re-check at close):
-#   Assuming the r13 window greens, r14 mandatory = the 44 remaining
-#   r10-vintage entries (47 minus the three early regrades
-#   simhash_planted_twins / corpus_top_ngrams / bigram_surprise_report)
-#   + any r13 late registrations; register more only with matching
-#   demotion or deferral capacity (see the graded-entry-capacity memory).
-#   simhash_planted_twins regraded r13, so the two ROWS_ONLY_PROVEN
-#   simhash entries are carried through r16.
+# ---- ROUND-15 PRE-PLAN (run `python -m spectraplex_spark.testing.freshness`
+# for the live numbers; written at r14 composition, re-check at close):
+#   Assuming the r14 window greens, r15 mandatory = the 44 remaining
+#   r11-vintage entries (49 minus the five early regrades
+#   solana_normalize_golden / events_by_user / knn_join_topk /
+#   session_stats / simsearch_ivf_topk) + any r14 late registrations;
+#   register more only with matching demotion or deferral capacity
+#   (see the graded-entry-capacity memory — keep r15 mandatory ≤ 48,
+#   the r13 verdict's task #4 bar).  simhash_planted_twins regraded
+#   r13, so the two ROWS_ONLY_PROVEN simhash entries are carried
+#   through r16.
 # ---------------------------------------------------------------------------
 
 #: Proven non-SQL-expressible entries the driver can only rows-only check.
@@ -88,79 +82,15 @@ ROWS_ONLY_PROVEN: dict[str, str] = {
 #: Entries whose underlying code changed this round, so their prior hash no
 #: longer certifies HEAD — each MUST sit in the current window.
 CHANGED_CODE_REGRADES: set[str] = {
-    # r12 ADVICE medium: pack_documents' graded output schema changed at
-    # r12 (pack_id int32→int64 in the builder AND its oracle, ext.py) but
-    # the entry was neither in the r12 window nor in this set — its r11
-    # driver record certified schema_match against INTEGER, so the prior
-    # hash no longer certifies HEAD.  Regraded in the r13 window.
-    "corpus_pack_assignment",
-    # Changed-code fixes NOT forcing additional regrades this round,
-    # certified through the standing non-semantic precedent (rpc_ingest
-    # r11) — graded outputs byte-identical on every fixture, re-certified
-    # by the full dual-SF parity sweep at r13 HEAD:
-    #   - U+0130 case-fold pin (textops.fold_case; r12 verdict task #2):
-    #     the Spark builders (and the Python tokenizer harness) now
-    #     pre-translate İ (U+0130)→i before lower(), matching DuckDB's
-    #     simple mapping (lower(İ)='i' there already — oracles unchanged,
-    #     so ONLY İ-bearing Spark outputs change).  No fixture contains
-    #     the codepoint (verified by a full varchar-column scan of every
-    #     sf* table at r13 HEAD); a planted-İ pytest fixture
-    #     (test_ext_ops.py::test_fold_case_dotted_capital_i_cross_engine)
-    #     pins cross-engine agreement.  The in-window text suite
-    #     (text_token_stats, lang_id_distribution, lang_quality_report,
-    #     corpus_top_ngrams, bigram_surprise_report) regrades the changed
-    #     code live.
-    #   - pack_documents_scalable NULL-token guard (r12 ADVICE low): the
-    #     scalable twin only; the plain graded path is untouched and
-    #     corpus_pack_assignment regrades anyway.
-    #   - urlops + retrieval review fixes (r13 pass #2): canonical-URL
-    #     edge contracts (multi-slash idempotent strip, userinfo strip,
-    #     reserved-escape hex uppercasing — mirrored in _DUCK_DECODE /
-    #     _DUCK_CANON_CTES; empty-host→NULL / IP-host / FQDN-dot
-    #     registered_domain), query-term fold_case at every postings
-    #     probe, length-prefixed posting ids (layout postings-dl-v3),
-    #     hot-count-scaled percentile accuracy.  Byte-identity of every
-    #     affected graded entry verified EMPIRICALLY against a
-    #     pre-change snapshot of oracle+Spark outputs at BOTH SFs
-    #     (url_canonical_dedup, domain_cap_sample/scalable,
-    #     web_curation_pipeline, bm25_ranked_topk,
-    #     index_conjunctive_topk, index_phrase_search,
-    #     hybrid_rrf_fusion, curation_run_e2e — 18/18 identical);
-    #     fixtures contain none of the edge patterns, and
-    #     domain_cap_scalable + hybrid_rrf_fusion regrade in-window
-    #     this round regardless.
-    #   - ANN/minhash review fixes (r13 pass #3): zero-norm cosine guard
-    #     (_safe_cos — Spark 4 ANSI aborted the whole job on a single
-    #     zero-norm embedding, empirically reproduced; NULL now matches
-    #     the numpy paths), write_ivf_index config-first ordering +
-    #     centroid_sha content pin, fit/recall guards, estimators
-    #     intersect staging, perm_constants unified into dedup.py.
-    #     All guard/plan-staging changes: no fixture embedding has a
-    #     zero norm (scanned all SFs), dual-SF parity green on the 19
-    #     affected entries, and simsearch_cosine_topk +
-    #     ivf_persisted_recall + minhash_neardup_pairs regrade
-    #     in-window this round regardless.
-    #   - I/O-protocol review fixes (r13 pass #4): merge schema guard,
-    #     staged (recovery-visible) last-row-delete keep-footer,
-    #     empirically-pinned date/timestamp + DECIMAL(38)-overflow
-    #     partition-inference model, idempotent_append partition-layout
-    #     guard, as_of_epoch validation, state-pointer directory fsync,
-    #     try/finally unpersist.  All guard/error-path only (new raises
-    #     on previously-corrupting inputs; happy paths byte-identical);
-    #     dual-SF parity green on the 12 I/O-family graded entries, and
-    #     merge_upsert_roundtrip regrades in-window this round anyway.
-    #   - Streaming/wire review fixes (r13 pass #5): u64→int64 guard in
-    #     the Yellowstone decoders (rent_epoch=u64::MAX — the standard
-    #     rent-exempt sentinel — clamps; corrupt over-range values drop
-    #     per-frame instead of killing the query at Arrow conversion),
-    #     bronze timestamp derived from the sanitized blockTime, the
-    #     account-landing id now pubkey:slot:write_version (failover
-    #     collision), chunked replay-source consumption, value_col
-    #     passthrough + total empty-state view.  Golden fixtures all
-    #     in-range → graded outputs byte-identical (the landing id is
-    #     dropped from the graded view); parity green on the 14
-    #     streaming-family graded entries; account_state_latest and
-    #     the stream_*_replay family regrade in-window this round.
+    # Round 14: none yet.  The r13 set (corpus_pack_assignment schema
+    # regrade + the five review-pass byte-identity certifications) was
+    # discharged by the 50/50-green CORRECTNESS_r13.json; the full audit
+    # trail lives in git history at the r13 tag of this file.  Populate
+    # as r14 work changes graded-path code: any entry whose graded
+    # OUTPUT can change goes here AND into the window; byte-identical
+    # refactors are certified through the standing non-semantic
+    # precedent (rpc_ingest r11) — snapshot oracle+Spark outputs at both
+    # SFs before the change and diff after (the r13 18/18 proof pattern).
 }
 
 

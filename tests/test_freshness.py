@@ -53,8 +53,28 @@ def test_history_parser_reads_all_rounds():
     hist = freshness.load_history(REPO)
     assert hist, "no CORRECTNESS_r*.json parsed"
     green = freshness.latest_green(hist)
-    # sanity: the r9 window headliners are green at r9
-    assert green["neardup_cluster_sizes"] == 9
-    assert green["q1_pricing_summary"] == 9
+    # Sanity floor, NOT an exact pin: these two were green at r9, and any
+    # later regrade only RAISES latest_green.  (The r13 judge caught the
+    # previous `== 9` form going red the moment the driver's round file
+    # legitimately regraded both entries — a parser-sanity check must
+    # survive regrades, which are exactly what the protocol wants.)
+    assert green["neardup_cluster_sizes"] >= 9
+    assert green["q1_pricing_summary"] >= 9
     # the proven rows-only entries carry their weaker record
     assert green["simhash_neighbor_pairs"] >= 2
+
+
+def test_latest_green_is_max_over_rounds():
+    """Regression for the r13 brittle-pin breakage: latest_green must
+    return the NEWEST green round, so any sanity assertion against it has
+    to be a floor (>=) — an exact pin breaks on the next legitimate
+    regrade.  Pinned here on synthetic history so the semantic can't
+    drift with the live repo files."""
+    hist = {
+        "some_entry": [
+            (9, {"hash_match": True}),
+            (13, {"hash_match": True}),
+            (11, {"hash_match": False, "err": "boom"}),
+        ]
+    }
+    assert freshness.latest_green(hist)["some_entry"] == 13

@@ -17,7 +17,9 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pyspark.sql import functions as F
+# No module-level pyspark import: every command defers it so
+# `--help` / argparse errors don't pay the multi-second pyspark cost
+# (r14 review finding: one stray eager import defeated the design).
 
 
 def _spark():
@@ -27,11 +29,32 @@ def _spark():
 
 
 def cmd_init_tables(args) -> int:
+    """InitDb → init-tables: create the medallion targets in the SINKS'
+    layout (bronze partitioned by chain/ingest_date, silver by
+    entry_date — the same partition_by write_bronze/write_silver use).
+
+    Parquet is schema-on-write: a zero-row partitioned dataset is a
+    directory + _SUCCESS with no footers, and the schema materializes
+    on the first append (contrast the reference's sqlx migrations,
+    cli/src/main.rs:70-78, which create typed empty tables — a
+    metastore's job, not a file format's).  The old form wrote FLAT
+    readable empty tables, which the sinks' schema/layout guards then
+    rejected on the first real ingest (TableInconsistentError) — the
+    documented init→ingest workflow was unusable (r14 review finding,
+    regression-tested in tests/test_serving_cli.py)."""
+    from pyspark.sql import functions as F
+
     from spectraplex_spark.schemas import BRONZE_SCHEMA, SILVER_SCHEMA
 
     spark = _spark()
-    spark.createDataFrame([], BRONZE_SCHEMA).write.mode("ignore").parquet(args.bronze)
-    spark.createDataFrame([], SILVER_SCHEMA).write.mode("ignore").parquet(args.silver)
+    bronze = spark.createDataFrame([], BRONZE_SCHEMA).withColumn(
+        "ingest_date", F.to_date(F.from_unixtime(F.col("timestamp")))
+    )
+    bronze.write.mode("ignore").partitionBy("chain", "ingest_date").parquet(args.bronze)
+    silver = spark.createDataFrame([], SILVER_SCHEMA).withColumn(
+        "entry_date", F.to_date(F.col("created_at"))
+    )
+    silver.write.mode("ignore").partitionBy("entry_date").parquet(args.silver)
     print(f"initialized bronze={args.bronze} silver={args.silver}")
     return 0
 
@@ -57,26 +80,45 @@ def cmd_normalize(args) -> int:
         bronze = read_bronze_jsonl(spark, args.input)
     else:
         bronze = spark.read.parquet(args.input)
-    silver = normalize(bronze)
-    n_bad = parse_failures(bronze).count()
-    if args.jsonl:
-        write_jsonl(silver, args.output)
-        n = silver.count()
-    else:
-        n = write_silver(silver, args.output)
+    # persist: the silver write (anti-join + count + write) and the
+    # parse_failures count each re-run the bronze lineage — without
+    # this the expensive JSON parse executes up to four times per
+    # invocation (the same pattern land_with_quarantine documents;
+    # r14 review finding).
+    bronze = bronze.persist()
+    try:
+        silver = normalize(bronze)
+        n_bad = parse_failures(bronze).count()
+        if args.jsonl:
+            write_jsonl(silver, args.output)
+            n = silver.count()
+        else:
+            n = write_silver(silver, args.output)
+    finally:
+        bronze.unpersist()
     print(f"normalized -> {n} ledger entries into {args.output} ({n_bad} unparseable rows skipped)")
     return 0
 
 
 def cmd_read(args) -> int:
+    from pyspark.errors import AnalysisException
+
     from spectraplex_spark import serving
 
     spark = _spark()
-    if args.silver:
-        df = serving.ledger_by_wallet(spark, args.silver, args.wallet)
-    else:
-        df = serving.transactions_by_wallet(spark, args.bronze, args.wallet)
-    for line in serving.to_json_rows(df, limit=args.limit):
+    try:
+        if args.silver:
+            df = serving.ledger_by_wallet(spark, args.silver, args.wallet)
+        else:
+            df = serving.transactions_by_wallet(spark, args.bronze, args.wallet)
+        rows = serving.to_json_rows(df, limit=args.limit)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # A freshly init-tables'd (zero-row, footer-less) table serves
+        # zero rows, not a schema-inference stack trace.
+        rows = []
+    for line in rows:
         print(line)
     return 0
 

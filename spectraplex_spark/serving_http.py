@@ -66,17 +66,49 @@ class AppState:
         self.lock = threading.Lock()
 
 
+class BadRequest(ValueError):
+    """Client-side payload fault → HTTP 400 with the message."""
+
+
+def _require(payload: dict[str, Any], field: str) -> Any:
+    try:
+        return payload[field]
+    except KeyError:
+        raise BadRequest(f"missing field '{field}'") from None
+
+
 def _ingest(state: AppState, payload: dict[str, Any]) -> str:
-    """main.rs:67-87 — fetch history over RPC, land bronze."""
+    """main.rs:67-87 — fetch history over RPC, land bronze.
+
+    Deliberate divergence (SURVEY §4.2 policy): the reference declares
+    the payload's chain field but never reads it (``_chain``,
+    main.rs:55) — every ingest runs the Solana adapter regardless, so
+    a client asking for another chain gets rows silently labeled and
+    parsed as Solana.  Here a non-solana chain is a loud 400 instead
+    of silently-mislabeled data (wrong deterministic ids, wrong bronze
+    partition, wrong normalize dispatch).
+
+    The RPC fetch (driver-side network, possibly seconds of retries)
+    runs OUTSIDE the Spark lock — only the bronze landing needs it
+    (r14 review finding: the lock's contract is one Spark action at a
+    time, not one HTTP request at a time)."""
     from spectraplex_spark.sources.connector import ingest_history
     from spectraplex_spark.sources.io import write_bronze
 
-    wallet = payload["wallet"]
-    rpc_url = payload["rpc_url"]
+    wallet = _require(payload, "wallet")
+    rpc_url = _require(payload, "rpc_url")
+    chain = payload.get("chain", "solana")
+    if chain != "solana":
+        raise BadRequest(
+            f"chain '{chain}' not supported by the RPC ingest edge "
+            "(the reference ignores this field and always fetches "
+            "solana — rejected loudly here instead)"
+        )
     bronze = ingest_history(
         state.spark, rpc_url, wallet, limit=state.ingest_limit
     )
-    n = write_bronze(bronze, state.bronze_path)
+    with state.lock:
+        n = write_bronze(bronze, state.bronze_path)
     return f"Ingested {n} transactions"
 
 
@@ -88,11 +120,12 @@ def _normalize(state: AppState, payload: dict[str, Any]) -> str:
     from spectraplex_spark.operators.normalize import normalize
     from spectraplex_spark.sources.io import write_silver
 
-    wallet = payload["wallet"]
-    bronze = serving.transactions_by_wallet(
-        state.spark, state.bronze_path, wallet
-    )
-    n = write_silver(normalize(bronze), state.silver_path)
+    wallet = _require(payload, "wallet")
+    with state.lock:
+        bronze = serving.transactions_by_wallet(
+            state.spark, state.bronze_path, wallet
+        )
+        n = write_silver(normalize(bronze), state.silver_path)
     return f"Normalized {n} ledger entries"
 
 
@@ -123,43 +156,61 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/health":
                 self._send(200, b"OK", ctype="text/plain")
                 return
+            # Spark work (the collect inside _json_rows) runs under the
+            # lock; the HTTP socket write does NOT — a slow client must
+            # not serialize every other request behind its recv window
+            # (r14 review finding).
             m = _TX_ROUTE.match(self.path)
             if m:
                 with self.state.lock:
-                    df = serving.transactions_by_wallet(
-                        self.state.spark, self.state.bronze_path, m.group(1)
+                    body = self._json_rows(
+                        serving.transactions_by_wallet(
+                            self.state.spark, self.state.bronze_path, m.group(1)
+                        )
                     )
-                    self._send(200, self._json_rows(df))
+                self._send(200, body)
                 return
             m = _LEDGER_ROUTE.match(self.path)
             if m:
                 with self.state.lock:
-                    df = serving.ledger_by_wallet(
-                        self.state.spark, self.state.silver_path, m.group(1)
+                    body = self._json_rows(
+                        serving.ledger_by_wallet(
+                            self.state.spark, self.state.silver_path, m.group(1)
+                        )
                     )
-                    self._send(200, self._json_rows(df))
+                self._send(200, body)
                 return
             self._send_json(404, {"error": "no such route"})
         except Exception as e:  # main.rs maps handler errors to 500
             self._send_json(500, {"error": str(e)})
 
     def do_POST(self):
+        # Error mapping (r14 review finding — the old broad handlers sent
+        # malformed client JSON to 500 and blamed upstream-node KeyErrors
+        # on the client as 400): client faults — unparseable body,
+        # non-object payload, missing/unsupported fields (BadRequest) —
+        # are 400; everything past payload validation is a server/upstream
+        # fault and maps to 500, like the reference's
+        # INTERNAL_SERVER_ERROR catch-alls (main.rs:76,83).
         try:
             length = int(self.headers.get("Content-Length", "0"))
-            payload = json.loads(self.rfile.read(length) or b"{}")
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except ValueError:
+                self._send_json(400, {"error": "request body is not valid JSON"})
+                return
+            if not isinstance(payload, dict):
+                self._send_json(400, {"error": "request body must be a JSON object"})
+                return
             if self.path == "/v1/ingest":
-                with self.state.lock:
-                    msg = _ingest(self.state, payload)
-                self._send_json(200, msg)
+                self._send_json(200, _ingest(self.state, payload))
                 return
             if self.path == "/v1/normalize":
-                with self.state.lock:
-                    msg = _normalize(self.state, payload)
-                self._send_json(200, msg)
+                self._send_json(200, _normalize(self.state, payload))
                 return
             self._send_json(404, {"error": "no such route"})
-        except KeyError as e:
-            self._send_json(400, {"error": f"missing field {e}"})
+        except BadRequest as e:
+            self._send_json(400, {"error": str(e)})
         except Exception as e:
             self._send_json(500, {"error": str(e)})
 

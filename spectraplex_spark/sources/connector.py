@@ -56,6 +56,33 @@ _RETRYABLE_HTTP = {429, 500, 502, 503, 504}
 SIGNATURE_PAGE_CAP = 1000
 
 
+def _retry_after_seconds(retry_after: str | None) -> float | None:
+    """Parse a ``Retry-After`` header into a wait in seconds, or None.
+
+    RFC 7231 §7.1.3 allows BOTH forms: delta-seconds ("120") and an
+    HTTP-date ("Wed, 21 Oct 2026 07:28:00 GMT").  The old bare
+    ``float(retry_after)`` crashed the whole fetch task with an
+    uncontained ValueError on the date form (r14 review finding); an
+    unparseable header now just falls back to exponential backoff.
+    A date in the past clamps to 0 (retry immediately)."""
+    if not retry_after:
+        return None
+    try:
+        return max(0.0, float(retry_after))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+        from datetime import datetime, timezone
+
+        dt = parsedate_to_datetime(retry_after)
+        if dt.tzinfo is None:  # RFC 5322 parse of a legacy date w/o zone
+            dt = dt.replace(tzinfo=timezone.utc)
+        return max(0.0, (dt - datetime.now(timezone.utc)).total_seconds())
+    except (ValueError, TypeError):
+        return None
+
+
 class RpcError(RuntimeError):
     """A JSON-RPC call failed after retries (or non-retryably)."""
 
@@ -103,7 +130,13 @@ class SolanaRpcClient:
             method="POST",
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+            body = json.loads(resp.read().decode("utf-8"))
+        if not isinstance(body, dict):
+            # A proxy/LB can hand back a 200 whose body is valid JSON but
+            # not a JSON-RPC envelope (array, scalar) — same containment
+            # as a non-JSON body: ValueError → retried in call().
+            raise ValueError(f"non-object JSON-RPC response: {type(body).__name__}")
+        return body
 
     def call(self, method: str, params: list[Any]) -> Any:
         """One JSON-RPC call: rate-gated, retried on transient failure,
@@ -139,10 +172,22 @@ class SolanaRpcClient:
                 # URLError (fault-injection finding, r11): a node dying
                 # mid-response must retry, not crash the fetch task.
                 last_err = e
+            except ValueError as e:
+                # A 200 whose body is not a JSON-RPC object (HTML error
+                # page from a proxy, truncated-but-"complete" stream, JSON
+                # array/scalar): same transient class as a disconnect —
+                # retried, and surfaced as RpcError on exhaustion instead
+                # of an uncontained JSONDecodeError killing the fetch task
+                # (r14 review finding).
+                last_err = e
             else:
                 err = body.get("error")
                 if err is None:
                     return body.get("result")
+                if not isinstance(err, dict):
+                    # JSON-RPC says `error` is an object; a node emitting a
+                    # bare string/number is protocol-broken — non-retryable.
+                    raise RpcError(f"{method}: malformed rpc error: {err!r}")
                 code = err.get("code")
                 if code not in _TRANSIENT_RPC_CODES:
                     raise RpcError(
@@ -151,7 +196,9 @@ class SolanaRpcClient:
                 last_err = RpcError(str(err.get("message")), code=code)
 
             if attempt < self.max_retries:
-                delay = float(retry_after) if retry_after else self.backoff_s * (2**attempt)
+                delay = _retry_after_seconds(retry_after)
+                if delay is None:
+                    delay = self.backoff_s * (2**attempt)
                 self._sleep(delay)
 
         raise RpcError(

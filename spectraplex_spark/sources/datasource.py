@@ -67,8 +67,17 @@ class _SolanaRpcReader(DataSourceReader):
                 "(comma-separated wallet addresses)"
             )
         self.limit = int(options.get("limit", 50))
-        self.max_rps = float(options.get("max_rps", 0)) or None
+        # Default THROTTLED at the fetch_wallet_batch per-task rate (20
+        # rps): an unthrottled default contradicted the module's own
+        # rate-limit contract — 100 wallets without max_rps scheduled
+        # 100 concurrent ungated tasks at the node (r14 review finding).
+        # Explicit max_rps=0 opts out (an operator's deliberate choice).
+        self.max_rps = float(options.get("max_rps", 20.0)) or None
         self.chain = options.get("chain", "solana")
+        # Retry/timeout knobs were previously unreachable from .option()
+        self.timeout = float(options.get("timeout", 30.0))
+        self.max_retries = int(options.get("max_retries", 4))
+        self.backoff_s = float(options.get("backoff_s", 0.5))
 
     def partitions(self) -> list[InputPartition]:
         return [_WalletPartition(w) for w in self.wallets]
@@ -81,7 +90,13 @@ class _SolanaRpcReader(DataSourceReader):
             fetch_history,
         )
 
-        client = SolanaRpcClient(self.url, max_rps=self.max_rps)
+        client = SolanaRpcClient(
+            self.url,
+            timeout=self.timeout,
+            max_retries=self.max_retries,
+            backoff_s=self.backoff_s,
+            max_rps=self.max_rps,
+        )
         for row in fetch_history(client, partition.wallet, self.limit, self.chain):
             yield (
                 row["wallet_address"],

@@ -62,6 +62,9 @@ class FixtureNode:
         self.slow_budget: int = 0  # requests to stall by slow_s before reply
         self.slow_s: float = 0.0
         self.disconnect_budget: int = 0  # requests to cut mid-response-body
+        # raw bodies served verbatim with HTTP 200 before real handling —
+        # the proxy-returns-an-HTML-error-page-with-200 fault class
+        self.garbage_bodies: list[bytes] = []
         self.log: list[str] = []  # method names in arrival order
         self.lock = threading.Lock()
         self.url: str | None = None
@@ -128,6 +131,19 @@ def serve_node(n_sigs: int = 7):
                 self.wfile.write(b'{"partial')
                 self.wfile.flush()
                 self.connection.close()
+                return
+            with state.lock:
+                garbage = (
+                    state.garbage_bodies.pop(0) if state.garbage_bodies else None
+                )
+            if garbage is not None:
+                with state.lock:
+                    state.log.append(json.loads(body)["method"])
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(garbage)))
+                self.end_headers()
+                self.wfile.write(garbage)
                 return
             status, payload, hdrs = state.handle(json.loads(body))
             data = json.dumps(payload).encode() if payload is not None else b""

@@ -256,3 +256,77 @@ def test_datasource_api_missing_options_raise(spark):
         spark.read.format("solana_rpc").option("wallets", "w").load().collect()
     with _pytest.raises(Exception, match="wallets"):
         spark.read.format("solana_rpc").option("url", "http://x").load().collect()
+
+
+# --- r14 review-pass regressions ------------------------------------------
+
+
+def test_garbage_200_body_retried_then_succeeds(node):
+    """A proxy handing back 200 with an HTML page (or a JSON array) must
+    be retried like a disconnect, not crash the fetch task with an
+    uncontained JSONDecodeError (r14 review finding)."""
+    node.garbage_bodies = [b"<html>Bad Gateway</html>", b"[1, 2, 3]"]
+    rows = fetch_history(_client(node), WALLET, limit=2)
+    assert len(rows) == 2 and all(r["response_json"] for r in rows)
+
+
+def test_garbage_200_body_exhausts_to_rpc_error(node):
+    node.garbage_bodies = [b"not json"] * 10
+    with pytest.raises(RpcError, match="exhausted"):
+        _client(node, max_retries=2).call("getSignaturesForAddress", [WALLET, {}])
+
+
+def test_retry_after_http_date_honored(node):
+    """RFC 7231 allows Retry-After as an HTTP-date; the old bare
+    float() crashed with ValueError on it (r14 review finding). A past
+    date clamps to an immediate retry."""
+    node.http_faults = [429]
+    node.retry_after = "Wed, 21 Oct 2015 07:28:00 GMT"
+    rows = fetch_history(_client(node), WALLET, limit=1)
+    assert rows and rows[0]["response_json"]
+
+
+def test_retry_after_seconds_parser():
+    from datetime import datetime, timedelta, timezone
+    from email.utils import format_datetime
+
+    from spectraplex_spark.sources.connector import _retry_after_seconds
+
+    assert _retry_after_seconds(None) is None
+    assert _retry_after_seconds("") is None
+    assert _retry_after_seconds("120") == 120.0
+    assert _retry_after_seconds("-3") == 0.0
+    assert _retry_after_seconds("utter garbage") is None
+    assert _retry_after_seconds("Wed, 21 Oct 2015 07:28:00 GMT") == 0.0
+    future = format_datetime(datetime.now(timezone.utc) + timedelta(seconds=60))
+    v = _retry_after_seconds(future)
+    assert v is not None and 0.0 < v <= 61.0
+
+
+def test_malformed_rpc_error_member_is_non_retryable(node):
+    """JSON-RPC says `error` is an object; a node emitting a bare string
+    is protocol-broken — loud RpcError, no retry burn."""
+    node.handle = lambda req: (
+        200,
+        {"jsonrpc": "2.0", "id": req["id"], "error": "boom"},
+        {},
+    )
+    with pytest.raises(RpcError, match="malformed rpc error"):
+        _client(node).call("getSignaturesForAddress", [WALLET, {}])
+
+
+def test_datasource_reader_defaults_throttled():
+    """The registered data source must default to the fetch_wallet_batch
+    per-task rate, not unthrottled (r14 review finding); max_rps=0 is
+    the explicit opt-out, and the retry/timeout knobs are reachable."""
+    from spectraplex_spark.sources.datasource import _SolanaRpcReader
+
+    r = _SolanaRpcReader({"url": "http://n", "wallets": "w1"})
+    assert r.max_rps == 20.0
+    assert (r.timeout, r.max_retries, r.backoff_s) == (30.0, 4, 0.5)
+    assert _SolanaRpcReader({"url": "http://n", "wallets": "w1", "max_rps": "0"}).max_rps is None
+    r2 = _SolanaRpcReader(
+        {"url": "http://n", "wallets": "w1", "max_rps": "5",
+         "timeout": "7.5", "max_retries": "2", "backoff_s": "0.1"}
+    )
+    assert (r2.max_rps, r2.timeout, r2.max_retries, r2.backoff_s) == (5.0, 7.5, 2, 0.1)

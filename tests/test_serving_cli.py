@@ -283,3 +283,53 @@ def test_cli_corpus_prep_with_eval_docs(spark, tmp_path, capsys):
         r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()
     )
     assert kept == [0, 1, 3]
+
+
+def test_cli_init_tables_then_full_workflow(spark, tmp_path, capsys):
+    """The DOCUMENTED workflow order — init-tables FIRST, then ingest →
+    normalize → read (module docstring lines 3-6).  The old init wrote
+    flat readable empty tables whose layout the sinks' guards then
+    rejected (TableInconsistentError on the very first ingest); init now
+    creates the targets in the sinks' partitioned layout, and reads on a
+    still-empty table serve zero rows instead of a schema-inference
+    stack trace (r14 review finding)."""
+    from spectraplex_spark.__main__ import main
+
+    bp, sp = str(tmp_path / "bronze"), str(tmp_path / "silver")
+    assert main(["init-tables", "--bronze", bp, "--silver", sp]) == 0
+    assert "initialized" in capsys.readouterr().out
+
+    # a read on the freshly-initialized (zero-row) tables serves nothing
+    assert main(["read", "--bronze", bp, "--wallet", WALLET]) == 0
+    assert capsys.readouterr().out.strip() == ""
+    assert main(["read", "--silver", sp, "--wallet", WALLET]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    # init is idempotent and non-destructive
+    assert main(["init-tables", "--bronze", bp, "--silver", sp]) == 0
+    capsys.readouterr()
+
+    raw_path = tmp_path / "raw.jsonl"
+    with open(raw_path, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "wallet_address": WALLET,
+                    "signature": "init-sig0",
+                    "response_json": solana_tx(
+                        pre_balances=[5 * 10**9, 0],
+                        post_balances=[4 * 10**9, 10**9],
+                    ),
+                    "chain": "solana",
+                }
+            )
+            + "\n"
+        )
+    # the first ingest into the initialized table must NOT raise
+    assert main(["ingest", "--input", str(raw_path), "--bronze", bp]) == 0
+    assert "ingested 1 new" in capsys.readouterr().out
+    assert main(["normalize", "--input", bp, "--output", sp]) == 0
+    assert "1 ledger entries" in capsys.readouterr().out
+    assert main(["read", "--silver", sp, "--wallet", WALLET]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1 and rows[0]["asset_symbol"] == "SOL"

@@ -91,3 +91,62 @@ def test_unknown_route_404_and_bad_request_400(app):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{app}/v1/normalize", {})  # missing wallet
     assert e.value.code == 400
+
+
+# --- r14 review-pass regressions ------------------------------------------
+
+
+def _post_raw(url, data: bytes):
+    req = urllib.request.Request(
+        url, data=data,
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read().decode()
+
+
+def test_malformed_json_body_is_400_not_500(app):
+    """Client faults map to 400: unparseable body and non-object payload
+    (the old broad handler sent both to 500 — r14 review finding)."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(f"{app}/v1/normalize", b"{not json")
+    assert e.value.code == 400
+    assert "not valid JSON" in e.value.read().decode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(f"{app}/v1/ingest", b"[1, 2]")
+    assert e.value.code == 400
+    assert "JSON object" in e.value.read().decode()
+
+
+def test_non_solana_chain_rejected_400(app):
+    """The reference declares but never reads the chain field (`_chain`,
+    api/src/main.rs:55) — every ingest runs the Solana adapter, so a
+    client asking for another chain would get silently-mislabeled rows.
+    Deliberate divergence: loud 400 instead (r14 review finding)."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            f"{app}/v1/ingest",
+            {"chain": "ethereum", "wallet": WALLET, "rpc_url": "http://unused"},
+        )
+    assert e.value.code == 400
+    assert "chain 'ethereum' not supported" in e.value.read().decode()
+
+
+def test_upstream_fault_is_500_not_400(app):
+    """A server/upstream fault (unreachable RPC node) must surface as
+    500, never be blamed on the client as 400."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            f"{app}/v1/ingest",
+            # closed port: connection refused -> retries -> RpcError
+            {"wallet": WALLET, "rpc_url": "http://127.0.0.1:9"},
+        )
+    assert e.value.code == 500
+
+
+def test_missing_fields_still_400_with_field_name(app):
+    for payload, missing in [({}, "wallet"), ({"wallet": WALLET}, "rpc_url")]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{app}/v1/ingest", payload)
+        assert e.value.code == 400
+        assert missing in e.value.read().decode()

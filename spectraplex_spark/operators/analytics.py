@@ -187,6 +187,14 @@ def cohort_retention(
     of re-aggregating the per-user frame saves a full second corpus
     scan (the plan-audit finding: an unshared ``firsts`` is otherwise
     recomputed per consumer, the Catalyst no-CSE rule)."""
+    # NULL-ts events can anchor nothing and count toward no day: without
+    # this prefilter a user's NULL-timed event groups as day_offset=NULL
+    # (datediff(NULL,·) survives groupBy as a NULL grouping value) and
+    # an all-NULL user emits a cohort_day=NULL row — bogus matrix cells
+    # no ts-IS-NOT-NULL oracle reproduces.  The funnel sibling got this
+    # exact prefilter in r12 (line ~78); cohort_retention was missed
+    # (r14 review finding).
+    df = df.filter(F.col(ts_col).isNotNull())
     firsts = (
         df.groupBy(F.col(user_col).alias("user_id"))
         .agg(F.min(F.to_date(F.col(ts_col))).alias("cohort_day"))

@@ -60,9 +60,11 @@ def contamination_report(
     # without the barrier Catalyst inlines the expression into both and
     # the corpus is tokenized twice (same discipline as the minhash
     # miner's hashed-shingle pass).
-    corpus = docs.select(
-        F.col(id_col), gram(F.col(text_col)).alias("_ngrams")
-    ).localCheckpoint(eager=False)
+    from spectraplex_spark.operators.components import lineage_truncate
+
+    corpus = lineage_truncate(
+        docs.select(F.col(id_col), gram(F.col(text_col)).alias("_ngrams"))
+    )
     sizes = corpus.select(id_col, F.size("_ngrams").alias("n_ngrams"))
     exploded = corpus.select(id_col, F.explode("_ngrams").alias("_ngram"))
     bench = eval_docs.select(
@@ -140,7 +142,24 @@ def semantic_contamination_report(
     from pyspark.sql import types as T
 
     evc = eval_vec_col or vec_col
-    evals = [list(r[0]) for r in eval_df.select(evc).collect()]
+    rows = eval_df.select(evc).collect()
+    evals = []
+    for i, r in enumerate(rows):
+        # Descriptive validation instead of a bare TypeError deep in the
+        # quantize comprehension (r14 review finding): say WHICH eval
+        # row is bad, like every other validation path in this function.
+        if r[0] is None:
+            raise ValueError(
+                f"semantic_contamination_report: eval row {i} has a NULL "
+                f"{evc} embedding"
+            )
+        vec = list(r[0])
+        if any(x is None for x in vec):
+            raise ValueError(
+                f"semantic_contamination_report: eval row {i} has a NULL "
+                f"element inside its {evc} embedding"
+            )
+        evals.append(vec)
     if not evals:
         raise ValueError("semantic_contamination_report: empty eval set")
     dec = T.DecimalType(38, 0)
@@ -174,27 +193,37 @@ def semantic_contamination_report(
             col, lambda x: F.floor(x.cast("double") * quantize + F.lit(0.5)).cast("long")
         )
 
+    # Accumulate squared norms and dot products in DECIMAL(38,0) from
+    # the FIRST multiply — not in long with a decimal cast at the end:
+    # a quantized element beyond ~3e9 makes x*x exceed 2^63 inside the
+    # long accumulator, and non-ANSI long overflow WRAPS silently (it
+    # does not NULL), so a wrong-but-non-NULL product would sail past
+    # the raise_error containment layer and a contaminated row could
+    # read as clean — the exact fail-open this guard stack documents
+    # away (r14 review finding).  Decimal overflow is NULL under
+    # non-ANSI (caught by layer 2) and a loud error under ANSI.
     def sq_norm(qcol):
         return F.aggregate(
-            qcol, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            qcol,
+            F.lit(0).cast(dec),
+            lambda acc, x: acc + x.cast(dec) * x.cast(dec),
         )
 
     qa = q(F.col(vec_col))
-    na2 = sq_norm(qa).cast(dec)
+    na2 = sq_norm(qa)
     tq2 = F.lit(int(threshold_q) ** 2).cast(dec)
     grid = F.lit(10**12).cast(dec)
     hits = []
     for vec in evals:
         lit = F.array(*[F.lit(float(x)) for x in vec])
         qe = q(lit)  # constant-folded once by Catalyst
-        ne2 = sq_norm(qe).cast(dec)
-        dot = F.aggregate(
-            F.zip_with(qa, qe, lambda a, b: a * b),
-            F.lit(0).cast("long"),
+        ne2 = sq_norm(qe)
+        d = F.aggregate(
+            F.zip_with(qa, qe, lambda a, b: a.cast(dec) * b.cast(dec)),
+            F.lit(0).cast(dec),
             lambda acc, x: acc + x,
         )
-        d = dot.cast(dec)
-        hits.append(((dot > 0) & (d * d * grid >= tq2 * na2 * ne2)).cast("int"))
+        hits.append(((d > 0) & (d * d * grid >= tq2 * na2 * ne2)).cast("int"))
     n_hits = sum(hits[1:], hits[0])
     # Layer (2): one guard on the summed count — any NULL hit (decimal
     # overflow from an oversized corpus norm, or a NULL element inside a

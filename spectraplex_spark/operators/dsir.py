@@ -77,20 +77,26 @@ def dsir_bucket_weights(
     )
 
 
-def dsir_importance_sample(
-    df: DataFrame,
-    target_pred: Column,
-    k: int = 10,
-    stratum_col: str = "lang",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = QSCORE_BUCKETS,
-) -> DataFrame:
-    """Top-``k`` docs per stratum by hashed-n-gram importance score
-    (see module docstring). Returns (stratum, id, score_q, rk) —
-    deterministic: score desc, id asc. Token-free documents carry no
-    feature evidence and are excluded (they'd otherwise tie at score 0
-    by accident of smoothing, not by similarity to the target)."""
+def _importance_score(
+    df: DataFrame, target_pred: Column, text_col: str, n_buckets: int
+) -> Column:
+    """The broadcast-weights importance score expression — the ONE
+    definition both twins build on (r14 review finding: the ~20-line
+    collect/wlit/per_tok/score block was duplicated verbatim between
+    them, the drift mode dedup.perm_constants' r13 note warns about;
+    the r12 floor_wq fix already had to land twice).
+
+    Emits NULL for token-free documents (they carry no feature
+    evidence — the callers' documented exclusion) and the BIGINT bucket
+    -weight sum otherwise.  The count rides in the aggregate's
+    accumulator and the finish lambda folds it into the ONE output
+    scalar, so the lower/regex/split tokenize chain — the dominant
+    per-row cost, measured 9x on the decontam scan (dedup.py:63) —
+    evaluates exactly once per row; the previous
+    ``filter(size(toks) > 0)`` + separate score projection ran it
+    twice (HOF chains are interpreted and outside both codegen CSE and
+    cross-operator CSE).
+    """
     w = {
         r["bucket"]: r["wq"]
         for r in dsir_bucket_weights(
@@ -107,14 +113,40 @@ def dsir_importance_sample(
     wlit = F.array(
         *[F.lit(int(w.get(b, floor_wq))).cast("long") for b in range(n_buckets)]
     )
-    toks = tokens(F.col(text_col))
     per_tok = F.transform(
-        toks, lambda t: F.element_at(wlit, hashed_bucket(t, n_buckets) + 1)
+        tokens(F.col(text_col)),
+        lambda t: F.element_at(wlit, hashed_bucket(t, n_buckets) + 1),
     )
-    score = F.aggregate(per_tok, F.lit(0).cast("long"), lambda a, v: a + v)
-    scored = df.filter(F.size(toks) > 0).select(
+    return F.aggregate(
+        per_tok,
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("n")
+        ),
+        lambda acc, v: F.struct(
+            (acc["s"] + v).alias("s"), (acc["n"] + F.lit(1)).alias("n")
+        ),
+        lambda acc: F.when(acc["n"] > 0, acc["s"]),
+    )
+
+
+def dsir_importance_sample(
+    df: DataFrame,
+    target_pred: Column,
+    k: int = 10,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = QSCORE_BUCKETS,
+) -> DataFrame:
+    """Top-``k`` docs per stratum by hashed-n-gram importance score
+    (see module docstring). Returns (stratum, id, score_q, rk) —
+    deterministic: score desc, id asc. Token-free documents carry no
+    feature evidence and are excluded (they'd otherwise tie at score 0
+    by accident of smoothing, not by similarity to the target)."""
+    score = _importance_score(df, target_pred, text_col, n_buckets)
+    scored = df.select(
         F.col(stratum_col), F.col(id_col), score.alias("score_q")
-    )
+    ).filter(F.col("score_q").isNotNull())
     win = Window.partitionBy(stratum_col).orderBy(
         F.desc("score_q"), F.asc(id_col)
     )
@@ -153,27 +185,13 @@ def dsir_importance_sample_scalable(
     """
     from spectraplex_spark.operators.components import lineage_truncate
 
-    w = {
-        r["bucket"]: r["wq"]
-        for r in dsir_bucket_weights(
-            df, target_pred, text_col, n_buckets
-        ).collect()  # bounded: n_buckets rows
-    }
-    floor_wq = DSIR_SCALE // n_buckets
-    wlit = F.array(
-        *[F.lit(int(w.get(b, floor_wq))).cast("long") for b in range(n_buckets)]
-    )
-    toks = tokens(F.col(text_col))
-    per_tok = F.transform(
-        toks, lambda t: F.element_at(wlit, hashed_bucket(t, n_buckets) + 1)
-    )
-    score = F.aggregate(per_tok, F.lit(0).cast("long"), lambda a, v: a + v)
+    score = _importance_score(df, target_pred, text_col, n_buckets)
     # scored once, lineage-truncated: counts / percentile / prefilter /
     # verify each re-read it (Catalyst does not CSE the HOF chain)
     scored = lineage_truncate(
-        df.filter(F.size(toks) > 0).select(
+        df.select(
             F.col(stratum_col).alias("_st"), F.col(id_col), score.alias("score_q")
-        )
+        ).filter(F.col("score_q").isNotNull())
     )
     counts = {
         r["_st"]: int(r["n"])
@@ -198,8 +216,20 @@ def dsir_importance_sample_scalable(
                 .collect()[0]["t"]
             )
             thr_rows.append((st, int(thr)))
+        # Threshold frame typed from the ACTUAL stratum column — the old
+        # hardcoded "_st string" crashed createDataFrame for any non-
+        # string stratum (int domain ids) while the plain twin handled
+        # them fine (r14 review finding).
+        from pyspark.sql import types as T
+
+        thr_schema = T.StructType(
+            [
+                T.StructField("_st", scored.schema["_st"].dataType),
+                T.StructField("_thr", T.LongType()),
+            ]
+        )
         thr_df = F.broadcast(
-            scored.sparkSession.createDataFrame(thr_rows, "_st string, _thr long")
+            scored.sparkSession.createDataFrame(thr_rows, thr_schema)
         )
         pre = scored.join(thr_df, "_st", "left").filter(
             F.col("_thr").isNull() | (F.col("score_q") >= F.col("_thr"))
@@ -215,8 +245,17 @@ def dsir_importance_sample_scalable(
             st for st in hot if kept.get(st, 0) < min(k, counts[st])
         ]
         if failing:  # provable fallback: full complement for those strata
-            pre = pre.filter(~F.col("_st").isin(failing)).unionByName(
-                scored.filter(F.col("_st").isin(failing))
+            # NULL-safe on both sides: `~isin(failing)` is NULL for a
+            # NULL stratum and filter drops NULLs, so the old form
+            # silently erased the NULL stratum's rows whenever any hot
+            # stratum fell back (r14 review finding; `failing` holds
+            # non-NULL strata only — `hot` excludes None).
+            pre = pre.filter(
+                F.coalesce(~F.col("_st").isin(failing), F.lit(True))
+            ).unionByName(
+                scored.filter(
+                    F.coalesce(F.col("_st").isin(failing), F.lit(False))
+                )
             )
     win = Window.partitionBy("_st").orderBy(F.desc("score_q"), F.asc(id_col))
     return (

@@ -78,14 +78,28 @@ def pagerank_integer(
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
-    ed = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    # One scan + distinct-shuffle over the raw edges, materialized once:
+    # deg, nodes and edeg all derive from the truncated frame.
+    ed = lineage_truncate(
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct(),
+        reliable_checkpoint,
+    )
     deg = ed.groupBy("_u").agg(F.count(F.lit(1)).alias("_outd"))
     nodes = (
         ed.select(F.col("_u").alias("node"))
         .unionByName(ed.select(F.col("_v").alias("node")))
         .distinct()
     )
-    edeg = ed.join(deg, "_u")
+    # Loop-invariant frames truncated ONCE before the loop: every
+    # iteration's plan re-embedded the raw edges.distinct + degree
+    # subtree otherwise (Catalyst compiles each round's lineage fresh;
+    # exchange reuse is per-physical-plan only), so iters rounds paid
+    # iters redundant passes over the LARGEST frame in the job — the
+    # exact cost the docstring's "pre-joined with out-degrees once"
+    # claimed away (r14 review finding; nr already had the fix).
+    deg = lineage_truncate(deg, reliable_checkpoint)
+    nodes = lineage_truncate(nodes, reliable_checkpoint)
+    edeg = lineage_truncate(ed.join(deg, "_u"), reliable_checkpoint)
     n = nodes.count()  # one scalar of driver state
     if n == 0:
         return nodes.withColumn("rank_q", F.lit(None).cast("long"))

@@ -131,17 +131,26 @@ def _finish(out: DataFrame, n_shards: int, total: int) -> DataFrame:
     dataset into only N tasks — the review-caught funnel this module
     exists to avoid."""
     t = max(total, 1)
+    # CAST(_rn AS BIGINT) BEFORE the multiply: row_number() is
+    # IntegerType, so `(_rn - 1) * n_shards` would be int32×int32 —
+    # overflowing at total·n_shards > 2^31 (~34M rows at 64 shards):
+    # ANSI sessions crash, non-ANSI wrap to wrong/negative shards, and
+    # either way the reference path diverges from the scalable twin,
+    # whose _rn is already long (r14 review finding — the same int32
+    # wrap class as the r11 perm fix above).
     return (
         out.withColumn(
             "shard_ranked",
-            F.expr(f"CAST(((_rn - 1) * {n_shards}) div {t} AS BIGINT)"),
+            F.expr(
+                f"CAST(((CAST(_rn AS BIGINT) - 1) * {n_shards}) div {t} AS BIGINT)"
+            ),
         )
         .withColumn("shard_mod", F.pmod(F.col("perm_q"), F.lit(n_shards)).cast("long"))
         .withColumn(
             "shard_pos",
             F.expr(
-                f"CAST((_rn - 1) - ((shard_ranked * {t} + {n_shards} - 1) "
-                f"div {n_shards}) AS BIGINT)"
+                f"CAST((CAST(_rn AS BIGINT) - 1) - ((shard_ranked * {t} "
+                f"+ {n_shards} - 1) div {n_shards}) AS BIGINT)"
             ),
         )
         .drop("_rn")

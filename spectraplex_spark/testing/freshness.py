@@ -82,15 +82,38 @@ ROWS_ONLY_PROVEN: dict[str, str] = {
 #: Entries whose underlying code changed this round, so their prior hash no
 #: longer certifies HEAD — each MUST sit in the current window.
 CHANGED_CODE_REGRADES: set[str] = {
-    # Round 14: none yet.  The r13 set (corpus_pack_assignment schema
+    # Round 14: none.  The r13 set (corpus_pack_assignment schema
     # regrade + the five review-pass byte-identity certifications) was
     # discharged by the 50/50-green CORRECTNESS_r13.json; the full audit
-    # trail lives in git history at the r13 tag of this file.  Populate
-    # as r14 work changes graded-path code: any entry whose graded
-    # OUTPUT can change goes here AND into the window; byte-identical
-    # refactors are certified through the standing non-semantic
-    # precedent (rpc_ingest r11) — snapshot oracle+Spark outputs at both
-    # SFs before the change and diff after (the r13 18/18 proof pattern).
+    # trail lives in git history at the r13 tag of this file.
+    # Changed-code fixes this round, certified through the standing
+    # non-semantic precedent (rpc_ingest r11) with the r13 snapshot
+    # proof pattern — pre-change oracle+Spark outputs captured at BOTH
+    # SFs, diffed byte-identical after (12/12: dsir_importance_sample,
+    # pagerank_conserving_ranks, training_shuffle_shards,
+    # cohort_retention_daily, semantic_decontam_report,
+    # funnel_conversion_report × 2 SFs):
+    #   - serving/ingest-edge review pass (connector retry containment,
+    #     Retry-After date form, datasource default throttle, HTTP-edge
+    #     error mapping, init-tables layout): transport/CLI seams; the
+    #     graded rpc_ingest_datasource regrades in-window this round.
+    #   - dsir: shared _importance_score helper + single-evaluation
+    #     score (struct accumulator; token-free docs NULL out instead
+    #     of a second size(toks) pass), NULL-safe fallback, typed
+    #     threshold frame.  Survivors identical (pytest-pinned twins);
+    #     curation_run_e2e regrades in-window.
+    #   - shuffling: _finish rank arithmetic int32→BIGINT (overflow at
+    #     total·n_shards > 2^31); values identical at every graded SF.
+    #   - graph: loop-invariant ed/deg/nodes/edeg truncated pre-loop
+    #     (plan-only; trajectory bit-identical); pagerank_ranks
+    #     regrades in-window.
+    #   - analytics: cohort_retention NULL-ts prefilter (no fixture has
+    #     NULL ts — scanned both SFs).
+    #   - decontam: DECIMAL-from-first-multiply accumulators (closes
+    #     the non-ANSI long-wrap fail-open), descriptive NULL-eval
+    #     validation, lineage_truncate helper adoption.
+    #     decontam_ngram_overlap + fuzzy_decontam_planted + the
+    #     curation composition regrade in-window this round.
 }
 
 

@@ -188,3 +188,24 @@ def test_funnel_null_ts_never_counts(spark):
     # u1 is dropped entirely (no non-NULL events) — matching the
     # oracle's ts IS NOT NULL; u2 anchors at t=10; u3 stays at 1
     assert got == {2: 2, 3: 1}
+
+
+def test_cohort_null_ts_never_counts(spark):
+    """NULL-ts events produce no matrix cells: no day_offset=NULL row
+    for a user with a NULL-timed event, no cohort_day=NULL row for an
+    all-NULL user — the same 'NULL ts never counts' contract the funnel
+    got in r12; cohort_retention was missed (r14 review finding)."""
+    rows = [
+        (0, 1, T0, "view"),                            # u1 cohort day0
+        (1, 1, None, "click"),   # NULL-timed event: no cell
+        (2, 2, None, "view"),    # u2: all NULL -> absent entirely
+        (3, 3, T0 + dt.timedelta(days=1), "view"),     # u3 cohort day1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = cohort_retention(df).collect()
+    assert all(r["cohort_day"] is not None for r in got)
+    assert all(r["day_offset"] is not None for r in got)
+    cells = {(str(r["cohort_day"]), r["day_offset"]) for r in got}
+    assert cells == {("2024-01-01", 0), ("2024-01-02", 0)}

@@ -102,3 +102,65 @@ def test_scalable_topk_bit_equal_to_window_form(spark):
     assert plain == scal
     # the hot stratum genuinely took the prefilter path
     assert sum(1 for lang, *_ in plain if lang == "en") == 5
+
+
+def test_scalable_twin_accepts_non_string_stratum(spark):
+    """The threshold frame must type itself from the ACTUAL stratum
+    column — the old hardcoded '_st string' schema crashed
+    createDataFrame for int domain ids whenever a stratum went hot
+    (r14 review finding)."""
+    from spectraplex_spark.operators.dsir import dsir_importance_sample_scalable
+
+    rows = [(i, "alpha words here", i % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, domain_id int")
+    got = dsir_importance_sample_scalable(
+        df, F.col("domain_id") == 0, k=3, stratum_col="domain_id",
+        hot_factor=10,  # 150 rows per stratum >> 10*3 -> both strata hot
+    )
+    plain = dsir_importance_sample(
+        df, F.col("domain_id") == 0, k=3, stratum_col="domain_id"
+    )
+    key = lambda d: sorted(map(tuple, d.select("domain_id", "doc_id", "score_q", "rk").collect()))
+    assert key(got) == key(plain)
+
+
+def test_fallback_branch_keeps_null_stratum_rows(spark, monkeypatch):
+    """When any hot stratum falls back (sketch under-keeps), rows with a
+    NULL stratum must survive: `~isin(failing)` is NULL for NULL _st and
+    filter drops NULLs, so the old form silently erased the NULL
+    stratum's top-k (r14 review finding).  Forces the fallback by
+    patching percentile_approx to return an impossible threshold."""
+    import spectraplex_spark.operators.dsir as dsir_mod
+    from spectraplex_spark.operators.dsir import dsir_importance_sample
+
+    rows = [(i, "alpha beta gamma", "hot") for i in range(300)]
+    rows += [(1000 + i, "alpha beta gamma", None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    real_pa = F.percentile_approx
+
+    def broken_percentile(col, frac, accuracy):
+        # a threshold above every score -> kept == 0 -> stratum fails
+        return F.expr("max(score_q) + 1").cast("long")
+
+    monkeypatch.setattr(dsir_mod.F, "percentile_approx", broken_percentile)
+    try:
+        got = dsir_mod.dsir_importance_sample_scalable(
+            df, F.lit(False), k=2, stratum_col="lang", hot_factor=10
+        )
+        res = sorted(
+            [(r["lang"], r["doc_id"]) for r in got.collect()], key=repr
+        )
+    finally:
+        monkeypatch.setattr(dsir_mod.F, "percentile_approx", real_pa)
+    plain = sorted(
+        [
+            (r["lang"], r["doc_id"])
+            for r in dsir_importance_sample(
+                df, F.lit(False), k=2, stratum_col="lang"
+            ).collect()
+        ],
+        key=repr,
+    )
+    assert res == plain
+    assert any(lang is None for lang, _ in res), "NULL stratum vanished"

@@ -1501,3 +1501,59 @@ def test_bigram_report_covers_short_documents(spark):
     assert set(got) == {1, 2, 3, 4}
     assert got[1] == (0, 0.0) and got[2] == (0, 0.0) and got[4] == (0, 0.0)
     assert got[3][0] == 3
+
+
+def test_semantic_decontam_bigint_domain_corpus_exact(spark):
+    """Corpus elements whose quantized SQUARE exceeds 2^63 must still
+    grade exactly: the old long-typed accumulators overflowed BEFORE
+    the DECIMAL cast — ANSI sessions crashed, non-ANSI sessions WRAPPED
+    silently (wrong-but-non-NULL values sail past the raise_error
+    containment: the documented fail-open). Accumulating in
+    DECIMAL(38,0) from the first multiply closes the hole (r14 review
+    finding).  [3e6, 4e6] quantizes to x² ≈ 9.4e18 > 2^63."""
+    from pyspark.sql import types as T
+
+    from spectraplex_spark.operators.decontam import semantic_contamination_report
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus = spark.createDataFrame(
+        [(1, [3.0e6, 4.0e6]), (2, [-4.0e6, 3.0e6])], schema
+    )
+    eval_df = spark.createDataFrame([(0, [0.6, 0.8])], schema)
+    rep = semantic_contamination_report(corpus, eval_df, threshold_q=900_000)
+    got = {r["vec_id"]: r["n_hits"] for r in rep.collect()}
+    # vec 1 is colinear with the eval direction (cos ~ 1); vec 2 is
+    # orthogonal (cos 0) — exact verdicts, no overflow crash
+    assert got == {1: 1}
+
+
+def test_semantic_decontam_null_eval_embedding_descriptive(spark):
+    """A NULL eval embedding (or a NULL element inside one) must raise a
+    descriptive ValueError naming the bad row, not a bare TypeError
+    deep in the quantize comprehension (r14 review finding)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from spectraplex_spark.operators.decontam import semantic_contamination_report
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus = spark.createDataFrame([(1, [0.6, 0.8])], schema)
+    with pytest.raises(ValueError, match="eval row 0 has a NULL embedding"):
+        semantic_contamination_report(
+            corpus, spark.createDataFrame([(0, None)], schema)
+        )
+    with pytest.raises(ValueError, match="row 1 has a NULL element"):
+        semantic_contamination_report(
+            corpus,
+            spark.createDataFrame([(0, [0.6, 0.8]), (1, [0.6, None])], schema),
+        )

@@ -171,3 +171,25 @@ def test_offset_lookup_fails_loudly_on_missing_pid(spark):
     drifted = spark.createDataFrame([(0,), (2,)], "_pid int")
     with pytest.raises(Exception, match="missing from the offset map"):
         drifted.withColumn("off", _offset_lookup({0: 0, 1: 17})).collect()
+
+
+def test_finish_arithmetic_survives_int32_overflow(spark):
+    """(_rn - 1) * n_shards must be BIGINT arithmetic: row_number() is
+    IntegerType, and at total*n_shards > 2^31 the old int32 multiply
+    crashed ANSI sessions / wrapped non-ANSI ones — diverging from the
+    scalable twin whose rank is already long (r14 review finding).
+    Drives _finish directly with a simulated 40M-row rank frame."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.shuffling import _finish
+
+    total, n_shards = 40_000_000, 64  # (total-1)*64 = 2.56e9 > 2^31
+    out = spark.createDataFrame(
+        [(1, 7), (total, 9)], "_rn int, perm_q long"
+    ).withColumn("_rn", F.col("_rn").cast("int"))
+    rows = {r["perm_q"]: r for r in _finish(out, n_shards, total).collect()}
+    first, last = rows[7], rows[9]
+    assert first["shard_ranked"] == 0 and first["shard_pos"] == 0
+    # last global rank lands in the last shard at its final position
+    assert last["shard_ranked"] == n_shards - 1
+    assert last["shard_pos"] >= 0

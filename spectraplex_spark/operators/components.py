@@ -107,94 +107,120 @@ def connected_components(
         )
     )
     if max_iter == 1:
-        # Cannot verify convergence without a second round; converged
-        # after round 0 ⟺ no label moved off the identity.
-        if labels.filter(F.col("component") != F.col("node")).limit(1).count():
-            raise RuntimeError(
-                "connected_components did not converge within max_iter=1 rounds; "
-                "labels were still changing — raise max_iter (the result would be "
-                "wrong, not approximate: unconverged labels split duplicate clusters)"
+        # EXACT convergence check without a propagation round: labels
+        # are converged ⟺ every edge's endpoints agree.  The old
+        # heuristic ("no label moved off the identity") was only a
+        # sufficient condition — identity ⟹ converged, but a single
+        # edge (1,2) converges at round 0 with node 2's label at 1,
+        # and the heuristic raised a false 'did not converge' for it,
+        # making max_iter=1 unusable (r14 review finding).  Cost: one
+        # edge⋈label join pair, paid only on this rarely-used path.
+        try:
+            lu = labels.select(F.col("node").alias("u"), F.col("component").alias("_cu"))
+            lv = labels.select(F.col("node").alias("v"), F.col("component").alias("_cv"))
+            disagree = (
+                sym.join(lu, "u")
+                .join(lv, "v")
+                .filter(F.col("_cu") != F.col("_cv"))
+                .limit(1)
+                .count()
             )
-        sym.unpersist()
-        return labels
-    for it in range(1, max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # Carry the pre-round label as _old so convergence detection is a
-        # column compare INSIDE the round's one materialization — the
-        # old per-round (new join old) count was a whole extra job; the
-        # flag makes the check a scan of already-checkpointed batches.
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.u, "left"
-        ).select(
-            "node",
-            F.col("component").alias("_old"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-            ).alias("component"),
-        )
-        if it < 2:
-            # Near-dup graphs are typically dense star/clique clusters
-            # that converge in 1-2 plain rounds — skip the jump's extra
-            # join while that's still plausible.
-            # eager=False: the convergence probe below is the FIRST
-            # action over this frame, so it doubles as the checkpoint
-            # materialization — one job per round instead of two.
-            new_labels = lineage_truncate(
-                propagated.withColumn(
-                    "_changed", F.col("component") != F.col("_old")
-                ).drop("_old"),
-                reliable_checkpoint,
-            )
-            propagated = None
-        else:
-            # Still unconverged after 2 rounds → a long-path component
-            # exists. Pointer jump (path halving): component :=
-            # label(component), turning O(diameter) convergence into
-            # O(log diameter) so similarity CHAINS can't stall the loop.
-            # persist (lazy), not localCheckpoint (eager): the jump reads
-            # propagated twice — the cache makes the second read free
-            # WITHOUT an extra materialization job per round; lineage is
-            # truncated at new_labels' checkpoint.
-            propagated = propagated.persist()
-            parent = propagated.select(
-                F.col("node").alias("component"), F.col("component").alias("_grand")
-            )
-            new_labels = (
-                propagated.join(parent, "component", "left")
-                .select(
-                    "node",
-                    F.col("_old"),
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("_grand"), F.col("component"))
-                    ).alias("component"),
+            if disagree:
+                raise RuntimeError(
+                    "connected_components did not converge within max_iter=1 rounds; "
+                    "labels were still changing — raise max_iter (the result would be "
+                    "wrong, not approximate: unconverged labels split duplicate clusters)"
                 )
-                .withColumn("_changed", F.col("component") != F.col("_old"))
-                .drop("_old")
+            return labels
+        finally:
+            sym.unpersist()
+    # try/finally owns BOTH caches (r14 review finding: a failed action
+    # mid-round — executor OOM, storage fault — previously leaked the
+    # persisted symmetrized edge list and the jump round's propagated
+    # frame in block-manager storage for the rest of the session).
+    propagated = None  # the jump rounds' persisted frame, released per round
+    try:
+        for it in range(1, max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.v == labels.node)
+                .groupBy("u")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = lineage_truncate(new_labels, reliable_checkpoint)
-        # This probe is the round's ONE action (it materializes the lazy
-        # checkpoint chain, round 0's fused groupBy included on the
-        # first pass); round 1 probing zero changes is how round-0
-        # convergence — the common star/clique case — is detected.
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+            # Carry the pre-round label as _old so convergence detection is a
+            # column compare INSIDE the round's one materialization — the
+            # old per-round (new join old) count was a whole extra job; the
+            # flag makes the check a scan of already-checkpointed batches.
+            propagated = labels.join(
+                neighbor_min, labels.node == neighbor_min.u, "left"
+            ).select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            if it < 2:
+                # Near-dup graphs are typically dense star/clique clusters
+                # that converge in 1-2 plain rounds — skip the jump's extra
+                # join while that's still plausible.
+                # eager=False: the convergence probe below is the FIRST
+                # action over this frame, so it doubles as the checkpoint
+                # materialization — one job per round instead of two.
+                new_labels = lineage_truncate(
+                    propagated.withColumn(
+                        "_changed", F.col("component") != F.col("_old")
+                    ).drop("_old"),
+                    reliable_checkpoint,
+                )
+                propagated = None
+            else:
+                # Still unconverged after 2 rounds → a long-path component
+                # exists. Pointer jump (path halving): component :=
+                # label(component), turning O(diameter) convergence into
+                # O(log diameter) so similarity CHAINS can't stall the loop.
+                # persist (lazy), not localCheckpoint (eager): the jump reads
+                # propagated twice — the cache makes the second read free
+                # WITHOUT an extra materialization job per round; lineage is
+                # truncated at new_labels' checkpoint.
+                propagated = propagated.persist()
+                parent = propagated.select(
+                    F.col("node").alias("component"), F.col("component").alias("_grand")
+                )
+                new_labels = (
+                    propagated.join(parent, "component", "left")
+                    .select(
+                        "node",
+                        F.col("_old"),
+                        F.least(
+                            F.col("component"), F.coalesce(F.col("_grand"), F.col("component"))
+                        ).alias("component"),
+                    )
+                    .withColumn("_changed", F.col("component") != F.col("_old"))
+                    .drop("_old")
+                )
+                new_labels = lineage_truncate(new_labels, reliable_checkpoint)
+            # This probe is the round's ONE action (it materializes the lazy
+            # checkpoint chain, round 0's fused groupBy included on the
+            # first pass); round 1 probing zero changes is how round-0
+            # convergence — the common star/clique case — is detected.
+            changed = new_labels.filter(F.col("_changed")).limit(1).count()
+            if propagated is not None:
+                propagated.unpersist()
+                propagated = None
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter={max_iter} rounds; "
+                "labels were still changing — raise max_iter (the result would be wrong, "
+                "not approximate: unconverged labels split duplicate clusters)"
+            )
+        return labels
+    finally:
+        sym.unpersist()
         if propagated is not None:
             propagated.unpersist()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    else:
-        sym.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} rounds; "
-            "labels were still changing — raise max_iter (the result would be wrong, "
-            "not approximate: unconverged labels split duplicate clusters)"
-        )
-    sym.unpersist()
-    return labels
 
 
 def neardup_groups(pairs: DataFrame) -> DataFrame:

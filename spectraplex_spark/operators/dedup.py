@@ -81,21 +81,19 @@ def shingles(text_col, n: int = 3):
 _POLY_C = 1_000_003  # < 2^31 so pmod-chained combination never overflows
 
 
-def shingle_hashes(text_col, n: int = 3):
-    """Shingle set reduced to < 2^31 longs, WITHOUT materializing shingle
-    strings: hash each token once (xxhash64 → pmod), then combine n
-    neighboring token hashes polynomially via (n-1) zip_with passes of
-    integer arithmetic. Equivalent identity semantics to hashing the
-    joined shingle string, at a fraction of the cost (no per-shingle
-    concat; the text is touched exactly once).
+def shingle_hashes_from(th, n: int = 3):
+    """Polynomial n-gram combine over an ALREADY-HASHED token array
+    (< 2^31 longs) — THE single definition of the shingle-combine
+    family, shared by the production signatures (:func:`shingle_hashes`,
+    xxhash64 base) and the cross-engine estimator twin
+    (estimators.py, md5 portable base).  One definition so a combine
+    tweak can't silently drift the graded estimator off the production
+    shingle family — the same rationale as :func:`perm_constants`
+    (r13 review finding; the estimator copy unified here r14).
 
-    This is THE expensive per-document pass — compute it once and
-    persist; signatures, bands, and Jaccard are integer-array arithmetic
-    over this array and never touch the text again.
+    acc[i] = hash of tokens[i .. i+j] after pass j; zip_with pads the
+    shorter side with null, so tails become null and are sliced off.
     """
-    th = F.transform(tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
-    # acc[i] = hash of tokens[i .. i+j] after pass j; zip_with pads the
-    # shorter side with null, so tails become null and are sliced off.
     acc = th
     for j in range(1, n):
         acc = F.zip_with(
@@ -110,6 +108,23 @@ def shingle_hashes(text_col, n: int = 3):
         )
     )
     return F.array_distinct(F.when(F.size(th) >= n, windowed).otherwise(whole))
+
+
+def shingle_hashes(text_col, n: int = 3):
+    """Shingle set reduced to < 2^31 longs, WITHOUT materializing shingle
+    strings: hash each token once (xxhash64 → pmod), then combine n
+    neighboring token hashes polynomially via (n-1) zip_with passes of
+    integer arithmetic (:func:`shingle_hashes_from`). Equivalent
+    identity semantics to hashing the joined shingle string, at a
+    fraction of the cost (no per-shingle concat; the text is touched
+    exactly once).
+
+    This is THE expensive per-document pass — compute it once and
+    persist; signatures, bands, and Jaccard are integer-array arithmetic
+    over this array and never touch the text again.
+    """
+    th = F.transform(tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
+    return shingle_hashes_from(th, n)
 
 
 def perm_constants(num_hashes: int) -> list[tuple[int, int]]:

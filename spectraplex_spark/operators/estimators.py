@@ -48,26 +48,13 @@ def portable_token_hash(tok) -> "F.Column":
     return acc
 
 
-def _shingle_hashes_from(th, n: int = 3):
-    """Polynomial n-gram combine over an ALREADY-HASHED token array —
-    the shingle_hashes recipe (dedup.py) parameterized by base hash.
-    zip_with pads with null; tails null out and are sliced off."""
-    acc = th
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
-            lambda a, b: F.pmod(a * F.lit(_POLY_C) + b, F.lit(_P)),
-        )
-    windowed = F.slice(acc, 1, F.greatest(F.size(th) - (n - 1), F.lit(1)))
-    whole = F.array(
-        F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda a, b: F.pmod(a * F.lit(_POLY_C) + b, F.lit(_P)),
-        )
-    )
-    return F.array_distinct(F.when(F.size(th) >= n, windowed).otherwise(whole))
+# The shingle combine is dedup.shingle_hashes_from — the SAME single
+# definition the production signatures use (unified r14, the
+# perm_constants precedent: a copy-pasted combine could silently drift
+# the graded estimator off the production shingle family).
+from spectraplex_spark.operators.dedup import (  # noqa: E402
+    shingle_hashes_from as _shingle_hashes_from,
+)
 
 
 # Re-exported from dedup (the single definition the production

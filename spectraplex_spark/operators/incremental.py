@@ -113,6 +113,21 @@ def apply_rollup_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> N
     ptr = _read_pointer(state_path)
     if ptr is not None and ptr[1] == batch_id:
         return  # checkpoint retry of an already-committed batch: no-op
+    if ptr is not None and batch_id < ptr[1]:
+        # A batch id BELOW the committed pointer means the stream's
+        # checkpoint was deleted/reset (replay restarts at 0) or this
+        # state_path belongs to a different query — merging would
+        # re-aggregate history into already-counted state, permanently
+        # double-counting every rollup with no error anywhere.  Same
+        # refuse-to-guess discipline as the torn-swap recovery below
+        # (r14 review finding).
+        raise RuntimeError(
+            f"{state_path!r}: incoming batch_id {batch_id} is behind the "
+            f"committed state v{ptr[1]} — the streaming checkpoint was "
+            "reset or points at a different state; merging would "
+            "double-count. Start a NEW state_path for a replayed "
+            "stream, or restore the matching checkpoint."
+        )
     batch_state = daily_rollup_state(batch_df)
     if ptr is not None:
         prior = spark.read.parquet(ptr[0])

@@ -39,7 +39,10 @@ MULTIMODAL_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), True),
-        T.StructField("meta", MEDIA_META, False),
+        # meta nullable to match payload: a NULL payload (NULL source
+        # text) has no metadata — NULL/NULL rows propagate through the
+        # pandas stages like the expression path (r14 review finding)
+        T.StructField("meta", MEDIA_META, True),
     ]
 )
 
@@ -70,8 +73,9 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+        # nullable: NULL payload -> NULL feature/size (r14 review finding)
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -107,6 +111,15 @@ def resize_media(
         for pdf in batches:
             payloads, metas = [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # MULTIMODAL_SCHEMA declares payload nullable
+                    # (attach_binary_payload emits NULL for NULL text);
+                    # propagate NULL→NULL like the expression path
+                    # instead of killing the job with bytes(None)
+                    # (r14 review finding).
+                    payloads.append(None)
+                    metas.append(None)
+                    continue
                 b = bytes(payload)
                 if not fake:
                     decode_stub(b)  # pragma: no cover - stub path
@@ -165,6 +178,11 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, shas = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload has no frames: zero rows, exactly
+                    # like exploding a NULL array (r14 review finding —
+                    # bytes(None) killed the whole job).
+                    continue
                 b = bytes(payload)
                 if not fake:
                     decode_stub(b)  # pragma: no cover - stub path
@@ -187,28 +205,41 @@ def sample_frames(
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
-def extract_features(df: DataFrame, fake: bool = True, batch_hint: int = 256) -> DataFrame:
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over payload bytes.
 
     fake=True (default here): deterministic 8-dim feature derived from
     the payload's sha256 — exercises the real Arrow batch path, schema,
     and partitioning without codecs. fake=False calls decode_stub and
     raises (documented stub).
+
+    (The former ``batch_hint`` parameter was never read — Arrow batch
+    size is governed solely by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; a dead knob
+    implying control that does not exist was worse than none, r14
+    review finding.)
     """
 
     def run(batches):
         for pdf in batches:
-            feats = []
+            feats, sizes = [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload → NULL feature/size, the expression
+                    # path's null propagation (r14 review finding).
+                    feats.append(None)
+                    sizes.append(None)
+                    continue
                 b = bytes(payload)
                 if not fake:
                     decode_stub(b)  # pragma: no cover - stub path
                 digest = hashlib.sha256(b).digest()
                 feats.append([x / 255.0 for x in digest[:8]])
+                sizes.append(len(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].apply(len),
+                    "n_bytes": pd.array(sizes, dtype="Int64"),
                     "feature": feats,
                 }
             )

@@ -59,6 +59,23 @@ def write_webdataset_shards(
     os.makedirs(out_dir, exist_ok=True)
     from pyspark.sql import Window
 
+    from spectraplex_spark.sources.commit import MANIFEST_NAME
+
+    # Overwrite semantics, enforced BEFORE exporting: write_commit_manifest
+    # snapshots every shard-*.tar present in out_dir, so leftovers from a
+    # previous larger export would be PUBLISHED into the new manifest and
+    # read back as valid data — silent corpus corruption on re-export
+    # (r14 review finding).  The stale manifest goes first: during the
+    # export the directory is visibly uncommitted, so a reader landing
+    # mid-export refuses instead of serving a half-written mix.
+    stale_manifest = os.path.join(out_dir, MANIFEST_NAME)
+    if os.path.exists(stale_manifest):
+        os.remove(stale_manifest)
+    import glob as _glob
+
+    for old in _glob.glob(os.path.join(out_dir, "shard-*.tar")):
+        os.remove(old)
+
     ktype = df.schema[key_col].dataType.simpleString()
     if ktype in ("tinyint", "smallint", "int", "bigint"):
         string_keys = False
@@ -70,6 +87,26 @@ def write_webdataset_shards(
             "integral or string (the key becomes the tar member stem)"
         )
     base = df.select(F.col(key_col).alias("_k"), F.col(text_col).alias("_t"))
+    # Honor the docstring's "raises up front, not as an opaque executor
+    # error mid-export": one bounded driver-side probe over the key
+    # column finds un-tar-able keys (NULL; for strings also empty, '/',
+    # NUL) BEFORE any shard is written — the old executor-side-only
+    # check failed task N after shards 0..N-1 were already on disk
+    # (r14 review finding).  The executor check remains as a backstop.
+    bad_key = F.col("_k").isNull()
+    if string_keys:
+        bad_key = (
+            bad_key
+            | (F.col("_k") == "")
+            | F.col("_k").contains("/")
+            | F.col("_k").contains("\x00")
+        )
+    offending = base.filter(bad_key).select("_k").limit(1).collect()
+    if offending:
+        raise ValueError(
+            f"key_col {key_col!r} contains a value that cannot name a tar "
+            f"member: {offending[0][0]!r} (NULL, empty, '/', or NUL)"
+        )
     n_parts = max(base.rdd.getNumPartitions(), 1)
     # persist BEFORE the counts collect: the rank offsets and the write
     # job must read the SAME materialization — repartitionByRange

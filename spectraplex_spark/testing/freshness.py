@@ -114,6 +114,16 @@ CHANGED_CODE_REGRADES: set[str] = {
     #     validation, lineage_truncate helper adoption.
     #     decontam_ngram_overlap + fuzzy_decontam_planted + the
     #     curation composition regrade in-window this round.
+    #   - multimodal/webdataset/incremental/estimators/components pass:
+    #     NULL-payload propagation (meta/feature nullability relaxed —
+    #     10/10 snapshot byte-identity on the multimodal/webdataset
+    #     graded family at both SFs incl. out-of-window
+    #     multimodal_binary_meta), webdataset stale-shard clear +
+    #     up-front key probe, rollup behind-pointer refusal, exact
+    #     max_iter=1 convergence check + try/finally cache ownership in
+    #     connected_components, estimator shingle combine unified into
+    #     dedup.shingle_hashes_from (expression-identical by
+    #     construction; minhash/dedup/corpus_prep parity re-ran green).
 }
 
 

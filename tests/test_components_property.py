@@ -63,3 +63,29 @@ def test_converged_input_with_max_iter_one(spark):
 def test_empty_edges_with_max_iter_one(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges, max_iter=1).count() == 0
+
+
+def test_real_edge_converged_at_round_zero_with_max_iter_one(spark):
+    """max_iter=1 must ACCEPT a graph that is converged after the fused
+    round 0 even though labels moved off the identity — the old
+    identity-only heuristic raised a false 'did not converge' for the
+    single edge (1,2), making max_iter=1 unusable (r14 review finding:
+    convergence is exactly 'every edge's endpoints agree')."""
+    edges = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    got = sorted(
+        (r.node, r.component)
+        for r in connected_components(edges, max_iter=1).collect()
+    )
+    assert got == [(1, 1), (2, 1), (5, 5), (6, 5)]
+
+
+def test_unconverged_path_still_raises_with_max_iter_one(spark):
+    """A path graph that genuinely needs a second round must still fail
+    loudly under max_iter=1 (the check stays exact, not permissive)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()

@@ -1557,3 +1557,33 @@ def test_semantic_decontam_null_eval_embedding_descriptive(spark):
             corpus,
             spark.createDataFrame([(0, [0.6, 0.8]), (1, [0.6, None])], schema),
         )
+
+
+def test_multimodal_null_payload_propagates_not_crashes(spark):
+    """MULTIMODAL_SCHEMA declares payload nullable (attach_binary_payload
+    emits NULL for NULL text), so every mapInPandas stage must propagate
+    NULL like the expression path — the old bytes(None) killed the whole
+    job with an opaque executor TypeError (r14 review finding).
+    Contract per stage: resize -> NULL payload/meta row kept;
+    frame sampling -> zero rows (exploding a NULL array); features ->
+    NULL feature/n_bytes."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    mm = spark.createDataFrame([(1, b"alpha"), (2, None)], schema)
+
+    rs = {r["doc_id"]: r for r in M.resize_media(mm, width=4, height=4).collect()}
+    assert rs[1]["payload"] is not None and rs[1]["meta"]["n_bytes"] == 4 * 4 * 3
+    assert rs[2]["payload"] is None and rs[2]["meta"] is None
+
+    frames = M.sample_frames(mm).collect()
+    assert {r["doc_id"] for r in frames} == {1}
+
+    feats = {r["doc_id"]: r for r in M.extract_features(mm).collect()}
+    assert feats[1]["feature"] is not None and feats[1]["n_bytes"] == 5
+    assert feats[2]["feature"] is None and feats[2]["n_bytes"] is None

@@ -136,3 +136,21 @@ def test_rollup_state_protocol_crash_and_retry_safety(spark, tmp_path):
         fh.write("garbage")
     with _pytest.raises(ValueError, match="corrupt state pointer"):
         read_rollup_state(spark, sp)
+
+
+def test_replayed_stream_behind_pointer_refuses_loudly(spark, tmp_path):
+    """A batch_id BELOW the committed pointer means the checkpoint was
+    deleted/reset (replay restarts at 0) or the state_path belongs to a
+    different query; merging would double-count every rollup. The old
+    code only special-cased batch_id == ptr (r14 review finding)."""
+    import pytest
+
+    from spectraplex_spark.operators.incremental import apply_rollup_batch
+
+    state = str(tmp_path / "state")
+    ev = table(spark, "/root/testdata/sf0.001", "events").limit(20)
+    apply_rollup_batch(ev, 0, state)
+    apply_rollup_batch(ev, 1, state)
+    apply_rollup_batch(ev, 1, state)  # retry of committed batch: no-op
+    with pytest.raises(RuntimeError, match="behind the committed state"):
+        apply_rollup_batch(ev, 0, state)  # reset checkpoint replay

@@ -144,3 +144,36 @@ def test_string_keys_roundtrip_and_bad_types_raise(spark, tmp_path):
             spark.createDataFrame([("a/b", "t")], "doc_id string, text string"),
             str(tmp_path / "wds_slash"),
         )
+
+
+def test_reexport_smaller_corpus_clears_stale_shards(spark, tmp_path):
+    """Re-exporting a SMALLER corpus to the same dir must not publish
+    the previous export's leftover higher-numbered shards into the new
+    manifest — the old behavior manifested them and read_webdataset
+    returned deleted samples as valid data (r14 review finding)."""
+    out = str(tmp_path / "wds_re")
+    big = spark.range(0, 10).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    assert write_webdataset_shards(big, out, samples_per_shard=2) == 5
+    small = big.filter("doc_id < 4")
+    assert write_webdataset_shards(small, out, samples_per_shard=2) == 2
+    assert len(glob.glob(os.path.join(out, "shard-*.tar"))) == 2
+    back = read_webdataset_shards(spark, out)
+    assert sorted(r["doc_id"] for r in back.collect()) == [0, 1, 2, 3]
+
+
+def test_invalid_keys_raise_before_any_shard_is_written(spark, tmp_path):
+    """The up-front driver-side probe: a bad key anywhere in the corpus
+    raises BEFORE any shard lands on disk (the old executor-side check
+    failed task N after shards 0..N-1 were already written)."""
+    import pytest
+
+    out = str(tmp_path / "wds_upfront")
+    rows = [(f"ok{i:03d}", "t") for i in range(50)] + [("bad/key", "t")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    with pytest.raises(ValueError, match="cannot name a tar member"):
+        write_webdataset_shards(df, out, samples_per_shard=10)
+    assert glob.glob(os.path.join(out, "shard-*.tar")) == []
+    # NULL keys (either key kind) are rejected the same way
+    nl = spark.createDataFrame([(None, "t"), (1, "u")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="cannot name a tar member"):
+        write_webdataset_shards(nl, str(tmp_path / "wds_null"))

@@ -88,11 +88,12 @@ def _importance_score(
 
     Emits NULL for token-free documents (they carry no feature
     evidence — the callers' documented exclusion) and the BIGINT bucket
-    -weight sum otherwise.  The count rides in the aggregate's
-    accumulator and the finish lambda folds it into the ONE output
-    scalar, so the lower/regex/split tokenize chain — the dominant
-    per-row cost, measured 9x on the decontam scan (dedup.py:63) —
-    evaluates exactly once per row; the previous
+    -weight sum otherwise.  The NULL-initialized accumulator makes one
+    aggregate carry both facts: an empty token array never runs the
+    merge lambda, so the init NULL IS the token-free verdict, and the
+    first merge coalesces it to 0 — so the lower/regex/split tokenize
+    chain (the dominant per-row cost, measured 9x on the decontam
+    scan, dedup.py:63) evaluates exactly once per row.  The previous
     ``filter(size(toks) > 0)`` + separate score projection ran it
     twice (HOF chains are interpreted and outside both codegen CSE and
     cross-operator CSE).
@@ -119,13 +120,8 @@ def _importance_score(
     )
     return F.aggregate(
         per_tok,
-        F.struct(
-            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("n")
-        ),
-        lambda acc, v: F.struct(
-            (acc["s"] + v).alias("s"), (acc["n"] + F.lit(1)).alias("n")
-        ),
-        lambda acc: F.when(acc["n"] > 0, acc["s"]),
+        F.lit(None).cast("long"),
+        lambda acc, v: F.coalesce(acc, F.lit(0).cast("long")) + v,
     )
 
 

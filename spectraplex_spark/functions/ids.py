@@ -17,6 +17,24 @@ from pyspark.sql import Column, functions as F
 
 
 def deterministic_id(*parts: Column | str) -> Column:
-    """sha256 over '|'-joined parts, hex string (stable, collision-safe)."""
+    """sha256 over '|'-joined parts, hex string.
+
+    Identity contract (r14 review finding — the old one-liner claimed
+    'collision-safe' unconditionally): parts must be NON-NULL and
+    '|'-free.  The separator is deliberately unescaped — every call
+    site feeds base58 signatures/pubkeys, the chain enum, decimal
+    renderings, or integer ordinals, none of which can contain '|' —
+    so equal joined strings imply equal part tuples there.  The NULL
+    leg IS guarded structurally: ``F.concat`` (unlike the previous
+    ``concat_ws``, which SKIPS null parts) propagates NULL, so a row
+    with any NULL part gets a NULL id instead of silently colliding
+    with a different row's id — e.g. (chain, NULL wallet, sig) vs
+    (chain, wallet==sig, NULL sig), which used to hash identically and
+    made the idempotent-append anti-join DROP a genuinely distinct
+    row.  NULL ids stay visible/queryable, and the sinks' null-safe
+    anti-join already pins their replay semantics (io.py).
+    """
     cols = [F.col(p) if isinstance(p, str) else p for p in parts]
-    return F.sha2(F.concat_ws("|", *cols), 256)
+    sep = [F.lit("|")] * (2 * len(cols) - 1)
+    sep[0::2] = cols
+    return F.sha2(F.concat(*sep), 256)

@@ -18,11 +18,41 @@ from spectraplex_spark.operators.normalize import normalize
 from spectraplex_spark.plans.registry import query, table
 from spectraplex_spark.schemas import BRONZE_SCHEMA
 
-DEC = T.DecimalType(38, 6)
+# THE catalog-wide grading decimal — one definition (relational.py),
+# shared so a precision/scale tune can never drift the two catalog
+# modules apart (r14 review finding: this was a copy-paste twin).
+from spectraplex_spark.plans.relational import DEC, dec6  # noqa: E402
 
 
-def dec6(col):
-    return col.cast(DEC)
+def _replay_scratch(tag: str, sf_dir: str) -> str:
+    """Per-(entry, SF, process) scratch dir for the streaming replays,
+    cleared at entry — the old mkdtemp() leaked a fresh events copy +
+    checkpoint per RUN, accumulating unboundedly across grading rounds
+    (r14 review finding; the ext.py _scratch_dir pattern adopted)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"spectraplex_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def _drain(q, timeout: int = 300) -> None:
+    """availableNow drain with a LOUD timeout: awaitTermination returns
+    False on timeout, and the old call sites ignored it — the partial
+    sink was then read and graded while the query was still writing
+    (r14 review finding)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay did not drain within {timeout}s — refusing "
+            "to grade a partial sink"
+        )
 
 
 @query(
@@ -315,7 +345,7 @@ def streaming_window_rollup(spark, sf_dir):
     from spectraplex_spark.streaming.pipeline import windowed_event_counts
 
     events = table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="spectraplex_stream_")
+    d = _replay_scratch("stream", sf_dir)
     events.repartition(4).write.parquet(f"{d}/src")
     stream = (
         spark.readStream.schema(events.schema)
@@ -332,7 +362,7 @@ def streaming_window_rollup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     out_df = spark.read.parquet(f"{d}/out")
     # The streamed state keeps exact decimal sums; grade the double image.
     return out_df.withColumn("sum_value", F.col("sum_value").cast("double"))
@@ -369,7 +399,7 @@ def stream_interval_join_replay(spark, sf_dir):
     from spectraplex_spark.streaming.joins import stream_interval_join
 
     events = table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="spectraplex_ssj_")
+    d = _replay_scratch("ssj", sf_dir)
     events.coalesce(1).write.parquet(f"{d}/src")
     src = lambda: spark.readStream.schema(events.schema).parquet(f"{d}/src")  # noqa: E731
     clicks = src().filter(F.col("event_type") == "click").select(
@@ -395,7 +425,7 @@ def stream_interval_join_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(f"{d}/out")
 
 
@@ -422,7 +452,7 @@ def stream_dedup_replay(spark, sf_dir):
     from spectraplex_spark.streaming.joins import stream_dedup_within_watermark
 
     events = table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="spectraplex_sdd_")
+    d = _replay_scratch("sdd", sf_dir)
     # deliver every row twice (two identical files, one batch)
     events.coalesce(1).write.parquet(f"{d}/src")
     events.coalesce(1).write.mode("append").parquet(f"{d}/src")
@@ -437,7 +467,7 @@ def stream_dedup_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(f"{d}/out")
 
 
@@ -599,14 +629,14 @@ _NT_ORACLE = f"""
     "replayed closed-form in SQL (no rows-only compromise).",
 )
 def normalize_throughput(spark, sf_dir):
-    import os
-
-    from spectraplex_spark.operators.normalize import normalize
-    from spectraplex_spark.schemas import BRONZE_SCHEMA
-
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.01)
-    n = max(1000, int(1_000_000 * sf))  # sf0.1 → 100k bronze rows
-    wallet = "W" * 44
+    # Row count tied to the SAME source of truth as the oracle's
+    # GREATEST(1000, count(*)) FROM events — a bounded count action,
+    # not float-parsing the directory basename (r14 review finding:
+    # '/data/smoke' crashed before the query ran, and rounding of
+    # 1_000_000·sf could disagree with the actual events count by one
+    # row at unshipped SFs → a hash-parity failure).
+    n = max(1000, table(spark, sf_dir, "events").count())
+    wallet = _NT_WALLET  # the oracle string interpolates THIS constant
     other = "O" * 44
     raw = F.format_string(
         '{"slot": %d, "blockTime": 1672531200, '
@@ -779,7 +809,7 @@ def _outer_join_replay(spark, sf_dir, how):
     from spectraplex_spark.streaming.joins import stream_interval_join
 
     events = table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="spectraplex_slj_")
+    d = _replay_scratch("slj", sf_dir)
     src_dir = f"{d}/src"
     bounds = events.selectExpr("min(ts) AS lo", "max(ts) AS hi").head()
     lo, hi = bounds["lo"], bounds["hi"]
@@ -857,7 +887,7 @@ def _outer_join_replay(spark, sf_dir, how):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     # Sentinel guard only: NULL-keyed rows are LEGAL output (a NULL join
     # key never matches, so the batch oracle emits them NULL-padded) —
     # `user_id >= 0` would silently drop them along with the sentinels

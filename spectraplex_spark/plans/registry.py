@@ -44,12 +44,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same way, so oracle comparisons stay exact either way.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Set the legacy conf for THIS footer probe, and restore it
+        # whenever the file turns out not to need it: leaving it set
+        # session-globally leaked nanos-as-long semantics into every
+        # later parquet read — a TIMESTAMP(NANOS) column in a checkpoint
+        # read-back or user file would silently surface as raw int64
+        # nanos far from this code (r14 review finding).  When the file
+        # IS a nanos generation, the conf must stay set: the vectorized
+        # reader consults it at EXECUTION time, so restoring it would
+        # break the (lazy) scan later — that one necessary leak is the
+        # documented trade, paid only on nanos-generation test data.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        nanos = False
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            nanos = isinstance(df.schema["ts"].dataType, T.LongType)
+            if nanos:
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            if not nanos:
+                if prior is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

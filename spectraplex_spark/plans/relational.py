@@ -1351,7 +1351,6 @@ def unpivot_lineitem_metrics(spark, sf_dir):
             "metric",
             F.col("metric").substr(F.lit(3), F.length("metric") - 2),  # drop 'l_' prefix
         )
-        .replace({"quantity": "quantity", "discount": "discount", "tax": "tax"}, subset=["metric"])
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -305,3 +305,30 @@ def test_multi_chain_dispatch_and_skip_surface(spark):
     assert len(out) == 1 and out[0].transaction_id == "tx-s1"
     skipped = {r.chain: r.n_skipped for r in unsupported_chains(bronze).collect()}
     assert skipped == {"ethereum": 1, "hyperliquid": 1}
+
+
+def test_deterministic_id_null_part_poisons_not_collides(spark):
+    """concat_ws SKIPS null parts, so ('solana', NULL, 'sig') used to
+    hash identically to ('solana', 'sig', NULL) — and the idempotent
+    anti-join would then DROP a genuinely distinct row (silent data
+    loss). F.concat propagates NULL: any NULL part -> NULL id, visible
+    and queryable, never a cross-row collision (r14 review finding).
+    Non-NULL ids are byte-identical to the old formula (golden tests +
+    the normalize_throughput closed-form oracle pin that)."""
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.functions.ids import deterministic_id
+
+    df = spark.createDataFrame(
+        [("solana", None, "sigX"), ("solana", "sigX", None), ("solana", "w", "s")],
+        "chain string, wallet string, sig string",
+    )
+    ids = df.select(
+        deterministic_id("chain", "wallet", "sig").alias("id")
+    ).collect()
+    assert ids[0]["id"] is None and ids[1]["id"] is None
+    assert ids[2]["id"] is not None
+    # and the non-null id matches the documented '|'-join formula
+    import hashlib
+
+    assert ids[2]["id"] == hashlib.sha256(b"solana|w|s").hexdigest()

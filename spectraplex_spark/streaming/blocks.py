@@ -27,8 +27,19 @@ def slot_continuity(blocks: DataFrame) -> DataFrame:
     seen slot: skipped slots or missed frames) and ``hash_mismatch``
     (parent_blockhash disagrees with the previous block's blockhash:
     a fork/reorg signal even when slots are contiguous). First block
-    has no predecessor → both verdicts null."""
-    w = Window.orderBy("slot")
+    has no predecessor → both verdicts null.
+
+    At-least-once redelivery (a subscription reconnect replaying the
+    same frame) is collapsed BEFORE the window: a duplicate (slot,
+    blockhash) row would otherwise see itself as its predecessor and
+    raise a spurious has_gap + hash_mismatch alarm with no chain
+    anomaly — and equal-slot rows would make lag()'s ordering (hence
+    which row alarms) partition-order dependent (r14 review finding).
+    TWO frames with the same slot but DIFFERENT blockhashes survive the
+    dedup deliberately: that is a real fork signal, and the blockhash
+    tiebreaker keeps their window order deterministic."""
+    blocks = blocks.dropDuplicates(["slot", "blockhash"])
+    w = Window.orderBy("slot", "blockhash")
     prev_slot = F.lag("slot").over(w)
     prev_hash = F.lag("blockhash").over(w)
     return blocks.select(

@@ -88,6 +88,29 @@ def _wm_step(
 
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _key_contract(events_stream: DataFrame, user_col: str):
+    """(output DDL type, emitter) for the group key — derived from the
+    ACTUAL key column instead of a hardcoded ``long`` (r14 review
+    finding: ``int(key[0])`` crashed the whole query on the first
+    batch containing a non-numeric string key, while the batch twin is
+    key-type generic).  Integral keys keep the old Arrow quirk fix
+    (NULL-able int group keys arrive as float; NaN means NULL)."""
+    ktype = events_stream.schema[user_col].dataType.simpleString()
+    integral = ktype in _INTEGRAL_TYPES
+
+    def emit(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        if integral and isinstance(v, float):
+            return int(v)
+        return v
+
+    return ktype, emit
+
+
 def stream_funnel(
     events_stream: DataFrame,
     steps: list[str],
@@ -107,6 +130,7 @@ def stream_funnel(
     k = len(steps)
     w_us = window_s * 1_000_000
     state_schema = ", ".join(f"t{i} long" for i in range(k))
+    key_type, emit_key = _key_contract(events_stream, user_col)
 
     def funnel_fn(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -126,9 +150,8 @@ def stream_funnel(
         state.update(tuple(st))
         yield pd.DataFrame(
             {
-                # NULL user is a legal group key (the batch fold keeps
-                # it); int(None) would crash the task
-                "user_id": [None if pd.isna(key[0]) else int(key[0])],
+                # NULL user is a legal group key (the batch fold keeps it)
+                "user_id": [emit_key(key[0])],
                 "reached": [sum(x is not None for x in st)],
             }
         )
@@ -145,7 +168,7 @@ def stream_funnel(
         .groupBy("user_id")
         .applyInPandasWithState(
             funnel_fn,
-            outputStructType="user_id long, reached int",
+            outputStructType=f"user_id {key_type}, reached int",
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -172,12 +195,18 @@ def stream_funnel_watermarked(
       1. new events join the buffer;
       2. events with ``t < watermark`` are SEALED — folded into the
          slots with the exact batch ``_advance`` rule in (t, type)
-         order.  Sealing is final and correct: Spark drops input rows
-         older than the watermark before the stateful operator, so no
-         event that time-precedes a sealed one can still arrive, and
-         the strict ``<`` keeps watermark-boundary ties buffered (a
-         tie could otherwise interleave with a sealed equal-time
-         event);
+         order.  Sealing is final and correct because no event that
+         time-precedes a sealed one can still ENTER the fold — a
+         two-layer guarantee: ``timeoutConf=EventTimeTimeout`` makes
+         Spark drop input rows older than the watermark before the
+         stateful operator (4.1.2's exec gates that drop on
+         EventTimeTimeout — under the previous ``NoTimeout`` it never
+         ran, so a too-late event sealed INSTANTLY and corrupted the
+         fold, r14 review finding), and ``funnel_fn`` re-drops
+         ``t < wm`` arrivals itself so the invariant cannot silently
+         rot with an engine version change.  The strict ``<`` keeps
+         watermark-boundary ties buffered (a tie could otherwise
+         interleave with a sealed equal-time event);
       3. the snapshot folds the remaining buffer (sorted) on top of
          the sealed slots WITHOUT committing it — so after the last
          batch the emitted ``reached`` equals the batch fold over
@@ -229,6 +258,13 @@ def stream_funnel_watermarked(
             buf.extend(
                 (int(t), str(tp))
                 for t, tp in zip(pdf["t"][mask], pdf["tp"][mask])
+                # belt to EventTimeTimeout's braces: a NEW event older
+                # than the watermark is the documented drop — folding
+                # it would seal it instantly, corrupting the sealed
+                # slots and n_seen (the state's own buffered events
+                # are exempt: they were accepted when wm was lower and
+                # are exactly what sealing drains)
+                if int(t) >= wm_us
             )
         n_seen = len(buf)
         if state.exists:
@@ -244,7 +280,7 @@ def stream_funnel_watermarked(
         )
         yield pd.DataFrame(
             {
-                "user_id": [None if pd.isna(key[0]) else int(key[0])],
+                "user_id": [emit_key(key[0])],
                 "reached": [sum(x is not None for x in provisional)],
                 "reached_sealed": [sum(x is not None for x in st)],
                 "pending": [len(pending)],
@@ -252,6 +288,7 @@ def stream_funnel_watermarked(
             }
         )
 
+    key_type, emit_key = _key_contract(events_stream, user_col)
     return (
         events_stream.filter(F.col(type_col).isin(steps))
         .select(
@@ -265,11 +302,16 @@ def stream_funnel_watermarked(
         .applyInPandasWithState(
             funnel_fn,
             outputStructType=(
-                "user_id long, reached int, reached_sealed int, "
+                f"user_id {key_type}, reached int, reached_sealed int, "
                 "pending int, n_seen long"
             ),
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            # EventTimeTimeout (not NoTimeout) is LOAD-BEARING: it is
+            # what makes Spark drop watermark-late input rows before
+            # this operator (sessions.py already relies on the same
+            # behavior); no timeout timestamps are ever registered, so
+            # no timed-out invocations occur.
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

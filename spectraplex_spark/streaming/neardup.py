@@ -45,7 +45,7 @@ from spectraplex_spark.sources.io import _target_exists, idempotent_append
 from spectraplex_spark.streaming.index_state import ensure_index_config
 
 
-def _band_frame(
+def _lsh_frames(
     docs: DataFrame,
     text_col: str,
     id_col: str,
@@ -53,14 +53,26 @@ def _band_frame(
     bands: int,
     shingle_n: int,
     verify_on_text: bool = False,
-) -> DataFrame:
-    """(id, h, band, bandhash) for a batch — the narrow LSH pass,
-    computed once per batch (shingle hashes ride along for verify).
+) -> tuple[DataFrame, DataFrame]:
+    """``(hashes, bands)`` for a batch — the narrow LSH pass, split so
+    the banded frame carries ONLY ``(_id, _band, _bandhash)``: the old
+    single frame rode the full ``_h`` shingle array through posexplode,
+    replicating every document's hash set once PER BAND (16x by
+    default) into the checkpoint materialization and through both band
+    equi-joins, which never read it (r14 review finding — at 1M docs ×
+    ~1KB arrays × 16 bands that is ~16 GB of redundant shuffle/cache
+    payload vs ~1 GB).
 
-    ``verify_on_text`` stores STRING shingle sets for verification
-    (banding still uses hashed shingles) — collision-free integer-ratio
-    Jaccard, reproducible in ANSI SQL for the oracle-graded catalog
-    twin. The hashed default is the cheap production path.
+    ``hashes`` is ``(_id, _h)``, one row per doc — the verify payload
+    AND the hashes-store append row, straight from the single text
+    pass.  ``verify_on_text`` stores STRING shingle sets for
+    verification (banding still uses hashed shingles) —
+    collision-free integer-ratio Jaccard, reproducible in ANSI SQL for
+    the oracle-graded catalog twin; the hashed default is the cheap
+    production path.  Both frames are lazily checkpointed: the text
+    pass materializes once, and the banded frame's three consumers
+    (index join, both sides of the self-join, the bands append) read
+    its narrow blocks instead of re-running signature derivation.
     """
     # banding ALWAYS runs on hashed shingles (integer minhash); only the
     # verification payload `_h` switches representation
@@ -70,21 +82,26 @@ def _band_frame(
     ]
     if verify_on_text:
         cols.append(shingles(F.col(text_col), shingle_n).alias("_h"))
-    hashed = docs.select(*cols)
-    if not verify_on_text:
-        hashed = hashed.withColumn("_h", F.col("_bh"))
+    hashed = docs.select(*cols).localCheckpoint(eager=False)
+    batch_hashes = hashed.select(
+        "_id", F.col("_h" if verify_on_text else "_bh").alias("_h")
+    ).dropDuplicates(["_id"])
     # two-step select: signature computed ONCE per row, then the shared
     # band_keys derivation (dedup.py) — the same expression the batch
     # pair miner uses, so the parquet band index stays bit-compatible
-    return hashed.select(
-        "_id", "_h", minhash_signature(F.col("_bh"), num_hashes).alias("_sig")
-    ).select(
-        "_id",
-        "_h",
-        F.posexplode(band_keys(F.col("_sig"), num_hashes, bands)).alias(
-            "_band", "_bandhash"
-        ),
+    bf = (
+        hashed.select(
+            "_id", minhash_signature(F.col("_bh"), num_hashes).alias("_sig")
+        )
+        .select(
+            "_id",
+            F.posexplode(band_keys(F.col("_sig"), num_hashes, bands)).alias(
+                "_band", "_bandhash"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
+    return batch_hashes, bf
 
 
 def neardup_filter_batch(
@@ -127,12 +144,9 @@ def neardup_filter_batch(
         },
     )
 
-    bf = _band_frame(
+    batch_hashes, bf = _lsh_frames(
         batch, text_col, id_col, num_hashes, bands, shingle_n, verify_on_text
     )
-    # one localCheckpoint: banding is the expensive text pass and is read
-    # by the index join, the self-join, and the append below
-    bf = bf.localCheckpoint(eager=False)
 
     jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
 
@@ -143,8 +157,6 @@ def neardup_filter_batch(
             .filter(jac >= jaccard_threshold)
             .select("id_b")
         )
-
-    batch_hashes = bf.select("_id", "_h").dropDuplicates(["_id"])
 
     losers = None
     # Both stores must exist: hashes is appended BEFORE bands below, so

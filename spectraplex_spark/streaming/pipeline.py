@@ -137,8 +137,13 @@ def read_yellowstone_kafka_stream(
 def slot_filter(stream: DataFrame, min_slot: int) -> DataFrame:
     """'Filtering of slots' (README.md:3): parse just the slot field and
     predicate on it. get_json_object keeps this JVM-side; rows without a
-    slot are dropped (null comparison)."""
-    slot = F.get_json_object("raw_metadata", "$.slot").cast("long")
+    VALID slot are dropped (null comparison).  try_cast, not cast: under
+    Spark 4's default ANSI mode a present-but-non-numeric slot value
+    (malformed producer) made cast('long') raise CAST_INVALID_INPUT and
+    kill the streaming query — a poison pill replayed on every restart —
+    instead of following the module's corrupt-payload-drops contract
+    (r14 review finding)."""
+    slot = F.get_json_object("raw_metadata", "$.slot").try_cast("long")
     return stream.filter(slot >= F.lit(min_slot))
 
 

@@ -124,6 +124,27 @@ CHANGED_CODE_REGRADES: set[str] = {
     #     connected_components, estimator shingle combine unified into
     #     dedup.shingle_hashes_from (expression-identical by
     #     construction; minhash/dedup/corpus_prep parity re-ran green).
+    #   - catalog-infrastructure pass: _drain (loud stream timeouts),
+    #     _replay_scratch (bounded /tmp), deterministic_id NULL
+    #     poisoning (non-NULL ids byte-identical — hashlib pin +
+    #     closed-form oracle), registry.table conf restore,
+    #     normalize_throughput count tied to count(events) (identical
+    #     at every shipped SF, proven by the closed-form oracle parity),
+    #     shared DEC/dec6, unpivot dead-projection removal.  26-entry
+    #     parity sample green; the round-close dual-SF sweep
+    #     re-certifies the full surface.
+    #   - streaming-operator pass: the watermarked-funnel sealing bug
+    #     (NoTimeout never engaged Spark's late-row drop — verified in
+    #     the 4.1.2 exec bytecode; now EventTimeTimeout + an in-fn
+    #     re-drop, with the drop test made discriminating and proven
+    #     red on the old code), funnel key typing derived from the
+    #     input column, block-continuity redelivery dedup +
+    #     deterministic fork ordering, slot_filter try_cast (ANSI
+    #     poison pill), neardup banded frame narrowed to 3 columns
+    #     (×bands _h replication removed).  12/12 snapshot
+    #     byte-identity across the streaming graded family at both SFs
+    #     (fixtures replay in-order, so the sealed-path fix is
+    #     invisible to them); 20-entry streaming parity green.
 }
 
 

@@ -54,3 +54,28 @@ def test_wire_to_continuity_end_to_end(spark):
            slot_continuity(decode_yellowstone_blocks(frames)).collect()}
     assert out[101]["has_gap"] is False and out[101]["hash_mismatch"] is False
     assert out[103]["has_gap"] is True
+
+
+def test_redelivered_frame_raises_no_false_alarms(spark):
+    """At-least-once redelivery (a reconnect replaying a block frame)
+    must not alarm: the duplicate used to see itself as its predecessor
+    -> spurious has_gap + hash_mismatch with no chain anomaly (r14
+    review finding). A same-slot DIFFERENT-hash frame (a real fork)
+    still survives the dedup and alarms."""
+    rows = [
+        (10, "h10", 9, "h9", 5),
+        (11, "h11", 10, "h10", 5),
+        (11, "h11", 10, "h10", 5),   # exact redelivery: collapsed
+    ]
+    out = slot_continuity(_blocks(spark, rows)).collect()
+    assert len(out) == 2
+    by_slot = {r["slot"]: r for r in out}
+    assert by_slot[11]["has_gap"] is False and by_slot[11]["hash_mismatch"] is False
+
+    fork = rows[:2] + [(11, "h11b", 10, "h10", 5)]  # same slot, new hash
+    out2 = sorted(
+        slot_continuity(_blocks(spark, fork)).collect(),
+        key=lambda r: (r["slot"], r["blockhash"]),
+    )
+    assert len(out2) == 3  # the fork row is NOT collapsed
+    assert out2[2]["blockhash"] == "h11b" and out2[2]["has_gap"] is True

@@ -269,3 +269,22 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out_path).collect()
     assert len(got) == 1 and got[0].tx_hash == "dup-sig"
+
+
+def test_slot_filter_drops_non_numeric_slot_rows(spark):
+    """A present-but-non-numeric slot is a corrupt payload: the row
+    drops (try_cast -> NULL comparison), it must not kill the query
+    with an ANSI CAST_INVALID_INPUT poison pill (r14 review finding)."""
+    from spectraplex_spark.streaming.pipeline import slot_filter
+
+    df = spark.createDataFrame(
+        [
+            ('{"slot": 50}',),
+            ('{"slot": "abc"}',),   # malformed producer
+            ('{"slot": 9}',),       # below min_slot
+            ('{"noslot": 1}',),
+        ],
+        "raw_metadata string",
+    )
+    got = slot_filter(df, min_slot=10).collect()
+    assert [r["raw_metadata"] for r in got] == ['{"slot": 50}']

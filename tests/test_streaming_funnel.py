@@ -296,14 +296,24 @@ def test_watermarked_seals_behind_the_watermark(spark, tmp_path):
 
 
 def test_watermarked_drops_events_later_than_the_delay(spark, tmp_path):
-    """An event older than the watermark is DROPPED by Spark before the
-    operator — the explicit trade replacing the silent arrival-order
-    loss.  The anchor at t=10 arrives when wm is already ~995."""
+    """An event older than the watermark is DROPPED before it can seal —
+    the explicit trade replacing the silent arrival-order loss.  The
+    anchor at t=10 arrives when wm is already ~995.
+
+    DISCRIMINATING parameters (r14 review finding: with the old default
+    window_s=1000 both the drop and no-drop paths yielded reached=2 and
+    n_seen was unasserted, so the test was green while NoTimeout let
+    the late view seal instantly): with window_s=60, a leaked view@10
+    would re-anchor the fold and exclude click@1005 → reached 1; and
+    n_seen must count 2, not 3."""
     b1 = [(1, 1000, "view")]
     b2 = [(1, 10, "view"), (1, 1005, "click")]  # t=10 is > delay late
-    got, _ = _drain_wm(spark, str(tmp_path), [b1, b2], delay_s=5)
+    got, rows = _drain_wm(
+        spark, str(tmp_path), [b1, b2], delay_s=5, window_s=60
+    )
     # the t=10 view never perturbs state; anchor stays 1000, click lands
     assert got == {1: 2}
+    assert max(r["n_seen"] for r in rows) == 2, "dropped event leaked into n_seen"
 
 
 def test_watermarked_input_contracts(spark):
@@ -421,3 +431,34 @@ def test_null_user_group_is_not_a_poison_pill(spark, tmp_path):
         for r in spark.read.parquet(f"{tmp_path}/out").collect()
     }
     assert got == {None: 2, 1: 1}
+
+
+def test_funnel_string_user_keys_supported(spark, tmp_path):
+    """The funnel key is caller-chosen: a string key must work (the old
+    hardcoded `user_id long` + int(key[0]) killed the query on the
+    first batch containing a non-numeric key — r14 review finding)."""
+    rows = [
+        ("u-1", 0, "view"), ("u-1", 5, "click"), ("u-1", 9, "purchase"),
+        ("u-2", 0, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(u, T0 + dt.timedelta(seconds=s), t) for u, s, t in rows],
+        "session_key string, ts timestamp_ntz, event_type string",
+    )
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_funnel(stream, STEPS, window_s=60, user_col="session_key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("strkey_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["reached"]
+        for r in spark.sql("SELECT * FROM strkey_funnel").collect()
+    }
+    assert got == {"u-1": 3, "u-2": 1}

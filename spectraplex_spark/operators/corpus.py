@@ -97,10 +97,25 @@ def prepare_corpus(
             )
         )
 
-    by_lang = docs.filter(
-        X.detect_language(F.col(text_col)).isin(*keep_langs)
+    t = F.col(text_col)
+    if collect_stats:
+        n_lang = docs.filter(X.detect_language(t).isin(*keep_langs)).count()
+    else:
+        n_lang = -1
+
+    # Both gates fused under ONE let1-bound token array: the combined
+    # Filter tokenizes each row exactly once (the unfused pair of
+    # filters re-inlined the lower→regexp→split chain ~9× per row —
+    # lambda subtrees are invisible to codegen subexpression
+    # elimination; r14 optimization round, boolean equivalence:
+    # detect(text) isin L ∧ quality(text) ≥ q ≡
+    # let toks = tokens(text) in detect(toks) isin L ∧ quality(toks) ≥ q
+    # since both gates derive from the same deterministic token array).
+    gate = X.let1(
+        X.tokens(t),
+        lambda toks: X.detect_language_from_tokens(toks).isin(*keep_langs)
+        & (X.quality_score_from_tokens(toks, t) >= min_quality),
     )
-    n_lang = by_lang.count() if collect_stats else -1
 
     # ONE enrichment scan: the gated corpus plus the exact-dedup
     # fingerprint AND the minhash shingle-hash array, persisted together.
@@ -109,9 +124,9 @@ def prepare_corpus(
     # shingle pass all ride the same scan; every downstream dedup stage
     # is integer/binary arithmetic over this cached projection.
     enriched = (
-        by_lang.filter(X.quality_score(F.col(text_col)) >= min_quality)
-        .withColumn("_fp", fingerprint(F.col(text_col)))
-        .withColumn("_h", shingle_hashes(F.col(text_col), 3))
+        docs.filter(gate)
+        .withColumn("_fp", fingerprint(t))
+        .withColumn("_h", shingle_hashes(t, 3))
         .persist()
     )
     n_quality = enriched.count() if collect_stats else -1

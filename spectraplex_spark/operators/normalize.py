@@ -90,14 +90,22 @@ def normalize(bronze: DataFrame, audit_ts: Column | None = None) -> DataFrame:
     """
     audit_ts = audit_ts if audit_ts is not None else F.current_timestamp()
 
-    # from_json is PERMISSIVE: malformed JSON yields an all-null struct,
-    # which the meta-null guard below drops — i.e. unparseable rows are
-    # skipped exactly like meta-less ones (use ``parse_failures`` to see
-    # them).
-    parsed = (
-        bronze.filter(F.col("chain") == "solana")  # P7 chain dispatch
-        .withColumn("tx", F.from_json("raw_metadata", SOLANA_TX_SCHEMA))
-        .filter(F.col("tx.meta").isNotNull())  # P6 null-meta guard
+    # from_json is PERMISSIVE: malformed JSON yields an all-null struct.
+    # P6 null-meta guard: there is deliberately NO standalone
+    # ``.filter(tx.meta.isNotNull())`` here — Catalyst pushes such a
+    # filter below the from_json projection by alias substitution, which
+    # re-parses the full JSON string a second time per row (observed in
+    # the r14 plan: two from_json nodes, one in the pushed Filter, one
+    # in the Project). The guard is structurally redundant for the
+    # output: with ``tx.meta`` null BOTH candidate arrays below resolve
+    # to the empty array (the SOL branch needs meta.pre/postBalances,
+    # the SPL branch needs meta.pre/postTokenBalances), and
+    # ``explode`` of an empty array emits nothing — so meta-less and
+    # unparseable rows are skipped exactly as before (use
+    # ``parse_failures`` to see them), at ONE parse per row instead of
+    # two (r14 optimization round; output equality oracle-pinned).
+    parsed = bronze.filter(F.col("chain") == "solana").withColumn(  # P7 dispatch
+        "tx", F.from_json("raw_metadata", SOLANA_TX_SCHEMA)
     )
 
     # --- native SOL candidate (solana_parser.rs:20-45) ---

@@ -38,7 +38,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from spectraplex_spark.operators.textops import normalized, tokens
+from spectraplex_spark.operators.textops import (
+    let1,
+    normalized,
+    tokens,
+    tokens_from_normalized,
+)
 
 
 def ngram_strings(toks: Column, n: int) -> Column:
@@ -56,12 +61,10 @@ def ngram_strings(toks: Column, n: int) -> Column:
     )
 
 
-def top_ngram_stats(text: Column, n: int) -> Column:
-    """``struct(cnt BIGINT, gram_chars BIGINT)`` of the most frequent
-    word n-gram: one run-length scan over the sorted gram array (strict
-    ``>`` keeps the lexicographically smallest gram among count ties)."""
-    grams = F.array_sort(ngram_strings(tokens(text), n))
-    scanned = F.aggregate(
+def _top_stats_from(toks: Column, n: int) -> Column:
+    """top_ngram_stats over an already-bound token array."""
+    grams = F.array_sort(ngram_strings(toks, n))
+    return F.aggregate(
         grams,
         F.struct(
             F.lit("").alias("prev"),
@@ -75,7 +78,17 @@ def top_ngram_stats(text: Column, n: int) -> Column:
             F.length(acc["best_gram"]).cast("long").alias("gram_chars"),
         ),
     )
-    return scanned
+
+
+def top_ngram_stats(text: Column, n: int) -> Column:
+    """``struct(cnt BIGINT, gram_chars BIGINT)`` of the most frequent
+    word n-gram: one run-length scan over the sorted gram array (strict
+    ``>`` keeps the lexicographically smallest gram among count ties).
+    let1 binds the token array ONCE: ngram_strings references its
+    ``toks`` argument inside the per-gram transform lambda, so an
+    inlined tokenize chain used to re-execute once PER GRAM (r14
+    optimization round)."""
+    return let1(tokens(text), lambda toks: _top_stats_from(toks, n))
 
 
 def _top_step(acc: Column, x: Column) -> Column:
@@ -98,7 +111,12 @@ def top_ngram_cover_chars(text: Column, n: int) -> Column:
     column reference re-runs the whole gram-build+sort+scan. Folding
     cnt×len into the finish lambda keeps each metric at exactly one
     aggregate evaluation per row (measured 3× on the report)."""
-    grams = F.array_sort(ngram_strings(tokens(text), n))
+    return let1(tokens(text), lambda toks: _top_cover_from(toks, n))
+
+
+def _top_cover_from(toks: Column, n: int) -> Column:
+    """top_ngram_cover_chars over an already-bound token array."""
+    grams = F.array_sort(ngram_strings(toks, n))
     return F.aggregate(
         grams,
         F.struct(
@@ -117,10 +135,18 @@ def top_ngram_char_frac(text: Column, n: int) -> Column:
     frequent word n-gram (0.0 for docs with fewer than n tokens).
     ``cover`` is referenced exactly once: a gramless doc has cover 0
     and 0/total == 0.0, so no separate cnt>0 guard is needed."""
-    cover = top_ngram_cover_chars(text, n)
-    total = F.length(normalized(text)).cast("long")
+    return let1(
+        normalized(text),
+        lambda nrm: let1(
+            tokens_from_normalized(nrm),
+            lambda toks: _frac(_top_cover_from(toks, n), F.length(nrm).cast("long")),
+        ),
+    )
+
+
+def _frac(chars: Column, total: Column) -> Column:
     return F.when(
-        total > 0, cover.cast("double") / total.cast("double")
+        total > 0, chars.cast("double") / total.cast("double")
     ).otherwise(F.lit(0.0))
 
 
@@ -129,7 +155,12 @@ def dup_ngram_chars(text: Column, n: int) -> Column:
     once (count × gram length summed over duplicated grams): one
     run-length scan over the sorted gram array, the trailing run folded
     in by the finish lambda."""
-    grams = F.array_sort(ngram_strings(tokens(text), n))
+    return let1(tokens(text), lambda toks: _dup_chars_from(toks, n))
+
+
+def _dup_chars_from(toks: Column, n: int) -> Column:
+    """dup_ngram_chars over an already-bound token array."""
+    grams = F.array_sort(ngram_strings(toks, n))
     return F.aggregate(
         grams,
         F.struct(
@@ -163,11 +194,13 @@ def _dup_step(st: Column, x: Column) -> Column:
 def dup_ngram_char_frac(text: Column, n: int) -> Column:
     """Fraction of normalized-text characters covered by duplicated
     word n-grams (0.0 for docs with fewer than n tokens)."""
-    total = F.length(normalized(text)).cast("long")
-    return F.when(
-        total > 0,
-        dup_ngram_chars(text, n).cast("double") / total.cast("double"),
-    ).otherwise(F.lit(0.0))
+    return let1(
+        normalized(text),
+        lambda nrm: let1(
+            tokens_from_normalized(nrm),
+            lambda toks: _frac(_dup_chars_from(toks, n), F.length(nrm).cast("long")),
+        ),
+    )
 
 
 def repetition_report(
@@ -178,14 +211,32 @@ def repetition_report(
 ) -> DataFrame:
     """Per-document Gopher repetition signals: ``top{n}_gram_frac`` for
     each n in ``top_ns`` and ``dup{n}_gram_frac`` for each n in
-    ``dup_ns``. One zero-shuffle projection."""
+    ``dup_ns``. One zero-shuffle projection.  All metrics share ONE
+    let1-bound normalize+tokenize inside a struct column (per-metric
+    wrappers would tokenize once per metric — 6×; r14 optimization
+    round; equality with the per-metric form is pytest-pinned)."""
     t = F.col(text_col)
-    out = df
+
+    def _metrics(nrm):
+        def _inner(toks):
+            total = F.length(nrm).cast("long")
+            fields = [
+                _frac(_top_cover_from(toks, n), total).alias(f"top{n}_gram_frac")
+                for n in top_ns
+            ] + [
+                _frac(_dup_chars_from(toks, n), total).alias(f"dup{n}_gram_frac")
+                for n in dup_ns
+            ]
+            return F.struct(*fields)
+
+        return let1(tokens_from_normalized(nrm), _inner)
+
+    out = df.withColumn("_rep", let1(normalized(t), _metrics))
     for n in top_ns:
-        out = out.withColumn(f"top{n}_gram_frac", top_ngram_char_frac(t, n))
+        out = out.withColumn(f"top{n}_gram_frac", F.col("_rep").getField(f"top{n}_gram_frac"))
     for n in dup_ns:
-        out = out.withColumn(f"dup{n}_gram_frac", dup_ngram_char_frac(t, n))
-    return out
+        out = out.withColumn(f"dup{n}_gram_frac", F.col("_rep").getField(f"dup{n}_gram_frac"))
+    return out.drop("_rep")
 
 
 # Integer-grid gate thresholds: frac < num/den is evaluated as
@@ -207,10 +258,20 @@ def repetition_gate(
     discipline). Adds a ``repetition_pass`` boolean rather than
     filtering, so callers can report as well as gate."""
     t = F.col(text_col)
-    total = F.length(normalized(t)).cast("long")
-    top2_chars = top_ngram_cover_chars(t, 2)  # single-reference aggregates
-    dup5_c = dup_ngram_chars(t, 5)
     n2, d2 = top2_max
     n5, d5 = dup5_max
-    passes = (total > 0) & (top2_chars * d2 < total * n2) & (dup5_c * d5 < total * n5)
-    return df.withColumn("repetition_pass", passes)
+
+    # ONE let1-bound normalize+tokenize for the whole gate (the three
+    # unbound sub-expressions each re-ran the chain; r14 round).
+    def _passes(nrm):
+        def _inner(toks):
+            total = F.length(nrm).cast("long")
+            return (
+                (total > 0)
+                & (_top_cover_from(toks, 2) * d2 < total * n2)
+                & (_dup_chars_from(toks, 5) * d5 < total * n5)
+            )
+
+        return let1(tokens_from_normalized(nrm), _inner)
+
+    return df.withColumn("repetition_pass", let1(normalized(t), _passes))

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from spectraplex_spark.operators.dedup import _P, _POLY_C
-from spectraplex_spark.operators.textops import tokens
+from spectraplex_spark.operators.textops import let1, tokens
 
 
 def positional_shingles(text_col, n: int):
@@ -56,35 +56,46 @@ def positional_shingles(text_col, n: int):
     zip_with discipline as dedup.shingles (tokenize once per pass, not
     once per gram) but WITHOUT the array_distinct/whole-doc fallback —
     spans need every occurrence at its offset, not the set."""
-    th = tokens(text_col)
-    acc = th
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    def _from(th):
+        acc = th
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        windowed = F.slice(acc, 1, F.greatest(F.size(th) - (n - 1), F.lit(1)))
+        return F.when(F.size(th) >= n, windowed).otherwise(
+            F.array().cast("array<string>")
         )
-    windowed = F.slice(acc, 1, F.greatest(F.size(th) - (n - 1), F.lit(1)))
-    return F.when(F.size(th) >= n, windowed).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    # let1: bind the token array once — the body references it ~2n
+    # times and each reference used to re-inline the tokenize chain
+    # (r14 optimization round, same fix as dedup.shingles).
+    return let1(tokens(text_col), _from)
 
 
 def positional_shingle_hashes(text_col, n: int):
     """Positional twin of dedup.shingle_hashes: polynomial-combined
     token-hash longs at each offset, no gram string ever materialized —
     the 100 TB path (31-bit collision caveat as in the minhash miner)."""
-    th = F.transform(tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
-    acc = th
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
-            lambda a, b: F.pmod(a * F.lit(_POLY_C) + b, F.lit(_P)),
+    def _from(th):
+        acc = th
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
+                lambda a, b: F.pmod(a * F.lit(_POLY_C) + b, F.lit(_P)),
+            )
+        windowed = F.slice(acc, 1, F.greatest(F.size(th) - (n - 1), F.lit(1)))
+        return F.when(F.size(th) >= n, windowed).otherwise(
+            F.array().cast("array<bigint>")
         )
-    windowed = F.slice(acc, 1, F.greatest(F.size(th) - (n - 1), F.lit(1)))
-    return F.when(F.size(th) >= n, windowed).otherwise(
-        F.array().cast("array<bigint>")
+
+    # let1: tokenize+hash once, not once per body reference (r14).
+    return let1(
+        F.transform(tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_P))),
+        _from,
     )
 
 

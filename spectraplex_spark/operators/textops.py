@@ -61,9 +61,35 @@ def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(fold_case(text), WS_RE, " "))
 
 
+def tokens_from_normalized(nrm: Column) -> Column:
+    """Token split of an ALREADY-normalized string (single source of
+    truth for the split step — callers that let1-bind the normalized
+    form derive tokens from it without re-running the regex chain)."""
+    return F.filter(F.split(nrm, " "), lambda t: t != "")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of the normalized text (no empties)."""
-    return F.filter(F.split(normalized(text), " "), lambda t: t != "")
+    return tokens_from_normalized(normalized(text))
+
+
+def let1(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE per row and
+    hand it to ``body`` as a lambda variable.
+
+    Implemented as ``transform`` over a single-element array.  Inside
+    the lambda every reference to the bound variable is a cheap slot
+    read, where a plain Python reference would textually inline (and
+    per-row re-evaluate) the whole ``value`` subtree: expressions
+    containing lambda functions are excluded from Spark's codegen
+    subexpression elimination, so e.g. the tokenize chain
+    (lower → regexp_replace → split → filter) used to execute ~9× per
+    row inside prepare_corpus's gate filter and ~8× inside
+    shingle_hashes (measured 3.2× on the sf0.1 shingle pass after
+    binding it once — r14 optimization round).  NULL semantics are
+    unchanged: ``array(NULL)`` is ``[NULL]`` and the body sees NULL
+    exactly as the inlined form would."""
+    return F.get(F.transform(F.array(value), body), 0)
 
 
 def token_count(text: Column) -> Column:
@@ -75,11 +101,15 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokens(text)
+def stopword_ratio_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """stopword_ratio over an already-bound token array (cheap refs)."""
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return let1(tokens(text), lambda toks: stopword_ratio_from_tokens(toks, lang))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -87,15 +117,25 @@ def punct_ratio(text: Column) -> Column:
     return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 
+def quality_score_from_tokens(toks: Column, text: Column) -> Column:
+    """quality_score over an already-bound token array; ``text`` is only
+    touched for the punctuation regex (one evaluation)."""
+    n_tok = F.size(toks)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(
+        stopword_ratio_from_tokens(toks) > 0.0, F.lit(0.25)
+    ).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: rewards mid-length docs,
     penalizes punctuation soup and stopword-free (non-linguistic) text.
-    Deterministic + expression-only; thresholds are heuristic."""
-    n_tok = token_count(text)
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio(text) < 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(text) > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
-    return len_ok + punct_ok + stop_ok
+    Deterministic + expression-only; thresholds are heuristic.
+    Tokenizes ONCE per row via let1 (was 3× — the token-bound checks and
+    the stopword ratio each re-inlined the chain)."""
+    return let1(tokens(text), lambda toks: quality_score_from_tokens(toks, text))
 
 
 def _stop_hits(toks: Column, stops: list[str]) -> Column:
@@ -103,26 +143,35 @@ def _stop_hits(toks: Column, stops: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def language_scores(text: Column) -> Column:
-    """Map lang → stopword hit count (the language-ID heuristic signal)."""
-    toks = tokens(text)
+def language_scores_from_tokens(toks: Column) -> Column:
+    """language_scores over an already-bound token array."""
     return F.map_from_arrays(
         F.array(*[F.lit(k) for k in STOPWORDS]),
         F.array(*[_stop_hits(toks, v) for v in STOPWORDS.values()]),
     )
 
 
-def detect_language(text: Column) -> Column:
-    """Argmax of language_scores; 'und' when no stopword hits at all.
-    Ties break by language key order (deterministic)."""
-    scores = language_scores(text)
-    entries = F.map_entries(scores)  # array<struct<key,value>>
+def language_scores(text: Column) -> Column:
+    """Map lang → stopword hit count (the language-ID heuristic signal).
+    Tokenizes ONCE via let1 (was once per language — 4×)."""
+    return let1(tokens(text), language_scores_from_tokens)
+
+
+def detect_language_from_tokens(toks: Column) -> Column:
+    """detect_language's argmax over an already-bound token array."""
+    entries = F.map_entries(language_scores_from_tokens(toks))
     best = F.aggregate(
         entries,
         F.struct(F.lit("und").alias("key"), F.lit(0).alias("value")),
         lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
     )
     return best["key"]
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax of language_scores; 'und' when no stopword hits at all.
+    Ties break by language key order (deterministic)."""
+    return let1(tokens(text), detect_language_from_tokens)
 
 
 def fingerprint(text: Column) -> Column:
@@ -220,31 +269,37 @@ def lines(text: Column) -> Column:
 def dup_line_ratio(text: Column) -> Column:
     """Fraction of lines that are repeats of an earlier line — the
     classic boilerplate/template signal (0 = all lines unique)."""
-    ls = lines(text)
-    return F.when(
-        F.size(ls) > 0,
-        1.0 - F.size(F.array_distinct(ls)).cast("double") / F.size(ls),
-    ).otherwise(F.lit(0.0))
+    return let1(
+        lines(text),
+        lambda ls: F.when(
+            F.size(ls) > 0,
+            1.0 - F.size(F.array_distinct(ls)).cast("double") / F.size(ls),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def unique_word_ratio(text: Column) -> Column:
     """Distinct tokens / tokens — low values flag keyword-stuffing and
     degenerate repetition (a standard pretraining-quality gate)."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) > 0,
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-    ).otherwise(F.lit(0.0))
+    return let1(
+        tokens(text),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def mean_token_length(text: Column) -> Column:
     """Average token length — flags char-soup (very high) and
     single-letter noise (very low). HOF fold, no explode."""
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(
-        F.size(toks) > 0, total.cast("double") / F.size(toks)
-    ).otherwise(F.lit(0.0))
+    def _mean(toks):
+        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        return F.when(
+            F.size(toks) > 0, total.cast("double") / F.size(toks)
+        ).otherwise(F.lit(0.0))
+
+    return let1(tokens(text), _mean)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -67,24 +67,35 @@ def _argmin_cluster(q_col, cents: list[list[int]]):
     ties to the lowest id). Centroids ride as literal arrays — the
     whole thing is one narrow expression, no shuffle, no broadcast
     variable, reproducible on any executor."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    q_col,
-                    F.array(*[F.lit(int(v)) for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for c in cents
-        ]
-    )
-    # array_position returns the FIRST index of the min (1-based) —
-    # exactly the ties-to-lowest-cid rule the SQL twin's
-    # ORDER BY dist, cid replays.
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    from spectraplex_spark.operators.textops import let1
+
+    def _argmin(q):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        q,
+                        F.array(*[F.lit(int(v)) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for c in cents
+            ]
+        )
+        # array_position returns the FIRST index of the min (1-based) —
+        # exactly the ties-to-lowest-cid rule the SQL twin's
+        # ORDER BY dist, cid replays.  let1 binds the k-distance array
+        # once — position+min referenced it twice, re-running all k
+        # distance folds per reference (r14 optimization round).
+        return let1(
+            dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        )
+
+    # let1 on the query vector too: it is referenced once per centroid
+    # and callers pass a quantize EXPRESSION, not an attribute.
+    return let1(q_col, _argmin)
 
 
 def kmeans_fit_predict(

@@ -496,21 +496,32 @@ def sq_topk(
     as an integer witness that the code vector itself is graded, not
     just the one aggregate."""
     qc = sq_quantize_query(query_vec, levels)
-    codes = sq_encode_col(vec_col, levels)
     qlit = F.array(*[F.lit(int(v)) for v in qc])
-    int_dot = F.aggregate(
-        F.zip_with(codes, qlit, lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    code_sum = F.aggregate(
-        codes, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
-    )
+
+    # Two-step projection: both aggregates fold over the _c ATTRIBUTE so
+    # the encode transform runs once per row, not once per consumer
+    # (CollapseProject keeps the layers apart — _c is non-cheap and
+    # multi-referenced; r14 optimization round).
+    def _int_dot(c):
+        return F.aggregate(
+            F.zip_with(c, qlit, lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def _code_sum(c):
+        return F.aggregate(
+            c, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+        )
+
     return (
-        df.select(
+        df.select(id_col, sq_encode_col(vec_col, levels).alias("_c"))
+        .select(
             id_col,
-            code_sum.alias("code_sum"),
-            (int_dot.cast("double") / F.lit(float(levels * levels))).alias("sq_score"),
+            _code_sum(F.col("_c")).alias("code_sum"),
+            (_int_dot(F.col("_c")).cast("double") / F.lit(float(levels * levels))).alias(
+                "sq_score"
+            ),
         )
         .orderBy(F.desc("sq_score"), F.asc(id_col))
         .limit(k)
@@ -608,16 +619,23 @@ def bq_topk(
     materialized once and the scan reads dim/8 bytes per row. Standard
     use is as the first stage before an int8/exact rerank (compose with
     sq_topk / cosine_topk exactly like pq_topk_rerank)."""
+    from spectraplex_spark.operators.textops import let1
+
     dim = len(query_vec)
     qw = bq_quantize_query(query_vec)
-    codes = bq_encode_col(vec_col, dim)
-    ham = F.lit(0).cast("long")
-    for w, q in enumerate(qw):
-        ham = ham + F.bit_count(
-            F.get(codes, w).bitwiseXOR(F.lit(int(q)).cast("long"))
-        ).cast("long")
+
+    def _ham(codes):
+        ham = F.lit(0).cast("long")
+        for w, q in enumerate(qw):
+            ham = ham + F.bit_count(
+                F.get(codes, w).bitwiseXOR(F.lit(int(q)).cast("long"))
+            ).cast("long")
+        return ham
+
+    # let1: encode the sign-bit words ONCE — the per-word XOR terms each
+    # re-ran the full bit-pack expression (r14 optimization round).
     return (
-        df.select(id_col, ham.alias("hamming"))
+        df.select(id_col, let1(bq_encode_col(vec_col, dim), _ham).alias("hamming"))
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(k)
     )

@@ -51,8 +51,13 @@ def _safe_cos(num, den):
     ANSI mode otherwise ABORTS the whole job with DIVIDE_BY_ZERO even
     for double division (empirically reproduced, review finding r13),
     and NULL matches the numpy paths' NaN→Arrow-null, which sorts last
-    under every desc ranking and fails every >= threshold filter."""
-    return F.when(den != 0.0, num / den)
+    under every desc ranking and fails every >= threshold filter.
+    let1 binds the denominator ONCE — the guard + division pair
+    referenced it twice and each reference re-ran the norm fold(s)
+    (r14 optimization round)."""
+    from spectraplex_spark.operators.textops import let1
+
+    return let1(den, lambda d: F.when(d != 0.0, num / d))
 
 
 def cosine_scores(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
@@ -63,10 +68,14 @@ def cosine_scores(df: DataFrame, query_vec: list[float], vec_col: str = "embeddi
     arithmetic so accumulation is IEEE-double deterministic left-to-right.
     Zero-norm rows (or a zero query) get NULL cosine (see _safe_cos).
     """
+    from spectraplex_spark.operators.textops import let1
+
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    cos = _safe_cos(_dot(v, q), _norm(v) * F.lit(qnorm))
+    # let1: bind the double-cast vector once — dot and norm each
+    # re-ran the cast transform per reference (r14 optimization round).
+    cos = let1(v, lambda vv: _safe_cos(_dot(vv, q), _norm(vv) * F.lit(qnorm)))
     return df.withColumn("cosine", cos)
 
 
@@ -88,19 +97,27 @@ def cosine_topk(
 
 def hyperplane_signature(vec_col, planes: np.ndarray):
     """Bit-pack sign(v·h) for each hyperplane h into a long (LSH bucket)."""
-    bits = []
-    for i, plane in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in plane])
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        bits.append(
-            F.when(_dot(v, h) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+    from spectraplex_spark.operators.textops import let1
+
+    def _sig(v):
+        bits = []
+        for i, plane in enumerate(planes):
+            h = F.array(*[F.lit(float(x)) for x in plane])
+            bits.append(
+                F.when(
+                    _dot(v, h) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
             )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    # let1: cast the vector to double ONCE — the per-plane dot products
+    # each re-ran the cast transform (n_bits×; r14 optimization round).
+    return let1(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), _sig
+    )
 
 
 def random_planes(dim: int, n_bits: int = 8, seed: int = 42) -> np.ndarray:
@@ -664,8 +681,12 @@ def knn_join(
             ]
         )
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        base = corpus.select(
-            F.col(id_col).alias("corpus_id"), v.alias("_v"), _norm(v).alias("_vn")
+        # two-step projection: _vn derives from the _v ATTRIBUTE so the
+        # cast transform runs once, not once per reference (CollapseProject
+        # keeps the layers apart — _v is non-cheap and multi-referenced;
+        # r14 optimization round).
+        base = corpus.select(F.col(id_col).alias("corpus_id"), v.alias("_v")).withColumn(
+            "_vn", _norm(F.col("_v"))
         )
         scored = base.select(
             "corpus_id",

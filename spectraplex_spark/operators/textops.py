@@ -823,11 +823,22 @@ def char_entropy_report(
         df.select(F.col(id_col), normalized(F.col(text_col)).alias("_nt"))
         .filter(F.length("_nt") > 0)
         .select(F.col(id_col), F.split("_nt", "").alias("_cs"))
+        # distinct-char array as a REAL column: referenced by both
+        # n_distinct and the entropy fold, and an inline expression
+        # would re-run the sort+distinct per reference (r14 round).
+        .withColumn("_d", F.array_sort(F.array_distinct(F.col("_cs"))))
     )
-    d = F.array_sort(F.array_distinct(F.col("_cs")))
+    # let1 per distinct char: the c·ln(c) term referenced cnt twice and
+    # each reference re-scanned the char array (2× the O(distinct·len)
+    # in-row work; r14 optimization round).
     cnt = lambda ch: F.size(F.filter(F.col("_cs"), lambda x: x == ch))  # noqa: E731
     sclnc = F.aggregate(
-        F.transform(d, lambda ch: cnt(ch).cast("double") * F.log(cnt(ch).cast("double"))),
+        F.transform(
+            F.col("_d"),
+            lambda ch: let1(
+                cnt(ch).cast("double"), lambda c: c * F.log(c)
+            ),
+        ),
         F.lit(0.0),
         lambda a, v: a + v,
     )
@@ -835,7 +846,7 @@ def char_entropy_report(
     return base.select(
         id_col,
         n.alias("n_chars"),
-        F.size(d).cast("long").alias("n_distinct"),
+        F.size("_d").cast("long").alias("n_distinct"),
         F.round(F.log(n.cast("double")) - sclnc / n.cast("double"), 6).alias(
             "entropy"
         ),

@@ -35,7 +35,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, Window
 
-from spectraplex_spark.operators.textops import fold_case
+from spectraplex_spark.operators.textops import fold_case, let1
 
 # Exact-match tracking keys dropped from query strings (plus any key
 # with the utm_ prefix). Keep this list sorted and mirrored in the
@@ -96,66 +96,116 @@ def percent_decode_unreserved(s: Column) -> Column:
             .otherwise(F.concat(F.lit("%"), piece))
         )
 
-    tail = F.transform(F.slice(parts, 2, F.size(parts) - 1), dec)
-    return F.concat(F.get(parts, 0), F.array_join(tail, ""))
+    # let1: bind the split array once — slice/size/get referenced it 3×
+    # and each reference re-ran the split (r14 optimization round).
+    return let1(
+        parts,
+        lambda ps: F.concat(
+            F.get(ps, 0),
+            F.array_join(F.transform(F.slice(ps, 2, F.size(ps) - 1), dec), ""),
+        ),
+    )
 
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical URL string (see module docstring for the exact steps).
     Pure expression — no UDF, no shuffle."""
-    u = F.trim(url)
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    rest = F.regexp_replace(rest, r"#.*$", "")  # drop fragment
-    # Unreserved chars are never delimiters, so decoding before the
-    # host/path/query split cannot change the parse.
-    rest = percent_decode_unreserved(rest)
-    hostpath = F.regexp_replace(rest, r"\?.*$", "")
-    query = F.when(
-        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
-    ).otherwise(F.lit(""))
-
-    # userinfo is NOT part of the host: 'alice@example.com' must dedup
-    # and quota-group with 'example.com' (hosts cannot contain '@', so
-    # the greedy strip-to-last-@ is exact; review finding r13)
-    auth = F.regexp_replace(F.regexp_extract(hostpath, r"^([^/]*)", 1), r"^.*@", "")
-    # fold_case, not bare lower(): a unicode host label containing İ
-    # (U+0130) would otherwise canonicalize differently in Spark (full
-    # case mapping) vs the DuckDB oracle (simple mapping).  The scheme
-    # above stays bare lower() — its regex admits only ASCII.
-    host = fold_case(auth)
-    host = F.regexp_replace(host, r"^www\.", "")
-    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
-        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
-    )
-
-    # strip ALL trailing slashes, then restore the bare root: '/a//',
-    # '/a/' and '/a' are one resource and canon(canon(u)) == canon(u)
-    # (the old single-'/$' strip was non-idempotent on multi-slash
-    # tails; review finding r13)
-    path = F.regexp_replace(F.regexp_replace(hostpath, r"^[^/]*", ""), r"/+$", "")
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-
-    kept = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "") & ~_is_tracking(p),
+    # Layered let1 bindings: each derived piece (scheme/rest, hostpath/
+    # query, host/path/qcanon) is bound once per row and every later
+    # reference is a cheap lambda-variable read — the flat form re-ran
+    # the whole upstream regex chain per reference (e.g. the port-strip
+    # when-chain referenced ``host`` 3×, each re-running
+    # auth-extract + fold_case + www-strip; r14 optimization round).
+    def _final(x):
+        scheme, host0, path0, qcanon = x["s"], x["h"], x["p"], x["q"]
+        host = F.when(
+            scheme == "http", F.regexp_replace(host0, r":80$", "")
+        ).otherwise(
+            F.when(
+                scheme == "https", F.regexp_replace(host0, r":443$", "")
+            ).otherwise(host0)
         )
-    )
-    qcanon = F.array_join(kept, "&")
-    # scheme-less input has no '://' to anchor the host parse — emit
-    # NULL so malformed rows stay visible instead of all collapsing
-    # into a '://...' pseudo-URL with an empty host/domain
-    return F.when(
-        scheme != "",
-        F.concat(
-            scheme,
-            F.lit("://"),
-            host,
-            path,
-            F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
-        ),
-    )
+        path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+        # scheme-less input has no '://' to anchor the host parse — emit
+        # NULL so malformed rows stay visible instead of all collapsing
+        # into a '://...' pseudo-URL with an empty host/domain
+        return F.when(
+            scheme != "",
+            F.concat(
+                scheme,
+                F.lit("://"),
+                host,
+                path,
+                F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+
+    def _pieces(b):
+        scheme, hostpath, query = b["s"], b["hp"], b["q"]
+        # userinfo is NOT part of the host: 'alice@example.com' must dedup
+        # and quota-group with 'example.com' (hosts cannot contain '@', so
+        # the greedy strip-to-last-@ is exact; review finding r13)
+        auth = F.regexp_replace(
+            F.regexp_extract(hostpath, r"^([^/]*)", 1), r"^.*@", ""
+        )
+        # fold_case, not bare lower(): a unicode host label containing İ
+        # (U+0130) would otherwise canonicalize differently in Spark (full
+        # case mapping) vs the DuckDB oracle (simple mapping).  The scheme
+        # stays bare lower() — its regex admits only ASCII.
+        host0 = F.regexp_replace(fold_case(auth), r"^www\.", "")
+        # strip ALL trailing slashes, then restore the bare root: '/a//',
+        # '/a/' and '/a' are one resource and canon(canon(u)) == canon(u)
+        # (the old single-'/$' strip was non-idempotent on multi-slash
+        # tails; review finding r13)
+        path0 = F.regexp_replace(
+            F.regexp_replace(hostpath, r"^[^/]*", ""), r"/+$", ""
+        )
+        qcanon = F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(query, "&"),
+                    lambda p: (p != "") & ~_is_tracking(p),
+                )
+            ),
+            "&",
+        )
+        return let1(
+            F.struct(
+                scheme.alias("s"),
+                host0.alias("h"),
+                path0.alias("p"),
+                qcanon.alias("q"),
+            ),
+            _final,
+        )
+
+    def _split(a):
+        scheme, rest = a["s"], a["r"]
+        hostpath = F.regexp_replace(rest, r"\?.*$", "")
+        query = F.when(
+            rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+        ).otherwise(F.lit(""))
+        return let1(
+            F.struct(scheme.alias("s"), hostpath.alias("hp"), query.alias("q")),
+            _pieces,
+        )
+
+    def _body(u):
+        scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+        # Unreserved chars are never delimiters, so decoding before the
+        # host/path/query split cannot change the parse.
+        rest = percent_decode_unreserved(
+            F.regexp_replace(
+                F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+                r"#.*$",
+                "",
+            )
+        )
+        return let1(F.struct(scheme.alias("s"), rest.alias("r")), _split)
+
+    return let1(F.trim(url), _body)
 
 
 def url_host(url: Column) -> Column:
@@ -192,18 +242,32 @@ def registered_domain(url: Column) -> Column:
     would merge unrelated IP-hosted sites under ``216.34``); a
     trailing-dot FQDN (``example.com.``) drops the empty root label
     first."""
-    h = F.regexp_replace(url_host(url), r":[0-9]+$", "")
-    h = F.regexp_replace(h, r"\.$", "")  # FQDN root dot
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    sfxs = F.array(*[F.lit(s) for s in PSL_MULTI_SUFFIXES])
-    on_public_sfx = F.exists(sfxs, lambda s: h.endswith(F.concat(F.lit("."), s)))
-    take = F.when(on_public_sfx, F.lit(3)).otherwise(F.lit(2))
-    return (
-        F.when(h == "", F.lit(None).cast("string"))
-        .when(h.rlike(r"^[0-9.]+$"), h)  # IPv4 (and digit-only hosts)
-        .when(n >= take, F.concat_ws(".", F.slice(labels, n - take + 1, take)))
-        .otherwise(h)
+    # let1: bind the canonical host ONCE — the flat form referenced it
+    # ~25× (the per-suffix exists() lambda alone re-ran the whole
+    # canonicalize_url regex chain once per PSL suffix entry; r14
+    # optimization round).
+    def _body(h):
+        def _with_labels(labels):
+            n = F.size(labels)
+            sfxs = F.array(*[F.lit(s) for s in PSL_MULTI_SUFFIXES])
+            on_public_sfx = F.exists(
+                sfxs, lambda s: h.endswith(F.concat(F.lit("."), s))
+            )
+            take = F.when(on_public_sfx, F.lit(3)).otherwise(F.lit(2))
+            return (
+                F.when(h == "", F.lit(None).cast("string"))
+                .when(h.rlike(r"^[0-9.]+$"), h)  # IPv4 (and digit-only hosts)
+                .when(n >= take, F.concat_ws(".", F.slice(labels, n - take + 1, take)))
+                .otherwise(h)
+            )
+
+        return let1(F.split(h, r"\."), _with_labels)
+
+    return let1(
+        F.regexp_replace(
+            F.regexp_replace(url_host(url), r":[0-9]+$", ""), r"\.$", ""
+        ),
+        _body,
     )
 
 

@@ -33,6 +33,8 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from spectraplex_spark.operators.textops import let1
+
 
 def covariance_matrix(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
@@ -43,23 +45,28 @@ def covariance_matrix(
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     d = T.DecimalType(38, 12)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # explode upper-triangle pairs once per row: (i, j, x_i, x_j)
+    # let1: bind the double-cast vector ONCE per row — the flat form
+    # referenced it from inside the per-(i,j) lambda, re-running the
+    # cast transform once per PAIR (O(dim^3) element work instead of
+    # O(dim^2); r14 optimization round).
     pairs = df.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(dim - 1)),
-                        lambda j: F.struct(
-                            i.cast("int").alias("i"),
-                            j.cast("int").alias("j"),
-                            F.get(v, i).alias("xi"),
-                            F.get(v, j).alias("xj"),
+            let1(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                lambda v: F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.transform(
+                            F.sequence(i, F.lit(dim - 1)),
+                            lambda j: F.struct(
+                                i.cast("int").alias("i"),
+                                j.cast("int").alias("j"),
+                                F.get(v, i).alias("xi"),
+                                F.get(v, j).alias("xj"),
+                            ),
                         ),
-                    ),
-                )
+                    )
+                ),
             )
         ).alias("p")
     ).select("p.i", "p.j", "p.xi", "p.xj")
@@ -108,18 +115,26 @@ def pca_project(
     """(id, projected array<double>): x @ components.T as literal-array
     zip_with folds — zero shuffle, no UDF; the components matrix (k×dim,
     KBs) rides into tasks as literals."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    outs = []
-    for row in components:
-        lit = F.array(*[F.lit(float(c)) for c in row])
-        outs.append(
-            F.aggregate(
-                F.zip_with(v, lit, lambda x, c: x * c),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
+    def _proj(v):
+        outs = []
+        for row in components:
+            lit = F.array(*[F.lit(float(c)) for c in row])
+            outs.append(
+                F.aggregate(
+                    F.zip_with(v, lit, lambda x, c: x * c),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
             )
-        )
-    return df.select(id_col, F.array(*outs).alias("projected"))
+        return F.array(*outs)
+
+    # let1: cast once, not once per output component (k×; r14 round).
+    return df.select(
+        id_col,
+        let1(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), _proj
+        ).alias("projected"),
+    )
 
 
 def jl_signs(dim: int, k: int, seed: int = 42) -> np.ndarray:
@@ -147,23 +162,32 @@ def jl_project_quantized(
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     signs = jl_signs(dim, k, seed)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(quantize)) + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    outs = []
-    for row in signs:
-        lit = F.array(*[F.lit(int(s)).cast("long") for s in row])
-        outs.append(
-            F.aggregate(
-                F.zip_with(q, lit, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
+    def _proj(q):
+        outs = []
+        for row in signs:
+            lit = F.array(*[F.lit(int(s)).cast("long") for s in row])
+            outs.append(
+                F.aggregate(
+                    F.zip_with(q, lit, lambda x, s: x * s),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                )
             )
-        )
-    return df.select(id_col, F.array(*outs).alias("projected"))
+        return F.array(*outs)
+
+    # let1: quantize once, not once per output coordinate (k×; r14 round).
+    return df.select(
+        id_col,
+        let1(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+                ).cast("long"),
+            ),
+            _proj,
+        ).alias("projected"),
+    )
 
 
 def covariance_state(
@@ -179,22 +203,25 @@ def covariance_state(
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     d = T.DecimalType(38, 12)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # let1: bind the double-cast vector once (see covariance_matrix).
     pairs = df.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(dim - 1)),
-                        lambda j: F.struct(
-                            i.cast("int").alias("i"),
-                            j.cast("int").alias("j"),
-                            F.get(v, i).alias("xi"),
-                            F.get(v, j).alias("xj"),
+            let1(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                lambda v: F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.transform(
+                            F.sequence(i, F.lit(dim - 1)),
+                            lambda j: F.struct(
+                                i.cast("int").alias("i"),
+                                j.cast("int").alias("j"),
+                                F.get(v, i).alias("xi"),
+                                F.get(v, j).alias("xj"),
+                            ),
                         ),
-                    ),
-                )
+                    )
+                ),
             )
         ).alias("p")
     ).select("p.i", "p.j", "p.xi", "p.xj")

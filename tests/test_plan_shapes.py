@@ -198,3 +198,80 @@ def test_rrf_fusion_bounded_windows_and_topk(spark):
     # both shortlist legs are limit()-cut (TakeOrderedAndProject) before
     # their rank windows, plus the final fused top-k: three in total
     assert plan.count("TakeOrderedAndProject") == 3
+
+
+# --- r14 optimization round: single-evaluation (let1) discipline ---------
+#
+# HOF lambda subtrees are invisible to Spark's codegen subexpression
+# elimination, so a multi-referenced tokenize/signature chain silently
+# re-executes per reference unless bound once through textops.let1.
+# These pins count the expensive leaf expressions in the optimized plan
+# string — if a refactor re-inlines a chain, the count jumps and the
+# test names the regression.
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_let1_evaluates_value_once_and_matches_inline_form(spark):
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.textops import let1
+
+    df = spark.range(5).select(
+        F.concat(F.lit("x "), F.col("id").cast("string")).alias("t")
+    )
+    bound = df.select(
+        let1(F.split(F.col("t"), " "), lambda v: F.size(v) + F.size(v)).alias("n")
+    )
+    inline = df.select(
+        (F.size(F.split(F.col("t"), " ")) + F.size(F.split(F.col("t"), " "))).alias(
+            "n"
+        )
+    )
+    assert [r["n"] for r in bound.collect()] == [r["n"] for r in inline.collect()]
+    # the bound form carries exactly one split; the inline form two
+    assert _optimized_plan(bound).count("split(") == 1
+    assert _optimized_plan(inline).count("split(") == 2
+
+
+def test_corpus_gate_tokenizes_once_per_row(spark):
+    # prepare_corpus's fused gate filter: ONE regexp_replace (the
+    # tokenize chain) and ONE regexp_extract_all (punctuation) in the
+    # whole gate condition — the unfused pair of filters carried ~9.
+    from spectraplex_spark.operators.corpus import prepare_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clean, _ = prepare_corpus(docs, keep_langs=("en",), collect_stats=False)
+    plan = _initial_plan(clean)
+    filters = [seg for seg in plan.split("+-") if "Filter" in seg and "regexp_replace" in seg]
+    assert filters, "gate filter not found in plan"
+    gate = filters[0]
+    assert gate.count("regexp_replace") == 1, gate.count("regexp_replace")
+
+
+def test_shingle_hashes_single_tokenize(spark):
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.dedup import shingle_hashes
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _optimized_plan(
+        docs.select(shingle_hashes(F.col("text"), 3).alias("_h"))
+    )
+    assert plan.count("regexp_replace") == 1, plan.count("regexp_replace")
+
+
+def test_registered_domain_single_canonicalization(spark):
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.urlops import registered_domain
+
+    df = spark.range(3).select(
+        F.concat(F.lit("https://a.example.co.uk/p?x=1&utm_s=2#f"), F.col("id").cast("string")).alias("url")
+    )
+    plan = _optimized_plan(df.select(registered_domain(F.col("url")).alias("d")))
+    # the flat form carried ~25 copies of the trim anchor (one per
+    # reference, including one per PSL suffix); the layered form one
+    assert plan.count("trim(") == 1, plan.count("trim(")

@@ -815,14 +815,24 @@ def char_entropy_report(
     (the shingles CSE trap).
 
     Zero shuffle: one narrow projection, O(distinct · len) in-row work."""
-    # split('', '') is [''] (size 1) in BOTH engines, so the size guard
-    # alone let empty/whitespace-only docs through as phantom 1-char
-    # zero-entropy rows (review finding r12): guard on the normalized
-    # LENGTH instead (materialized once — the HOF-CSE discipline).
+    # split('', '') is [''] (size 1) in BOTH engines, so a size guard
+    # alone would let empty/whitespace-only docs through as phantom
+    # 1-char zero-entropy rows (review finding r12). The guard is a
+    # cheap PRE-filter on the raw text: t RLIKE '\\S' ⟺
+    # length(normalized(t)) > 0, because fold_case/lower never map a
+    # non-whitespace char to whitespace (case mappings are
+    # letter→letter; İ→i), regexp_replace only rewrites \s runs, and
+    # trim strips spaces — so a non-\s char always survives, and an
+    # all-\s text always collapses to ''. NULLs drop under both forms.
+    # This replaces the r12 post-filter on length("_nt"), which filter
+    # pushdown re-inlined BELOW the projection — re-running the whole
+    # normalize regex chain a second time per row (the §4.4
+    # double-evaluation trap with builtins; r14 optimization round).
+    # The pre-filter pushes to the scan as one regex over raw text and
+    # the normalize chain runs exactly once, in the projection.
     base = (
-        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_nt"))
-        .filter(F.length("_nt") > 0)
-        .select(F.col(id_col), F.split("_nt", "").alias("_cs"))
+        df.filter(F.col(text_col).rlike(r"\S"))
+        .select(F.col(id_col), F.split(normalized(F.col(text_col)), "").alias("_cs"))
         # distinct-char array as a REAL column: referenced by both
         # n_distinct and the entropy fold, and an inline expression
         # would re-run the sort+distinct per reference (r14 round).

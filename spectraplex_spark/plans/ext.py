@@ -3906,11 +3906,11 @@ def gopher_repetition_report(spark, sf_dir):
     from spectraplex_spark.operators.repetition import repetition_report
 
     # The operator is a narrow per-row map: its parallelism equals the
-    # input split count. The test parquet is one split, which would
-    # serialize the interpreted HOF scans onto one core — spread the
-    # rows first (the same knob a real deployment turns when a few
-    # large files feed a compute-heavy map stage).
-    docs = table(spark, sf_dir, "documents").repartition(32)
+    # input split count; the table-level layout-guarded spread
+    # (registry._spread_unsplittable_scan) provides it adaptively, so
+    # no hard-coded repartition here (r14: a literal 32 defeated the
+    # driver's lower-core scaling sweeps).
+    docs = table(spark, sf_dir, "documents")
     return (
         repetition_report(docs, top_ns=(2, 3), dup_ns=(5, 6))
         .select(
@@ -3955,7 +3955,7 @@ def gopher_repetition_report(spark, sf_dir):
 def gopher_repetition_gate(spark, sf_dir):
     from spectraplex_spark.operators.repetition import repetition_gate
 
-    docs = table(spark, sf_dir, "documents").repartition(32)  # see report
+    docs = table(spark, sf_dir, "documents")  # spread: see report
     gated = repetition_gate(docs)
     return (
         gated.groupBy("source")
@@ -4238,11 +4238,9 @@ def domain_cap_scalable(spark, sf_dir):
     url = F.when(F.col("doc_id") % 97 == 5, F.lit("schemeless.example/p")).otherwise(
         site
     )
-    # repartition: the tiny parquet is ONE input split, which would
-    # serialize the interpreted canonicalization pass onto one core —
-    # a local-grading artifact (at 100 TB the splits provide the
-    # parallelism); the r7 narrow-map precedent.
-    urls = docs.repartition(32).select("doc_id", url.alias("url"))
+    # the table-level layout-guarded spread already parallelizes the
+    # single-split local parquet (registry._spread_unsplittable_scan)
+    urls = docs.select("doc_id", url.alias("url"))
     return (
         cap_per_domain_scalable(urls, cap=5, hot_factor=4)
         .select("domain", "doc_id")
@@ -4591,10 +4589,10 @@ def _minhash_error_oracle_sql(num_hashes: int = 16, sample_mod: int = 5) -> str:
 def minhash_estimate_error(spark, sf_dir):
     from spectraplex_spark.operators.estimators import minhash_error_report
 
-    # single-split local parquet: spread the compute-heavy narrow pass
-    # (r7 ledger: parallelism == input splits; a 100 TB input brings
-    # its own splits and skips this)
-    docs = table(spark, sf_dir, "documents").repartition(32)
+    # single-split local parquet: the table-level layout-guarded
+    # spread parallelizes the compute-heavy narrow pass (a 100 TB
+    # input brings its own splits and the guard skips the exchange)
+    docs = table(spark, sf_dir, "documents")
     return minhash_error_report(docs).orderBy("doc_id")
 
 
@@ -4625,7 +4623,7 @@ def minhash_estimate_error(spark, sf_dir):
 def entropy_quality_report(spark, sf_dir):
     from spectraplex_spark.operators.textops import char_entropy_report
 
-    docs = table(spark, sf_dir, "documents").repartition(32)  # see above
+    docs = table(spark, sf_dir, "documents")  # spread: see above
     return char_entropy_report(docs).orderBy("doc_id")
 
 
@@ -5076,7 +5074,7 @@ def web_curation_pipeline(spark, sf_dir):
         registered_domain,
     )
 
-    docs = table(spark, sf_dir, "documents").repartition(32)
+    docs = table(spark, sf_dir, "documents")
     sub = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("a."))
         .when(F.col("doc_id") % 3 == 1, F.lit("b."))

@@ -282,3 +282,20 @@ def test_registered_domain_single_canonicalization(spark):
     # the flat form carried ~25 copies of the trim anchor (one per
     # reference, including one per PSL suffix); the layered form one
     assert plan.count("trim(") == 1, plan.count("trim(")
+
+
+def test_char_entropy_normalizes_once_per_row(spark):
+    # char_entropy_report: the empty-doc guard is a raw-text RLIKE '\S'
+    # pre-filter (provably ⟺ length(normalized) > 0), so the normalize
+    # regex chain appears exactly ONCE in the plan — the r12 post-filter
+    # on the derived length was pushdown-re-inlined below the projection
+    # and ran the chain twice per row (§4.4 trap with builtins).
+    from pyspark.sql import functions as F
+
+    from spectraplex_spark.operators.textops import char_entropy_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _optimized_plan(char_entropy_report(docs))
+    assert plan.count("regexp_replace") == 1, plan.count("regexp_replace")
+    # the guard itself must still exist (phantom 1-char rows otherwise)
+    assert "RLIKE" in plan or "rlike" in plan

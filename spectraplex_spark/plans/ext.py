@@ -768,7 +768,11 @@ _NGRAM_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), '[ \\
     "recall-guaranteed certification.",
 )
 def minhash_neardup_pairs(spark, sf_dir):
-    return D.minhash_neardup_pairs(table(spark, sf_dir, "documents"))
+    # spread=True: the shingle+signature pass is THE heavy narrow stage
+    # (32 affine hashes over the shingle array per row) — the bounded
+    # round-robin spread parallelizes it; a production multi-split
+    # layout makes the spread a no-op (registry._spread_unsplittable_scan).
+    return D.minhash_neardup_pairs(table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -1292,7 +1296,10 @@ def _corpus_prep_pipeline_oracle() -> str:
 def corpus_prep_pipeline(spark, sf_dir):
     from spectraplex_spark.operators.corpus import prepare_corpus
 
-    docs = table(spark, sf_dir, "documents")
+    # spread=True: the gate+enrichment scan (tokenize, fingerprint,
+    # shingle hashes — all heavy per-row text work) roots here; bounded
+    # spread per registry._spread_unsplittable_scan (r15 A/B).
+    docs = table(spark, sf_dir, "documents", spread=True)
     clean, _ = prepare_corpus(docs, keep_langs=("en",), collect_stats=False)
     return clean.select("doc_id", "lang", "n_chars")
 
@@ -3905,12 +3912,12 @@ _REP_BASE_SQL = (
 def gopher_repetition_report(spark, sf_dir):
     from spectraplex_spark.operators.repetition import repetition_report
 
-    # The operator is a narrow per-row map: its parallelism equals the
-    # input split count; the table-level layout-guarded spread
-    # (registry._spread_unsplittable_scan) provides it adaptively, so
-    # no hard-coded repartition here (r14: a literal 32 defeated the
-    # driver's lower-core scaling sweeps).
-    docs = table(spark, sf_dir, "documents")
+    # The operator is a narrow per-row map with heavy per-row n-gram
+    # work: spread=True gives it bounded scan parallelism adaptively
+    # (registry._spread_unsplittable_scan), with no hard-coded
+    # repartition (r14: a literal 32 defeated the driver's lower-core
+    # scaling sweeps; r15: table-level spread unwound to opt-in).
+    docs = table(spark, sf_dir, "documents", spread=True)
     return (
         repetition_report(docs, top_ns=(2, 3), dup_ns=(5, 6))
         .select(
@@ -3955,7 +3962,7 @@ def gopher_repetition_report(spark, sf_dir):
 def gopher_repetition_gate(spark, sf_dir):
     from spectraplex_spark.operators.repetition import repetition_gate
 
-    docs = table(spark, sf_dir, "documents")  # spread: see report
+    docs = table(spark, sf_dir, "documents", spread=True)  # see report
     gated = repetition_gate(docs)
     return (
         gated.groupBy("source")
@@ -4589,10 +4596,10 @@ def _minhash_error_oracle_sql(num_hashes: int = 16, sample_mod: int = 5) -> str:
 def minhash_estimate_error(spark, sf_dir):
     from spectraplex_spark.operators.estimators import minhash_error_report
 
-    # single-split local parquet: the table-level layout-guarded
-    # spread parallelizes the compute-heavy narrow pass (a 100 TB
-    # input brings its own splits and the guard skips the exchange)
-    docs = table(spark, sf_dir, "documents")
+    # single-split local parquet: the opt-in layout-guarded spread
+    # parallelizes the compute-heavy narrow pass (a 100 TB input
+    # brings its own splits and the guard skips the exchange)
+    docs = table(spark, sf_dir, "documents", spread=True)
     return minhash_error_report(docs).orderBy("doc_id")
 
 
@@ -4623,7 +4630,7 @@ def minhash_estimate_error(spark, sf_dir):
 def entropy_quality_report(spark, sf_dir):
     from spectraplex_spark.operators.textops import char_entropy_report
 
-    docs = table(spark, sf_dir, "documents")  # spread: see above
+    docs = table(spark, sf_dir, "documents", spread=True)  # see above
     return char_entropy_report(docs).orderBy("doc_id")
 
 
@@ -5074,7 +5081,9 @@ def web_curation_pipeline(spark, sf_dir):
         registered_domain,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # spread=True: gates (repetition n-grams, URL canonicalization,
+    # NFC keys) are heavy per-row text work rooted at this scan.
+    docs = table(spark, sf_dir, "documents", spread=True)
     sub = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("a."))
         .when(F.col("doc_id") % 3 == 1, F.lit("b."))
@@ -6955,7 +6964,9 @@ def curation_run_e2e(spark, sf_dir):
     from spectraplex_spark.operators.packing import pack_documents
     from spectraplex_spark.operators.shuffling import shuffle_shards_scalable
 
-    docs = table(spark, sf_dir, "documents")
+    # spread=True: the prepare_corpus gates + decontam n-gram pass root
+    # their heavy text work at this one scan.
+    docs = table(spark, sf_dir, "documents", spread=True)
     bench = docs.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "text"
     )
